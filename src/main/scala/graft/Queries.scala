@@ -1,0 +1,532 @@
+package graft
+
+import graft.graph.Graph
+import graft.ops.{HashtagGraph, JaccardGraph, Neighbours, Normalize, TextClean}
+import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
+import graft.streaming.EventStream
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The driver-contract query catalog: every SURVEY.md §2 operator plus the
+  * LLM-pipeline extensions, each as a DataFrame query over the harness
+  * testdata with (where SQL-expressible) a DuckDB oracle.
+  *
+  * Cross-engine determinism rules used throughout (so the driver can
+  * hash-compare with zero tolerance):
+  *   - money/value sums go through `decimal(18,2|6)` (exact) and only then
+  *     to double — no float-summation order dependence;
+  *   - ratios divide exact integer counts — bit-identical IEEE division;
+  *   - vector math uses the same sequential fold in both engines
+  *     ([[Similarity]] ↔ DuckDB `list_reduce`), pre-normalized vectors —
+  *     bit-identical cosines;
+  *   - arrays are `array_sort`ed and joined to strings; hashes are md5;
+  *     timestamps are formatted to strings; `size`/`row_number` are cast
+  *     to long to match DuckDB's BIGINT.
+  */
+object Queries {
+
+  type QueryFn = (SparkSession, String) => DataFrame
+  final case class Q(name: String, fn: QueryFn, oracle: Option[String])
+
+  private def t(s: SparkSession, dir: String)(n: String): DataFrame = Tables(s, dir, n)
+
+  // ---------------------------------------------------------------- helpers
+
+  private val AllStopwords = Text.StopwordLists.flatMap(_._2)
+  private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
+
+  /** DuckDB 3-word shingle list for a split-on-space words column `ws`
+    * (1-based index lambda; Spark's [[Text.shingles]] is the 0-based twin).
+    */
+  private val shingleSqlCte =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS id, s
+      |       FROM (SELECT doc_id,
+      |                    unnest(list_filter(
+      |                      list_transform(ws, (x,i) -> CASE WHEN i <= len(ws)-2
+      |                        THEN x || ' ' || ws[i+1] || ' ' || ws[i+2] END),
+      |                      v -> v IS NOT NULL)) AS s
+      |             FROM w))""".stripMargin
+
+  /** DuckDB sequential-fold dot product of two double-list columns —
+    * bit-identical to [[Similarity.dot]].
+    */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform($a, (x,i) -> x * $b[i]), (p,q) -> p + q)"
+
+  /** DuckDB pre-normalized embeddings CTE (id, ne: double list). */
+  private val normedSqlCte =
+    s"""nrm AS (SELECT vec_id,
+       |              sqrt(list_reduce(list_transform(embedding, (x,i) -> CAST(x AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (p,q) -> p + q)) AS nv
+       |       FROM embeddings),
+       |ne AS (SELECT e.vec_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE) / n.nv) AS ne
+       |       FROM embeddings e JOIN nrm n ON e.vec_id = n.vec_id)""".stripMargin
+
+  /** Spark twin of [[normedSqlCte]]: (vec_id, ne) with unit-norm doubles. */
+  private def normalizedVectors(emb: DataFrame): DataFrame = {
+    val dbl = transform(col("embedding"), x => x.cast("double"))
+    emb.select(col("vec_id"), dbl.as("d"))
+      .withColumn("nv", sqrt(aggregate(zip_with(col("d"), col("d"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)))
+      .select(col("vec_id"), transform(col("d"), x => x / col("nv")).as("ne"))
+  }
+
+  private def preNormCos(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private val TranslateSql = s"'${Normalize.Accented}', '${Normalize.Plain}'"
+
+  /** exact money sum → double, both engines (see class doc). */
+  private def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ================================================================ catalog
+
+  val all: Seq[Q] = Seq(
+
+    // ---------------------------------------------------- aggregations (A1-A5)
+    Q("q_agg_count",
+      (s, d) => t(s, d)("events")
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("w")),
+      Some("SELECT user_id, event_type, count(*) AS w FROM events GROUP BY user_id, event_type")),
+
+    Q("q_agg_tagset",
+      (s, d) => t(s, d)("events")
+        .groupBy("user_id")
+        .agg(concat_ws(",", array_sort(collect_set(col("event_type")))).as("types"),
+          count(lit(1)).as("n_events")),
+      Some("""SELECT user_id,
+             |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types,
+             |  count(*) AS n_events
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    Q("q_agg_flatten",
+      (s, d) => t(s, d)("part")
+        .groupBy("p_brand")
+        .agg(concat_ws(",",
+          array_sort(array_distinct(flatten(collect_set(split(col("p_name"), " ")))))).as("words")),
+      Some("""SELECT p_brand,
+             |  array_to_string(list_sort(list_distinct(flatten(list(string_split(p_name, ' '))))), ',') AS words
+             |FROM part GROUP BY p_brand""".stripMargin)),
+
+    // ------------------------------------------- filters / projections (P1-P6)
+    Q("q_filter_project",
+      (s, d) => t(s, d)("orders")
+        .filter(col("o_orderstatus") === "F")                                  // P2 Column filter
+        .filter(expr("o_orderpriority in ('1-URGENT','2-HIGH')"))              // P3/P5 SQL-string + IN
+        .filter(col("o_totalprice") > 1000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice"),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |WHERE o_orderstatus = 'F' AND o_orderpriority IN ('1-URGENT','2-HIGH')
+             |  AND o_totalprice > 1000.0""".stripMargin)),
+
+    Q("q_case_when",
+      (s, d) => t(s, d)("lineitem")
+        .select(col("l_returnflag"),
+          when(col("l_quantity") < 10, "small")
+            .when(col("l_quantity") < 30, "medium")
+            .otherwise("large").as("qclass"))
+        .groupBy("l_returnflag", "qclass").agg(count(lit(1)).as("cnt")),
+      Some("""SELECT l_returnflag,
+             |  CASE WHEN l_quantity < 10 THEN 'small'
+             |       WHEN l_quantity < 30 THEN 'medium' ELSE 'large' END AS qclass,
+             |  count(*) AS cnt
+             |FROM lineitem GROUP BY 1, 2""".stripMargin)),
+
+    // ------------------------------------------------------------ joins (J1-J5)
+    Q("q_join_inner",
+      (s, d) => t(s, d)("orders")
+        .join(t(s, d)("customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d)("nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue")),
+      Some("""SELECT n_name, count(*) AS n_orders,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |            JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name""".stripMargin)),
+
+    Q("q_join_left",
+      (s, d) => t(s, d)("customer")
+        .join(t(s, d)("orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(moneySum(col("o_totalprice")), lit(0.0)).as("total")),
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders,
+             |  COALESCE(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS total
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey""".stripMargin)),
+
+    // J5: the oracle states the OR-join directly; the Spark side runs the
+    // scalable union-of-equi-joins rewrite — the driver verifies equivalence.
+    Q("q_join_or_rewrite",
+      (s, d) => {
+        val li = t(s, d)("lineitem").select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+        val sup = t(s, d)("supplier").select("s_suppkey")
+        val bySupp = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+          .select("l_orderkey", "l_linenumber", "s_suppkey")
+        val byPart = li.join(sup, col("l_partkey") === col("s_suppkey"))
+          .select("l_orderkey", "l_linenumber", "s_suppkey")
+        bySupp.union(byPart).distinct()
+          .groupBy("s_suppkey").agg(count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT s_suppkey, count(*) AS cnt FROM (
+             |  SELECT DISTINCT l_orderkey, l_linenumber, s_suppkey
+             |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey OR l_partkey = s_suppkey
+             |) GROUP BY s_suppkey""".stripMargin)),
+
+    // ------------------------------------------------------- set ops (U1-U2)
+    Q("q_union_distinct",
+      (s, d) => t(s, d)("customer").select(col("c_custkey").as("id"))
+        .union(t(s, d)("supplier").select(col("s_suppkey").as("id")))
+        .distinct(),
+      Some("SELECT c_custkey AS id FROM customer UNION SELECT s_suppkey AS id FROM supplier")),
+
+    // ------------------------------------------ scalar/array functions (F1-F8)
+    Q("q_norm_tags",
+      (s, d) => t(s, d)("part")
+        .select(col("p_partkey"),
+          concat_ws(",", Normalize.normalizeTags(split(col("p_name"), " "))).as("tags")),
+      Some(s"""SELECT p_partkey,
+              |  array_to_string(list_sort(list_distinct(string_split(
+              |    translate(lower(array_to_string(string_split(p_name, ' '), ',')), $TranslateSql),
+              |    ','))), ',') AS tags
+              |FROM part""".stripMargin)),
+
+    Q("q_explode_count",
+      (s, d) => t(s, d)("part")
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt")),
+      Some("""SELECT word, count(*) AS cnt FROM (
+             |  SELECT unnest(string_split(p_name, ' ')) AS word FROM part
+             |) GROUP BY word""".stripMargin)),
+
+    Q("q_array_except",
+      (s, d) => t(s, d)("events")
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .select(col("user_id"),
+          concat_ws(",", array_except(col("types"), array(lit("view"), lit("click")))).as("rare_types")),
+      Some("""SELECT user_id,
+             |  array_to_string(list_filter(list_sort(list_distinct(list(event_type))),
+             |                              x -> x NOT IN ('view','click')), ',') AS rare_types
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    Q("q_stringify",
+      (s, d) => t(s, d)("events")
+        .groupBy("user_id")
+        .agg(Normalize.stringifyArray(array_sort(collect_set(col("event_type")))).as("types_str")),
+      Some("""SELECT user_id,
+             |  '[' || array_to_string(list_sort(list_distinct(list(event_type))), ',') || ']' AS types_str
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    Q("q_text_clean",
+      (s, d) => t(s, d)("documents")
+        .select(col("doc_id"), TextClean.cleanExpr(col("text")).as("cleaned")),
+      Some("""SELECT doc_id,
+             |  array_to_string(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+             |                              x -> len(x) > 0), ' ') AS cleaned
+             |FROM documents""".stripMargin)),
+
+    // ------------------------------------------------- graph pipeline shapes
+    // HT-graph (explode + normalize + weight count) over documents-as-corpus.
+    Q("q_graph_ht_edges",
+      (s, d) => {
+        val userTags = t(s, d)("documents").select(
+          col("doc_id").cast("string").as("id"),
+          Normalize.normalizeTags(split(col("text"), " ")).as("hts"))
+        HashtagGraph.edges(userTags)
+      },
+      Some(s"""WITH ut AS (
+              |  SELECT CAST(doc_id AS VARCHAR) AS src,
+              |         unnest(list_sort(list_distinct(string_split(
+              |           translate(lower(array_to_string(string_split(text, ' '), ',')), $TranslateSql),
+              |           ',')))) AS dst
+              |  FROM documents)
+              |SELECT src, dst, CAST(count(*) AS DOUBLE) AS w, 'HT' AS type
+              |FROM ut GROUP BY src, dst""".stripMargin)),
+
+    // J6 motif-rewrite + D3-D5 count-based Jaccard over supplier→part sets.
+    Q("q_jaccard_pairs",
+      (s, d) => {
+        val userTags = t(s, d)("lineitem")
+          .select(col("l_suppkey").cast("string").as("id"), col("l_partkey").cast("string").as("part"))
+          .groupBy("id").agg(collect_set(col("part")).as("hts"))
+        JaccardGraph.pairs(userTags)
+          .filter(col("w") > 0.1)
+          .select(col("src"), col("dst"), col("shared"),
+            col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"), col("w"))
+      },
+      Some("""WITH sp AS (SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS id, l_partkey FROM lineitem),
+             |sz AS (SELECT id, count(*) AS n FROM sp GROUP BY id),
+             |sh AS (SELECT a.id AS src, b.id AS dst, count(*) AS shared
+             |       FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.id > b.id
+             |       GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT src, dst, shared, s1.n AS n1, s2.n AS n2,
+             |       CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) AS w
+             |FROM sh JOIN sz s1 ON src = s1.id JOIN sz s2 ON dst = s2.id
+             |WHERE CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) > 0.1""".stripMargin)),
+
+    // Report cascade shape: left join + collect_set regroup + dim join (A4/J3).
+    Q("q_report_flat",
+      (s, d) => t(s, d)("customer")
+        .join(t(s, d)("orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name", "c_nationkey")
+        .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"))
+        .join(broadcast(t(s, d)("nation")), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name", "statuses"),
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |              JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY c_custkey, c_name, n_name""".stripMargin)),
+
+    // G4: distributed 2-hop neighbourhood (no driver collect) on the
+    // supplier-part bipartite graph, seed supplier "s1".
+    Q("q_neighbours_2hop",
+      (s, d) => {
+        val edges = t(s, d)("lineitem").select(
+          concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+          concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+          .distinct()
+          .withColumn("w", lit(1.0)).withColumn("type", lit("SP"))
+        Neighbours.extract(Graph(Graph.verticesOf(edges), edges), "s1")
+          .edges.select("src", "dst")
+      },
+      Some("""WITH e AS (SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+             |                           'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+             |f AS (SELECT dst AS nid FROM e WHERE src = 's1' OR dst = 's1'
+             |      UNION SELECT 's1')
+             |SELECT DISTINCT src, dst FROM e
+             |WHERE src IN (SELECT nid FROM f) OR dst IN (SELECT nid FROM f)""".stripMargin)),
+
+    // --------------------------------------------------- window / time / json
+    Q("q_window_topk",
+      (s, d) => t(s, d)("events")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("event_type", "event_id", "value", "rank"),
+      Some("""SELECT event_type, event_id, value, rank FROM (
+             |  SELECT event_type, event_id, value,
+             |         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+             |  FROM events)
+             |WHERE rank <= 3""".stripMargin)),
+
+    Q("q_window_hourly",
+      (s, d) => EventStream.windowedAgg(t(s, d)("events"), "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("cnt"), col("sum_value")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+             |  event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q("q_sessionize",
+      (s, d) => EventStream.sessionizeBatch(t(s, d)("events"))
+        .select(col("user_id"), col("session_no"),
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sstart"),
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("send"),
+          col("n_events"), col("sum_value")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no FROM g)
+             |SELECT user_id, session_no,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sstart,
+             |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS send,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM s GROUP BY user_id, session_no""".stripMargin)),
+
+    Q("q_props_json",
+      (s, d) => {
+        val k = get_json_object(col("props"), "$.k").cast("long")
+        t(s, d)("events").select(col("event_type"), k.as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+          .withColumn("avg_k", col("sum_k").cast("double") / col("cnt").cast("double"))
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  CAST(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS avg_k
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // ------------------------------------------------------------ dedup family
+    Q("q_dedup_exact",
+      (s, d) => Dedup.exact(t(s, d)("documents")),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_cnt
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    Q("q_dedup_minhash",
+      (s, d) => Dedup.minhashSignatures(t(s, d)("documents")),
+      Some(s"""WITH $shingleSqlCte
+              |SELECT id, ${(0 until 8).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")}
+              |FROM sh GROUP BY id""".stripMargin)),
+
+    Q("q_dedup_minhash_lsh",
+      (s, d) => Dedup.lshCandidates(Dedup.minhashSignatures(t(s, d)("documents"))),
+      Some(s"""WITH $shingleSqlCte,
+              |sigs AS (SELECT id, ${(0 until 8).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")}
+              |         FROM sh GROUP BY id)
+              |SELECT DISTINCT a.id AS id1, b.id AS id2
+              |FROM sigs a JOIN sigs b ON a.id < b.id AND (
+              |  (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3) OR
+              |  (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))""".stripMargin)),
+
+    Q("q_dedup_simhash",
+      (s, d) => Dedup.simhash(t(s, d)("documents")),
+      Some {
+        val votes = (0 until 16).map(j =>
+          s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+        val fp = (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents),
+           |v AS (SELECT id, CAST(concat('0x', substr(md5(w), 1, 4)) AS INTEGER) AS v FROM tok),
+           |s AS (SELECT id, $votes FROM v GROUP BY id)
+           |SELECT id, CAST($fp AS BIGINT) AS simhash FROM s""".stripMargin
+      }),
+
+    Q("q_dedup_ngram",
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), minShared = 2L),
+      Some(s"""WITH $shingleSqlCte,
+              |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+              |p AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+              |      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              |      GROUP BY 1, 2 HAVING count(*) >= 2)
+              |SELECT id1, id2, shared,
+              |       CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) AS jaccard
+              |FROM p JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id""".stripMargin)),
+
+    Q("q_dedup_embedding",
+      (s, d) => {
+        val ne = normalizedVectors(t(s, d)("embeddings"))
+        ne.as("a").join(ne.as("b"), col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+            preNormCos(col("a.ne"), col("b.ne")).as("cos"))
+          .filter(col("cos") >= 0.35)
+      },
+      Some(s"""WITH $normedSqlCte
+              |SELECT a.vec_id AS id1, b.vec_id AS id2, ${dotSql("a.ne", "b.ne")} AS cos
+              |FROM ne a JOIN ne b ON a.vec_id < b.vec_id
+              |WHERE ${dotSql("a.ne", "b.ne")} >= 0.35""".stripMargin)),
+
+    // ------------------------------------------------------ similarity search
+    Q("q_ann_cosine",
+      (s, d) => {
+        val ne = normalizedVectors(t(s, d)("embeddings"))
+        val seeds = ne.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("qe"))
+        broadcast(seeds).join(ne, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"), preNormCos(col("qe"), col("ne")).as("cos"))
+          .filter(col("cos") >= 0.3)
+      },
+      Some(s"""WITH $normedSqlCte
+              |SELECT q.vec_id AS q_id, e.vec_id AS n_id, ${dotSql("q.ne", "e.ne")} AS cos
+              |FROM ne q JOIN ne e ON q.vec_id <> e.vec_id
+              |WHERE q.vec_id % 50 = 0 AND ${dotSql("q.ne", "e.ne")} >= 0.3""".stripMargin)),
+
+    Q("q_ann_topk",
+      (s, d) => {
+        val ne = normalizedVectors(t(s, d)("embeddings"))
+        val seeds = ne.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("q_id"), col("ne").as("qe"))
+        val scored = broadcast(seeds).join(ne, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"), preNormCos(col("qe"), col("ne")).as("cos"))
+        scored.withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some(s"""WITH $normedSqlCte,
+              |scored AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id, ${dotSql("q.ne", "e.ne")} AS cos
+              |           FROM ne q JOIN ne e ON q.vec_id <> e.vec_id
+              |           WHERE q.vec_id % 100 = 0)
+              |SELECT q_id, n_id, cos, rank FROM (
+              |  SELECT q_id, n_id, cos,
+              |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5""".stripMargin)),
+
+    // -------------------------------------------------------- text analysis
+    Q("q_text_stats",
+      (s, d) => t(s, d)("documents").select(col("doc_id"),
+        Text.nWords(col("text")).as("n_words"),
+        Text.meanWordLen(col("text")).as("mean_wlen"),
+        Text.punctRatio(col("text")).as("punct_ratio"),
+        Text.tokenCount(col("text")).as("n_tokens")),
+      Some(s"""SELECT doc_id,
+              |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+              |  CAST(list_reduce(list_transform(string_split(text, ' '), x -> CAST(len(x) AS BIGINT)), (a,b) -> a + b) AS DOUBLE)
+              |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_wlen,
+              |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+              |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+              |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+              |FROM documents""".stripMargin)),
+
+    Q("q_text_quality",
+      (s, d) => t(s, d)("documents").select(col("doc_id"),
+        Text.qualityScore(col("text")).as("quality")),
+      Some(s"""SELECT doc_id,
+              |  0.4 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(AllStopwords)}))) AS DOUBLE)
+              |         / CAST(len(string_split(text, ' ')) AS DOUBLE))
+              |  + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+              |                 / CAST(length(text) AS DOUBLE))
+              |  + 0.3 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 2000 THEN 1.0 ELSE 0.0 END)
+              |  AS quality
+              |FROM documents""".stripMargin)),
+
+    Q("q_lang_id",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        val evidence = Text.langEvidence(col("text"))
+        docs.select(col("doc_id") +: evidence: _*)
+          .withColumn("pred", Text.langPredict(
+            Text.StopwordLists.map { case (l, _) => col(s"c_$l") }))
+      },
+      Some {
+        val counts = Text.StopwordLists.map { case (l, ws) =>
+          s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(ws)}))) AS BIGINT) AS c_$l"
+        }.mkString(",\n  ")
+        val langs = Text.StopwordLists.map(_._1)
+        val pred = langs.init.zipWithIndex.reverse.foldLeft(s"'${langs.last}'") { case (elseC, (l, i)) =>
+          val wins = langs.drop(i + 1).map(o => s"c_$l >= c_$o").mkString(" AND ")
+          s"CASE WHEN $wins THEN '$l' ELSE $elseC END"
+        }
+        s"""SELECT doc_id, c_en, c_es, c_fr, c_de, c_zh, $pred AS pred FROM (
+           |  SELECT doc_id,
+           |  $counts
+           |  FROM documents)""".stripMargin
+      }),
+
+    Q("q_fingerprint",
+      (s, d) => t(s, d)("documents").select(col("doc_id"),
+        Text.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             |  array_to_string(
+             |    (list_sort(list_distinct(list_transform(
+             |      list_filter(list_transform(string_split(text, ' '),
+             |        (x,i) -> CASE WHEN i <= len(string_split(text, ' '))-2
+             |          THEN x || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2] END),
+             |        v -> v IS NOT NULL),
+             |      s -> md5(s)))))[1:5], ',') AS fp
+             |FROM documents""".stripMargin)),
+
+    // ----------------------------------------------------------- multimodal
+    Q("q_multimodal_frames",
+      (s, d) => Multimodal.sampleFrames(Multimodal.fromDocuments(t(s, d)("documents")))
+        .select(col("media_id"), col("frame_no").cast("long").as("frame_no"), col("frame_bytes")),
+      Some("""WITH d AS (SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS L FROM documents),
+             |k AS (SELECT unnest([0, 1, 2, 3]) AS fno)
+             |SELECT media_id, CAST(fno AS BIGINT) AS frame_no,
+             |  least(greatest((L * (fno + 1)) // 4, (L * fno) // 4 + 1), L) - (L * fno) // 4 AS frame_bytes
+             |FROM d, k WHERE L > 0""".stripMargin))
+  )
+
+  val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
+  val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,80 @@
+package graft.cli
+
+import graft.ops.{TextClean, TweetGraphPipeline}
+import graft.tweets.TweetSchema
+import org.apache.spark.sql.SparkSession
+
+/** CLI mirroring the reference's `main.py:14-75` surface:
+  *
+  * {{{
+  * run input.jsonl [--output-path P] [--id-neighbours ID]
+  *   [--save-full-graph] [--save-pbi-report] [--save-word-cloud]
+  *   [--only-tags-from-not-retweeted-posts] [--jaccard-threshold T]
+  * }}}
+  */
+object Main {
+
+  final case class Args(
+      inputFile: String = "",
+      outputPath: String = "outputs",
+      idNeighbours: Option[String] = None,
+      saveFullGraph: Boolean = false,
+      savePbiReport: Boolean = false,
+      saveWordCloud: Boolean = false,
+      onlyTagsFromNotRetweetedPosts: Boolean = false,
+      jaccardThreshold: Double = 0.5)
+
+  def parse(argv: Array[String]): Args = {
+    def loop(rest: List[String], acc: Args): Args = rest match {
+      case Nil => acc
+      case "--output-path" :: v :: t => loop(t, acc.copy(outputPath = v))
+      case "--id-neighbours" :: v :: t => loop(t, acc.copy(idNeighbours = Some(v)))
+      case "--save-full-graph" :: t => loop(t, acc.copy(saveFullGraph = true))
+      case "--save-pbi-report" :: t => loop(t, acc.copy(savePbiReport = true))
+      case "--save-word-cloud" :: t => loop(t, acc.copy(saveWordCloud = true))
+      case "--only-tags-from-not-retweeted-posts" :: t =>
+        loop(t, acc.copy(onlyTagsFromNotRetweetedPosts = true))
+      case "--jaccard-threshold" :: v :: t => loop(t, acc.copy(jaccardThreshold = v.toDouble))
+      case f :: t if !f.startsWith("--") => loop(t, acc.copy(inputFile = f))
+      case bad => sys.error(s"unrecognized arguments: ${bad.mkString(" ")}")
+    }
+    val a = loop(argv.toList, Args())
+    require(a.inputFile.nonEmpty, "input_file is required")
+    a
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parse(argv)
+    val builder = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.session.timeZone", "UTC")
+    // under spark-submit the master comes in via spark.master; standalone
+    // runs (sbt runMain, tests) default to all local cores
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
+    try {
+      println(s"Starting the processing of the file: ${args.inputFile}")
+      val tweets = TweetSchema.read(spark, args.inputFile)
+      val g = TweetGraphPipeline.build(tweets, args.jaccardThreshold,
+        args.onlyTagsFromNotRetweetedPosts)
+
+      if (args.saveWordCloud) {
+        println("Saving word cloud")
+        TextClean.save(TextClean.wordcloudText(tweets), args.outputPath)
+      }
+      if (args.saveFullGraph) {
+        println("Saving full graph")
+        g.full.save(s"${args.outputPath}/gFull", "g")
+      }
+      if (args.savePbiReport) {
+        println("Saving Power BI report")
+        graft.ops.Report.save(g.report, args.outputPath)
+      }
+      args.idNeighbours.foreach { id =>
+        println(s"Saving neighbours of node id=$id")
+        g.neighbours(id).save(s"${args.outputPath}/id_neighbours_$id", "id")
+      }
+      println(s"Elaboration completed.\nOutput path: ${args.outputPath}")
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Word-cloud text cleaning (reference D6, `bigdata/__init__.py:28,31-47`
+  * + `generateTextFromTweeter` at `:73-94`).
+  *
+  * The reference runs spaCy `en_core_web_sm` (tokenize → lemmatize → keep
+  * alphabetic lemmas). spaCy does not exist on the JVM — DOCUMENTED
+  * DIVERGENCE: we tokenize with a regex, keep alphabetic tokens, and
+  * lowercase as a lemma approximation. The cleaner is pluggable behind
+  * [[TextCleaner]] so a real JVM lemmatizer can be dropped in.
+  */
+trait TextCleaner extends Serializable {
+  /** null-safe: None → "" like the reference (`:40-41`). */
+  def clean(s: String): String
+}
+
+/** Regex tokenizer + alphabetic filter + lowercase. */
+object RegexTextCleaner extends TextCleaner {
+  private val Token = "[A-Za-z]+".r
+  override def clean(s: String): String =
+    if (s == null) "" else Token.findAllIn(s).map(_.toLowerCase).mkString(" ")
+}
+
+object TextClean {
+
+  def cleanUdf(cleaner: TextCleaner = RegexTextCleaner): UserDefinedFunction =
+    udf((s: String) => cleaner.clean(s))
+
+  /** Pure-Catalyst equivalent of [[RegexTextCleaner]] — keeps the hot path
+    * inside whole-stage codegen (no UDF serialization): strip
+    * non-alphabetic runs containing digits, split, filter, lower, join.
+    */
+  def cleanExpr(c: Column): Column =
+    array_join(
+      filter(
+        split(lower(c), "[^a-z]+"), // after lower(), anything non a-z splits
+        t => length(t) > 0),
+      " ")
+
+  /** Per-tweet cleaned text, preferring the retweeted original's text
+    * (reference P6 + D6, `bigdata/__init__.py:87-90`).
+    */
+  def wordcloudText(tweets: DataFrame): DataFrame =
+    tweets.select(
+      when(col("retweeted_status.text").isNull, cleanExpr(col("text")))
+        .otherwise(cleanExpr(col("retweeted_status.text")))
+        .as("txt_plus_rt"))
+
+  /** CSV dump for the word cloud (`bigdata/__init__.py:91-93`). */
+  def save(df: DataFrame, basePath: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(s"$basePath/wordCloud")
+}

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus decode / feature-extract / resize /
+  * frame-sample stages.
+  *
+  * The Spark-side plumbing — schema, batch shape, partition-parallel
+  * decode via `mapPartitions`, explode for frame sampling — is real and
+  * tested. The codec step itself is a STUB (this environment has no
+  * image/audio libraries): `StubCodec` derives deterministic fake features
+  * from the bytes, and is isolated behind [[MediaCodec]] so a real decoder
+  * (javacv / TwelveMonkeys / ffmpeg-cli) drops in without touching the
+  * pipeline.
+  */
+object Multimodal {
+
+  /** Typed metadata carried alongside every media blob. */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),   // image | audio | video
+    StructField("format", StringType),       // jpeg | png | wav | mp4 | ...
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media", BinaryType),
+    StructField("meta", metaSchema)))
+
+  /** Decoder contract. Implementations must be deterministic per byte
+    * array (idempotent retries on task failure).
+    */
+  trait MediaCodec extends Serializable {
+    /** bytes → fixed-length feature vector. */
+    def features(bytes: Array[Byte], dim: Int): Array[Double]
+    /** bytes → n evenly-spaced "frames" (each an opaque byte window). */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+    /** "resize": deterministic re-encoding of the payload. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
+
+  /** STUB codec — no real media libraries in this container. Features are
+    * a byte-value histogram (deterministic, locality-ish: equal payloads →
+    * equal features); frames are evenly-spaced byte windows; resize
+    * truncates proportionally. Swap for a real codec in production.
+    */
+  object StubCodec extends MediaCodec {
+    def features(bytes: Array[Byte], dim: Int): Array[Double] = {
+      val hist = new Array[Double](dim)
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xff) % dim) += 1.0; i += 1 }
+      if (bytes.length > 0) { var j = 0; while (j < dim) { hist(j) /= bytes.length; j += 1 } }
+      hist
+    }
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+      if (bytes.isEmpty) Seq.empty
+      else (0 until n).map { k =>
+        val start = (bytes.length.toLong * k / n).toInt
+        val end = (bytes.length.toLong * (k + 1) / n).toInt
+        java.util.Arrays.copyOfRange(bytes, start, math.max(end, start + 1).min(bytes.length))
+      }
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = math.max(1, math.min(bytes.length, w * h))
+      java.util.Arrays.copyOfRange(bytes, 0, target)
+    }
+  }
+
+  /** Wrap a text table as a media table (testdata has no binary column;
+    * utf-8 bytes stand in for an encoded payload — the plumbing downstream
+    * is payload-agnostic).
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        lit("image").as("media_type"), lit("raw").as("format"),
+        lit(64).as("width"), lit(64).as("height"), lit(0L).as("duration_ms")).as("meta"))
+
+  /** Partition-parallel feature extraction. One codec instance per
+    * partition (decoders are usually expensive to init), rows streamed —
+    * the shape that scales: no collect, no per-row codec setup, batches
+    * bounded by partition size.
+    */
+  def extractFeatures(media: DataFrame, dim: Int = 16,
+                      codec: MediaCodec = StubCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("features", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("media")).mapPartitions { rows =>
+      rows.map { r => Row(r.getLong(0), codec.features(r.getAs[Array[Byte]](1), dim).toSeq) }
+    }(enc)
+  }
+
+  /** Frame sampling: one output row per sampled frame (posexplode). */
+  def sampleFrames(media: DataFrame, n: Int = 4,
+                   codec: MediaCodec = StubCodec): DataFrame = {
+    val framesUdf = udf((bytes: Array[Byte]) => codec.sampleFrames(bytes, n))
+    media.select(col("media_id"), posexplode(framesUdf(col("media"))).as(Seq("frame_no", "frame")))
+      .select(col("media_id"), col("frame_no"), col("frame"),
+        length(col("frame")).cast("long").as("frame_bytes"))
+  }
+
+  /** Resize stage: payload transform + metadata update in one pass. */
+  def resize(media: DataFrame, w: Int, h: Int,
+             codec: MediaCodec = StubCodec): DataFrame = {
+    val resizeUdf = udf((bytes: Array[Byte]) => codec.resize(bytes, w, h))
+    media.withColumn("media", resizeUdf(col("media")))
+      .withColumn("meta", col("meta")
+        .withField("width", lit(w)).withField("height", lit(h)))
+  }
+}

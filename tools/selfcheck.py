@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Self-check: compare Verify output parquet against DuckDB oracle results.
+
+Mimics the driver's t2 gate: per query — row count, schema (column names),
+and exact value hash after sorting columns by name and rows by value.
+Usage: selfcheck.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+
+def frame_key(con, sql):
+    rows = con.sql(sql).fetchall()
+    cols = [d[0] for d in con.sql(sql).description]
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return sorted(c for c in cols), len(rows), hash(tuple(map(tuple, data))), data
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        try:
+            ocols, on, ohash, odata = frame_key(con, sql)
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failed.append(name)
+            continue
+        try:
+            scols, sn, shash, sdata = frame_key(con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+        except Exception as e:
+            print(f"FAIL {name}: spark result unreadable: {e}")
+            failed.append(name)
+            continue
+        if ocols != scols:
+            print(f"FAIL {name}: columns oracle={ocols} spark={scols}")
+            failed.append(name)
+        elif on != sn:
+            print(f"FAIL {name}: rows oracle={on} spark={sn}")
+            failed.append(name)
+        elif ohash != shash:
+            diff = [(a, b) for a, b in zip(odata, sdata) if a != b][:3]
+            print(f"FAIL {name}: value mismatch, first diffs (oracle, spark): {diff}")
+            failed.append(name)
+        else:
+            print(f"OK   {name} ({sn} rows)")
+    print(f"\n{len(oracle) - len(failed)}/{len(oracle)} queries match")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
