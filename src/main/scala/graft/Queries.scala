@@ -451,6 +451,35 @@ object Queries {
               |  FROM scored)
               |WHERE rank <= 5""".stripMargin)),
 
+    Q("q_ann_lsh",
+      (s, d) => graft.pipeline.SimilarityLsh.candidatePairs(
+          t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+          numPlanes = 4, numTables = 6, dim = 64)
+        .filter(col("cos") >= 0.3),
+      Some {
+        // the oracle replays the SAME seeded hyperplanes as SQL literals
+        // (shortest-repr double strings round-trip bit-exactly)
+        def planeSql(p: Array[Double]) = "[" + p.map(_.toString).mkString(", ") + "]"
+        def bitSql(p: Array[Double]) =
+          s"CASE WHEN list_reduce(list_transform(e, (x,i) -> x * ${planeSql(p)}[i]), (p,q) -> p + q) >= 0 THEN '1' ELSE '0' END"
+        val buckets = (0 until 6).map { tIdx =>
+          val bits = graft.pipeline.SimilarityLsh.hyperplanes(4, 64, 42L + 1000L * tIdx)
+            .map(bitSql).mkString(" || ")
+          s"$bits AS k$tIdx"
+        }.mkString(",\n  ")
+        val cosSql =
+          s"${dotSql("a.e", "b.e")} / (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")}))"
+        val branches = (0 until 6).map { i =>
+          s"""SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cos
+             |FROM bk a JOIN bk b ON a.k$i = b.k$i AND a.vec_id < b.vec_id""".stripMargin
+        }.mkString("\nUNION\n")
+        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |bk AS (SELECT vec_id, e,
+           |  $buckets
+           |FROM de)
+           |SELECT id1, id2, cos FROM ($branches) WHERE cos >= 0.3""".stripMargin
+      }),
+
     // -------------------------------------------------------- text analysis
     Q("q_text_stats",
       (s, d) => t(s, d)("documents").select(col("doc_id"),

@@ -58,9 +58,14 @@ object Similarity {
 
 /** Random-hyperplane LSH for approximate nearest neighbors — the scale
   * path. `numPlanes` sign bits form a bucket key; near vectors collide with
-  * high probability. Hyperplanes are generated driver-side from a fixed
-  * seed and embedded as literals, so plans are deterministic and
-  * executor-independent.
+  * high probability. Recall is amplified the standard way: `numTables`
+  * independent hash tables (fresh hyperplanes per table), candidate ⟺
+  * same bucket in ANY table — P(candidate) = 1-(1-p^planes)^tables where
+  * p = 1-θ/π. Each table is one shuffle-joinable equi-join on its bucket
+  * key; the union replaces what would otherwise be a cross join, so the
+  * whole thing scales as tables × (hash-partition + per-bucket pairing).
+  * Hyperplanes are generated driver-side from a fixed seed and embedded as
+  * literals, so plans are deterministic and executor-independent.
   */
 object SimilarityLsh {
 
@@ -80,28 +85,35 @@ object SimilarityLsh {
     concat(bits: _*)
   }
 
-  /** Candidate pairs = vectors sharing a bucket (single shuffle on the
-    * bucket key, then per-bucket pairing). `maxBucketSize` guards the k²
+  /** Candidate pairs = vectors sharing a bucket in any of `numTables`
+    * tables (one shuffle per table on its bucket key, then per-bucket
+    * pairing, then a distinct over the union — cosine is deterministic so
+    * duplicate pairs collapse exactly). `maxBucketSize` guards the k²
     * blow-up of a degenerate bucket — the skew guard you want at 100 TB.
     */
-  def candidatePairs(vectors: DataFrame, numPlanes: Int = 12, dim: Int = 64,
-                     seed: Long = 42L, maxBucketSize: Long = 10000L): DataFrame = {
-    val planes = hyperplanes(numPlanes, dim, seed)
-    val bucketed = vectors.select(col("vec_id"), col("embedding"),
-      bucketKey(col("embedding"), planes).as("bucket"))
-    val sized = bucketed.join(
-      bucketed.groupBy("bucket").agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize),
-      Seq("bucket"), "left_semi")
-    sized.as("a")
-      .join(sized.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+  def candidatePairs(vectors: DataFrame, numPlanes: Int = 4, numTables: Int = 6,
+                     dim: Int = 64, seed: Long = 42L,
+                     maxBucketSize: Long = 10000L): DataFrame = {
+    val perTable = (0 until numTables).map { t =>
+      val planes = hyperplanes(numPlanes, dim, seed + 1000L * t)
+      val bucketed = vectors.select(col("vec_id"), col("embedding"),
+        bucketKey(col("embedding"), planes).as("bucket"))
+      val sized = bucketed.join(
+        bucketed.groupBy("bucket").agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize),
+        Seq("bucket"), "left_semi")
+      sized.as("a")
+        .join(sized.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    }
+    perTable.reduce(_ union _).distinct()
   }
 
   /** ANN top-k per query via LSH buckets: exact ranking within candidates. */
-  def topK(vectors: DataFrame, k: Int, numPlanes: Int = 12, dim: Int = 64): DataFrame = {
-    val pairs = candidatePairs(vectors, numPlanes, dim)
+  def topK(vectors: DataFrame, k: Int, numPlanes: Int = 4, numTables: Int = 6,
+           dim: Int = 64): DataFrame = {
+    val pairs = candidatePairs(vectors, numPlanes, numTables, dim)
     val sym = pairs.select(col("id1").as("q_id"), col("id2").as("n_id"), col("cos"))
       .union(pairs.select(col("id2").as("q_id"), col("id1").as("n_id"), col("cos")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)

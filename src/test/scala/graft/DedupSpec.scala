@@ -1,0 +1,83 @@
+package graft
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // planted corpus: 1≡2 exact dup, 3 near-dup of 1 (one word differs),
+  // 4 unrelated
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+  lazy val docs = Seq(
+    (1L, base),
+    (2L, base),
+    (3L, base.replace("lazy", "sleepy")),
+    (4L, "completely different content with nothing shared at all here whatsoever today")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs).collect()
+      .map(x => (x.getAs[Long]("keep_id"), x.getAs[Long]("dup_cnt"))).toSet
+    assert(r === Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("minhash: identical docs get identical signatures; near-dups share most") {
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("id") -> (0 until 8).map(i => r.getAs[String](s"m$i"))).toMap
+    assert(sigs(1L) === sigs(2L))
+    val sharedWithNear = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
+    val sharedWithFar = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(sharedWithNear >= 4, s"near-dup should share most minhashes, got $sharedWithNear")
+    assert(sharedWithFar === 0)
+  }
+
+  test("LSH banding surfaces the planted near-dup pair, not the unrelated doc") {
+    val sigs = Dedup.minhashSignatures(docs)
+    // default banding (4 bands × 2 rows): exact dups always collide, the
+    // unrelated doc never does (disjoint shingles → disjoint md5 minima)
+    val cands = Dedup.lshCandidates(sigs).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists(p => p._1 == 4L || p._2 == 4L))
+    // near-dup recall is probabilistic at r=2 (J≈0.65 → ~89% per banding);
+    // with r=1 a single shared minhash suffices, and the near-dup shares ≥4
+    val fine = Dedup.lshCandidates(sigs, numHashes = 8, rowsPerBand = 1).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(fine.contains((1L, 3L)) && fine.contains((2L, 3L)))
+    assert(!fine.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: hamming(near-dup) < hamming(unrelated)") {
+    val fps = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(fps(1L) === fps(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(3L)) < ham(fps(1L), fps(4L)))
+  }
+
+  test("simhashPairs finds close pairs via half-key candidates") {
+    val pairs = Dedup.simhashPairs(docs, maxDist = 4).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard: exact dup scores 1.0; near-dup in (0,1); unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs).collect()
+      .map(r => ((r.getAs[Long]("id1"), r.getAs[Long]("id2")), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    val nd = pairs((1L, 3L))
+    assert(nd > 0.0 && nd < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("embedding near-dup finds planted identical vector") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDup(vecs, 0.9).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

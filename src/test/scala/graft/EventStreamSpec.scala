@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int) = new java.sql.Timestamp(1704067200000L + minute * 60000L)
+
+  private val events = Seq(
+    Event(1L, ts(0), 10L, "click", 1.0),
+    Event(2L, ts(5), 10L, "click", 2.0),
+    Event(3L, ts(50), 10L, "view", 3.0),   // 45-min gap → new session
+    Event(4L, ts(2), 20L, "purchase", 4.0))
+
+  test("streaming windowed agg with watermark emits per-window counts") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val agg = EventStream.windowedAgg(
+      mem.toDF().withColumn("props", lit("{}")), windowLen = "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_agg")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_agg").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime / 60000 % 1440,
+        r.getAs[String]("event_type"), r.getAs[Long]("cnt"), r.getAs[Double]("sum_value")))
+      .toSet
+    val base = 1704067200000L / 60000 % 1440
+    assert(rows === Set(
+      (base, "click", 2L, 3.0),
+      ((base + 50) % 1440, "view", 1L, 3.0),
+      (base, "purchase", 1L, 4.0)))
+  }
+
+  test("stateful sessionize (flatMapGroupsWithState) matches batch sessionize") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val sessions = EventStream.sessionize(mem.toDS(), gapMs = 30L * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    // append mode emits only CLOSED sessions (user 10's first: events 1,2)
+    val closed = spark.table("sessions").as[Session].collect()
+    assert(closed.map(s => (s.user_id, s.n_events, s.sum_value)).toSet ===
+      Set((10L, 2L, 3.0)))
+
+    // batch variant sees everything: 3 sessions total
+    val batch = EventStream.sessionizeBatch(
+      events.toDF().withColumn("props", lit("{}")), gapMs = 30L * 60 * 1000)
+    val b = batch.collect().map(r => (r.getAs[Long]("user_id"),
+      r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(b === Set((10L, 2L, 3.0), (10L, 1L, 3.0), (20L, 1L, 4.0)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.pipeline.{Similarity, SimilarityLsh}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randVecs(n: Int, dim: Int, seed: Long) = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(dim)(rng.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("cosine matches a manual computation") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f)),
+      (2L, Seq(4.0f, 5.0f, 6.0f))).toDF("vec_id", "embedding")
+    val c = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .collect().head.getDouble(0)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(c - expected) < 1e-12)
+  }
+
+  test("brute-force top-k: k rows per query, descending, deterministic ties") {
+    val corpus = randVecs(50, 8, seed = 1)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val r = Similarity.bruteForceTopK(queries, corpus, k = 5).collect()
+    assert(r.length === 15)
+    r.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Double]("cos")).sliding(2).forall(s => s(0) >= s(1)))
+    }
+  }
+
+  test("LSH candidates achieve good recall on high-threshold pairs") {
+    val corpus = randVecs(200, 16, seed = 2)
+    // ground truth: all pairs with cosine >= 0.6
+    val truth = Dedup0.bruteforcePairs(spark, corpus, 0.6)
+    val cands = SimilarityLsh.candidatePairs(corpus, numPlanes = 4, numTables = 6, dim = 16)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    val recalled = truth.count(cands.contains)
+    assert(truth.isEmpty || recalled.toDouble / truth.size >= 0.5,
+      s"recall ${recalled}/${truth.size} too low")
+  }
+
+  test("bucket key is a deterministic bit string") {
+    val corpus = randVecs(10, 8, seed = 3)
+    val planes = SimilarityLsh.hyperplanes(6, 8)
+    val k1 = corpus.select(SimilarityLsh.bucketKey(col("embedding"), planes)).collect().map(_.getString(0))
+    val k2 = corpus.select(SimilarityLsh.bucketKey(col("embedding"), planes)).collect().map(_.getString(0))
+    assert(k1 === k2)
+    assert(k1.forall(k => k.length === 6 && k.forall(c => c == '0' || c == '1')))
+  }
+}
+
+/** tiny helper kept out of the suite for clarity */
+object Dedup0 {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  def bruteforcePairs(spark: SparkSession, corpus: DataFrame, thr: Double): Set[(Long, Long)] = {
+    import graft.pipeline.Dedup
+    Dedup.embeddingNearDup(corpus, thr).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+  }
+}

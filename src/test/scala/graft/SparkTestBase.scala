@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session across all suites (startup dominates runtime). */
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+trait SparkTestBase extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
