@@ -67,13 +67,12 @@ object Queries {
   private def normalizedVectors(emb: DataFrame): DataFrame = {
     val dbl = transform(col("embedding"), x => x.cast("double"))
     emb.select(col("vec_id"), dbl.as("d"))
-      .withColumn("nv", sqrt(aggregate(zip_with(col("d"), col("d"), (x, y) => x * y),
-        lit(0.0), (acc, v) => acc + v)))
+      .withColumn("nv", sqrt(graft.functions.VectorFunctions.dot(col("d"), col("d"))))
       .select(col("vec_id"), transform(col("d"), x => x / col("nv")).as("ne"))
   }
 
   private def preNormCos(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.dot(a, b)
 
   private val TranslateSql = s"'${Normalize.Accented}', '${Normalize.Plain}'"
 
@@ -555,7 +554,13 @@ object Queries {
              |FROM d, k WHERE L > 0""".stripMargin))
   )
 
-  val queries: Map[String, QueryFn] = all.map(q => q.name -> q.fn).toMap
+  val queries: Map[String, QueryFn] = all.map { q =>
+    // graft expressions resolve by name at analysis time, so make sure the
+    // session (ours or the driver's) has them registered before plan-build
+    q.name -> ((s: SparkSession, d: String) => {
+      graft.functions.VectorFunctions.register(s); q.fn(s, d)
+    }): (String, QueryFn)
+  }.toMap
   val oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

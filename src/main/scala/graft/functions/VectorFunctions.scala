@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Sequential-fold dot product of two `array<double>` columns as a native
+  * Catalyst expression with codegen.
+  *
+  * Semantics are EXACTLY `aggregate(zip_with(a, b, (x,y) => x*y), 0.0d,
+  * (acc,v) => acc+v)` — a strict left-to-right IEEE fold, so results are
+  * bit-identical to the higher-order-function formulation (and to DuckDB's
+  * `list_reduce(list_transform(...))` oracle twin). The difference is purely
+  * physical: HOFs are interpreted per-row with lambda allocation and never
+  * enter whole-stage codegen; this compiles to a tight Java loop inside the
+  * generated code. On the all-pairs similarity queries that's the entire
+  * hot path (12.5M × 64-element folds at sf0.1).
+  *
+  * Null semantics mirror the HOF fold: length mismatch (zip_with pads with
+  * null → null product) or any null element poisons the sum → null.
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  // AbstractDataType is private[sql] in Spark 4 — let the covariant Seq
+  // of the concrete subtype conform to the abstract member's type
+  override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+
+  /** Idempotently register graft expressions in the session's function
+    * registry, so `call_function` / SQL can resolve them. Works on any
+    * session handed to us (the driver builds its own for the smoke check).
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    val id = FunctionIdentifier("graft_dot")
+    if (!reg.functionExists(id)) {
+      reg.registerFunction(id,
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+    }
+  }
+
+  /** Column-level dot product; requires [[register]] on the session first
+    * (resolution happens at analysis time against the registry).
+    */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+}

@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two double arrays — a codegen'd native
+    * expression, bit-identical to the `aggregate(zip_with(...))` fold (see
+    * [[graft.functions.DotProduct]]). The session must have
+    * [[graft.functions.VectorFunctions.register]] applied (Queries wraps
+    * every catalog entry with it).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
@@ -86,28 +90,35 @@ object SimilarityLsh {
   }
 
   /** Candidate pairs = vectors sharing a bucket in any of `numTables`
-    * tables (one shuffle per table on its bucket key, then per-bucket
-    * pairing, then a distinct over the union — cosine is deterministic so
-    * duplicate pairs collapse exactly). `maxBucketSize` guards the k²
-    * blow-up of a degenerate bucket — the skew guard you want at 100 TB.
+    * tables. The per-table bucket keys are computed ONCE per vector (an
+    * array of table keys, posexploded to (table#, bucket) rows), matched
+    * with one self-equi-join on (table#, bucket), deduped, and only then
+    * joined back to the embeddings for the exact cosine — so the wide
+    * vectors never ride through the pairing shuffle and the two identical
+    * join inputs collapse into one reused exchange. `maxBucketSize` guards
+    * the k² blow-up of a degenerate bucket — the skew guard you want at
+    * 100 TB.
     */
   def candidatePairs(vectors: DataFrame, numPlanes: Int = 4, numTables: Int = 6,
                      dim: Int = 64, seed: Long = 42L,
                      maxBucketSize: Long = 10000L): DataFrame = {
-    val perTable = (0 until numTables).map { t =>
-      val planes = hyperplanes(numPlanes, dim, seed + 1000L * t)
-      val bucketed = vectors.select(col("vec_id"), col("embedding"),
-        bucketKey(col("embedding"), planes).as("bucket"))
-      val sized = bucketed.join(
-        bucketed.groupBy("bucket").agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize),
-        Seq("bucket"), "left_semi")
-      sized.as("a")
-        .join(sized.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    val tableKeys = (0 until numTables).map { t =>
+      bucketKey(col("embedding"), hyperplanes(numPlanes, dim, seed + 1000L * t))
     }
-    perTable.reduce(_ union _).distinct()
+    val keyed = vectors.select(col("vec_id"), posexplode(array(tableKeys: _*)))
+      .toDF("vec_id", "tbl", "bucket")
+    val okBuckets = keyed.groupBy("tbl", "bucket")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
+    val sized = keyed.join(okBuckets, Seq("tbl", "bucket"), "left_semi")
+    val pairs = sized.as("a").join(sized.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+      .distinct()
+    pairs
+      .join(vectors.select(col("vec_id").as("id1"), col("embedding").as("e1")), Seq("id1"))
+      .join(vectors.select(col("vec_id").as("id2"), col("embedding").as("e2")), Seq("id2"))
+      .select(col("id1"), col("id2"), Similarity.cosine(col("e1"), col("e2")).as("cos"))
   }
 
   /** ANN top-k per query via LSH buckets: exact ranking within candidates. */

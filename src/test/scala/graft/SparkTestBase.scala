@@ -17,6 +17,7 @@ trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = {
     val s = SparkTestSession.spark
     s.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(s)
     s
   }
 }
