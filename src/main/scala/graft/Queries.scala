@@ -284,6 +284,10 @@ object Queries {
     // supplier-part bipartite graph, seed supplier "s1".
     Q("q_neighbours_2hop",
       (s, d) => {
+        // the edge set feeds the frontier and the membership joins; the
+        // identical distinct exchanges collapse via AQE stage reuse (a
+        // .cache() here measured SLOWER — serialization beats the one
+        // extra post-exchange aggregate it saves)
         val edges = t(s, d)("lineitem").select(
           concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
           concat(lit("p"), col("l_partkey").cast("string")).as("dst"))

@@ -42,8 +42,13 @@ object JaccardGraph {
     }
     val sizes = userTags.select(col("id"), size(col("hts")).as("n"))
 
-    val shared = ut.as("x")
-      .join(ut.as("y"), col("x.tag") === col("y.tag") && col("x.id") > col("y.id"))
+    // SHUFFLE_MERGE: with both (identical) sides shuffled on tag the
+    // exchanges collapse into one reused exchange — a broadcast self-join
+    // would execute the upstream tag pipeline twice, and a corpus-side
+    // build is unbroadcastable at scale anyway
+    val shared = ut.as("x").hint("SHUFFLE_MERGE")
+      .join(ut.as("y").hint("SHUFFLE_MERGE"),
+        col("x.tag") === col("y.tag") && col("x.id") > col("y.id"))
       .groupBy(col("x.id").as("src"), col("y.id").as("dst"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -31,12 +31,18 @@ object Neighbours {
       .union(g.edges.sparkSession.createDataFrame(Seq(Tuple1(id))).toDF("nid"))
       .distinct()
 
-    // OR-membership as two semi-joins union'd (shuffle/broadcast-joinable)
-    // rather than one OR-condition join (nested-loop); the frontier side is
-    // broadcast-hinted — it is bounded by the 1-hop out-degree.
-    val srcIn = g.edges.join(broadcast(frontier), col("src") === col("nid"), "left_semi")
-    val dstIn = g.edges.join(broadcast(frontier), col("dst") === col("nid"), "left_semi")
-    val edges2 = srcIn.union(dstIn).distinct()
+    // OR-membership via two broadcast left joins + null-marker filter:
+    // no nested-loop join, no union that doubles the edge stream, no
+    // dedup shuffle — and edge multiplicity is preserved exactly like the
+    // reference's filterEdges. The frontier side is broadcast — it is
+    // bounded by the 1-hop out-degree.
+    val fSrc = broadcast(frontier.select(col("nid").as("__nid_src")))
+    val fDst = broadcast(frontier.select(col("nid").as("__nid_dst")))
+    val edges2 = g.edges
+      .join(fSrc, col("src") === col("__nid_src"), "left")
+      .join(fDst, col("dst") === col("__nid_dst"), "left")
+      .filter(col("__nid_src").isNotNull || col("__nid_dst").isNotNull)
+      .drop("__nid_src", "__nid_dst")
 
     Graph(Graph.verticesOf(edges2), edges2)
   }

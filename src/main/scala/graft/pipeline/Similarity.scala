@@ -110,7 +110,7 @@ object SimilarityLsh {
     val okBuckets = keyed.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
     val sized = keyed.join(okBuckets, Seq("tbl", "bucket"), "left_semi")
-    val pairs = sized.as("a").join(sized.as("b"),
+    val pairs = sized.as("a").hint("SHUFFLE_MERGE").join(sized.as("b").hint("SHUFFLE_MERGE"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))

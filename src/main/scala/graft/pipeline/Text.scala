@@ -18,17 +18,26 @@ object Text {
   /** Whitespace words (single-space split, faithful to simple corpora). */
   def words(c: Column): Column = split(c, " ")
 
+  /** Let-bind a computed array once: `array(a)` evaluates `a` a single
+    * time, and the transform lambda variable is a cheap bound reference.
+    * Without this, a lambda body referencing the source expression (e.g.
+    * `element_at(split(text), i)`) re-evaluates the split PER ELEMENT —
+    * O(W²) characters per document on the shingle path.
+    */
+  private def bindArray(a: Column)(f: Column => Column): Column =
+    element_at(transform(array(a), f), 1)
+
   /** n-word shingles, e.g. "a b c d" with n=3 → ["a b c", "b c d"].
     * Index lambda is 0-based; `element_at` is 1-based.
     */
-  def shingles(c: Column, n: Int): Column = {
-    val ws = words(c)
-    filter(
-      transform(ws, (x, i) =>
-        when(i <= size(ws) - n,
-          concat_ws(" ", Seq(x) ++ (1 until n).map(j => element_at(ws, i + lit(j + 1))): _*))),
-      s => s.isNotNull)
-  }
+  def shingles(c: Column, n: Int): Column =
+    bindArray(words(c)) { ws =>
+      filter(
+        transform(ws, (x, i) =>
+          when(i <= size(ws) - n,
+            concat_ws(" ", Seq(x) ++ (1 until n).map(j => element_at(ws, i + lit(j + 1))): _*))),
+        s => s.isNotNull)
+    }
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small and fixed — the mechanism (per-language
