@@ -394,6 +394,28 @@ object Queries {
            |SELECT id, CAST($fp AS BIGINT) AS simhash FROM s""".stripMargin
       }),
 
+    Q("q_dedup_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(t(s, d)("documents"), maxDist = 8)
+        .select(col("id1"), col("id2"), col("dist").cast("long").as("dist")),
+      Some {
+        val votes = (0 until 16).map(j =>
+          s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+        val fp = (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents),
+           |v AS (SELECT id, CAST(concat('0x', substr(md5(w), 1, 4)) AS INTEGER) AS v FROM tok),
+           |s AS (SELECT id, $votes FROM v GROUP BY id),
+           |f AS (SELECT id, CAST($fp AS BIGINT) AS simhash FROM s),
+           |k AS (SELECT id, simhash, simhash & 255 AS lo, simhash >> 8 AS hi FROM f),
+           |u AS (SELECT a.id AS id1, b.id AS id2,
+           |             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+           |      FROM k a JOIN k b ON a.lo = b.lo AND a.id < b.id
+           |      UNION
+           |      SELECT a.id AS id1, b.id AS id2,
+           |             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+           |      FROM k a JOIN k b ON a.hi = b.hi AND a.id < b.id)
+           |SELECT id1, id2, dist FROM u WHERE dist <= 8""".stripMargin
+      }),
+
     Q("q_dedup_ngram",
       (s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), minShared = 2L),
       Some(s"""WITH $shingleSqlCte,
@@ -548,6 +570,22 @@ object Queries {
              |FROM documents""".stripMargin)),
 
     // ----------------------------------------------------------- multimodal
+    // mapPartitions feature extraction (StubCodec byte histogram), exploded
+    // to scalars — utf-8 bytes == chars on this ASCII corpus, so the oracle
+    // can replay the histogram per character
+    Q("q_multimodal_features",
+      (s, d) => Multimodal.extractFeatures(Multimodal.fromDocuments(t(s, d)("documents")), dim = 16)
+        .select(col("media_id"), posexplode(col("features")))
+        .select(col("media_id"), col("pos").cast("long").as("bucket"), col("col").as("v")),
+      Some("""WITH ch AS (SELECT doc_id AS media_id, ascii(c) % 16 AS b
+             |            FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)),
+             |cnt AS (SELECT media_id, b, count(*) AS n FROM ch GROUP BY media_id, b),
+             |g AS (SELECT doc_id AS media_id, length(text) AS len, j.range AS bucket
+             |      FROM documents, range(16) j)
+             |SELECT g.media_id, CAST(g.bucket AS BIGINT) AS bucket,
+             |       CAST(COALESCE(cnt.n, 0) AS DOUBLE) / CAST(g.len AS DOUBLE) AS v
+             |FROM g LEFT JOIN cnt ON g.media_id = cnt.media_id AND g.bucket = cnt.b""".stripMargin)),
+
     Q("q_multimodal_frames",
       (s, d) => Multimodal.sampleFrames(Multimodal.fromDocuments(t(s, d)("documents")))
         .select(col("media_id"), col("frame_no").cast("long").as("frame_no"), col("frame_bytes")),
