@@ -31,6 +31,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def inputTypes = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  // null on length mismatch / null element even when the child ARRAYS are
+  // non-nullable — without this the engine coerces our nulls to 0.0 and
+  // the `isNull = true` assignment doesn't even compile under codegen
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -69,6 +73,19 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+/** `SparkSessionExtensions` hook so cluster deployments can register the
+  * graft expressions declaratively:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`), instead of the programmatic
+  * [[VectorFunctions.register]].
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
 }
 
 object VectorFunctions {

@@ -42,6 +42,16 @@ object EventStream {
         col("event_type"), col("cnt"), col("sum_value"))
   }
 
+  /** Streaming exact-dedup on event id: watermarked
+    * `dropDuplicatesWithinWatermark`, the training-pipeline ingest guard
+    * (at-least-once sources replay events; state for ids older than the
+    * watermark is evicted, so state size is bounded by the watermark
+    * horizon instead of growing with the stream).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)

@@ -37,6 +37,20 @@ class EventStreamSpec extends SparkTestBase {
       (base, "purchase", 1L, 4.0)))
   }
 
+  test("streaming dedup drops watermark-window duplicate event ids") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // event 1 replayed twice (at-least-once source), event 2 once
+    mem.addData(events(0), events(0), events(1), events(0))
+    val q = EventStream.dedupStream(mem.toDF().withColumn("props", lit("{}")))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).toSeq
+    assert(ids.sorted === Seq(1L, 2L))
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) matches batch sessionize") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]

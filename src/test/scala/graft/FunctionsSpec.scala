@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.{GraftExtensions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("graft_dot resolves in SQL and computes the sequential fold") {
+    val r = spark.sql("SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(r === 32.0)
+  }
+
+  test("graft_dot null semantics mirror the zip_with/aggregate fold") {
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), Seq(3.0, 4.0)),        // ok
+      (2L, Seq(1.0, 2.0), Seq(3.0)),             // length mismatch → null
+      (3L, Seq(1.0, 2.0), Seq(3.0, Double.NaN))  // NaN propagates, not null
+    ).toDF("id", "a", "b")
+    val got = df.select(col("id"), VectorFunctions.dot(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getAs[Long]("id") -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L) === Some(11.0))
+    assert(got(2L) === None)
+    assert(got(3L).exists(_.isNaN))
+    // null element poisons the sum (zip_with product is null)
+    val withNullElem = spark.sql(
+      "SELECT graft_dot(array(1.0d, cast(null as double)), array(1.0d, 1.0d)) AS d")
+    assert(withNullElem.collect().head.isNullAt(0))
+  }
+
+  test("graft_dot is bit-identical to the higher-order-function fold") {
+    val rng = new scala.util.Random(7)
+    val vecs = (0 until 50).map(i => (i.toLong, Seq.fill(17)(rng.nextDouble() * 10 - 5),
+      Seq.fill(17)(rng.nextDouble() * 10 - 5))).toDF("id", "a", "b")
+    val both = vecs.select(
+      VectorFunctions.dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("hof"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("GraftExtensions injects graft_dot into a fresh session") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)  // must not throw; builder applies it
+  }
+}
