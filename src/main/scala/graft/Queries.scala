@@ -1,7 +1,7 @@
 package graft
 
 import graft.graph.Graph
-import graft.ops.{HashtagGraph, JaccardGraph, Neighbours, Normalize, TextClean}
+import graft.ops.{AsOfJoin, HashtagGraph, JaccardGraph, Neighbours, Normalize, TextClean}
 import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -174,6 +174,48 @@ object Queries {
              |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey OR l_partkey = s_suppkey
              |) GROUP BY s_suppkey""".stripMargin)),
 
+    Q("q_join_semi_anti",
+      (s, d) => {
+        val c = t(s, d)("customer").select("c_custkey")
+        val o = t(s, d)("orders").select("o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .withColumn("kind", lit("has_orders"))
+          .union(c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+            .withColumn("kind", lit("no_orders")))
+      },
+      Some("""SELECT c_custkey, 'has_orders' AS kind FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |UNION ALL
+             |SELECT c_custkey, 'no_orders' AS kind FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // temporal as-of join (union+window rewrite — see ops/AsOfJoin): each
+    // click gets the latest same-user purchase value at or before its ts
+    Q("q_asof_join",
+      (s, d) => {
+        val ev = t(s, d)("events")
+        AsOfJoin.asOf(
+          left = ev.filter(col("event_type") === "click")
+            .select("event_id", "ts", "user_id", "value"),
+          right = ev.filter(col("event_type") === "purchase"),
+          key = "user_id", ts = "ts", seq = "event_id",
+          payload = "value", asofCol = "last_purchase")
+          .select(col("event_id"), col("user_id"), col("value"), col("last_purchase"))
+      },
+      Some("""WITH u AS (
+             |  SELECT event_id, ts, user_id, value, 1 AS side, NULL::DOUBLE AS p
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT event_id, ts, user_id, NULL, 0 AS side, value AS p
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT event_id, user_id, value, last_purchase FROM (
+             |  SELECT event_id, user_id, value, side,
+             |         last_value(p IGNORE NULLS) OVER (
+             |           PARTITION BY user_id ORDER BY ts, side, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+             |  FROM u)
+             |WHERE side = 1""".stripMargin)),
+
     // ------------------------------------------------------- set ops (U1-U2)
     Q("q_union_distinct",
       (s, d) => t(s, d)("customer").select(col("c_custkey").as("id"))
@@ -304,6 +346,39 @@ object Queries {
              |WHERE src IN (SELECT nid FROM f) OR dst IN (SELECT nid FROM f)""".stripMargin)),
 
     // --------------------------------------------------- window / time / json
+    Q("q_window_rank",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d)("orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rnk", rank().over(w).cast("long"))
+          .withColumn("drnk", dense_rank().over(w).cast("long"))
+          .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+          .filter(col("rnk") <= 3)
+      },
+      Some("""SELECT * FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |         CAST(rank() OVER w AS BIGINT) AS rnk,
+             |         CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+             |         lag(o_totalprice, 1) OVER w AS prev_price
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+             |WHERE rnk <= 3""".stripMargin)),
+
+    Q("q_rollup",
+      (s, d) => t(s, d)("lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g1"),
+          grouping(col("l_linestatus")).cast("long").as("g2"),
+          count(lit(1)).as("cnt"), moneySum(col("l_extendedprice")).as("rev"))
+        .select("l_returnflag", "l_linestatus", "g1", "g2", "cnt", "rev"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS BIGINT) AS g1,
+             |  CAST(grouping(l_linestatus) AS BIGINT) AS g2,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
+
     Q("q_window_topk",
       (s, d) => t(s, d)("events")
         .withColumn("rank", row_number().over(

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal as-of join — for each left row, the most recent right payload
+  * with `right.ts <= left.ts` in the same key group. Spark has no native
+  * as-of join; the naive formulation is a range join (`l.ts >= r.ts`
+  * theta-join → BroadcastNestedLoop, quadratic per key). This is the
+  * union+window rewrite: tag both sides, union, one shuffle on the key,
+  * and a running `last(payload, ignoreNulls)` over a ROWS frame — O(n log n)
+  * per key, shuffle-partitioned, AQE-friendly.
+  *
+  * Determinism: the window order `(ts, side, seq)` is total (seq must be
+  * unique per side within a key, e.g. an event id). Right rows sort before
+  * left rows at equal `ts`, so a same-timestamp payload IS visible; among
+  * equal-ts right rows the largest `seq` wins.
+  */
+object AsOfJoin {
+
+  def asOf(left: DataFrame, right: DataFrame,
+           key: String, ts: String, seq: String,
+           payload: String, asofCol: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val pType = right.schema(payload).dataType
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(pType))
+    val r = right.select(
+      col(key), col(ts), col(seq),
+      lit(0).as("__side"), col(payload).cast(pType).as("__p"))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("__side"), col(seq))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn(asofCol, last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) :+ col(asofCol): _*)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import graft.ops.AsOfJoin
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(m: Int) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+
+  test("asOf attaches the latest right payload at or before each left ts") {
+    val left = Seq(
+      (10L, ts(5), 1L),   // equal-ts right row must be visible
+      (11L, ts(10), 1L),  // latest of two earlier rights wins
+      (12L, ts(1), 2L))   // no right rows for this key → null
+      .toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (100L, ts(5), 1L, 5.0),
+      (101L, ts(8), 1L, 8.0),
+      (102L, ts(3), 3L, 3.0))
+      .toDF("event_id", "ts", "user_id", "value")
+    val got = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id", "value")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (if (r.isNullAt(r.fieldIndex("asof_value"))) None else Some(r.getAs[Double]("asof_value"))))
+      .toMap
+    assert(got === Map(10L -> Some(5.0), 11L -> Some(8.0), 12L -> None))
+  }
+
+  test("equal-ts right rows: largest seq wins; left rows pass through unchanged") {
+    val left = Seq((1L, ts(2), 7L)).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (50L, ts(2), 7L, 1.0),
+      (51L, ts(2), 7L, 2.0))  // same ts, higher seq → wins
+      .toDF("event_id", "ts", "user_id", "value")
+    val rows = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id", "value").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Double]("asof_value") === 2.0)
+    assert(rows.head.getAs[Long]("event_id") === 1L)
+  }
+}
