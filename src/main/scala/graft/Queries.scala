@@ -2,7 +2,7 @@ package graft
 
 import graft.graph.Graph
 import graft.ops.{AsOfJoin, HashtagGraph, JaccardGraph, Neighbours, Normalize, TextClean}
-import graft.pipeline.{Dedup, Multimodal, Similarity, Text}
+import graft.pipeline.{Dedup, Multimodal, Similarity, SimilarityIvf, Text}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -578,6 +578,33 @@ object Queries {
            |  $buckets
            |FROM de)
            |SELECT id1, id2, cos FROM ($branches) WHERE cos >= 0.3""".stripMargin
+      }),
+
+    // IVF ANN: fixed coarse quantizer (vec_id < 16), cell assignment by
+    // max-cosine, inverted-list search within the query's cell (nprobe=1)
+    Q("q_ann_ivf",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select("vec_id", "embedding")
+        SimilarityIvf.topKWithinCell(emb, emb.filter(col("vec_id") % 100 === 0),
+          k = 5, numCells = 16)
+      },
+      Some {
+        def cosSql(x: String, y: String) =
+          s"${dotSql(s"$x", s"$y")} / (sqrt(${dotSql(s"$x", s"$x")}) * sqrt(${dotSql(s"$y", s"$y")}))"
+        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |c AS (SELECT vec_id AS cid, e AS ce FROM de WHERE vec_id < 16),
+           |sc AS (SELECT de.vec_id, de.e, c.cid, ${cosSql("de.e", "c.ce")} AS ccos FROM de CROSS JOIN c),
+           |a AS (SELECT vec_id, e, cid AS cell FROM (
+           |   SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |   FROM sc) WHERE rn = 1),
+           |q AS (SELECT vec_id AS q_id, e AS qe, cell FROM a WHERE vec_id % 100 = 0),
+           |s2 AS (SELECT q.q_id, a.vec_id AS n_id, ${cosSql("q.qe", "a.e")} AS cos
+           |       FROM q JOIN a ON q.cell = a.cell AND q.q_id <> a.vec_id)
+           |SELECT q_id, n_id, cos, rank FROM (
+           |  SELECT q_id, n_id, cos,
+           |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM s2)
+           |WHERE rank <= 5""".stripMargin
       }),
 
     // -------------------------------------------------------- text analysis

@@ -60,6 +60,55 @@ object Similarity {
   }
 }
 
+/** IVF (inverted-file) approximate nearest neighbors — the other scale
+  * path. A coarse quantizer maps every vector to a cell; search touches
+  * only the `nprobe` cells nearest the query instead of the corpus. Here
+  * the quantizer is FIXED (the first `k` vectors by id) rather than
+  * k-means-trained: k-means centroid updates average floats in partition
+  * order, which is run-dependent — a fixed quantizer keeps assignment
+  * bit-deterministic (and therefore oracle-checkable) while exercising the
+  * real IVF mechanics: build inverted lists, probe, rank within cells.
+  *
+  * Scale shape: assignment is a broadcast join against k centroid rows +
+  * a per-row argmax (no shuffle); search is an equi-join on cell — the
+  * inverted-list lookup — so the corpus never cross-joins.
+  */
+object SimilarityIvf {
+
+  /** Fixed coarse quantizer: the `k` lowest-id vectors. */
+  def centroids(vectors: DataFrame, k: Int): DataFrame =
+    vectors.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+
+  /** Assign each vector to its max-cosine centroid (ties → lowest cid). */
+  def assign(vectors: DataFrame, k: Int): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids(vectors, k)))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        Similarity.cosine(col("embedding"), col("ce")).as("ccos"))
+    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+  }
+
+  /** Top-k neighbors per query among vectors sharing the query's cell
+    * (nprobe=1; union more cells for higher recall). The cell equi-join is
+    * the inverted-list lookup.
+    */
+  def topKWithinCell(vectors: DataFrame, queries: DataFrame, k: Int,
+                     numCells: Int = 16): DataFrame = {
+    val assigned = assign(vectors, numCells)
+    val q = queries.join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"))
+    broadcast(q).join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Similarity.cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}
+
 /** Random-hyperplane LSH for approximate nearest neighbors — the scale
   * path. `numPlanes` sign bits form a bucket key; near vectors collide with
   * high probability. Recall is amplified the standard way: `numTables`

@@ -45,6 +45,24 @@ class SimilaritySpec extends SparkTestBase {
       s"recall ${recalled}/${truth.size} too low")
   }
 
+  test("IVF: cell assignment is deterministic and cell-mates are found") {
+    import graft.pipeline.SimilarityIvf
+    // ids 0,1 are the fixed centroids (orthogonal); others cluster near one
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),   // near centroid 0
+      (3L, Seq(0.1f, 0.9f, 0.0f, 0.0f)),   // near centroid 1
+      (4L, Seq(0.95f, 0.05f, 0.0f, 0.0f))) // near centroid 0
+      .toDF("vec_id", "embedding")
+    val cells = SimilarityIvf.assign(vecs, k = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    assert(cells === Map(0L -> 0L, 1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L))
+    val topk = SimilarityIvf.topKWithinCell(vecs, vecs.filter(col("vec_id") === 2), k = 5, numCells = 2)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    assert(topk === Set(0L, 4L))  // cell 0 mates only; 1 and 3 are unreachable
+  }
+
   test("bucket key is a deterministic bit string") {
     val corpus = randVecs(10, 8, seed = 3)
     val planes = SimilarityLsh.hyperplanes(6, 8)
