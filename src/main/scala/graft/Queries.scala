@@ -2,7 +2,7 @@ package graft
 
 import graft.graph.Graph
 import graft.ops.{AsOfJoin, HashtagGraph, JaccardGraph, Neighbours, Normalize, TextClean}
-import graft.pipeline.{Dedup, Multimodal, Similarity, SimilarityIvf, Text}
+import graft.pipeline.{Dedup, Multimodal, Similarity, SimilarityIvf, Skew, Text}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -344,6 +344,36 @@ object Queries {
              |      UNION SELECT 's1')
              |SELECT DISTINCT src, dst FROM e
              |WHERE src IN (SELECT nid FROM f) OR dst IN (SELECT nid FROM f)""".stripMargin)),
+
+    // batch twin of the stream-stream interval join (same plan semantics;
+    // the streaming side adds watermark state eviction — EventStreamSpec)
+    Q("q_interval_join",
+      (s, d) => {
+        val ev = t(s, d)("events")
+        EventStream.intervalJoin(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"))
+      },
+      Some("""SELECT c.event_id AS l_id, p.event_id AS r_id, c.user_id,
+             |       c.value AS l_value, p.value AS r_value
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id
+             | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1800 SECONDS""".stripMargin)),
+
+    // two-stage salted aggregations — results identical to the unsalted
+    // forms (same oracles), the salt only reshapes the shuffle (SCALE.md)
+    Q("q_agg_salted",
+      (s, d) => Skew.saltedCount(t(s, d)("events"), col("user_id"), col("event_id"))
+        .select(col("key").as("user_id"), col("cnt")),
+      Some("SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id")),
+
+    Q("q_tagset_salted",
+      (s, d) => Skew.saltedTagSet(t(s, d)("events"), col("user_id"), col("event_type"))
+        .select(col("key").as("user_id"), concat_ws(",", col("values")).as("types")),
+      Some("""SELECT user_id,
+             |  array_to_string(list_sort(list_distinct(list(event_type))), ',') AS types
+             |FROM events GROUP BY user_id""".stripMargin)),
 
     // --------------------------------------------------- window / time / json
     Q("q_window_rank",

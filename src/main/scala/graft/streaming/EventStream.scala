@@ -42,6 +42,32 @@ object EventStream {
         col("event_type"), col("cnt"), col("sum_value"))
   }
 
+  /** Stream-stream interval join: each left event pairs with right events
+    * of the same user within `(left.ts, left.ts + maxGapMs]`. In streaming
+    * mode both sides carry watermarks and the time bound lets Spark evict
+    * join state (unbounded state otherwise); in batch mode the same
+    * equi-join + range predicate plans as a sort-merge join with a
+    * post-join filter — no nested loop.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   maxGapMs: Long = 30L * 60 * 1000,
+                   watermark: String = "1 hour"): DataFrame = {
+    val l0 = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+      col("user_id").as("l_user"), col("value").as("l_value"))
+    val r0 = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+      col("user_id").as("r_user"), col("value").as("r_value"))
+    val (l, r) =
+      if (left.isStreaming) (l0.withWatermark("l_ts", watermark),
+        r0.withWatermark("r_ts", watermark))
+      else (l0, r0)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${maxGapMs / 1000} SECONDS"))
+      .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
+        col("l_value"), col("r_value"))
+  }
+
   /** Streaming exact-dedup on event id: watermarked
     * `dropDuplicatesWithinWatermark`, the training-pipeline ingest guard
     * (at-least-once sources replay events; state for ids older than the

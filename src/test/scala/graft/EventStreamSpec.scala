@@ -37,6 +37,25 @@ class EventStreamSpec extends SparkTestBase {
       (base, "purchase", 1L, 4.0)))
   }
 
+  test("stream-stream interval join pairs clicks with later in-window purchases") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(Event(1L, ts(0), 10L, "click", 1.0), Event(2L, ts(40), 10L, "click", 2.0))
+    purchases.addData(Event(9L, ts(3), 10L, "purchase", 9.0))
+    val joined = EventStream.intervalJoin(
+      clicks.toDF().withColumn("props", lit("{}")),
+      purchases.toDF().withColumn("props", lit("{}")))
+    val q = joined.writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("ij_out").collect()
+      .map(r => (r.getAs[Long]("l_id"), r.getAs[Long]("r_id"))).toSet
+    // click@0 pairs with purchase@3 (within 30 min); click@40 does not
+    assert(pairs === Set((1L, 9L)))
+  }
+
   test("streaming dedup drops watermark-window duplicate event ids") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
