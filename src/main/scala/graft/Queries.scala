@@ -316,8 +316,11 @@ object Queries {
         .agg(concat_ws(",", array_sort(collect_set(col("o_orderstatus")))).as("statuses"))
         .join(broadcast(t(s, d)("nation")), col("c_nationkey") === col("n_nationkey"))
         .select("c_custkey", "c_name", "n_name", "statuses"),
+      // COALESCE: a customer with no orders gives all-null o_orderstatus —
+      // Spark's collect_set skips nulls ('' after concat_ws), DuckDB's
+      // list() of no non-null input is NULL (first seen at sf0.1)
       Some("""SELECT c_custkey, c_name, n_name,
-             |  array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
+             |  COALESCE(array_to_string(list_sort(list_distinct(list(o_orderstatus))), ','), '') AS statuses
              |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
              |              JOIN nation ON c_nationkey = n_nationkey
              |GROUP BY c_custkey, c_name, n_name""".stripMargin)),
