@@ -290,10 +290,10 @@ object Queries {
     // J6 motif-rewrite + D3-D5 count-based Jaccard over supplier→part sets.
     Q("q_jaccard_pairs",
       (s, d) => {
-        val userTags = t(s, d)("lineitem")
-          .select(col("l_suppkey").cast("string").as("id"), col("l_partkey").cast("string").as("part"))
-          .groupBy("id").agg(collect_set(col("part")).as("hts"))
-        JaccardGraph.pairs(userTags)
+        val ut = t(s, d)("lineitem")
+          .select(col("l_suppkey").cast("string").as("id"), col("l_partkey").cast("string").as("tag"))
+          .distinct()
+        JaccardGraph.pairsFromTagPairs(ut)
           .filter(col("w") > 0.1)
           .select(col("src"), col("dst"), col("shared"),
             col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"), col("w"))

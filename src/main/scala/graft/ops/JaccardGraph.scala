@@ -31,8 +31,19 @@ object JaccardGraph {
     * coerced strings).
     */
   def pairs(userTags: DataFrame, minShared: Long = 2L,
-            maxTagFrequency: Option[Long] = None): DataFrame = {
-    val ut0 = userTags.select(col("id"), explode(col("hts")).as("tag"))
+            maxTagFrequency: Option[Long] = None): DataFrame =
+    pairsFromTagPairs(userTags.select(col("id"), explode(col("hts")).as("tag")),
+      minShared, maxTagFrequency)
+
+  /** Same computation from an already-exploded DISTINCT `(id, tag)`
+    * relation — the 100 TB entry point: no per-user tag arrays are ever
+    * materialized (a `collect_set` → `explode` round-trip is pure
+    * overhead, and the arrays of a heavy user can be huge). `pairs`
+    * delegates here; tag lists produced by normalization are deduped, so
+    * the two forms agree.
+    */
+  def pairsFromTagPairs(ut0: DataFrame, minShared: Long = 2L,
+                        maxTagFrequency: Option[Long] = None): DataFrame = {
     val ut = maxTagFrequency match {
       case Some(cap) =>
         // stop-tag guard: a tag used by k users generates k(k-1)/2 pairs
@@ -40,7 +51,7 @@ object JaccardGraph {
         ut0.join(freq.select("tag"), Seq("tag"), "left_semi")
       case None => ut0
     }
-    val sizes = userTags.select(col("id"), size(col("hts")).as("n"))
+    val sizes = ut0.groupBy(col("id")).agg(count(lit(1)).as("n"))
 
     // SHUFFLE_MERGE: with both (identical) sides shuffled on tag the
     // exchanges collapse into one reused exchange — a broadcast self-join
