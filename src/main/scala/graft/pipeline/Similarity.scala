@@ -31,10 +31,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a0: Column, b0: Column): Column = {
-    val a = toDouble(a0); val b = toDouble(b0)
-    dot(a, b) / (norm(a) * norm(b))
-  }
+  /** Fused single-pass cosine (see [[graft.functions.CosineSim]]) —
+    * bit-identical to `dot(a,b) / (norm(a) * norm(b))` at a third of the
+    * array traversals.
+    */
+  def cosine(a0: Column, b0: Column): Column =
+    graft.functions.VectorFunctions.cosine(toDouble(a0), toDouble(b0))
 
   /** All (query, candidate) pairs with cosine >= threshold. `queries` must
     * be the small side — it is broadcast, so the corpus streams with no

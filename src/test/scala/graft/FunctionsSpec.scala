@@ -44,6 +44,22 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_cosine is bit-identical to the three-fold dot/norm formula") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0 until 50).map(i => (i.toLong, Seq.fill(23)(rng.nextDouble() * 4 - 2),
+      Seq.fill(23)(rng.nextDouble() * 4 - 2))).toDF("id", "a", "b")
+    val both = vecs.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("fused"),
+      (VectorFunctions.dot(col("a"), col("b")) /
+        (sqrt(VectorFunctions.dot(col("a"), col("a"))) *
+          sqrt(VectorFunctions.dot(col("b"), col("b"))))).as("threefold"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
   test("GraftExtensions injects graft_dot into a fresh session") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)  // must not throw; builder applies it
