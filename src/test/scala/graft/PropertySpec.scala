@@ -1,0 +1,84 @@
+package graft
+
+import graft.ops.{JaccardGraph, Normalize}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator property tests (SURVEY.md §5.3): invariants that
+  * must hold for ANY input, checked over deterministic generated corpora
+  * (no scalatestplus bridge in the frozen deps — generators are sampled
+  * with fixed seeds). Spark-touching properties keep the trial count
+  * modest — each trial is a Spark job.
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def trials[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.apply(Gen.Parameters.default.withSize(10), Seed(i.toLong))
+        .getOrElse(fail(s"generator failed for seed $i")))
+    }
+
+  private val tagGen = Gen.oneOf("spark", "data", "ml", "läärm", "über", "graph", "ai", "sql")
+  private val corpusGen: Gen[List[(String, List[String])]] =
+    Gen.listOfN(8, for {
+      id <- Gen.choose(1, 6)
+      tags <- Gen.listOf(tagGen)
+    } yield (id.toString, tags))
+
+  test("jaccard weight ∈ (0,1], symmetric in construction, 1.0 on equal sets") {
+    trials(corpusGen, 8) { corpus =>
+      val userTags = corpus.toDF("id", "raw")
+        .groupBy("id").agg(flatten(collect_list(col("raw"))).as("raw"))
+        .select(col("id"), Normalize.normalizeTags(col("raw")).as("hts"))
+      val rows = JaccardGraph.pairs(userTags, minShared = 1L).collect()
+      rows.foreach { r =>
+        val w = r.getAs[Double]("w")
+        assert(w > 0.0 && w <= 1.0)
+        // src > dst canonical orientation — no symmetric duplicates
+        assert(r.getAs[String]("src") > r.getAs[String]("dst"))
+        // w == 1 ⟺ identical sets (sizes equal the shared count)
+        if (w == 1.0) {
+          assert(r.getAs[Long]("n1") === r.getAs[Long]("shared"))
+          assert(r.getAs[Long]("n2") === r.getAs[Long]("shared"))
+        }
+      }
+    }
+  }
+
+  test("pairs ≡ brute-force set arithmetic on the same corpus") {
+    trials(corpusGen, 8) { corpus =>
+      val userTags = corpus.toDF("id", "raw")
+        .groupBy("id").agg(flatten(collect_list(col("raw"))).as("raw"))
+        .select(col("id"), Normalize.normalizeTags(col("raw")).as("hts"))
+      val got = JaccardGraph.pairs(userTags, minShared = 2L).collect()
+        .map(r => (r.getAs[String]("src"), r.getAs[String]("dst")) -> r.getAs[Double]("w")).toMap
+      // driver-side brute force over the normalized sets
+      val sets = userTags.collect()
+        .map(r => r.getAs[String]("id") -> r.getSeq[String](1).toSet).toMap
+      val expected = (for {
+        a <- sets.keys; b <- sets.keys
+        if a > b
+        inter = (sets(a) & sets(b)).size
+        if inter >= 2
+      } yield (a, b) -> inter.toDouble / (sets(a) | sets(b)).size).toMap
+      assert(got.keySet === expected.keySet)
+      got.foreach { case (k, w) => assert(math.abs(w - expected(k)) < 1e-12) }
+    }
+  }
+
+  test("normalizeTags is idempotent and output is sorted-distinct-lowercase") {
+    trials(Gen.listOfN(12, tagGen), 10) { tags =>
+      val df = Seq(Tuple1(tags)).toDF("raw")
+      val once = df.select(Normalize.normalizeTags(col("raw")).as("n"))
+      val twice = once.select(Normalize.normalizeTags(col("n")).as("n"))
+      val a = once.collect().head.getSeq[String](0)
+      val b = twice.collect().head.getSeq[String](0)
+      assert(a === b)
+      assert(a.toList === a.toList.sorted)
+      assert(a.distinct === a)
+      assert(a.forall(t => t == t.toLowerCase))
+    }
+  }
+}
