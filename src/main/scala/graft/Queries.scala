@@ -490,6 +490,28 @@ object Queries {
               |  (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3) OR
               |  (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))""".stripMargin)),
 
+    // composed production flow: LSH prefilter + exact verification on
+    // candidates only (exact cost ∝ candidates, not corpus²)
+    Q("q_dedup_verified",
+      (s, d) => Dedup.verifiedNearDups(t(s, d)("documents"), minJaccard = 0.2),
+      Some(s"""WITH $shingleSqlCte,
+              |sigs AS (SELECT id, ${(0 until 8).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")}
+              |         FROM sh GROUP BY id),
+              |cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+              |          FROM sigs a JOIN sigs b ON a.id < b.id AND (
+              |            (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3) OR
+              |            (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))),
+              |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+              |shr AS (SELECT c.id1, c.id2, count(*) AS shared
+              |        FROM cands c
+              |        JOIN sh a ON c.id1 = a.id
+              |        JOIN sh b ON c.id2 = b.id AND a.s = b.s
+              |        GROUP BY c.id1, c.id2)
+              |SELECT id1, id2, shared,
+              |       CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) AS jaccard
+              |FROM shr JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+              |WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.2""".stripMargin)),
+
     Q("q_dedup_simhash",
       (s, d) => Dedup.simhash(t(s, d)("documents")),
       Some {
@@ -720,6 +742,17 @@ object Queries {
              |SELECT g.media_id, CAST(g.bucket AS BIGINT) AS bucket,
              |       CAST(COALESCE(cnt.n, 0) AS DOUBLE) / CAST(g.len AS DOUBLE) AS v
              |FROM g LEFT JOIN cnt ON g.media_id = cnt.media_id AND g.bucket = cnt.b""".stripMargin)),
+
+    Q("q_multimodal_resize",
+      (s, d) => Multimodal.resize(Multimodal.fromDocuments(t(s, d)("documents")), 32, 32)
+        .select(col("media_id"),
+          length(col("media")).cast("long").as("payload_bytes"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height")),
+      Some("""SELECT doc_id AS media_id,
+             |  CAST(GREATEST(1, LEAST(strlen(text), 1024)) AS BIGINT) AS payload_bytes,
+             |  CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height
+             |FROM documents""".stripMargin)),
 
     Q("q_multimodal_frames",
       (s, d) => Multimodal.sampleFrames(Multimodal.fromDocuments(t(s, d)("documents")))
