@@ -726,6 +726,25 @@ object Queries {
              |      s -> md5(s)))))[1:5], ',') AS fp
              |FROM documents""".stripMargin)),
 
+    // Rabin-Karp rolling-hash fingerprint (bottom-5 of distinct 16-byte
+    // window hashes); the oracle folds each window directly — exact
+    // modular arithmetic gives identical residues to the O(len) rolling
+    // update
+    Q("q_fingerprint_rolling",
+      (s, d) => t(s, d)("documents").select(col("doc_id"),
+        Text.rollingFingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id,
+             |  array_to_string((list_sort(list_distinct(
+             |    list_filter(
+             |      list_transform(cs, (x,i) -> CASE WHEN i + 15 <= n THEN
+             |        list_reduce(list_transform(cs[i:i+15], ch -> CAST(ascii(ch) AS BIGINT)),
+             |                    (h,c2) -> (h * 257 + c2) % 1000000007)
+             |      END),
+             |      v -> v IS NOT NULL))))[1:5], ',') AS fp
+             |FROM (SELECT doc_id, string_split(text, '') AS cs,
+             |             len(string_split(text, '')) AS n
+             |      FROM documents)""".stripMargin)),
+
     // ----------------------------------------------------------- multimodal
     // mapPartitions feature extraction (StubCodec byte histogram), exploded
     // to scalars — utf-8 bytes == chars on this ASCII corpus, so the oracle

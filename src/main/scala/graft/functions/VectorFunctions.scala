@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Sequential-fold dot product of two `array<double>` columns as a native
   * Catalyst expression with codegen.
@@ -129,6 +129,55 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Rabin-Karp rolling hashes of a string: one polynomial hash per
+  * `window`-byte window, `h = (Σ bᵢ·Bᵏ⁻ⁱ) mod M` with B=257,
+  * M=1e9+7, advanced in O(1) per position (subtract the leading byte's
+  * `B^(w-1)` term, shift, add the trailing byte) — O(len) total, vs the
+  * O(len·window) of recomputing each window. Residues are exact integer
+  * math, so any engine computing the per-window fold directly gets
+  * identical values (the DuckDB oracle does `list_reduce` per window).
+  * Shorter-than-window strings give an empty array; null gives null.
+  */
+case class RollingHash(child: Expression, window: Int)
+  extends UnaryExpression with ImplicitCastInputTypes
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(window >= 1, "window must be >= 1")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rolling_hash"
+
+  private val B = 257L
+  private val M = 1000000007L
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    if (n < window) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - window + 1)
+    var h = 0L
+    var i = 0
+    while (i < window) { h = (h * B + (bytes(i) & 0xffL)) % M; i += 1 }
+    out(0) = h
+    // B^(window-1) mod M for the leading-byte removal
+    var pow = 1L
+    i = 1
+    while (i < window) { pow = pow * B % M; i += 1 }
+    i = window
+    while (i < n) {
+      val drop = (bytes(i - window) & 0xffL) * pow % M
+      h = (((h - drop) % M + M) * B + (bytes(i) & 0xffL)) % M
+      out(i - window + 1) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
 /** `SparkSessionExtensions` hook so cluster deployments can register the
   * graft expressions declaratively:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
@@ -167,6 +216,7 @@ object VectorFunctions {
         new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
         (children: Seq[Expression]) => CosineSim(children.head, children(1)))
     }
+    registerRolling(spark, 16) // Text.rollingFingerprint's default window
   }
 
   /** Column-level dot product; requires [[register]] on the session first
@@ -176,4 +226,26 @@ object VectorFunctions {
 
   /** Fused single-pass cosine; same registration requirement. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Rolling hashes with a fixed window; the window is baked into the
+    * expression (not a runtime argument), so no registry round-trip — the
+    * expression is constructed directly via the SQL-free path.
+    */
+  def rollingHashes(c: Column, window: Int): Column = {
+    // registry-free construction: wrap through call_function is impossible
+    // for a non-Expression param, so register a per-window function name
+    // lazily at first use instead
+    call_function(s"graft_rolling_hash_$window", c)
+  }
+
+  private[graft] def registerRolling(spark: SparkSession, window: Int): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    val id = FunctionIdentifier(s"graft_rolling_hash_$window")
+    if (!reg.functionExists(id)) {
+      reg.registerFunction(id,
+        new ExpressionInfo(classOf[RollingHash].getName, s"graft_rolling_hash_$window"),
+        (children: Seq[Expression]) => RollingHash(children.head, window))
+    }
+  }
 }

@@ -117,4 +117,17 @@ object Text {
     */
   def fingerprint(c: Column, n: Int = 3, k: Int = 5): Column =
     array_join(slice(array_sort(array_distinct(transform(shingles(c, n), s => md5(s)))), 1, k), ",")
+
+  /** Rolling-hash (Rabin-Karp) fingerprint: bottom-k distinct
+    * `window`-byte polynomial hashes, comma-joined — the O(len) sketch for
+    * char-level near-dup detection (see [[graft.functions.RollingHash]]).
+    * Windows other than 16 need `VectorFunctions.registerRolling` first.
+    */
+  def rollingFingerprint(c: Column, window: Int = 16, k: Int = 5): Column =
+    array_join(
+      transform(
+        slice(array_sort(array_distinct(
+          graft.functions.VectorFunctions.rollingHashes(c, window))), 1, k),
+        h => h.cast("string")),
+      ",")
 }

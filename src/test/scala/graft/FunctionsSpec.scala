@@ -60,6 +60,22 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("rolling hash: O(len) rolling update equals per-window brute force") {
+    val texts = Seq("the quick brown fox jumps over the lazy dog", "short", "",
+      "aaaaaaaaaaaaaaaaaaaaaaaa")
+    val w = 16
+    def brute(s: String): Seq[Long] = {
+      val bytes = s.getBytes("UTF-8")
+      (0 to bytes.length - w).map { i =>
+        bytes.slice(i, i + w).foldLeft(0L)((h, b) => (h * 257L + (b & 0xffL)) % 1000000007L)
+      }
+    }
+    val got = texts.map(Tuple1(_)).toDF("text")
+      .select(graft.functions.VectorFunctions.rollingHashes(col("text"), w).as("h"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    texts.zip(got).foreach { case (t, g) => assert(g === brute(t), s"text: '$t'") }
+  }
+
   test("GraftExtensions injects graft_dot into a fresh session") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)  // must not throw; builder applies it
