@@ -216,6 +216,17 @@ object Queries {
              |  FROM u)
              |WHERE side = 1""".stripMargin)),
 
+    // heterogeneous vertex set (§1.2): numeric ids coerced to string and
+    // union'd with tag strings — the coercion quirk pinned in the gate
+    Q("q_graph_vertices",
+      (s, d) => graft.graph.Graph.verticesOf(
+        t(s, d)("documents").select(
+          col("doc_id").cast("string").as("src"),
+          explode(split(col("text"), " ")).as("dst"))),
+      Some("""SELECT CAST(doc_id AS VARCHAR) AS id FROM documents
+             |UNION
+             |SELECT unnest(string_split(text, ' ')) AS id FROM documents""".stripMargin)),
+
     // ------------------------------------------------------- set ops (U1-U2)
     Q("q_union_distinct",
       (s, d) => t(s, d)("customer").select(col("c_custkey").as("id"))
