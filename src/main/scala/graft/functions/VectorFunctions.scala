@@ -227,16 +227,13 @@ object VectorFunctions {
   /** Fused single-pass cosine; same registration requirement. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
-  /** Rolling hashes with a fixed window; the window is baked into the
-    * expression (not a runtime argument), so no registry round-trip — the
-    * expression is constructed directly via the SQL-free path.
+  /** Rolling hashes with a fixed window. The window is a constructor
+    * parameter, not a child expression, so each window size registers
+    * under its own function name; [[register]] covers the default (16),
+    * other sizes need [[registerRolling]] on the session first.
     */
-  def rollingHashes(c: Column, window: Int): Column = {
-    // registry-free construction: wrap through call_function is impossible
-    // for a non-Expression param, so register a per-window function name
-    // lazily at first use instead
+  def rollingHashes(c: Column, window: Int): Column =
     call_function(s"graft_rolling_hash_$window", c)
-  }
 
   private[graft] def registerRolling(spark: SparkSession, window: Int): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
