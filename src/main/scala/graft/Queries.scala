@@ -202,17 +202,20 @@ object Queries {
           payload = "value", asofCol = "last_purchase")
           .select(col("event_id"), col("user_id"), col("value"), col("last_purchase"))
       },
+      // the payload is boxed in a single-element list (Spark: a struct) so
+      // the left-row marker (NULL box, skipped by IGNORE NULLS) differs
+      // from a right row carrying a NULL payload ([NULL] box, kept)
       Some("""WITH u AS (
-             |  SELECT event_id, ts, user_id, value, 1 AS side, NULL::DOUBLE AS p
+             |  SELECT event_id, ts, user_id, value, 1 AS side, NULL::DOUBLE[] AS p
              |  FROM events WHERE event_type = 'click'
              |  UNION ALL
-             |  SELECT event_id, ts, user_id, NULL, 0 AS side, value AS p
+             |  SELECT event_id, ts, user_id, NULL, 0 AS side, [value] AS p
              |  FROM events WHERE event_type = 'purchase')
-             |SELECT event_id, user_id, value, last_purchase FROM (
+             |SELECT event_id, user_id, value, box[1] AS last_purchase FROM (
              |  SELECT event_id, user_id, value, side,
              |         last_value(p IGNORE NULLS) OVER (
              |           PARTITION BY user_id ORDER BY ts, side, event_id
-             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS box
              |  FROM u)
              |WHERE side = 1""".stripMargin)),
 
@@ -535,26 +538,28 @@ object Queries {
            |SELECT id, CAST($fp AS BIGINT) AS simhash FROM s""".stripMargin
       }),
 
+    // maxDist=3 → 4 blocks of 4 bits: complete by pigeonhole (any pair
+    // within 3 differing bits matches at least one block exactly)
     Q("q_dedup_simhash_pairs",
-      (s, d) => Dedup.simhashPairs(t(s, d)("documents"), maxDist = 8)
+      (s, d) => Dedup.simhashPairs(t(s, d)("documents"), maxDist = 3)
         .select(col("id1"), col("id2"), col("dist").cast("long").as("dist")),
       Some {
         val votes = (0 until 16).map(j =>
           s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
         val fp = (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        val branches = (0 until 4).map { p =>
+          s"""SELECT a.id AS id1, b.id AS id2,
+             |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+             |FROM f a JOIN f b
+             |  ON (a.simhash >> ${4 * p}) & 15 = (b.simhash >> ${4 * p}) & 15
+             | AND a.id < b.id""".stripMargin
+        }.mkString("\nUNION\n")
         s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents),
            |v AS (SELECT id, CAST(concat('0x', substr(md5(w), 1, 4)) AS INTEGER) AS v FROM tok),
            |s AS (SELECT id, $votes FROM v GROUP BY id),
            |f AS (SELECT id, CAST($fp AS BIGINT) AS simhash FROM s),
-           |k AS (SELECT id, simhash, simhash & 255 AS lo, simhash >> 8 AS hi FROM f),
-           |u AS (SELECT a.id AS id1, b.id AS id2,
-           |             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
-           |      FROM k a JOIN k b ON a.lo = b.lo AND a.id < b.id
-           |      UNION
-           |      SELECT a.id AS id1, b.id AS id2,
-           |             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
-           |      FROM k a JOIN k b ON a.hi = b.hi AND a.id < b.id)
-           |SELECT id1, id2, dist FROM u WHERE dist <= 8""".stripMargin
+           |u AS ($branches)
+           |SELECT id1, id2, dist FROM u WHERE dist <= 3""".stripMargin
       }),
 
     Q("q_dedup_ngram",
@@ -635,9 +640,15 @@ object Queries {
         }.mkString(",\n  ")
         val cosSql =
           s"${dotSql("a.e", "b.e")} / (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")}))"
+        // per-table bucket-size guard replayed exactly (Spark's left_semi
+        // against counts <= 10000 — never fires at these SFs, but the
+        // contract must not diverge the day a bucket does exceed it)
         val branches = (0 until 6).map { i =>
           s"""SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cos
-             |FROM bk a JOIN bk b ON a.k$i = b.k$i AND a.vec_id < b.vec_id""".stripMargin
+             |FROM bk a
+             |JOIN bk b ON a.k$i = b.k$i AND a.vec_id < b.vec_id
+             |JOIN (SELECT k$i AS gk, count(*) AS c FROM bk GROUP BY k$i
+             |      HAVING count(*) <= 10000) g ON a.k$i = g.gk""".stripMargin
         }.mkString("\nUNION\n")
         s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
            |bk AS (SELECT vec_id, e,

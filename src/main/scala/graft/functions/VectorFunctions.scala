@@ -192,6 +192,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSim(children.head, children(1))))
+    e.injectFunction((FunctionIdentifier("graft_rolling_hash_16"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash_16"),
+      (children: Seq[Expression]) => RollingHash(children.head, 16)))
   }
 }
 

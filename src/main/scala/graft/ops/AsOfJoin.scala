@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   * unique per side within a key, e.g. an event id). Right rows sort before
   * left rows at equal `ts`, so a same-timestamp payload IS visible; among
   * equal-ts right rows the largest `seq` wins.
+  *
+  * The payload rides in a single-field struct, so the left-row marker
+  * (null STRUCT, skipped by `last(_, ignoreNulls)`) stays distinguishable
+  * from a genuinely-null payload value (non-null struct wrapping null) —
+  * a right row whose latest payload is NULL correctly yields NULL instead
+  * of resurrecting an older non-null one.
   */
 object AsOfJoin {
 
@@ -24,18 +30,20 @@ object AsOfJoin {
            payload: String, asofCol: String = "asof_value"): DataFrame = {
     val leftCols = left.columns.toSeq
     val pType = right.schema(payload).dataType
+    val boxType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("v", pType)))
     val l = left
       .withColumn("__side", lit(1))
-      .withColumn("__p", lit(null).cast(pType))
+      .withColumn("__p", lit(null).cast(boxType))
     val r = right.select(
       col(key), col(ts), col(seq),
-      lit(0).as("__side"), col(payload).cast(pType).as("__p"))
+      lit(0).as("__side"), struct(col(payload).cast(pType).as("v")).as("__p"))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key)
       .orderBy(col(ts), col("__side"), col(seq))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    u.withColumn(asofCol, last(col("__p"), ignoreNulls = true).over(w))
+    u.withColumn("__asof_box", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) :+ col(asofCol): _*)
+      .select(leftCols.map(col) :+ col("__asof_box.v").as(asofCol): _*)
   }
 }

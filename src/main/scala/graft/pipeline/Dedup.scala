@@ -84,20 +84,28 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within `maxDist` bits. Candidates are
-    * generated by matching on half-fingerprints (a near-dup within d bits
-    * matches at least one half exactly when d < 2) — the two halves are
-    * posexploded to (half#, key) rows and matched with ONE self-equi-join
-    * (reused exchange; no cross join, no per-half re-execution of the
-    * fingerprint pipeline).
+  /** SimHash near-dup pairs within `maxDist` bits — COMPLETE: the
+    * fingerprint is split into `maxDist + 1` bit blocks, so by pigeonhole
+    * any pair within `maxDist` differing bits matches at least one block
+    * exactly (blocking with fewer parts, e.g. halves, silently misses
+    * pairs whose differing bits straddle every part). Blocks are
+    * posexploded to (part#, key) rows and matched with ONE self-equi-join
+    * (reused exchange; no cross join, no per-part re-execution of the
+    * fingerprint pipeline). Note the cost trade-off: large `maxDist`
+    * relative to `bits` means tiny blocks and near-cartesian candidates —
+    * keep maxDist ≪ bits.
     */
   def simhashPairs(docs: DataFrame, maxDist: Int = 3, bits: Int = 16): DataFrame = {
     val fp = simhash(docs, bits = bits)
-    val half = bits / 2
-    val keyed = fp.select(col("id"), col("simhash"),
-      posexplode(array(
-        col("simhash").bitwiseAND(lit((1L << half) - 1)),
-        shiftright(col("simhash"), half))))
+    val parts = math.min(maxDist + 1, bits)
+    val base = bits / parts
+    val rem = bits % parts
+    val widths = Seq.tabulate(parts)(p => if (p < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val keys = offsets.zip(widths).map { case (off, w) =>
+      shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+    }
+    val keyed = fp.select(col("id"), col("simhash"), posexplode(array(keys: _*)))
       .toDF("id", "simhash", "part", "key")
     keyed.as("a").hint("SHUFFLE_MERGE").join(keyed.as("b").hint("SHUFFLE_MERGE"),
         col("a.part") === col("b.part") && col("a.key") === col("b.key") &&

@@ -149,8 +149,15 @@ object SimilarityLsh {
     * join inputs collapse into one reused exchange. `maxBucketSize` guards
     * the k² blow-up of a degenerate bucket — the skew guard you want at
     * 100 TB.
+    *
+    * SIZING CONTRACT: pick `numPlanes` so the expected bucket
+    * `corpus / 2^numPlanes` sits well under `maxBucketSize`, or the guard
+    * silently drops whole buckets (by design — it is a skew guard, not a
+    * sampler). Defaults (8 planes = 256 buckets/table) are sized for
+    * corpora up to ~10⁶ vectors; recall lost to more planes is bought back
+    * with `numTables` (P = 1-(1-pᵖˡᵃⁿᵉˢ)ᵗᵃᵇˡᵉˢ).
     */
-  def candidatePairs(vectors: DataFrame, numPlanes: Int = 4, numTables: Int = 6,
+  def candidatePairs(vectors: DataFrame, numPlanes: Int = 8, numTables: Int = 8,
                      dim: Int = 64, seed: Long = 42L,
                      maxBucketSize: Long = 10000L): DataFrame = {
     val tableKeys = (0 until numTables).map { t =>
@@ -173,7 +180,7 @@ object SimilarityLsh {
   }
 
   /** ANN top-k per query via LSH buckets: exact ranking within candidates. */
-  def topK(vectors: DataFrame, k: Int, numPlanes: Int = 4, numTables: Int = 6,
+  def topK(vectors: DataFrame, k: Int, numPlanes: Int = 8, numTables: Int = 8,
            dim: Int = 64): DataFrame = {
     val pairs = candidatePairs(vectors, numPlanes, numTables, dim)
     val sym = pairs.select(col("id1").as("q_id"), col("id2").as("n_id"), col("cos"))

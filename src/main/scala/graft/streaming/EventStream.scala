@@ -63,7 +63,7 @@ object EventStream {
     l.join(r,
       col("l_user") === col("r_user") &&
         col("r_ts") > col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL ${maxGapMs / 1000} SECONDS"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGapMs MILLISECOND"))
       .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
         col("l_value"), col("r_value"))
   }

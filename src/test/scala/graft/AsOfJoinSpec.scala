@@ -26,6 +26,17 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got === Map(10L -> Some(5.0), 11L -> Some(8.0), 12L -> None))
   }
 
+  test("a genuinely-null latest payload yields null, not an older value") {
+    val left = Seq((1L, ts(5), 7L)).toDF("event_id", "ts", "user_id")
+    val right = Seq(
+      (50L, ts(1), 7L, Some(5.0)),
+      (51L, ts(3), 7L, None))  // latest payload is NULL — must win
+      .toDF("event_id", "ts", "user_id", "value")
+    val rows = AsOfJoin.asOf(left, right, "user_id", "ts", "event_id", "value").collect()
+    assert(rows.length === 1)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("asof_value")))
+  }
+
   test("equal-ts right rows: largest seq wins; left rows pass through unchanged") {
     val left = Seq((1L, ts(2), 7L)).toDF("event_id", "ts", "user_id")
     val right = Seq(

@@ -56,7 +56,7 @@ class DedupSpec extends SparkTestBase {
     assert(ham(fps(1L), fps(3L)) < ham(fps(1L), fps(4L)))
   }
 
-  test("simhashPairs finds close pairs via half-key candidates") {
+  test("simhashPairs finds close pairs via pigeonhole block candidates") {
     val pairs = Dedup.simhashPairs(docs, maxDist = 4).collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
     assert(pairs.contains((1L, 2L)))
