@@ -10,11 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup at the smallest SF (sibling of the bench dir): JIT +
-    // codegen compilation + parquet footer caching happen here, not inside
-    // the timed runs; skipped when benching sf0.001 itself (no double run)
-    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001").getPath
-    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+    // untimed warmup at the smallest SF (sibling of the bench dir, or the
+    // bench dir itself): JIT + codegen compilation + parquet footer caching
+    // happen here, not inside the timed runs
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
+    if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
