@@ -491,13 +491,13 @@ object Queries {
     Q("q_dedup_minhash",
       (s, d) => Dedup.minhashSignatures(t(s, d)("documents")),
       Some(s"""WITH $shingleSqlCte
-              |SELECT id, ${(0 until 8).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")}
+              |SELECT id, ${(0 until 8).map(i => s"min(CAST(concat('0x', substr(md5('$i|' || s), 1, 15)) AS BIGINT)) AS m$i").mkString(", ")}
               |FROM sh GROUP BY id""".stripMargin)),
 
     Q("q_dedup_minhash_lsh",
       (s, d) => Dedup.lshCandidates(Dedup.minhashSignatures(t(s, d)("documents"))),
       Some(s"""WITH $shingleSqlCte,
-              |sigs AS (SELECT id, ${(0 until 8).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")}
+              |sigs AS (SELECT id, ${(0 until 8).map(i => s"min(CAST(concat('0x', substr(md5('$i|' || s), 1, 15)) AS BIGINT)) AS m$i").mkString(", ")}
               |         FROM sh GROUP BY id)
               |SELECT DISTINCT a.id AS id1, b.id AS id2
               |FROM sigs a JOIN sigs b ON a.id < b.id AND (
@@ -509,7 +509,7 @@ object Queries {
     Q("q_dedup_verified",
       (s, d) => Dedup.verifiedNearDups(t(s, d)("documents"), minJaccard = 0.2),
       Some(s"""WITH $shingleSqlCte,
-              |sigs AS (SELECT id, ${(0 until 8).map(i => s"min(md5('$i|' || s)) AS m$i").mkString(", ")}
+              |sigs AS (SELECT id, ${(0 until 8).map(i => s"min(CAST(concat('0x', substr(md5('$i|' || s), 1, 15)) AS BIGINT)) AS m$i").mkString(", ")}
               |         FROM sh GROUP BY id),
               |cands AS (SELECT DISTINCT a.id AS id1, b.id AS id2
               |          FROM sigs a JOIN sigs b ON a.id < b.id AND (

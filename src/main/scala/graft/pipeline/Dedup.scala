@@ -31,13 +31,22 @@ object Dedup {
     docs.select(col(idCol).as("id"), explode(Text.shingles(col(textCol), n)).as("sh")).distinct()
 
   /** MinHash signatures: numHashes min-values per doc, where hash i of a
-    * shingle is md5(i || '|' || shingle). Columns `m0 .. m{H-1}`.
+    * shingle is the first 60 bits of md5(i || '|' || shingle) as a LONG.
+    * Columns `m0 .. m{H-1}`.
+    *
+    * Numeric (not hex-string) minhashes matter at scale: min over a
+    * fixed-width long aggregates in HashAggregate (string min has no
+    * mutable buffer → SortAggregate with a per-partition sort), and a
+    * signature row is 64 bytes instead of 256+ through every downstream
+    * shuffle. The 60-bit prefix keeps the md5 cross-engine contract
+    * (DuckDB: `CAST(concat('0x', substr(md5(..), 1, 15)) AS BIGINT)`).
     */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                         n: Int = 3, numHashes: Int = 8): DataFrame = {
     val sh = docShingles(docs, idCol, textCol, n)
     val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
+      min(conv(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 15), 16, 10)
+        .cast("long")).as(s"m$i"))
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 

@@ -24,7 +24,7 @@ class DedupSpec extends SparkTestBase {
 
   test("minhash: identical docs get identical signatures; near-dups share most") {
     val sigs = Dedup.minhashSignatures(docs).collect()
-      .map(r => r.getAs[Long]("id") -> (0 until 8).map(i => r.getAs[String](s"m$i"))).toMap
+      .map(r => r.getAs[Long]("id") -> (0 until 8).map(i => r.getAs[Long](s"m$i"))).toMap
     assert(sigs(1L) === sigs(2L))
     val sharedWithNear = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }
     val sharedWithFar = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
