@@ -185,20 +185,28 @@ case class RollingHash(child: Expression, window: Int)
   * [[VectorFunctions.register]].
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
-    e.injectFunction((FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSim(children.head, children(1))))
-    e.injectFunction((FunctionIdentifier("graft_rolling_hash_16"),
-      new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash_16"),
-      (children: Seq[Expression]) => RollingHash(children.head, 16)))
-  }
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    VectorFunctions.allFunctions.foreach { case (name, clazz, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(clazz, name), builder))
+    }
 }
 
 object VectorFunctions {
+
+  /** The single source of truth for every graft function — both
+    * registration paths ([[register]] and [[GraftExtensions]]) iterate
+    * this list, so they cannot drift apart.
+    */
+  private[graft] val allFunctions: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct].getName,
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))),
+    ("graft_cosine", classOf[CosineSim].getName,
+      (children: Seq[Expression]) => CosineSim(children.head, children(1))),
+    // Text.rollingFingerprint's default window; other windows register
+    // dynamically via registerRolling
+    ("graft_rolling_hash_16", classOf[RollingHash].getName,
+      (children: Seq[Expression]) => RollingHash(children.head, 16)))
 
   /** Idempotently register graft expressions in the session's function
     * registry, so `call_function` / SQL can resolve them. Works on any
@@ -207,19 +215,12 @@ object VectorFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    val dotId = FunctionIdentifier("graft_dot")
-    if (!reg.functionExists(dotId)) {
-      reg.registerFunction(dotId,
-        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-        (children: Seq[Expression]) => DotProduct(children.head, children(1)))
+    allFunctions.foreach { case (name, clazz, builder) =>
+      val id = FunctionIdentifier(name)
+      if (!reg.functionExists(id)) {
+        reg.registerFunction(id, new ExpressionInfo(clazz, name), builder)
+      }
     }
-    val cosId = FunctionIdentifier("graft_cosine")
-    if (!reg.functionExists(cosId)) {
-      reg.registerFunction(cosId,
-        new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
-        (children: Seq[Expression]) => CosineSim(children.head, children(1)))
-    }
-    registerRolling(spark, 16) // Text.rollingFingerprint's default window
   }
 
   /** Column-level dot product; requires [[register]] on the session first

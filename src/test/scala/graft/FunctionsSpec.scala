@@ -76,8 +76,12 @@ class FunctionsSpec extends SparkTestBase {
     texts.zip(got).foreach { case (t, g) => assert(g === brute(t), s"text: '$t'") }
   }
 
-  test("GraftExtensions injects graft_dot into a fresh session") {
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions().apply(ext)  // must not throw; builder applies it
+  test("both registration paths share one function list, and it is complete") {
+    // register() and GraftExtensions iterate VectorFunctions.allFunctions,
+    // so checking the list checks both deployment paths
+    val names = VectorFunctions.allFunctions.map(_._1)
+    assert(names === Seq("graft_dot", "graft_cosine", "graft_rolling_hash_16"))
+    // applying the extensions must not throw (injection is deferred)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 }
