@@ -59,6 +59,9 @@ object Dedup {
     * exchange).
     */
   def lshCandidates(signatures: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes — " +
+        "a remainder would silently drop the trailing minhashes from banding")
     val numBands = numHashes / rowsPerBand
     val bandKeys = (0 until numBands).map { b =>
       concat_ws("|", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)

@@ -130,14 +130,23 @@ object SimilarityLsh {
     Seq.fill(numPlanes)(Array.fill(dim)(rng.nextDouble() - 0.5))
   }
 
-  /** Sign-bit bucket key for an embedding column. */
+  /** Sign-bit bucket key for an embedding column. Fails fast (raise_error)
+    * if the embedding length differs from the hyperplane dim — otherwise a
+    * null dot product would silently map EVERY vector to the all-zeros
+    * bucket and the candidate join degenerates to a near-cross-join.
+    */
   def bucketKey(emb: Column, planes: Seq[Array[Double]]): Column = {
+    val dim = planes.headOption.map(_.length).getOrElse(0)
+    val dimOk = when(size(emb) === dim, lit(""))
+      .otherwise(raise_error(concat(
+        lit(s"SimilarityLsh: embedding dim "), size(emb).cast("string"),
+        lit(s" != hyperplane dim $dim"))))
     val bits = planes.map { p =>
       val planeLit = array(p.map(lit): _*)
       when(Similarity.dot(transform(emb, _.cast("double")), planeLit) >= 0, lit("1"))
         .otherwise(lit("0"))
     }
-    concat(bits: _*)
+    concat(dimOk +: bits: _*)
   }
 
   /** Candidate pairs = vectors sharing a bucket in any of `numTables`

@@ -97,8 +97,11 @@ object Text {
       size(words(c)).cast("double")
 
   def punctRatio(c: Column): Column =
-    (length(c) - length(regexp_replace(c, "[^A-Za-z0-9 ]", ""))).cast("double") /
-      length(c).cast("double")
+    // empty text → null (not 0/0 = NaN), matching SQL division-by-zero
+    // semantics so the cross-engine contract holds on degenerate input
+    when(length(c) === 0, lit(null).cast("double")).otherwise(
+      (length(c) - length(regexp_replace(c, "[^A-Za-z0-9 ]", ""))).cast("double") /
+        length(c).cast("double"))
 
   /** Composite quality score in [0,1]-ish: weights are fixed constants and
     * every term is a deterministic double, so the score itself is

@@ -22,9 +22,20 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-based stream source over a directory of event parquet files. */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
+  /** File-based stream source over a directory of event parquet files.
+    * The harness events parquet stores ts as TIMESTAMP(NANOS), which
+    * Spark 4 rejects — mirror [[graft.Tables.events]]: read nanos as a
+    * long and convert to an exact microsecond timestamp.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.readStream.schema(nanosSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
 
   /** Tumbling/sliding windowed counts + sums with a watermark for state
     * eviction — the canonical streaming aggregation. Works on both a
@@ -85,30 +96,51 @@ object EventStream {
                            session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
   /** Gap-based sessionization with `flatMapGroupsWithState` — custom
-    * per-key state with a processing-time timeout; emits a session when
-    * the gap between consecutive events exceeds `gapMs`.
+    * per-key state with a processing-time idle timeout: a session closes
+    * when a later event exceeds `gapMs`, OR when the key stays idle past
+    * `idleTimeoutMs` of processing time (without a timeout, every user's
+    * FINAL session sits in state forever and is never emitted).
+    *
+    * `idleTimeoutMs = None` disables the idle flush — needed by
+    * synchronous test harnesses: registered timeouts keep the micro-batch
+    * engine scheduling batches, so `processAllAvailable()` never returns.
     */
-  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000): Dataset[Session] = {
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
+                 idleTimeoutMs: Option[Long] = Some(30L * 60 * 1000)): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          // batch-per-trigger events arrive unordered within the group
-          val sorted = rows.toSeq.sortBy(_.ts.getTime)
-          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
-          var st = state.getOption.orNull
-          for (e <- sorted) {
-            val t = e.ts.getTime
-            if (st == null) st = SessionState(t, t, 1, e.value)
-            else if (t - st.last > gapMs) {
-              out += Session(userId, new java.sql.Timestamp(st.start),
-                new java.sql.Timestamp(st.last), st.n, st.sumValue)
-              st = SessionState(t, t, 1, e.value)
-            } else st = st.copy(last = t, n = st.n + 1, sumValue = st.sumValue + e.value)
+          if (state.hasTimedOut) {
+            // idle past the gap: flush the open session and clear state
+            val st = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(st.start),
+              new java.sql.Timestamp(st.last), st.n, st.sumValue))
+          } else {
+            // batch-per-trigger events arrive unordered within the group
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var st = state.getOption.orNull
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              if (st == null) st = SessionState(t, t, 1, e.value)
+              else if (t - st.last > gapMs) {
+                out += Session(userId, new java.sql.Timestamp(st.start),
+                  new java.sql.Timestamp(st.last), st.n, st.sumValue)
+                st = SessionState(t, t, 1, e.value)
+              } else st = st.copy(last = t, n = st.n + 1, sumValue = st.sumValue + e.value)
+            }
+            if (st != null) {
+              state.update(st)
+              idleTimeoutMs.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
           }
-          if (st != null) state.update(st)
-          out.iterator
       }
   }
 

@@ -74,7 +74,10 @@ class EventStreamSpec extends SparkTestBase {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
     mem.addData(events: _*)
-    val sessions = EventStream.sessionize(mem.toDS(), gapMs = 30L * 60 * 1000)
+    // idle timeout off: processAllAvailable never drains with registered
+    // processing-time timeouts (the engine keeps scheduling batches)
+    val sessions = EventStream.sessionize(mem.toDS(), gapMs = 30L * 60 * 1000,
+      idleTimeoutMs = None)
     val q = sessions.writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     q.processAllAvailable()

@@ -21,8 +21,9 @@ def canon(v):
 
 
 def frame_key(con, sql):
-    rows = con.sql(sql).fetchall()
-    cols = [d[0] for d in con.sql(sql).description]
+    rel = con.sql(sql)
+    cols = [d[0] for d in rel.description]
+    rows = rel.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     data = sorted(tuple(canon(r[i]) for i in order) for r in rows)
     return sorted(c for c in cols), len(rows), hash(tuple(map(tuple, data))), data
