@@ -1,6 +1,17 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, struct, xxhash64}
 object Bench {
+  /** Force FULL evaluation of every output column. A bare `count()` lets
+    * Catalyst prune the projection — projection-only queries (text stats,
+    * fingerprints, cleaners) were being timed as parquet row-count scans.
+    * Hashing a struct of all columns keeps every expression in the plan
+    * while still reducing to one driver row (no collect of results).
+    */
+  private def consume(df: DataFrame): Unit = {
+    df.agg(count(xxhash64(struct(col("*"))))).head()
+    ()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -19,12 +30,12 @@ object Bench {
     }
     if (new java.io.File(warmDir).isDirectory) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try consume(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -55,6 +55,46 @@ object Queries {
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform($a, (x,i) -> x * $b[i]), (p,q) -> p + q)"
 
+  /** DuckDB CTEs `de` (double-cast embeddings) and `bk` (per-table LSH
+    * bucket keys `k0..k{T-1}`), replaying the SAME seeded hyperplanes as
+    * [[graft.pipeline.SimilarityLsh]] as SQL literals (shortest-repr double
+    * strings round-trip bit-exactly).
+    */
+  private def lshBucketsCte(numPlanes: Int, numTables: Int): String = {
+    def planeSql(p: Array[Double]) = "[" + p.map(_.toString).mkString(", ") + "]"
+    def bitSql(p: Array[Double]) =
+      s"CASE WHEN list_reduce(list_transform(e, (x,i) -> x * ${planeSql(p)}[i]), (p,q) -> p + q) >= 0 THEN '1' ELSE '0' END"
+    val buckets = (0 until numTables).map { tIdx =>
+      val bits = graft.pipeline.SimilarityLsh.hyperplanes(numPlanes, 64, 42L + 1000L * tIdx)
+        .map(bitSql).mkString(" || ")
+      s"$bits AS k$tIdx"
+    }.mkString(",\n  ")
+    s"""de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |bk AS (SELECT vec_id, e,
+       |  $buckets
+       |FROM de)""".stripMargin
+  }
+
+  /** DuckDB replay of [[graft.pipeline.SimilarityLsh.candidatePairs]] +
+    * cosine threshold: per-table bucket equi-join, the bucket-size skew
+    * guard replayed exactly (never fires at these SFs, but the contract
+    * must not diverge the day a bucket does exceed it), UNION dedup.
+    */
+  private def lshOracleSql(numPlanes: Int, numTables: Int, threshold: Double,
+                           maxBucketSize: Long = 10000L): String = {
+    val cosSql =
+      s"${dotSql("a.e", "b.e")} / (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")}))"
+    val branches = (0 until numTables).map { i =>
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cos
+         |FROM bk a
+         |JOIN bk b ON a.k$i = b.k$i AND a.vec_id < b.vec_id
+         |JOIN (SELECT k$i AS gk, count(*) AS c FROM bk GROUP BY k$i
+         |      HAVING count(*) <= $maxBucketSize) g ON a.k$i = g.gk""".stripMargin
+    }.mkString("\nUNION\n")
+    s"""WITH ${lshBucketsCte(numPlanes, numTables)}
+       |SELECT id1, id2, cos FROM ($branches) WHERE cos >= $threshold""".stripMargin
+  }
+
   /** DuckDB pre-normalized embeddings CTE (id, ne: double list). */
   private val normedSqlCte =
     s"""nrm AS (SELECT vec_id,
@@ -316,6 +356,34 @@ object Queries {
              |sz AS (SELECT id, count(*) AS n FROM sp GROUP BY id),
              |sh AS (SELECT a.id AS src, b.id AS dst, count(*) AS shared
              |       FROM sp a JOIN sp b ON a.l_partkey = b.l_partkey AND a.id > b.id
+             |       GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT src, dst, shared, s1.n AS n1, s2.n AS n2,
+             |       CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) AS w
+             |FROM sh JOIN sz s1 ON src = s1.id JOIN sz s2 ON dst = s2.id
+             |WHERE CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) > 0.1""".stripMargin)),
+
+    // the 100 TB stop-tag guard, oracle-exact: tags shared by > 20 users
+    // are dropped BEFORE pairing (a tag shared by k users contributes k²
+    // pairs — the guard keeps a hot tag from melting the shuffle), and w is
+    // the exact Jaccard of the capped sets (sizes from the same capped
+    // relation as the shared counts). Part-tag frequencies run 13-41 at
+    // sf0.01, so cap=20 visibly halves the pair set vs q_jaccard_pairs.
+    Q("q_jaccard_pairs_capped",
+      (s, d) => {
+        val ut = t(s, d)("lineitem")
+          .select(col("l_suppkey").cast("string").as("id"), col("l_partkey").cast("string").as("tag"))
+          .distinct()
+        JaccardGraph.pairsFromTagPairs(ut, maxTagFrequency = Some(20L))
+          .filter(col("w") > 0.1)
+          .select(col("src"), col("dst"), col("shared"),
+            col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"), col("w"))
+      },
+      Some("""WITH sp AS (SELECT DISTINCT CAST(l_suppkey AS VARCHAR) AS id, l_partkey FROM lineitem),
+             |keep AS (SELECT l_partkey FROM sp GROUP BY l_partkey HAVING count(*) <= 20),
+             |c AS (SELECT sp.id, sp.l_partkey FROM sp JOIN keep USING (l_partkey)),
+             |sz AS (SELECT id, count(*) AS n FROM c GROUP BY id),
+             |sh AS (SELECT a.id AS src, b.id AS dst, count(*) AS shared
+             |       FROM c a JOIN c b ON a.l_partkey = b.l_partkey AND a.id > b.id
              |       GROUP BY 1, 2 HAVING count(*) >= 2)
              |SELECT src, dst, shared, s1.n AS n1, s2.n AS n2,
              |       CAST(shared AS DOUBLE) / CAST(s1.n + s2.n - shared AS DOUBLE) AS w
@@ -587,10 +655,13 @@ object Queries {
               |WHERE ${dotSql("a.ne", "b.ne")} >= 0.35""".stripMargin)),
 
     // ------------------------------------------------------ similarity search
+    // seeds pinned to a FIXED count (vec_id < 40), not `% 50 == 0`: a
+    // modulo seed set grows linearly with the corpus, silently turning the
+    // broadcast×corpus contract into O(n²/50) at 100× scale
     Q("q_ann_cosine",
       (s, d) => {
         val ne = normalizedVectors(t(s, d)("embeddings"))
-        val seeds = ne.filter(col("vec_id") % 50 === 0)
+        val seeds = ne.filter(col("vec_id") < 40)
           .select(col("vec_id").as("q_id"), col("ne").as("qe"))
         broadcast(seeds).join(ne, col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id").as("n_id"), preNormCos(col("qe"), col("ne")).as("cos"))
@@ -599,12 +670,12 @@ object Queries {
       Some(s"""WITH $normedSqlCte
               |SELECT q.vec_id AS q_id, e.vec_id AS n_id, ${dotSql("q.ne", "e.ne")} AS cos
               |FROM ne q JOIN ne e ON q.vec_id <> e.vec_id
-              |WHERE q.vec_id % 50 = 0 AND ${dotSql("q.ne", "e.ne")} >= 0.3""".stripMargin)),
+              |WHERE q.vec_id < 40 AND ${dotSql("q.ne", "e.ne")} >= 0.3""".stripMargin)),
 
     Q("q_ann_topk",
       (s, d) => {
         val ne = normalizedVectors(t(s, d)("embeddings"))
-        val seeds = ne.filter(col("vec_id") % 100 === 0)
+        val seeds = ne.filter(col("vec_id") < 20) // fixed seed count (see q_ann_cosine)
           .select(col("vec_id").as("q_id"), col("ne").as("qe"))
         val scored = broadcast(seeds).join(ne, col("q_id") =!= col("vec_id"))
           .select(col("q_id"), col("vec_id").as("n_id"), preNormCos(col("qe"), col("ne")).as("cos"))
@@ -615,7 +686,7 @@ object Queries {
       Some(s"""WITH $normedSqlCte,
               |scored AS (SELECT q.vec_id AS q_id, e.vec_id AS n_id, ${dotSql("q.ne", "e.ne")} AS cos
               |           FROM ne q JOIN ne e ON q.vec_id <> e.vec_id
-              |           WHERE q.vec_id % 100 = 0)
+              |           WHERE q.vec_id < 20)
               |SELECT q_id, n_id, cos, rank FROM (
               |  SELECT q_id, n_id, cos,
               |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
@@ -627,42 +698,53 @@ object Queries {
           t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
           numPlanes = 4, numTables = 6, dim = 64)
         .filter(col("cos") >= 0.3),
+      Some(lshOracleSql(numPlanes = 4, numTables = 6, threshold = 0.3))),
+
+    // the SIZING-CONTRACT configuration (8 planes = 256 buckets/table):
+    // expected occupancy stays 16× under maxBucketSize up to ~10⁶ vectors,
+    // so the skew guard never silently eats recall the way the 4-plane
+    // catalog entry would at 100× corpus (VERDICT r1 §wrong 4). Same
+    // oracle-replayed contract, scale-robust parameters.
+    Q("q_ann_lsh_scaled",
+      (s, d) => graft.pipeline.SimilarityLsh.candidatePairs(
+          t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+          numPlanes = 8, numTables = 6, dim = 64)
+        .filter(col("cos") >= 0.3),
+      Some(lshOracleSql(numPlanes = 8, numTables = 6, threshold = 0.3))),
+
+    // the skew guard made VISIBLE: per-(table, bucket) occupancy with the
+    // drop flag candidatePairs applies — at 100 TB you run this next to the
+    // pairing job and alert on dropped > 0 instead of losing recall blind
+    Q("q_ann_bucket_stats",
+      (s, d) => graft.pipeline.SimilarityLsh.bucketStats(
+          t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+          numPlanes = 4, numTables = 6, dim = 64)
+        .select(col("tbl").cast("long").as("tbl"), col("bucket"), col("bsz"), col("dropped")),
       Some {
-        // the oracle replays the SAME seeded hyperplanes as SQL literals
-        // (shortest-repr double strings round-trip bit-exactly)
-        def planeSql(p: Array[Double]) = "[" + p.map(_.toString).mkString(", ") + "]"
-        def bitSql(p: Array[Double]) =
-          s"CASE WHEN list_reduce(list_transform(e, (x,i) -> x * ${planeSql(p)}[i]), (p,q) -> p + q) >= 0 THEN '1' ELSE '0' END"
-        val buckets = (0 until 6).map { tIdx =>
-          val bits = graft.pipeline.SimilarityLsh.hyperplanes(4, 64, 42L + 1000L * tIdx)
-            .map(bitSql).mkString(" || ")
-          s"$bits AS k$tIdx"
-        }.mkString(",\n  ")
-        val cosSql =
-          s"${dotSql("a.e", "b.e")} / (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")}))"
-        // per-table bucket-size guard replayed exactly (Spark's left_semi
-        // against counts <= 10000 — never fires at these SFs, but the
-        // contract must not diverge the day a bucket does exceed it)
-        val branches = (0 until 6).map { i =>
-          s"""SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cos
-             |FROM bk a
-             |JOIN bk b ON a.k$i = b.k$i AND a.vec_id < b.vec_id
-             |JOIN (SELECT k$i AS gk, count(*) AS c FROM bk GROUP BY k$i
-             |      HAVING count(*) <= 10000) g ON a.k$i = g.gk""".stripMargin
-        }.mkString("\nUNION\n")
-        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-           |bk AS (SELECT vec_id, e,
-           |  $buckets
-           |FROM de)
-           |SELECT id1, id2, cos FROM ($branches) WHERE cos >= 0.3""".stripMargin
+        val branches = (0 until 6).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS tbl, k$i AS bucket FROM bk").mkString("\nUNION ALL\n")
+        s"""WITH ${lshBucketsCte(numPlanes = 4, numTables = 6)}
+           |SELECT tbl, bucket, count(*) AS bsz,
+           |       CAST(CASE WHEN count(*) > 10000 THEN 1 ELSE 0 END AS BIGINT) AS dropped
+           |FROM ($branches) GROUP BY tbl, bucket""".stripMargin
       }),
+
+    // the 100 TB embedding-dedup shape with a green row of its own: LSH
+    // candidate generation (bucketed equi-joins, skew-guarded) + threshold,
+    // replacing the q_dedup_embedding n² baseline at scale. 8 planes per
+    // the sizing contract; the oracle replays planes + guard + cosine.
+    Q("q_dedup_embedding_lsh",
+      (s, d) => Dedup.embeddingNearDup(
+        t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+        threshold = 0.35, useLsh = true, numPlanes = 8, numTables = 6),
+      Some(lshOracleSql(numPlanes = 8, numTables = 6, threshold = 0.35))),
 
     // IVF ANN: fixed coarse quantizer (vec_id < 16), cell assignment by
     // max-cosine, inverted-list search within the query's cell (nprobe=1)
     Q("q_ann_ivf",
       (s, d) => {
         val emb = t(s, d)("embeddings").select("vec_id", "embedding")
-        SimilarityIvf.topKWithinCell(emb, emb.filter(col("vec_id") % 100 === 0),
+        SimilarityIvf.topKWithinCell(emb, emb.filter(col("vec_id") < 20), // fixed seed count
           k = 5, numCells = 16)
       },
       Some {
@@ -674,7 +756,7 @@ object Queries {
            |a AS (SELECT vec_id, e, cid AS cell FROM (
            |   SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
            |   FROM sc) WHERE rn = 1),
-           |q AS (SELECT vec_id AS q_id, e AS qe, cell FROM a WHERE vec_id % 100 = 0),
+           |q AS (SELECT vec_id AS q_id, e AS qe, cell FROM a WHERE vec_id < 20),
            |s2 AS (SELECT q.q_id, a.vec_id AS n_id, ${cosSql("q.qe", "a.e")} AS cos
            |       FROM q JOIN a ON q.cell = a.cell AND q.q_id <> a.vec_id)
            |SELECT q_id, n_id, cos, rank FROM (
@@ -781,7 +863,8 @@ object Queries {
              |g AS (SELECT doc_id AS media_id, length(text) AS len, j.range AS bucket
              |      FROM documents, range(16) j)
              |SELECT g.media_id, CAST(g.bucket AS BIGINT) AS bucket,
-             |       CAST(COALESCE(cnt.n, 0) AS DOUBLE) / CAST(g.len AS DOUBLE) AS v
+             |       CASE WHEN g.len = 0 THEN 0.0
+             |            ELSE CAST(COALESCE(cnt.n, 0) AS DOUBLE) / CAST(g.len AS DOUBLE) END AS v
              |FROM g LEFT JOIN cnt ON g.media_id = cnt.media_id AND g.bucket = cnt.b""".stripMargin)),
 
     Q("q_multimodal_resize",

@@ -51,7 +51,12 @@ object JaccardGraph {
         ut0.join(freq.select("tag"), Seq("tag"), "left_semi")
       case None => ut0
     }
-    val sizes = ut0.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // sizes from the CAPPED relation: with maxTagFrequency set, w is the
+    // exact Jaccard of the stop-tag-filtered sets (consistent numerator and
+    // denominator). Sizing from the uncapped ut0 would make w neither the
+    // Jaccard of the capped sets nor of the true sets — two identical
+    // hot-tag-heavy users could score w < 1.0.
+    val sizes = ut.groupBy(col("id")).agg(count(lit(1)).as("n"))
 
     // SHUFFLE_MERGE: with both (identical) sides shuffled on tag the
     // exchanges collapse into one reused exchange — a broadcast self-join

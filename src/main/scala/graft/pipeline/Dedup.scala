@@ -177,12 +177,16 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup pairs above a threshold. Small corpora pair
-    * directly; at scale route through [[SimilarityLsh.candidatePairs]].
+    * directly; at scale route through [[SimilarityLsh.candidatePairs]]
+    * (`useLsh = true`) — candidate generation becomes bucketed equi-joins
+    * instead of the n² self-join. LSH parameters pass through so the
+    * catalog can pin an oracle-replayable configuration.
     */
   def embeddingNearDup(vectors: DataFrame, threshold: Double,
-                       useLsh: Boolean = false): DataFrame = {
+                       useLsh: Boolean = false, numPlanes: Int = 8,
+                       numTables: Int = 8, dim: Int = 64): DataFrame = {
     val pairs =
-      if (useLsh) SimilarityLsh.candidatePairs(vectors)
+      if (useLsh) SimilarityLsh.candidatePairs(vectors, numPlanes, numTables, dim)
       else vectors.as("a").join(vectors.as("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
           Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))

@@ -137,7 +137,12 @@ object SimilarityLsh {
     */
   def bucketKey(emb: Column, planes: Seq[Array[Double]]): Column = {
     val dim = planes.headOption.map(_.length).getOrElse(0)
-    val dimOk = when(size(emb) === dim, lit(""))
+    // explicit isNull branch first: without it a null embedding falls into
+    // the dim-mismatch raise_error whose message itself concats size(null)
+    // — the job dies with a null-garbled error instead of a clear one
+    val dimOk = when(emb.isNull,
+        raise_error(lit("SimilarityLsh: null embedding (filter or impute nulls before bucketing)")))
+      .when(size(emb) === dim, lit(""))
       .otherwise(raise_error(concat(
         lit(s"SimilarityLsh: embedding dim "), size(emb).cast("string"),
         lit(s" != hyperplane dim $dim"))))
@@ -166,14 +171,67 @@ object SimilarityLsh {
     * corpora up to ~10⁶ vectors; recall lost to more planes is bought back
     * with `numTables` (P = 1-(1-pᵖˡᵃⁿᵉˢ)ᵗᵃᵇˡᵉˢ).
     */
-  def candidatePairs(vectors: DataFrame, numPlanes: Int = 8, numTables: Int = 8,
-                     dim: Int = 64, seed: Long = 42L,
-                     maxBucketSize: Long = 10000L): DataFrame = {
+  /** (vec_id, tbl, bucket) — every vector's bucket key in every table,
+    * computed once and posexploded.
+    */
+  private def bucketed(vectors: DataFrame, numPlanes: Int, numTables: Int,
+                       dim: Int, seed: Long): DataFrame = {
     val tableKeys = (0 until numTables).map { t =>
       bucketKey(col("embedding"), hyperplanes(numPlanes, dim, seed + 1000L * t))
     }
-    val keyed = vectors.select(col("vec_id"), posexplode(array(tableKeys: _*)))
+    vectors.select(col("vec_id"), posexplode(array(tableKeys: _*)))
       .toDF("vec_id", "tbl", "bucket")
+  }
+
+  /** Per-(table, bucket) occupancy with the drop flag the skew guard in
+    * [[candidatePairs]] will apply — run this to SURFACE what the guard
+    * would otherwise drop silently (VERDICT r1 §wrong 4).
+    */
+  def bucketStats(vectors: DataFrame, numPlanes: Int = 8, numTables: Int = 8,
+                  dim: Int = 64, seed: Long = 42L,
+                  maxBucketSize: Long = 10000L): DataFrame =
+    bucketed(vectors, numPlanes, numTables, dim, seed)
+      .groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+      .withColumn("dropped", (col("bsz") > maxBucketSize).cast("long"))
+
+  /** SIZING made executable: the smallest plane count whose EXPECTED bucket
+    * occupancy (corpus / 2^planes) sits 16× under `maxBucketSize`, so only
+    * genuinely skewed buckets — not average ones — ever hit the guard.
+    * Floor of 4 planes; cap of 30 (beyond log2(corpus) every bucket is a
+    * singleton and more planes only cost recall).
+    */
+  def planesFor(corpusSize: Long, maxBucketSize: Long = 10000L): Int = {
+    val target = math.max(1L, maxBucketSize / 16).toDouble
+    var p = 4
+    while (p < 30 && corpusSize / math.pow(2, p) > target) p += 1
+    p
+  }
+
+  /** [[candidatePairs]] with `numPlanes` DERIVED from the actual corpus
+    * size (one count job — cheap next to the pairing it sizes) and the
+    * skew-guard drops logged instead of silent. This is the entry point a
+    * 100 TB run should use: hand-tuned plane counts rot as the corpus
+    * grows; this one re-sizes itself every run.
+    */
+  def candidatePairsAuto(vectors: DataFrame, numTables: Int = 8, dim: Int = 64,
+                         seed: Long = 42L, maxBucketSize: Long = 10000L): DataFrame = {
+    val n = vectors.count()
+    val planes = planesFor(n, maxBucketSize)
+    val droppedVecs = bucketStats(vectors, planes, numTables, dim, seed, maxBucketSize)
+      .filter(col("dropped") === 1L)
+      .agg(coalesce(sum(col("bsz")), lit(0L))).head().getLong(0)
+    val log = org.slf4j.LoggerFactory.getLogger("graft.SimilarityLsh")
+    log.info(s"candidatePairsAuto: corpus=$n planes=$planes tables=$numTables")
+    if (droppedVecs > 0)
+      log.warn(s"candidatePairsAuto: skew guard dropping $droppedVecs vector-bucket " +
+        s"memberships (> $maxBucketSize per bucket) — recall is reduced for those vectors")
+    candidatePairs(vectors, planes, numTables, dim, seed, maxBucketSize)
+  }
+
+  def candidatePairs(vectors: DataFrame, numPlanes: Int = 8, numTables: Int = 8,
+                     dim: Int = 64, seed: Long = 42L,
+                     maxBucketSize: Long = 10000L): DataFrame = {
+    val keyed = bucketed(vectors, numPlanes, numTables, dim, seed)
     val okBuckets = keyed.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
     val sized = keyed.join(okBuckets, Seq("tbl", "bucket"), "left_semi")
