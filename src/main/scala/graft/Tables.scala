@@ -22,6 +22,16 @@ object Tables {
     * microsecond timestamp — the data is micro-aligned, so `div 1000` is
     * exact and matches what DuckDB (which reads the same column as a
     * microsecond TIMESTAMP) sees.
+    *
+    * SESSION-WIDE SIDE EFFECT, by design: `nanosAsLong` is a SQL conf, not
+    * a per-read datasource option, and it is consulted again at execution
+    * time (scan planning captures the session's Hadoop conf lazily), so a
+    * set-then-restore around the lazy `read` would break the query it just
+    * configured. Consequence: after the first `Tables.events` call, any
+    * OTHER TIMESTAMP(NANOS) parquet read in the same session silently
+    * yields nanosecond longs instead of failing loudly — convert such
+    * columns explicitly, as done here. Same pattern (and same caveat) in
+    * [[graft.streaming.EventStream.read]].
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -25,6 +25,11 @@ object Main {
       jaccardThreshold: Double = 0.5)
 
   def parse(argv: Array[String]): Args = {
+    // the reference's argparse surface spells flags snake_case
+    // (--output_path, --id_neighbours, ...); accept both spellings by
+    // normalizing '_' → '-' inside flag tokens before matching, so
+    // invocations written against the reference keep working verbatim
+    def norm(tok: String) = if (tok.startsWith("--")) tok.replace('_', '-') else tok
     def loop(rest: List[String], acc: Args): Args = rest match {
       case Nil => acc
       case "--output-path" :: v :: t => loop(t, acc.copy(outputPath = v))
@@ -35,10 +40,15 @@ object Main {
       case "--only-tags-from-not-retweeted-posts" :: t =>
         loop(t, acc.copy(onlyTagsFromNotRetweetedPosts = true))
       case "--jaccard-threshold" :: v :: t => loop(t, acc.copy(jaccardThreshold = v.toDouble))
-      case f :: t if !f.startsWith("--") => loop(t, acc.copy(inputFile = f))
+      case f :: t if !f.startsWith("--") =>
+        // argparse rejects a second positional; silently overwriting the
+        // first would run the pipeline on the wrong file
+        if (acc.inputFile.nonEmpty)
+          sys.error(s"unrecognized arguments: $f (input file already set to ${acc.inputFile})")
+        loop(t, acc.copy(inputFile = f))
       case bad => sys.error(s"unrecognized arguments: ${bad.mkString(" ")}")
     }
-    val a = loop(argv.toList, Args())
+    val a = loop(argv.toList.map(norm), Args())
     require(a.inputFile.nonEmpty, "input_file is required")
     a
   }

@@ -28,6 +28,8 @@ object EventStream {
     * long and convert to an exact microsecond timestamp.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
+    // session-wide conf side effect, shared with (and documented at)
+    // Tables.events: later TIMESTAMP(NANOS) reads in this session see longs
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val nanosSchema = StructType(eventSchema.map {
       case f if f.name == "ts" => f.copy(dataType = LongType)
@@ -95,23 +97,58 @@ object EventStream {
   final case class Session(user_id: Long, session_start: java.sql.Timestamp,
                            session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+  /** Idle-flush policy for [[sessionize]] — how a user's FINAL session
+    * (which no later event will ever close) gets emitted.
+    */
+  sealed trait IdleFlush extends Serializable
+  /** No flush: final sessions stay in state forever. For synchronous test
+    * harnesses only (with NO timeouts registered, `processAllAvailable()`
+    * drains and returns).
+    */
+  case object NoIdleFlush extends IdleFlush
+  /** DETERMINISTIC flush: a session closes when the WATERMARK passes
+    * `session_end + gapMs` — pure event-time, so the same input stream
+    * always emits the same sessions regardless of wall-clock scheduling,
+    * and the batch twin ([[sessionizeBatch]]) agrees exactly on every
+    * closed session. The stream must carry enough later traffic to advance
+    * the watermark (true of any live pipeline).
+    */
+  case object EventTimeIdleFlush extends IdleFlush
+  /** Legacy wall-clock flush: emits after `ms` of processing-time idleness
+    * even if the watermark never advances (e.g. the topic goes silent
+    * forever). Emission timing is wall-clock-dependent — prefer
+    * [[EventTimeIdleFlush]] unless stalled-watermark flush is required.
+    */
+  final case class ProcessingTimeIdleFlush(ms: Long) extends IdleFlush
+
   /** Gap-based sessionization with `flatMapGroupsWithState` — custom
-    * per-key state with a processing-time idle timeout: a session closes
-    * when a later event exceeds `gapMs`, OR when the key stays idle past
-    * `idleTimeoutMs` of processing time (without a timeout, every user's
-    * FINAL session sits in state forever and is never emitted).
+    * per-key state: a session closes when a later event of the same user
+    * exceeds `gapMs`, or per the `idleFlush` policy (default: event-time,
+    * watermark-driven — deterministic emission).
     *
-    * `idleTimeoutMs = None` disables the idle flush — needed by
-    * synchronous test harnesses: registered timeouts keep the micro-batch
-    * engine scheduling batches, so `processAllAvailable()` never returns.
+    * `watermarkDelay` applies only to the event-time policy (how much
+    * event-time disorder to tolerate before advancing the clock).
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
-                 idleTimeoutMs: Option[Long] = Some(30L * 60 * 1000)): Dataset[Session] = {
+                 idleFlush: IdleFlush = EventTimeIdleFlush,
+                 watermarkDelay: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
-    val timeoutConf =
-      if (idleTimeoutMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
-      else GroupStateTimeout.NoTimeout()
-    events.groupByKey(_.user_id)
+    val timeoutConf = idleFlush match {
+      case EventTimeIdleFlush => GroupStateTimeout.EventTimeTimeout()
+      case ProcessingTimeIdleFlush(_) => GroupStateTimeout.ProcessingTimeTimeout()
+      case NoIdleFlush => GroupStateTimeout.NoTimeout()
+    }
+    val src = idleFlush match {
+      // event-time timeouts are fired by watermark advancement, so the
+      // source must carry one (batch mode has no watermark: timeouts
+      // simply never fire there, matching NoIdleFlush semantics)
+      case EventTimeIdleFlush if events.isStreaming => events.withWatermark("ts", watermarkDelay)
+      case _ => events
+    }
+    // captured as a plain boolean: batch runs expose no watermark, so the
+    // state-function must not touch the event-time timeout APIs there
+    val streaming = events.isStreaming
+    src.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), timeoutConf) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
@@ -137,7 +174,17 @@ object EventStream {
             }
             if (st != null) {
               state.update(st)
-              idleTimeoutMs.foreach(state.setTimeoutDuration)
+              idleFlush match {
+                case EventTimeIdleFlush if streaming =>
+                  // close when the event-time clock passes last + gap; the
+                  // registered timestamp must sit above the current
+                  // watermark (late groups would otherwise throw)
+                  state.setTimeoutTimestamp(
+                    math.max(st.last + gapMs, state.getCurrentWatermarkMs() + 1))
+                case EventTimeIdleFlush => ()
+                case ProcessingTimeIdleFlush(ms) => state.setTimeoutDuration(ms)
+                case NoIdleFlush => ()
+              }
             }
             out.iterator
           }

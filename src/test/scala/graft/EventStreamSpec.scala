@@ -74,10 +74,10 @@ class EventStreamSpec extends SparkTestBase {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
     mem.addData(events: _*)
-    // idle timeout off: processAllAvailable never drains with registered
-    // processing-time timeouts (the engine keeps scheduling batches)
+    // idle flush off: this test pins the pure gap-close semantics
+    // (processing-time timeouts would also hang processAllAvailable)
     val sessions = EventStream.sessionize(mem.toDS(), gapMs = 30L * 60 * 1000,
-      idleTimeoutMs = None)
+      idleFlush = EventStream.NoIdleFlush)
     val q = sessions.writeStream.format("memory").queryName("sessions")
       .outputMode("append").start()
     q.processAllAvailable()
@@ -93,5 +93,32 @@ class EventStreamSpec extends SparkTestBase {
     val b = batch.collect().map(r => (r.getAs[Long]("user_id"),
       r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
     assert(b === Set((10L, 2L, 3.0), (10L, 1L, 3.0), (20L, 1L, 4.0)))
+  }
+
+  test("event-time idle flush emits final sessions deterministically via the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val sessions = EventStream.sessionize(mem.toDS(), gapMs = 30L * 60 * 1000,
+      idleFlush = EventStream.EventTimeIdleFlush)
+    val q = sessions.writeStream.format("memory").queryName("sessions_et")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 1: user 10's first session closes by gap; watermark reaches 50min,
+    // which already passes user 20's last+gap (2+30) → its session flushes on
+    // the watermark-advance batch. user 10's open session (last=50) does not.
+    val afterBatch1 = spark.table("sessions_et").as[Session].collect()
+      .map(s => (s.user_id, s.n_events, s.sum_value)).toSet
+    assert(afterBatch1 === Set((10L, 2L, 3.0), (20L, 1L, 4.0)))
+
+    // a later event (any user) advances the watermark past 50+30 → user 10's
+    // final session flushes; emission depends ONLY on event time, never on
+    // wall-clock scheduling
+    mem.addData(Event(5L, ts(120), 30L, "click", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("sessions_et").as[Session].collect()
+      .map(s => (s.user_id, s.n_events, s.sum_value)).toSet
+    assert(all === Set((10L, 2L, 3.0), (20L, 1L, 4.0), (10L, 1L, 3.0)))
   }
 }
