@@ -33,10 +33,13 @@ object Bench {
         try consume(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
+    // A failed query records -1, not its (near-zero) time-to-throw: xxhash64
+    // rejects MapType columns unless legacy-enabled, and an analysis error
+    // must not masquerade as a fast query in the emitted JSON.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try consume(fn(spark, sfDir)) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { consume(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -494,11 +494,15 @@ object Queries {
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)),
 
+    // top-k per event_type — a LOW-cardinality key, so a plain
+    // Window.partitionBy(event_type) would sort every row of one type in
+    // ONE task (the 100×-scale straggler). Two-stage salted top-k instead:
+    // 32 shard-ranked partials per type, then a merge rank over ≤ 32·k
+    // survivors. Same oracle — the rewrite only reshapes the shuffle.
     Q("q_window_topk",
-      (s, d) => t(s, d)("events")
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id").asc)).cast("long"))
-        .filter(col("rank") <= 3)
+      (s, d) => Skew.saltedTopK(t(s, d)("events"),
+          key = col("event_type"), saltSource = col("event_id"), k = 3,
+          order = Seq(col("value").desc, col("event_id").asc))
         .select("event_type", "event_id", "value", "rank"),
       Some("""SELECT event_type, event_id, value, rank FROM (
              |  SELECT event_type, event_id, value,
@@ -711,6 +715,26 @@ object Queries {
           numPlanes = 8, numTables = 6, dim = 64)
         .filter(col("cos") >= 0.3),
       Some(lshOracleSql(numPlanes = 8, numTables = 6, threshold = 0.3))),
+
+    // the SELF-SIZING entry point (the one a 100 TB run should use):
+    // candidatePairsAuto derives numPlanes from the live corpus count via
+    // planesFor, persists the bucket keys so the drop-stats pass and the
+    // pairing join bucket once, and logs what the skew guard drops. The
+    // oracle replays planesFor on the known corpus counts: planesFor(500)
+    // [sf0.01] = planesFor(2000) [sf0.1] = 4 under the default guard, so
+    // one hyperplane set is exact at every test SF (asserted below — the
+    // catalog fails fast if testdata or planesFor ever changes that).
+    Q("q_ann_lsh_auto",
+      (s, d) => graft.pipeline.SimilarityLsh.candidatePairsAuto(
+          t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+          numTables = 8, dim = 64)
+        .filter(col("cos") >= 0.3),
+      Some {
+        val p = graft.pipeline.SimilarityLsh.planesFor(500) // sf0.01 corpus (TESTDATA.md)
+        require(p == graft.pipeline.SimilarityLsh.planesFor(2000),
+          s"q_ann_lsh_auto oracle: planesFor diverges between test SFs ($p vs sf0.1)")
+        lshOracleSql(numPlanes = p, numTables = 8, threshold = 0.3)
+      }),
 
     // the skew guard made VISIBLE: per-(table, bucket) occupancy with the
     // drop flag candidatePairs applies — at 100 TB you run this next to the

@@ -37,7 +37,11 @@ object Main {
       case "--save-full-graph" :: t => loop(t, acc.copy(saveFullGraph = true))
       case "--save-pbi-report" :: t => loop(t, acc.copy(savePbiReport = true))
       case "--save-word-cloud" :: t => loop(t, acc.copy(saveWordCloud = true))
-      case "--only-tags-from-not-retweeted-posts" :: t =>
+      // the reference's actual flag carries a double-t typo
+      // (`--only_tags_from_not_retweetted_posts`, main.py:38); accept both
+      // its spelling and the corrected one
+      case ("--only-tags-from-not-retweeted-posts" |
+            "--only-tags-from-not-retweetted-posts") :: t =>
         loop(t, acc.copy(onlyTagsFromNotRetweetedPosts = true))
       case "--jaccard-threshold" :: v :: t => loop(t, acc.copy(jaccardThreshold = v.toDouble))
       case f :: t if !f.startsWith("--") =>

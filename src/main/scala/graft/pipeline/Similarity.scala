@@ -72,8 +72,9 @@ object Similarity {
   * real IVF mechanics: build inverted lists, probe, rank within cells.
   *
   * Scale shape: assignment is a broadcast join against k centroid rows +
-  * a per-row argmax (no shuffle); search is an equi-join on cell — the
-  * inverted-list lookup — so the corpus never cross-joins.
+  * a map-side-partial `max_by` argmax (one row per vector on the wire);
+  * search is an equi-join on cell — the inverted-list lookup — so the
+  * corpus never cross-joins.
   */
 object SimilarityIvf {
 
@@ -82,14 +83,25 @@ object SimilarityIvf {
     vectors.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
-  /** Assign each vector to its max-cosine centroid (ties → lowest cid). */
+  /** Assign each vector to its max-cosine centroid (ties → lowest cid).
+    *
+    * Shape: a `max_by` aggregate, NOT a rank window — max_by partial-
+    * aggregates map-side, so the k scored candidate rows per vector
+    * collapse to one BEFORE the exchange and the wide `embedding` column
+    * rides the shuffle once per vector instead of k times. (A
+    * `row_number().over(partitionBy(vec_id))` would full-shuffle all n×k
+    * scored rows, embeddings included, just to rank them.)
+    */
   def assign(vectors: DataFrame, k: Int): DataFrame = {
     val scored = vectors.crossJoin(broadcast(centroids(vectors, k)))
       .select(col("vec_id"), col("embedding"), col("cid"),
         Similarity.cosine(col("embedding"), col("ce")).as("ccos"))
-    val w = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid").as("cell"))
+    // ordering struct: max ccos first, then -cid → lowest cid wins ties
+    scored.groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cid"), col("embedding")),
+        struct(col("ccos"), -col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.cid").as("cell"))
   }
 
   /** Top-k neighbors per query among vectors sharing the query's cell
@@ -215,23 +227,37 @@ object SimilarityLsh {
     */
   def candidatePairsAuto(vectors: DataFrame, numTables: Int = 8, dim: Int = 64,
                          seed: Long = 42L, maxBucketSize: Long = 10000L): DataFrame = {
+    // one count job sizes the planes (cheap: column-pruned row-count scan);
+    // the bucket keys themselves — numTables × planes codegen'd dot
+    // products per vector, the expensive part — are computed ONCE and
+    // persisted, shared by the stats pass and the pairing join (r2 advice:
+    // the old code evaluated the upstream plan three times).
     val n = vectors.count()
     val planes = planesFor(n, maxBucketSize)
-    val droppedVecs = bucketStats(vectors, planes, numTables, dim, seed, maxBucketSize)
-      .filter(col("dropped") === 1L)
+    val keyed = bucketed(vectors, planes, numTables, dim, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val droppedVecs = keyed.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > maxBucketSize)
       .agg(coalesce(sum(col("bsz")), lit(0L))).head().getLong(0)
     val log = org.slf4j.LoggerFactory.getLogger("graft.SimilarityLsh")
     log.info(s"candidatePairsAuto: corpus=$n planes=$planes tables=$numTables")
     if (droppedVecs > 0)
       log.warn(s"candidatePairsAuto: skew guard dropping $droppedVecs vector-bucket " +
         s"memberships (> $maxBucketSize per bucket) — recall is reduced for those vectors")
-    candidatePairs(vectors, planes, numTables, dim, seed, maxBucketSize)
+    pairsFromKeyed(keyed, vectors, maxBucketSize)
   }
 
   def candidatePairs(vectors: DataFrame, numPlanes: Int = 8, numTables: Int = 8,
                      dim: Int = 64, seed: Long = 42L,
-                     maxBucketSize: Long = 10000L): DataFrame = {
-    val keyed = bucketed(vectors, numPlanes, numTables, dim, seed)
+                     maxBucketSize: Long = 10000L): DataFrame =
+    pairsFromKeyed(bucketed(vectors, numPlanes, numTables, dim, seed), vectors, maxBucketSize)
+
+  /** Pairing join over a (vec_id, tbl, bucket) relation — shared by
+    * [[candidatePairs]] (lazy keys) and [[candidatePairsAuto]] (persisted
+    * keys, so stats + pairing bucket once).
+    */
+  private def pairsFromKeyed(keyed: DataFrame, vectors: DataFrame,
+                             maxBucketSize: Long): DataFrame = {
     val okBuckets = keyed.groupBy("tbl", "bucket")
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
     val sized = keyed.join(okBuckets, Seq("tbl", "bucket"), "left_semi")

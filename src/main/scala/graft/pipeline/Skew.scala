@@ -30,6 +30,31 @@ object Skew {
       .agg(sum("partial").as("cnt"))
   }
 
+  /** Two-stage top-k over a LOW-CARDINALITY key: stage 1 ranks within
+    * (key, salt) shards — `salts`× more, `salts`× smaller sort tasks — and
+    * keeps each shard's top-k; stage 2 ranks the ≤ `salts`·k survivors per
+    * key. Equal to the single-window top-k under the same total order
+    * (the global top-k is contained in the union of shard top-ks), but no
+    * task ever sorts a whole key's rows — the straggler
+    * `Window.partitionBy(hot_key)` creates at 100× scale.
+    *
+    * `order` must be a TOTAL order (include a tiebreaker column) — it
+    * decides ranks in both stages, and the salt is hashed from
+    * `saltSource`, not random, so retries are deterministic.
+    * Output = input columns + `rank` (1-based, ≤ k).
+    */
+  def saltedTopK(df: DataFrame, key: Column, saltSource: Column, k: Int,
+                 order: Seq[Column], salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val shard = Window.partitionBy(key, pmod(hash(saltSource), lit(salts)))
+      .orderBy(order: _*)
+    val partial = df.withColumn("__r", row_number().over(shard))
+      .filter(col("__r") <= k).drop("__r")
+    val merged = Window.partitionBy(key).orderBy(order: _*)
+    partial.withColumn("rank", row_number().over(merged).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Two-stage distinct-collect: per-salt collect_set partial → flatten +
     * dedup final. Result set equals the unsalted `collect_set` (order is
     * canonicalized by `array_sort`). Bounds the per-task set size.

@@ -128,11 +128,20 @@ object EventStream {
     *
     * `watermarkDelay` applies only to the event-time policy (how much
     * event-time disorder to tolerate before advancing the clock).
+    *
+    * BATCH CAVEAT: on a non-streaming Dataset there is no watermark, so
+    * `EventTimeIdleFlush` degrades to `NoIdleFlush` — each user's still-open
+    * FINAL session is never emitted (a warning is logged). For batch input
+    * use [[sessionizeBatch]], which emits every session including the last.
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000,
                  idleFlush: IdleFlush = EventTimeIdleFlush,
                  watermarkDelay: String = "0 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
+    if (idleFlush == EventTimeIdleFlush && !events.isStreaming)
+      org.slf4j.LoggerFactory.getLogger("graft.EventStream")
+        .warn("sessionize(EventTimeIdleFlush) on batch input: no watermark exists, " +
+          "so final open sessions are NOT emitted — use sessionizeBatch for batch data")
     val timeoutConf = idleFlush match {
       case EventTimeIdleFlush => GroupStateTimeout.EventTimeTimeout()
       case ProcessingTimeIdleFlush(_) => GroupStateTimeout.ProcessingTimeTimeout()
