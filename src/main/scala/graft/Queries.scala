@@ -323,6 +323,30 @@ object Queries {
              |                              x -> len(x) > 0), ' ') AS cleaned
              |FROM documents""".stripMargin)),
 
+    // Porter-stemmed wordcloud frequencies (D6: the spaCy-lemmatization
+    // stand-in; `graft_stem` is the codegen'd PorterStem expression). The
+    // ALGORITHM is pinned by PorterSpec's canonical published vectors; this
+    // row verifies the PIPELINE (tokenize → stem → count) against a
+    // hand-stemmed dictionary of the corpus vocabulary — 31 fixed words,
+    // identical at sf0.01 and sf0.1, of which six change under Porter. An
+    // unknown word would hash-mismatch via the ELSE identity branch, so
+    // vocabulary drift fails loudly rather than silently passing.
+    Q("q_text_stem",
+      (s, d) => t(s, d)("documents")
+        .select(explode(filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0)).as("w"))
+        .select(graft.functions.VectorFunctions.stem(col("w")).as("stem"))
+        .groupBy("stem").agg(count(lit(1)).as("cnt")),
+      Some("""WITH w AS (
+             |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+             |                            x -> len(x) > 0)) AS w
+             |  FROM documents),
+             |st AS (SELECT CASE w
+             |  WHEN 'customer' THEN 'custom' WHEN 'key' THEN 'kei'
+             |  WHEN 'merge' THEN 'merg' WHEN 'query' THEN 'queri'
+             |  WHEN 'table' THEN 'tabl' WHEN 'value' THEN 'valu'
+             |  ELSE w END AS stem FROM w)
+             |SELECT stem, count(*) AS cnt FROM st GROUP BY stem""".stripMargin)),
+
     // ------------------------------------------------- graph pipeline shapes
     // HT-graph (explode + normalize + weight count) over documents-as-corpus.
     Q("q_graph_ht_edges",

@@ -178,6 +178,29 @@ case class RollingHash(child: Expression, window: Int)
     copy(child = newChild)
 }
 
+/** Porter-stem one lowercase word (see [[Porter]]) as a codegen'd native
+  * expression: the generated code calls the static stemmer directly — no
+  * UDF serialization, no per-row lambda, stays inside whole-stage codegen.
+  * Null → null; non-word inputs pass through unchanged (Porter.stem's
+  * contract).
+  */
+case class PorterStem(child: Expression)
+  extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_stem"
+
+  override def nullSafeEval(input: Any): Any =
+    Porter.stemUtf8(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Porter.stemUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PorterStem =
+    copy(child = newChild)
+}
+
 /** `SparkSessionExtensions` hook so cluster deployments can register the
   * graft expressions declaratively:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`
@@ -206,7 +229,9 @@ object VectorFunctions {
     // Text.rollingFingerprint's default window; other windows register
     // dynamically via registerRolling
     ("graft_rolling_hash_16", classOf[RollingHash].getName,
-      (children: Seq[Expression]) => RollingHash(children.head, 16)))
+      (children: Seq[Expression]) => RollingHash(children.head, 16)),
+    ("graft_stem", classOf[PorterStem].getName,
+      (children: Seq[Expression]) => PorterStem(children.head)))
 
   /** Idempotently register graft expressions in the session's function
     * registry, so `call_function` / SQL can resolve them. Works on any
@@ -230,6 +255,9 @@ object VectorFunctions {
 
   /** Fused single-pass cosine; same registration requirement. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Porter stem of a lowercase word column; same registration requirement. */
+  def stem(c: Column): Column = call_function("graft_stem", c)
 
   /** Rolling hashes with a fixed window. The window is a constructor
     * parameter, not a child expression, so each window size registers

@@ -25,6 +25,21 @@ object RegexTextCleaner extends TextCleaner {
     if (s == null) "" else Token.findAllIn(s).map(_.toLowerCase).mkString(" ")
 }
 
+/** [[RegexTextCleaner]] + Porter stemming — the closest public,
+  * dependency-free stand-in for the reference's spaCy lemmatization
+  * (tokenize → lemmatize → keep alphabetic, `bigdata/__init__.py:42-46`).
+  * "running"→"run", "studies"→"studi": regular inflections normalize like
+  * spaCy's lemmas; what still differs is documented on
+  * [[graft.functions.Porter]] (irregular forms, POS-sensitive lemmas,
+  * non-word stems).
+  */
+object PorterTextCleaner extends TextCleaner {
+  private val Token = "[A-Za-z]+".r
+  override def clean(s: String): String =
+    if (s == null) ""
+    else Token.findAllIn(s).map(w => graft.functions.Porter.stem(w.toLowerCase)).mkString(" ")
+}
+
 object TextClean {
 
   def cleanUdf(cleaner: TextCleaner = RegexTextCleaner): UserDefinedFunction =
@@ -41,14 +56,31 @@ object TextClean {
         t => length(t) > 0),
       " ")
 
-  /** Per-tweet cleaned text, preferring the retweeted original's text
-    * (reference P6 + D6, `bigdata/__init__.py:87-90`).
+  /** [[cleanExpr]] + per-token Porter stemming — the stemmed twin, still
+    * fully codegen'd: `graft_stem` is a native expression and the
+    * `transform` lambda touches only its element variable (no re-evaluated
+    * captured expression — the O(W²) HOF trap). Needs
+    * [[graft.functions.VectorFunctions.register]] on the session.
     */
-  def wordcloudText(tweets: DataFrame): DataFrame =
+  def stemmedCleanExpr(c: Column): Column =
+    array_join(
+      transform(
+        filter(split(lower(c), "[^a-z]+"), t => length(t) > 0),
+        w => graft.functions.VectorFunctions.stem(w)),
+      " ")
+
+  /** Per-tweet cleaned text, preferring the retweeted original's text
+    * (reference P6 + D6, `bigdata/__init__.py:87-90`). `stemmed = true`
+    * runs the Porter-stemmed cleaner — closest to the reference's spaCy
+    * lemmatized output (the session must have VectorFunctions registered).
+    */
+  def wordcloudText(tweets: DataFrame, stemmed: Boolean = false): DataFrame = {
+    val cl: Column => Column = if (stemmed) stemmedCleanExpr else cleanExpr
     tweets.select(
-      when(col("retweeted_status.text").isNull, cleanExpr(col("text")))
-        .otherwise(cleanExpr(col("retweeted_status.text")))
+      when(col("retweeted_status.text").isNull, cl(col("text")))
+        .otherwise(cl(col("retweeted_status.text")))
         .as("txt_plus_rt"))
+  }
 
   /** CSV dump for the word cloud (`bigdata/__init__.py:91-93`). */
   def save(df: DataFrame, basePath: String): Unit =
