@@ -26,6 +26,12 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     */
   def withDerivedVertices: Graph = Graph(Graph.verticesOf(edges), edges)
 
+  /** GraphFrames-style motif search (reference G2,
+    * `RetweetTagsJaccardGraph.py:158`) — see [[Motif]] for the supported
+    * grammar, semantics, and scale notes.
+    */
+  def find(pattern: String): DataFrame = Motif.find(this, pattern)
+
   /** CSV export of edges + vertices (reference S2, `bigdata/__init__.py:96-114`).
     * `coalesce(1)` instead of the reference's `repartition(1)` — same single
     * output file without the full shuffle.

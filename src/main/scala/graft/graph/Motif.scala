@@ -1,0 +1,98 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** GraphFrames-style motif search (reference G2,
+  * `RetweetTagsJaccardGraph.py:158` — `g.find("(c)-[e]->(a); ...")`),
+  * compiled to a cascade of equi-joins on the edge DataFrame.
+  *
+  * Supported pattern grammar: semicolon-separated edge terms
+  * `(v1)-[e]->(v2)`, where any name may be empty (anonymous). Matching
+  * GraphFrames semantics:
+  *   - a repeated VERTEX name unifies (equi-join on the id);
+  *   - each term binds a fresh edge row — two named edges may still bind
+  *     the same underlying row (GraphFrames imposes no distinctness);
+  *   - named vertices/edges come back as one struct column each, in
+  *     first-appearance order; anonymous elements are matched but not
+  *     returned;
+  *   - named vertices must exist in `vertices` (inner join); anonymous
+  *     endpoints are not checked;
+  *   - no implicit dedup — one output row per distinct binding.
+  * Negated terms (`!(a)-[]->(b)`) are not supported and fail fast.
+  *
+  * Scale shape: each term is one equi-join on a bound vertex column — the
+  * same hash-partitioned shuffle a hand-written self-join cascade would
+  * do, with Catalyst free to reorder and AQE to handle skew. A motif whose
+  * terms share no vertex degenerates to a cross join (as in GraphFrames) —
+  * guard patterns accordingly. For the reference's shared-hashtag motif
+  * specifically, [[graft.ops.JaccardGraph]]'s count-based rewrite is the
+  * strictly cheaper equivalent (4 joins → 1); `PropertySpec` proves the
+  * equivalence on random graphs.
+  */
+object Motif {
+
+  private[graft] final case class EdgeTerm(src: String, edge: String, dst: String)
+
+  private val Term =
+    """\(\s*(\w*)\s*\)\s*-\s*\[\s*(\w*)\s*\]\s*->\s*\(\s*(\w*)\s*\)""".r
+
+  private[graft] def parse(pattern: String): Seq[EdgeTerm] = {
+    val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, s"empty motif pattern: '$pattern'")
+    terms.map {
+      case Term(s, e, d) => EdgeTerm(s, e, d)
+      case bad => throw new IllegalArgumentException(
+        s"unsupported motif term '$bad' — expected '(v1)-[e]->(v2)' " +
+          "(negated terms and undirected edges are not supported)")
+    }
+  }
+
+  def find(g: Graph, pattern: String): DataFrame = {
+    val terms = parse(pattern)
+    val edgeNames = terms.map(_.edge).filter(_.nonEmpty)
+    require(edgeNames.distinct.size == edgeNames.size,
+      s"edge names must be unique, got: ${edgeNames.mkString(", ")}")
+    val vertexNames = terms.flatMap(t => Seq(t.src, t.dst)).filter(_.nonEmpty).distinct
+    require(vertexNames.intersect(edgeNames).isEmpty,
+      "a name cannot be used for both a vertex and an edge")
+
+    // named elements in first-appearance order → output column order
+    val outOrder = scala.collection.mutable.LinkedHashSet.empty[String]
+    terms.foreach { t =>
+      if (t.src.nonEmpty) outOrder += t.src
+      if (t.edge.nonEmpty) outOrder += t.edge
+      if (t.dst.nonEmpty) outOrder += t.dst
+    }
+
+    var bound = Map.empty[String, String] // vertex name -> internal id column
+    var acc: DataFrame = null
+    terms.zipWithIndex.foreach { case (t, i) =>
+      val (sCol, dCol) = (s"__s$i", s"__d$i")
+      val cols = Seq(col("src").as(sCol), col("dst").as(dCol)) ++
+        (if (t.edge.nonEmpty) Seq(struct(col("*")).as(t.edge)) else Nil)
+      var term = g.edges.select(cols: _*)
+      // self-loop term (a)-[e]->(a): constrain within the term itself
+      if (t.src.nonEmpty && t.src == t.dst) term = term.filter(col(sCol) === col(dCol))
+      if (acc == null) acc = term
+      else {
+        val conds = Seq(t.src -> sCol, t.dst -> dCol).collect {
+          case (name, c) if name.nonEmpty && bound.contains(name) =>
+            col(c) === col(bound(name))
+        }
+        // disconnected term → cartesian, mirroring GraphFrames
+        acc = if (conds.isEmpty) acc.crossJoin(term)
+              else acc.join(term, conds.reduce(_ && _))
+      }
+      if (t.src.nonEmpty && !bound.contains(t.src)) bound += t.src -> sCol
+      if (t.dst.nonEmpty && !bound.contains(t.dst)) bound += t.dst -> dCol
+    }
+
+    // attach vertex attribute structs (inner join: named vertices must exist)
+    val withVertices = bound.foldLeft(acc) { case (df, (v, idCol)) =>
+      df.join(g.vertices.select(struct(col("*")).as(v), col("id").as(s"__vid_$v")),
+        col(idCol) === col(s"__vid_$v"))
+    }
+    withVertices.select(outOrder.toSeq.map(col): _*)
+  }
+}

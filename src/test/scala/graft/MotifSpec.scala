@@ -1,0 +1,106 @@
+package graft
+
+import graft.graph.{Graph, Motif}
+import graft.ops.JaccardGraph
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class MotifSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def graphOf(edges: Seq[(String, String, Double, String)]): Graph = {
+    val e = edges.toDF("src", "dst", "w", "type")
+    Graph(Graph.verticesOf(e), e)
+  }
+
+  private val diamond = graphOf(Seq(
+    ("u1", "t1", 1.0, "HT"), ("u2", "t1", 1.0, "HT"),
+    ("u1", "t2", 1.0, "HT"), ("u2", "t2", 1.0, "HT"),
+    ("u3", "t1", 1.0, "HT")))
+
+  test("parse: named, anonymous, and malformed terms") {
+    assert(Motif.parse("(a)-[e]->(b); ()-[]->(c)") ===
+      Seq(Motif.EdgeTerm("a", "e", "b"), Motif.EdgeTerm("", "", "c")))
+    intercept[IllegalArgumentException](Motif.parse("!(a)-[]->(b)"))
+    intercept[IllegalArgumentException](Motif.parse("(a)-[e]-(b)"))
+    intercept[IllegalArgumentException](Motif.parse("   "))
+    intercept[IllegalArgumentException](
+      Motif.find(diamond, "(a)-[e]->(b); (b)-[e]->(c)")) // duplicate edge name
+    intercept[IllegalArgumentException](
+      Motif.find(diamond, "(a)-[a]->(b)")) // vertex/edge name clash
+  }
+
+  test("single edge term returns src-struct, edge-struct, dst-struct columns") {
+    val rows = diamond.find("(x)-[e]->(y)")
+    assert(rows.columns.toSeq === Seq("x", "e", "y"))
+    assert(rows.count() === 5)
+    val one = rows.filter(col("x.id") === "u3").collect().head
+    assert(one.getStruct(1).getAs[String]("type") === "HT")
+    assert(one.getStruct(2).getAs[String]("id") === "t1")
+  }
+
+  test("repeated vertex name unifies: 2-paths through a shared middle vertex") {
+    val chain = graphOf(Seq(
+      ("a", "b", 1.0, "RT"), ("b", "c", 1.0, "RT"), ("c", "d", 1.0, "RT")))
+    val paths = chain.find("(x)-[]->(y); (y)-[]->(z)")
+      .select(col("x.id"), col("y.id"), col("z.id")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(paths === Set(("a", "b", "c"), ("b", "c", "d")))
+  }
+
+  test("anonymous vertices do not unify with each other") {
+    val g = graphOf(Seq(("a", "b", 1.0, "RT"), ("c", "d", 1.0, "RT")))
+    // two independent anonymous-endpoint terms → full 2×2 cross of edges
+    assert(g.find("()-[e]->(); ()-[e2]->()").count() === 4)
+  }
+
+  test("self-loop pattern matches only loops") {
+    val g = graphOf(Seq(("a", "a", 1.0, "RT"), ("a", "b", 1.0, "RT")))
+    val loops = g.find("(v)-[e]->(v)").select(col("v.id")).as[String].collect()
+    assert(loops.toSeq === Seq("a"))
+  }
+
+  test("the reference's 4-vertex shared-hashtag motif on the diamond graph") {
+    // u1,u2 share {t1,t2} → the one candidate couple; u3 has only t1
+    val couples = diamond
+      .find("(c)-[e]->(a); (d)-[e1]->(a); (c)-[e2]->(b); (d)-[e3]->(b)")
+      .filter("e.type = 'HT' and e1.type = 'HT' and e2.type = 'HT' and " +
+        "e3.type = 'HT' and a.id > b.id and c.id > d.id")
+      .select(col("c.id"), col("d.id")).distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(couples.toSeq === Seq(("u2", "u1")))
+  }
+
+  // -------- property: motif find ≡ JaccardGraph count-based rewrite (J6)
+
+  private def trials[A](gen: Gen[A], n: Int)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.apply(Gen.Parameters.default.withSize(10), Seed(i.toLong))
+        .getOrElse(fail(s"generator failed for seed $i")))
+    }
+
+  private val tagPairGen: Gen[List[(String, String)]] =
+    Gen.listOfN(14, for {
+      u <- Gen.choose(1, 5)
+      t <- Gen.oneOf("t1", "t2", "t3", "t4")
+    } yield (s"u$u", t))
+
+  test("motif find ≡ count-based J6 rewrite on random bipartite graphs") {
+    trials(tagPairGen, 10) { pairs =>
+      val ut = pairs.distinct // (user, tag), deduped like normalized tag lists
+      val g = graphOf(ut.map { case (u, t) => (u, t, 1.0, "HT") })
+      val viaMotif = g
+        .find("(c)-[e]->(a); (d)-[e1]->(a); (c)-[e2]->(b); (d)-[e3]->(b)")
+        .filter("e.type = 'HT' and e1.type = 'HT' and e2.type = 'HT' and " +
+          "e3.type = 'HT' and a.id > b.id and c.id > d.id")
+        .select(col("c.id"), col("d.id")).distinct().collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val viaRewrite = JaccardGraph.pairsFromTagPairs(
+          ut.toDF("id", "tag"), minShared = 2L)
+        .select("src", "dst").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(viaMotif === viaRewrite, s"pairs=$ut")
+    }
+  }
+}

@@ -41,4 +41,66 @@ class MultimodalSpec extends SparkTestBase {
     assert(r(1L) === ((6, 2)))  // 2*3 bytes
     assert(r(2L) === ((1, 2)))  // payload shorter than target
   }
+
+  // ---------------------------------------------------- real codec (imageio)
+
+  /** 4×4 PNG: left half red, right half blue — asymmetric so resampling
+    * errors are visible in pixel values.
+    */
+  private def testPng(): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def decode(b: Array[Byte]) =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+
+  test("ImageIoCodec.resize really decodes and nearest-neighbor resamples a PNG") {
+    val out = decode(Multimodal.ImageIoCodec.resize(testPng(), 2, 2))
+    assert(out.getWidth === 2 && out.getHeight === 2)
+    // nearest-neighbor from the half-red/half-blue source: col 0 red, col 1 blue
+    assert((out.getRGB(0, 0) & 0xffffff) === 0xff0000)
+    assert((out.getRGB(1, 1) & 0xffffff) === 0x0000ff)
+  }
+
+  test("ImageIoCodec.features: luminance histogram over decoded pixels, normalized") {
+    val f = Multimodal.ImageIoCodec.features(testPng(), 16)
+    assert(f.length === 16)
+    assert(math.abs(f.sum - 1.0) < 1e-9)
+    // red lum = 299*255/1000 = 76 → bin 76*16/256 = 4; blue lum = 114*255/1000 = 29 → bin 1
+    assert(f(4) === 0.5 && f(1) === 0.5)
+  }
+
+  test("ImageIoCodec.sampleFrames: horizontal strips, each a decodable PNG") {
+    val frames = Multimodal.ImageIoCodec.sampleFrames(testPng(), 2)
+    assert(frames.length === 2)
+    val imgs = frames.map(decode)
+    assert(imgs.forall(i => i.getWidth === 4 && i.getHeight === 2))
+  }
+
+  test("ImageIoCodec falls back to StubCodec on undecodable bytes") {
+    val junk = "not an image".getBytes("UTF-8")
+    assert(Multimodal.ImageIoCodec.features(junk, 8).toSeq ===
+      Multimodal.StubCodec.features(junk, 8).toSeq)
+    assert(Multimodal.ImageIoCodec.resize(junk, 2, 2).toSeq ===
+      Multimodal.StubCodec.resize(junk, 2, 2).toSeq)
+  }
+
+  test("pipeline runs end-to-end with the real codec over PNG payloads") {
+    val png = testPng()
+    val mediaDf = Seq((1L, png), (2L, png)).toDF("media_id", "media")
+    val feats = Multimodal.extractFeatures(mediaDf, dim = 8,
+      codec = Multimodal.ImageIoCodec).collect()
+    assert(feats.length === 2)
+    assert(feats.forall(r => math.abs(r.getAs[Seq[Double]]("features").sum - 1.0) < 1e-9))
+    val resized = Multimodal.resize(
+      Multimodal.fromDocuments(Seq((3L, "doc")).toDF("doc_id", "text"))
+        .withColumn("media", lit(png)),
+      2, 2, codec = Multimodal.ImageIoCodec).collect()
+    assert(decode(resized.head.getAs[Array[Byte]]("media")).getWidth === 2)
+  }
 }
