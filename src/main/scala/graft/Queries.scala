@@ -36,6 +36,33 @@ object Queries {
   private val AllStopwords = Text.StopwordLists.flatMap(_._2)
   private def sqlList(xs: Seq[String]) = xs.map(x => s"'$x'").mkString(", ")
 
+  /** DuckDB per-language stopword evidence counts (`c_en .. c_zh`) —
+    * [[Text.langEvidence]]'s twin; shared by q_lang_id and q_corpus_clean.
+    */
+  private def langCountsSql: String = Text.StopwordLists.map { case (l, ws) =>
+    s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(ws)}))) AS BIGINT) AS c_$l"
+  }.mkString(",\n  ")
+
+  /** DuckDB replay of [[Text.langPredict]]'s deterministic argmax. */
+  private def langPredSql: String = {
+    val langs = Text.StopwordLists.map(_._1)
+    langs.init.zipWithIndex.reverse.foldLeft(s"'${langs.last}'") { case (elseC, (l, i)) =>
+      val wins = langs.drop(i + 1).map(o => s"c_$l >= c_$o").mkString(" AND ")
+      s"CASE WHEN $wins THEN '$l' ELSE $elseC END"
+    }
+  }
+
+  /** DuckDB replay of [[Text.qualityScore]] (exact-integer-ratio doubles —
+    * bit-identical to the Spark expression); shared by q_text_quality and
+    * q_corpus_clean.
+    */
+  private val qualitySql: String =
+    s"""0.4 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(AllStopwords)}))) AS DOUBLE)
+       |         / CAST(len(string_split(text, ' ')) AS DOUBLE))
+       |  + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+       |                 / CAST(length(text) AS DOUBLE))
+       |  + 0.3 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 2000 THEN 1.0 ELSE 0.0 END)""".stripMargin
+
   /** DuckDB 3-word shingle list for a split-on-space words column `ws`
     * (1-based index lambda; Spark's [[Text.shingles]] is the 0-based twin).
     */
@@ -348,6 +375,36 @@ object Queries {
              |SELECT stem, count(*) AS cnt FROM st GROUP BY stem""".stripMargin)),
 
     // ------------------------------------------------- graph pipeline shapes
+    // General motif find (G2): the reference's literal 4-vertex pattern
+    // compiled by Motif.find into an equi-join cascade, over a bounded
+    // doc→word HT graph (doc_id < 12 — fixed seed set, so the 4-way join
+    // stays bounded at every SF; production uses the J6 count rewrite,
+    // MotifSpec proves them equivalent). The oracle is deliberately the
+    // INDEPENDENT count-based formulation — shares ≥2 tags ⟺ some ordered
+    // tag pair is shared — so the motif compiler is cross-checked against
+    // different algebra, not a SQL transliteration of its own joins.
+    Q("q_motif_pairs",
+      (s, d) => {
+        val edges = t(s, d)("documents").filter(col("doc_id") < 12)
+          .select(col("doc_id").cast("string").as("src"),
+            explode(array_distinct(
+              filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0))).as("dst"))
+          .withColumn("w", lit(1.0)).withColumn("type", lit("HT"))
+        val g = Graph(Graph.verticesOf(edges), edges)
+        g.find("(c)-[e]->(a); (d)-[e1]->(a); (c)-[e2]->(b); (d)-[e3]->(b)")
+          .filter("e.type = 'HT' and e1.type = 'HT' and e2.type = 'HT' and " +
+            "e3.type = 'HT' and a.id > b.id and c.id > d.id")
+          .select(col("c.id").as("src"), col("d.id").as("dst")).distinct()
+      },
+      Some("""WITH ut AS (
+             |  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id, w AS tag FROM (
+             |    SELECT doc_id, unnest(list_filter(
+             |      string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS w
+             |    FROM documents WHERE doc_id < 12))
+             |SELECT x.id AS src, y.id AS dst
+             |FROM ut x JOIN ut y ON x.tag = y.tag AND x.id > y.id
+             |GROUP BY x.id, y.id HAVING count(*) >= 2""".stripMargin)),
+
     // HT-graph (explode + normalize + weight count) over documents-as-corpus.
     Q("q_graph_ht_edges",
       (s, d) => {
@@ -834,11 +891,7 @@ object Queries {
       (s, d) => t(s, d)("documents").select(col("doc_id"),
         Text.qualityScore(col("text")).as("quality")),
       Some(s"""SELECT doc_id,
-              |  0.4 * (CAST(len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(AllStopwords)}))) AS DOUBLE)
-              |         / CAST(len(string_split(text, ' ')) AS DOUBLE))
-              |  + 0.3 * (1.0 - CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
-              |                 / CAST(length(text) AS DOUBLE))
-              |  + 0.3 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 10 AND 2000 THEN 1.0 ELSE 0.0 END)
+              |  $qualitySql
               |  AS quality
               |FROM documents""".stripMargin)),
 
@@ -850,20 +903,27 @@ object Queries {
           .withColumn("pred", Text.langPredict(
             Text.StopwordLists.map { case (l, _) => col(s"c_$l") }))
       },
-      Some {
-        val counts = Text.StopwordLists.map { case (l, ws) =>
-          s"CAST(len(list_filter(string_split(text, ' '), x -> x IN (${sqlList(ws)}))) AS BIGINT) AS c_$l"
-        }.mkString(",\n  ")
-        val langs = Text.StopwordLists.map(_._1)
-        val pred = langs.init.zipWithIndex.reverse.foldLeft(s"'${langs.last}'") { case (elseC, (l, i)) =>
-          val wins = langs.drop(i + 1).map(o => s"c_$l >= c_$o").mkString(" AND ")
-          s"CASE WHEN $wins THEN '$l' ELSE $elseC END"
-        }
-        s"""SELECT doc_id, c_en, c_es, c_fr, c_de, c_zh, $pred AS pred FROM (
-           |  SELECT doc_id,
-           |  $counts
-           |  FROM documents)""".stripMargin
-      }),
+      Some(s"""SELECT doc_id, c_en, c_es, c_fr, c_de, c_zh, $langPredSql AS pred FROM (
+              |  SELECT doc_id,
+              |  $langCountsSql
+              |  FROM documents)""".stripMargin)),
+
+    // the C4-style composite: language filter → quality floor → exact
+    // dedup (min doc_id per md5 wins), each stage reusing its
+    // oracle-proven primitive — the chain an LLM corpus runs before
+    // tokenization, as ONE green row
+    Q("q_corpus_clean",
+      (s, d) => graft.pipeline.Corpus.clean(t(s, d)("documents")),
+      Some(s"""WITH sc AS (
+              |  SELECT doc_id, text, $langPredSql AS lang,
+              |  $qualitySql
+              |  AS quality
+              |  FROM (SELECT doc_id, text, $langCountsSql FROM documents)),
+              |f AS (SELECT doc_id, text, lang, quality FROM sc
+              |      WHERE lang = 'en' AND quality >= 0.3),
+              |keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text))
+              |SELECT doc_id, lang, quality FROM f
+              |WHERE doc_id IN (SELECT doc_id FROM keep)""".stripMargin)),
 
     Q("q_fingerprint",
       (s, d) => t(s, d)("documents").select(col("doc_id"),
