@@ -726,6 +726,53 @@ object Queries {
               |       CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) AS jaccard
               |FROM p JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id""".stripMargin)),
 
+    // pairs → CLUSTERS: connected components over the ngram near-dup pairs
+    // (min-label propagation, driver-checked convergence). The oracle
+    // computes components INDEPENDENTLY — a recursive reachability CTE,
+    // not a replay of the propagation loop — so the iterative Spark
+    // algorithm is checked against closed-form graph semantics.
+    Q("q_dedup_clusters",
+      (s, d) => Dedup.components(
+        Dedup.ngramJaccardPairs(t(s, d)("documents"), minShared = 2L, minJaccard = 0.5)
+          .select("id1", "id2")),
+      Some(s"""WITH RECURSIVE $shingleSqlCte,
+              |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+              |p0 AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+              |       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              |       GROUP BY 1, 2 HAVING count(*) >= 2),
+              |dup AS (SELECT id1, id2 FROM p0
+              |        JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+              |        WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5),
+              |e AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
+              |r AS (SELECT a AS id, a AS lbl FROM e
+              |      UNION
+              |      SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b)
+              |SELECT id, min(lbl) AS component FROM r GROUP BY id""".stripMargin)),
+
+    // clusters → SURVIVORS: one doc (smallest id) per duplicate cluster +
+    // all unclustered docs — the actual corpus-shrinking step
+    Q("q_dedup_survivors",
+      (s, d) => Dedup.dedupByClusters(
+          t(s, d)("documents"),
+          Dedup.ngramJaccardPairs(t(s, d)("documents"), minShared = 2L, minJaccard = 0.5)
+            .select("id1", "id2"))
+        .select(col("doc_id")),
+      Some(s"""WITH RECURSIVE $shingleSqlCte,
+              |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+              |p0 AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+              |       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              |       GROUP BY 1, 2 HAVING count(*) >= 2),
+              |dup AS (SELECT id1, id2 FROM p0
+              |        JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+              |        WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5),
+              |e AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
+              |r AS (SELECT a AS id, a AS lbl FROM e
+              |      UNION
+              |      SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b)
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (
+              |  SELECT id FROM r GROUP BY id HAVING id <> min(lbl))""".stripMargin)),
+
     Q("q_dedup_embedding",
       (s, d) => {
         val ne = normalizedVectors(t(s, d)("embeddings"))
@@ -864,6 +911,36 @@ object Queries {
            |q AS (SELECT vec_id AS q_id, e AS qe, cell FROM a WHERE vec_id < 20),
            |s2 AS (SELECT q.q_id, a.vec_id AS n_id, ${cosSql("q.qe", "a.e")} AS cos
            |       FROM q JOIN a ON q.cell = a.cell AND q.q_id <> a.vec_id)
+           |SELECT q_id, n_id, cos, rank FROM (
+           |  SELECT q_id, n_id, cos,
+           |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM s2)
+           |WHERE rank <= 5""".stripMargin
+      }),
+
+    // multi-probe IVF (nprobe=2): each query also searches its
+    // second-nearest cell — the recall lever for boundary queries; cost
+    // linear in nprobe, oracle replays probe selection + search exactly
+    Q("q_ann_ivf_probe",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select("vec_id", "embedding")
+        SimilarityIvf.topKMultiProbe(emb, emb.filter(col("vec_id") < 20),
+          k = 5, numCells = 16, nprobe = 2)
+      },
+      Some {
+        def cosSql(x: String, y: String) =
+          s"${dotSql(s"$x", s"$y")} / (sqrt(${dotSql(s"$x", s"$x")}) * sqrt(${dotSql(s"$y", s"$y")}))"
+        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |c AS (SELECT vec_id AS cid, e AS ce FROM de WHERE vec_id < 16),
+           |sc AS (SELECT de.vec_id, de.e, c.cid, ${cosSql("de.e", "c.ce")} AS ccos FROM de CROSS JOIN c),
+           |a AS (SELECT vec_id, e, cid AS cell FROM (
+           |   SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |   FROM sc) WHERE rn = 1),
+           |pr AS (SELECT vec_id AS q_id, e AS qe, cid AS cell FROM (
+           |   SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |   FROM sc WHERE vec_id < 20) WHERE rn <= 2),
+           |s2 AS (SELECT pr.q_id, a.vec_id AS n_id, ${cosSql("pr.qe", "a.e")} AS cos
+           |       FROM pr JOIN a ON pr.cell = a.cell AND pr.q_id <> a.vec_id)
            |SELECT q_id, n_id, cos, rank FROM (
            |  SELECT q_id, n_id, cos,
            |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank

@@ -176,6 +176,66 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over undirected near-dup pairs `(id1, id2)` —
+    * the step that turns PAIRS into CLUSTERS so "keep one per duplicate
+    * group" is well-defined even when A~B and B~C but A!~C.
+    *
+    * Min-label propagation: every vertex's label converges to the smallest
+    * id reachable from it. Each iteration is one equi-join + one aggregate
+    * (both hash-partitioned on id); iterations needed = component diameter,
+    * and near-dup clusters are shallow (dense blobs around a template, not
+    * long chains), so the default cap is generous. Convergence is checked,
+    * not assumed — a non-converged result would silently split clusters,
+    * so the cap failing is an ERROR, not a truncation. Labels are pure
+    * min() folds — deterministic under any partitioning or retry.
+    *
+    * Returns `(id, component)` for every id appearing in a pair;
+    * singletons (docs in no pair) are absent — callers treat them as their
+    * own component (see [[dedupByClusters]]).
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
+      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = Long.MaxValue
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, edges("b") === labels("id"))
+        .groupBy(col("a").as("id")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.withColumnRenamed("lbl", "old")
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"),
+          col("old"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next.drop("old")
+      iter += 1
+    }
+    require(changed == 0,
+      s"Dedup.components: labels still changing after $maxIter iterations — " +
+        "raise maxIter (component diameter exceeds the cap)")
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
+  /** Cluster-aware dedup: one survivor (the smallest id) per duplicate
+    * cluster, plus every document in no cluster. The cluster step closes
+    * the pairs→groups gap: pairwise keep-min would keep B from A~B plus B
+    * from B~C inconsistently; component-min keeps exactly one of {A,B,C}.
+    */
+  def dedupByClusters(docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val losers = components(pairs, maxIter)
+      .filter(col("id") =!= col("component"))
+      .select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold. Small corpora pair
     * directly; at scale route through [[SimilarityLsh.candidatePairs]]
     * (`useLsh = true`) — candidate generation becomes bucketed equi-joins

@@ -105,8 +105,8 @@ object SimilarityIvf {
   }
 
   /** Top-k neighbors per query among vectors sharing the query's cell
-    * (nprobe=1; union more cells for higher recall). The cell equi-join is
-    * the inverted-list lookup.
+    * (nprobe=1; see [[topKMultiProbe]] for higher recall). The cell
+    * equi-join is the inverted-list lookup.
     */
   def topKWithinCell(vectors: DataFrame, queries: DataFrame, k: Int,
                      numCells: Int = 16): DataFrame = {
@@ -114,6 +114,36 @@ object SimilarityIvf {
     val q = queries.join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"))
     broadcast(q).join(assigned, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Similarity.cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Multi-probe IVF search: each query probes its `nprobe`
+    * HIGHEST-CENTROID-COSINE cells (not just its own) — the standard
+    * recall lever: a query near a cell boundary finds neighbors that the
+    * quantizer put one cell over. Search cost grows linearly in `nprobe`,
+    * never quadratically: still one equi-join, now against `nprobe` probe
+    * rows per query. Each corpus vector lives in exactly ONE cell, so no
+    * neighbor dedup is needed across probes. The probe ranking window
+    * partitions by q_id (high-cardinality, nq×numCells rows — bounded by
+    * the broadcast-small query set, never the corpus).
+    */
+  def topKMultiProbe(vectors: DataFrame, queries: DataFrame, k: Int,
+                     numCells: Int = 16, nprobe: Int = 2): DataFrame = {
+    val assigned = assign(vectors, numCells)
+    val qScored = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroids(vectors, numCells)))
+      .select(col("q_id"), col("qe"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("ccos"))
+    val probes = qScored.withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cid").as("cell"))
+    broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         Similarity.cosine(col("qe"), col("embedding")).as("cos"))

@@ -80,4 +80,37 @@ class DedupSpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("components: transitive chain collapses to one cluster, min id label") {
+    // A~B, B~C but no A~C pair, plus an unrelated pair (8,9): the chain
+    // must still land in ONE component — the pairwise→cluster gap
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id1", "id2")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L))
+  }
+
+  test("components: long path converges (diameter iterations) and caps loudly") {
+    val path = (1L until 8L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = Dedup.components(path).collect()
+      .map(r => r.getAs[Long]("component")).toSet
+    assert(comp === Set(1L)) // every vertex reaches min id 1
+    intercept[IllegalArgumentException](Dedup.components(path, maxIter = 2).collect())
+  }
+
+  test("dedupByClusters: one survivor per cluster plus all singletons") {
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val kept = Dedup.dedupByClusters(corpus, pairs).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L, 4L, 5L)) // 2,3 fold into 1's cluster
+  }
+
+  test("components of no pairs is empty; dedupByClusters keeps everything") {
+    val empty = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.components(empty).count() === 0)
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.dedupByClusters(corpus, empty).count() === 2)
+  }
 }

@@ -63,6 +63,27 @@ class SimilaritySpec extends SparkTestBase {
     assert(topk === Set(0L, 4L))  // cell 0 mates only; 1 and 3 are unreachable
   }
 
+  test("IVF multi-probe recovers the cross-boundary neighbor nprobe=1 misses") {
+    import graft.pipeline.SimilarityIvf
+    // centroids: ids 0,1. Query (id 5) sits just inside cell 0; its TRUE
+    // nearest neighbor (id 6) quantizes into cell 1 — the boundary case
+    // multi-probe exists for.
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.8f, 0.6f)),
+      (5L, Seq(0.95f, 0.3122f)),  // cos to c0 = .95 > cos to c1 ≈ .947
+      (6L, Seq(0.9f, 0.4359f)))   // cos to c1 ≈ .98 > cos to c0 = .90
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 5)
+    val single = SimilarityIvf.topKWithinCell(vecs, q, k = 3, numCells = 2)
+      .collect().map(_.getAs[Long]("n_id")).toSet
+    assert(single === Set(0L)) // id 6 invisible from cell 0
+    val multi = SimilarityIvf.topKMultiProbe(vecs, q, k = 3, numCells = 2, nprobe = 2)
+      .collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("n_id")).toMap
+    assert(multi(1L) === 6L) // the cross-boundary true NN now ranks first
+    assert(multi.values.toSet === Set(0L, 1L, 6L))
+  }
+
   test("bucket key is a deterministic bit string") {
     val corpus = randVecs(10, 8, seed = 3)
     val planes = SimilarityLsh.hyperplanes(6, 8)
