@@ -10,7 +10,13 @@ import org.apache.spark.sql.SparkSession
   * run input.jsonl [--output-path P] [--id-neighbours ID]
   *   [--save-full-graph] [--save-pbi-report] [--save-word-cloud]
   *   [--only-tags-from-not-retweeted-posts] [--jaccard-threshold T]
+  *   [--stem-word-cloud]
   * }}}
+  *
+  * `--stem-word-cloud` is an EXTENSION over the reference surface: Porter-
+  * stems the word-cloud tokens ([[TextClean.stemmedCleanExpr]]) — the
+  * closest JVM stand-in for the reference's spaCy lemmatization. Off by
+  * default so the default output stays golden-pinned.
   */
 object Main {
 
@@ -22,7 +28,8 @@ object Main {
       savePbiReport: Boolean = false,
       saveWordCloud: Boolean = false,
       onlyTagsFromNotRetweetedPosts: Boolean = false,
-      jaccardThreshold: Double = 0.5)
+      jaccardThreshold: Double = 0.5,
+      stemWordCloud: Boolean = false)
 
   def parse(argv: Array[String]): Args = {
     // the reference's argparse surface spells flags snake_case
@@ -44,6 +51,7 @@ object Main {
             "--only-tags-from-not-retweetted-posts") :: t =>
         loop(t, acc.copy(onlyTagsFromNotRetweetedPosts = true))
       case "--jaccard-threshold" :: v :: t => loop(t, acc.copy(jaccardThreshold = v.toDouble))
+      case "--stem-word-cloud" :: t => loop(t, acc.copy(stemWordCloud = true))
       case f :: t if !f.startsWith("--") =>
         // argparse rejects a second positional; silently overwriting the
         // first would run the pipeline on the wrong file
@@ -74,7 +82,9 @@ object Main {
 
       if (args.saveWordCloud) {
         println("Saving word cloud")
-        TextClean.save(TextClean.wordcloudText(tweets), args.outputPath)
+        if (args.stemWordCloud) graft.functions.VectorFunctions.register(spark)
+        TextClean.save(TextClean.wordcloudText(tweets, stemmed = args.stemWordCloud),
+          args.outputPath)
       }
       if (args.saveFullGraph) {
         println("Saving full graph")
