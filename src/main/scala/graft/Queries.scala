@@ -591,6 +591,109 @@ object Queries {
              |  FROM events)
              |WHERE rank <= 3""".stripMargin)),
 
+    // forward as-of: first purchase AT/AFTER each click (the mirrored
+    // union+window rewrite — still no range join)
+    Q("q_asof_forward",
+      (s, d) => {
+        val ev = t(s, d)("events")
+        AsOfJoin.asOfForward(
+          left = ev.filter(col("event_type") === "click")
+            .select("event_id", "ts", "user_id", "value"),
+          right = ev.filter(col("event_type") === "purchase"),
+          key = "user_id", ts = "ts", seq = "event_id",
+          payload = "value", asofCol = "next_purchase")
+          .select(col("event_id"), col("user_id"), col("value"), col("next_purchase"))
+      },
+      Some("""WITH u AS (
+             |  SELECT event_id, ts, user_id, value, 0 AS side, NULL::DOUBLE[] AS p
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT event_id, ts, user_id, NULL, 1 AS side, [value] AS p
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT event_id, user_id, value, box[1] AS next_purchase FROM (
+             |  SELECT event_id, user_id, value, side,
+             |         first_value(p IGNORE NULLS) OVER (
+             |           PARTITION BY user_id ORDER BY ts, side, event_id
+             |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS box
+             |  FROM u)
+             |WHERE side = 0""".stripMargin)),
+
+    // as-of with staleness tolerance: purchases older than 1h yield null —
+    // the matched right ts rides in the box so one window pass suffices
+    Q("q_asof_within",
+      (s, d) => {
+        val ev = t(s, d)("events")
+        AsOfJoin.asOfWithin(
+          left = ev.filter(col("event_type") === "click")
+            .select("event_id", "ts", "user_id", "value"),
+          right = ev.filter(col("event_type") === "purchase"),
+          key = "user_id", ts = "ts", seq = "event_id",
+          payload = "value", toleranceMs = 3600L * 1000,
+          asofCol = "recent_purchase")
+          .select(col("event_id"), col("user_id"), col("value"), col("recent_purchase"))
+      },
+      Some("""WITH u AS (
+             |  SELECT event_id, ts, user_id, value, 1 AS side,
+             |         NULL::STRUCT(v DOUBLE, t TIMESTAMP_NS) AS p
+             |  FROM events WHERE event_type = 'click'
+             |  UNION ALL
+             |  SELECT event_id, ts, user_id, NULL, 0 AS side,
+             |         {'v': value, 't': ts} AS p
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT event_id, user_id, value,
+             |       CASE WHEN epoch_ms(ts) - epoch_ms(box.t) <= 3600000
+             |            THEN box.v END AS recent_purchase FROM (
+             |  SELECT event_id, ts, user_id, value, side,
+             |         last_value(p IGNORE NULLS) OVER (
+             |           PARTITION BY user_id ORDER BY ts, side, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS box
+             |  FROM u)
+             |WHERE side = 1""".stripMargin)),
+
+    // cumulative (running) window frame — decimal-exact partial sums cast
+    // to double per row, same as every money sum in the catalog
+    Q("q_window_running",
+      (s, d) => t(s, d)("events")
+        .select(col("user_id"), col("event_id"),
+          sum(col("value").cast("decimal(18,6)")).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_value")),
+      Some("""SELECT user_id, event_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             |    PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+             |FROM events""".stripMargin)),
+
+    // pivot with an EXPLICIT value list (implicit discovery does a driver
+    // collect of distinct keys — never at 100 TB); unmatched cells null
+    Q("q_pivot",
+      (s, d) => t(s, d)("events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double"))
+        .select(col("user_id"), col("click"), col("purchase"), col("view")),
+      Some("""SELECT user_id,
+             |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS click,
+             |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS purchase,
+             |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS view
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // cube: all 4 grouping combinations (rollup covers the hierarchy case)
+    Q("q_cube",
+      (s, d) => t(s, d)("lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g1"),
+          grouping(col("l_linestatus")).cast("long").as("g2"),
+          count(lit(1)).as("cnt"), moneySum(col("l_extendedprice")).as("rev"))
+        .select("l_returnflag", "l_linestatus", "g1", "g2", "cnt", "rev"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS BIGINT) AS g1,
+             |  CAST(grouping(l_linestatus) AS BIGINT) AS g2,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
     Q("q_window_hourly",
       (s, d) => EventStream.windowedAgg(t(s, d)("events"), "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),

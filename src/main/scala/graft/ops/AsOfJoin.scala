@@ -46,4 +46,67 @@ object AsOfJoin {
       .filter(col("__side") === 1)
       .select(leftCols.map(col) :+ col("__asof_box.v").as(asofCol): _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right payload with
+    * `right.ts >= left.ts` in the key group — the "next event after"
+    * lookup (e.g. first purchase after a click). Same union+window rewrite
+    * mirrored: right rows sort AFTER left rows at equal ts (so an
+    * equal-timestamp payload is visible), the frame runs current-row →
+    * unbounded FOLLOWING, and `first(_, ignoreNulls)` picks the nearest
+    * future payload; among equal-ts right rows the SMALLEST seq wins.
+    */
+  def asOfForward(left: DataFrame, right: DataFrame,
+                  key: String, ts: String, seq: String,
+                  payload: String, asofCol: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val pType = right.schema(payload).dataType
+    val boxType = org.apache.spark.sql.types.StructType(
+      Seq(org.apache.spark.sql.types.StructField("v", pType)))
+    val l = left
+      .withColumn("__side", lit(0))
+      .withColumn("__p", lit(null).cast(boxType))
+    val r = right.select(
+      col(key), col(ts), col(seq),
+      lit(1).as("__side"), struct(col(payload).cast(pType).as("v")).as("__p"))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("__side"), col(seq))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    u.withColumn("__asof_box", first(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(leftCols.map(col) :+ col("__asof_box.v").as(asofCol): _*)
+  }
+
+  /** Backward as-of with a TOLERANCE: like [[asOf]] but a match older than
+    * `toleranceMs` yields null — the standard time-series guard against
+    * joining against stale state (`ts` must be a timestamp column). The
+    * matched right row's ts rides in the box next to the payload, so the
+    * staleness test happens after the single window pass.
+    */
+  def asOfWithin(left: DataFrame, right: DataFrame,
+                 key: String, ts: String, seq: String,
+                 payload: String, toleranceMs: Long,
+                 asofCol: String = "asof_value"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val pType = right.schema(payload).dataType
+    val boxType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("v", pType),
+      org.apache.spark.sql.types.StructField("t", right.schema(ts).dataType)))
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__p", lit(null).cast(boxType))
+    val r = right.select(
+      col(key), col(ts), col(seq),
+      lit(0).as("__side"),
+      struct(col(payload).cast(pType).as("v"), col(ts).as("t")).as("__p"))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("__side"), col(seq))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    u.withColumn("__asof_box", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) :+
+        when(unix_millis(col(ts)) - unix_millis(col("__asof_box.t")) <= toleranceMs,
+          col("__asof_box.v")).as(asofCol): _*)
+  }
 }
