@@ -580,6 +580,41 @@ object Queries {
     // ONE task (the 100×-scale straggler). Two-stage salted top-k instead:
     // 32 shard-ranked partials per type, then a merge rank over ≤ 32·k
     // survivors. Same oracle — the rewrite only reshapes the shuffle.
+    // EXACT interpolated percentiles (not approx_percentile, whose sketch
+    // differs per engine): Spark `percentile` and DuckDB `quantile_cont`
+    // share the sort + linear-interpolation definition, verified
+    // bit-identical on this corpus (including values like
+    // 112.01000000000003 where the interpolation arithmetic shows).
+    // Exact percentile needs per-group sorted values — fine per-group;
+    // at 100 TB over few groups use approx_percentile and drop the oracle.
+    Q("q_percentiles",
+      (s, d) => t(s, d)("events")
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.25)").as("p25"),
+          expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90")),
+      Some("""SELECT event_type,
+             |  quantile_cont(value, 0.25) AS p25,
+             |  quantile_cont(value, 0.5) AS p50,
+             |  quantile_cont(value, 0.9) AS p90
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // SLIDING windows (1h window, 30m slide — every event lands in exactly
+    // two windows). Spark aligns window starts to the epoch; the oracle
+    // replays that alignment with floor(epoch/slide) buckets, fanning each
+    // event to its two windows via an unnest cross join.
+    Q("q_window_sliding",
+      (s, d) => EventStream.windowedAgg(t(s, d)("events"), "1 hour", Some("30 minutes"))
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("cnt"), col("sum_value")),
+      Some("""SELECT strftime(to_timestamp(
+             |         CAST(floor(epoch(ts)/1800) AS BIGINT)*1800 - 1800*off),
+             |         '%Y-%m-%d %H:%M:%S') AS wstart,
+             |  event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) t
+             |GROUP BY 1, 2""".stripMargin)),
+
     Q("q_window_topk",
       (s, d) => Skew.saltedTopK(t(s, d)("events"),
           key = col("event_type"), saltSource = col("event_id"), k = 3,
