@@ -759,6 +759,46 @@ object Queries {
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM s GROUP BY user_id, session_no""".stripMargin)),
 
+    // native session_window — the idiomatic Spark gap-sessionization (the
+    // flatMapGroupsWithState path stays for custom state logic; this is
+    // what you reach for when plain windows suffice). BOUNDARY SEMANTICS
+    // differ from sessionizeBatch: session_window merges only when the
+    // next event starts STRICTLY inside [ts, ts+gap), so diff == gap opens
+    // a new session (sessionizeBatch's `diff > gap` keeps it). The oracle
+    // replays the strict rule in exact microseconds.
+    Q("q_session_window",
+      (s, d) => t(s, d)("events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sstart"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("send"),
+          col("n_events"), col("sum_value")),
+      Some("""WITH g AS (
+             |  SELECT user_id, ts, event_id, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+             |         THEN 1 ELSE 0 END AS new_s
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                    ROWS UNBOUNDED PRECEDING) AS sno FROM g)
+             |SELECT user_id,
+             |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS sstart,
+             |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS send,
+             |  count(*) AS n_events,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM s GROUP BY user_id, sno""".stripMargin)),
+
+    // count(DISTINCT) — plans as Expand + two-phase aggregate (partial
+    // distinct map-side), the scale-correct exact-distinct shape
+    Q("q_agg_distinct",
+      (s, d) => t(s, d)("events")
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"), count(lit(1)).as("n")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     Q("q_props_json",
       (s, d) => {
         val k = get_json_object(col("props"), "$.k").cast("long")
