@@ -189,7 +189,7 @@ object SimilarityLsh {
         lit(s"SimilarityLsh: embedding dim "), size(emb).cast("string"),
         lit(s" != hyperplane dim $dim"))))
     val bits = planes.map { p =>
-      val planeLit = array(p.map(lit): _*)
+      val planeLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
       when(Similarity.dot(transform(emb, _.cast("double")), planeLit) >= 0, lit("1"))
         .otherwise(lit("0"))
     }

@@ -37,6 +37,27 @@ class EventStreamSpec extends SparkTestBase {
       (base, "purchase", 1L, 4.0)))
   }
 
+  test("streaming SLIDING windowed agg: each event lands in window/slide windows") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val agg = EventStream.windowedAgg(
+      mem.toDF().withColumn("props", lit("{}")),
+      windowLen = "10 minutes", slide = Some("5 minutes"))
+    val q = agg.writeStream.format("memory").queryName("win_slide")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_slide").collect()
+    // 10m/5m → every event is in exactly 2 windows: per-type cnt doubles
+    val byType = rows.groupBy(_.getAs[String]("event_type"))
+      .view.mapValues(_.map(_.getAs[Long]("cnt")).sum).toMap
+    assert(byType === Map("click" -> 4L, "view" -> 2L, "purchase" -> 2L))
+    // the two click events (minute 0 and 5) share exactly one window
+    assert(rows.count(r => r.getAs[String]("event_type") == "click" &&
+      r.getAs[Long]("cnt") == 2L) === 1)
+  }
+
   test("stream-stream interval join pairs clicks with later in-window purchases") {
     implicit val sc = spark.sqlContext
     val clicks = MemoryStream[Event]
