@@ -91,6 +91,28 @@ class EventStreamSpec extends SparkTestBase {
     assert(ids.sorted === Seq(1L, 2L))
   }
 
+  test("native session_window works on a stream and matches its batch run") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+      .select(col("user_id"), col("sw.start").as("s"), col("n"), col("sv"))
+    val q = agg(mem.toDF()).writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    def toSet(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("s").getTime,
+        r.getAs[Long]("n"), r.getAs[Double]("sv"))).toSet
+    val streamed = toSet(spark.table("sess_win").collect())
+    val batch = toSet(agg(events.toDF()).collect())
+    assert(streamed === batch)
+    // the 45-min gap split: user 10 has two sessions
+    assert(streamed.count(_._1 == 10L) === 2)
+  }
+
   test("stateful sessionize (flatMapGroupsWithState) matches batch sessionize") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -68,6 +68,33 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("saltedTopK ≡ single-window top-k for any data and any salt count") {
+    import graft.pipeline.Skew
+    import org.apache.spark.sql.expressions.Window
+    val rowsGen: Gen[List[(String, Long, Double)]] =
+      Gen.listOfN(40, for {
+        key <- Gen.oneOf("a", "b", "c")
+        id <- Gen.choose(1L, 1000L)
+        v <- Gen.choose(0, 100).map(_.toDouble)
+      } yield (key, id, v))
+    trials(rowsGen, 6) { rows =>
+      // distinct ids: row_number needs a TOTAL order for a unique answer
+      val df = rows.distinctBy(_._2).toDF("k", "id", "v")
+      val order = Seq(col("v").desc, col("id").asc)
+      for (salts <- Seq(1, 2, 32)) {
+        val got = Skew.saltedTopK(df, col("k"), col("id"), 3, order, salts)
+          .select("k", "id", "rank").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val want = df.withColumn("rank", row_number().over(
+            Window.partitionBy("k").orderBy(order: _*)).cast("long"))
+          .filter(col("rank") <= 3)
+          .select("k", "id", "rank").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(got === want, s"salts=$salts rows=$rows")
+      }
+    }
+  }
+
   test("normalizeTags is idempotent and output is sorted-distinct-lowercase") {
     trials(Gen.listOfN(12, tagGen), 10) { tags =>
       val df = Seq(Tuple1(tags)).toDF("raw")
