@@ -799,6 +799,20 @@ object Queries {
       Some("""SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // mergeable HLL sketch column (ingest-time per-shard sketches, unioned
+    // at query time — the no-rescan incremental-distinct pattern). NO SQL
+    // oracle BY NECESSITY: DuckDB's approx_count_distinct is a different
+    // HLL implementation with different estimates; mergeability and the
+    // error bound are spec-pinned instead (SketchesSpec), and the exact
+    // twin q_agg_distinct stays oracle-verified.
+    Q("q_sketch_distinct",
+      (s, d) => graft.pipeline.Sketches.mergeEstimate(
+        graft.pipeline.Sketches.distinctSketch(
+          t(s, d)("events").withColumn("shard", pmod(col("event_id"), lit(8))),
+          Seq("event_type", "shard"), "user_id"),
+        Seq("event_type")),
+      None),
+
     Q("q_props_json",
       (s, d) => {
         val k = get_json_object(col("props"), "$.k").cast("long")

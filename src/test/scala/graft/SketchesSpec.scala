@@ -1,0 +1,48 @@
+package graft
+
+import graft.pipeline.Sketches
+import org.apache.spark.sql.functions._
+
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 3 event types × overlapping user populations, plus a shard column
+  private lazy val events = (1 to 3000).map { i =>
+    (i % 5 match {
+      case 0 | 1 => "click"
+      case 2 | 3 => "view"
+      case _ => "purchase"
+    }, (i % 700).toLong, s"shard${i % 4}")
+  }.toDF("event_type", "user_id", "shard")
+
+  test("approx distinct lands within HLL error of the exact count") {
+    val approx = Sketches.approxDistinct(events, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = events.groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      assert(math.abs(approx(k) - e).toDouble / e < 0.05,
+        s"$k: approx ${approx(k)} vs exact $e")
+    }
+  }
+
+  test("merging per-shard sketches equals sketching the union (mergeability)") {
+    // ingest-time: sketch each (event_type, shard); query-time: union up
+    val perShard = Sketches.distinctSketch(events, Seq("event_type", "shard"), "user_id")
+    val merged = Sketches.mergeEstimate(perShard, Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Sketches.approxDistinct(events, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // register-max merge: shard-merged and direct sketches see the same
+    // registers → estimates agree EXACTLY, not just within tolerance
+    assert(merged === direct)
+  }
+
+  test("estimates are deterministic under repartitioning") {
+    val a = Sketches.approxDistinct(events.repartition(13), Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Sketches.approxDistinct(events.repartition(2), Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+}
