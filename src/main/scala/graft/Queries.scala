@@ -580,6 +580,31 @@ object Queries {
     // ONE task (the 100×-scale straggler). Two-stage salted top-k instead:
     // 32 shard-ranked partials per type, then a merge rank over ≤ 32·k
     // survivors. Same oracle — the rewrite only reshapes the shuffle.
+    // daily forward-filled resample per user (gap-fill): empty days
+    // inherit the last observed value via the null-safe box; per-bucket
+    // winner is max_by over the total order (ts, event_id) in BOTH engines
+    Q("q_resample",
+      (s, d) => graft.ops.Resample.forwardFill(
+        t(s, d)("events"), key = "user_id", ts = "ts", seq = "event_id",
+        value = "value", stepMs = 86400000L),
+      Some("""WITH b AS (
+             |  SELECT user_id, CAST(floor(epoch_ms(ts)/86400000) AS BIGINT) AS bucket,
+             |         ts, event_id, value
+             |  FROM events),
+             |pb AS (SELECT user_id, bucket, [value] AS box FROM (
+             |         SELECT user_id, bucket, value, row_number() OVER (
+             |           PARTITION BY user_id, bucket ORDER BY ts DESC, event_id DESC) AS rn
+             |         FROM b) WHERE rn = 1),
+             |g AS (SELECT user_id, unnest(generate_series(b0, b1)) AS bucket
+             |      FROM (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+             |            FROM b GROUP BY user_id))
+             |SELECT user_id, bucket, box[1] AS filled FROM (
+             |  SELECT g.user_id, g.bucket,
+             |         last_value(pb.box IGNORE NULLS) OVER (
+             |           PARTITION BY g.user_id ORDER BY g.bucket
+             |           ROWS UNBOUNDED PRECEDING) AS box
+             |  FROM g LEFT JOIN pb ON g.user_id = pb.user_id AND g.bucket = pb.bucket)""".stripMargin)),
+
     // EXACT interpolated percentiles (not approx_percentile, whose sketch
     // differs per engine): Spark `percentile` and DuckDB `quantile_cont`
     // share the sort + linear-interpolation definition, verified
