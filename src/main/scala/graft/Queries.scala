@@ -874,6 +874,22 @@ object Queries {
               |  (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3) OR
               |  (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))""".stripMargin)),
 
+    // minhash AGREEMENT estimate on the LSH candidates — the cheap
+    // pre-verification score (8 long compares per pair vs re-touching
+    // every shingle); integer-ratio double, oracle-exact
+    Q("q_dedup_minhash_est",
+      (s, d) => Dedup.minhashEstimates(t(s, d)("documents")),
+      Some(s"""WITH $shingleSqlCte,
+              |sigs AS (SELECT id, ${(0 until 8).map(i => s"min(CAST(concat('0x', substr(md5('$i|' || s), 1, 15)) AS BIGINT)) AS m$i").mkString(", ")}
+              |         FROM sh GROUP BY id),
+              |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+              |         FROM sigs a JOIN sigs b ON a.id < b.id AND (
+              |           (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3) OR
+              |           (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7)))
+              |SELECT id1, id2,
+              |  CAST(${(0 until 8).map(i => s"(CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END)").mkString(" + ")} AS DOUBLE) / 8.0 AS est_jaccard
+              |FROM cand JOIN sigs a ON id1 = a.id JOIN sigs b ON id2 = b.id""".stripMargin)),
+
     // composed production flow: LSH prefilter + exact verification on
     // candidates only (exact cost ∝ candidates, not corpus²)
     Q("q_dedup_verified",

@@ -150,6 +150,26 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** MinHash Jaccard ESTIMATE on the LSH candidates: the fraction of
+    * agreeing signature components is an unbiased estimator of the true
+    * Jaccard — the cheap score you rank candidates by BEFORE paying for
+    * exact shingle verification (the estimate reads 8 longs per pair; the
+    * exact join re-touches every shingle). Ratio of exact ints →
+    * deterministic double, so the oracle replays it bit-exactly.
+    */
+  def minhashEstimates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                       n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val cands = lshCandidates(sigs, numHashes, rowsPerBand)
+    val matches = (0 until numHashes).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L)).reduce(_ + _)
+    cands
+      .join(sigs.as("a"), col("id1") === col("a.id"))
+      .join(sigs.as("b"), col("id2") === col("b.id"))
+      .select(col("id1"), col("id2"),
+        (matches.cast("double") / lit(numHashes).cast("double")).as("est_jaccard"))
+  }
+
   /** The composed production near-dup flow: MinHash-LSH candidate
     * generation, then EXACT n-gram Jaccard verification computed only on
     * the candidate pairs — the shape that scales (exact verification cost

