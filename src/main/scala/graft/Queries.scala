@@ -143,6 +143,23 @@ object Queries {
 
   private val TranslateSql = s"'${Normalize.Accented}', '${Normalize.Plain}'"
 
+  /** Deterministic user-space graph from events (each event row = one
+    * edge) — shared by the GraphFrames-parity algorithm rows.
+    */
+  private[graft] def eventsGraph(s: SparkSession, d: String): Graph = {
+    val e = t(s, d)("events").select(
+      col("user_id").cast("string").as("src"),
+      ((col("event_id") % 150) + 1).cast("string").as("dst"))
+      .withColumn("w", lit(1.0)).withColumn("type", lit("EV"))
+    Graph(Graph.verticesOf(e), e)
+  }
+
+  /** DuckDB twin of [[eventsGraph]]'s edge list. */
+  private val eventsGraphCte =
+    """e AS (SELECT CAST(user_id AS VARCHAR) AS src,
+      |            CAST(event_id % 150 + 1 AS VARCHAR) AS dst
+      |       FROM events)""".stripMargin
+
   /** exact money sum → double, both engines (see class doc). */
   private def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
@@ -404,6 +421,41 @@ object Queries {
              |SELECT x.id AS src, y.id AS dst
              |FROM ut x JOIN ut y ON x.tag = y.tag AND x.id > y.id
              |GROUP BY x.id, y.id HAVING count(*) >= 2""".stripMargin)),
+
+    // GraphFrames-parity algorithms over a deterministic user-space graph
+    // derived from events (src = user, dst = event_id mod 150 + 1 — same
+    // id space, so triangles exist; the doc→word graph is bipartite and
+    // would trivially have none). String ids throughout — the
+    // heterogeneous-vertex coercion both engines replay byte-identically.
+    Q("q_graph_degrees",
+      (s, d) => Queries.eventsGraph(s, d).degrees,
+      Some(s"""WITH $eventsGraphCte
+              |SELECT id, count(*) AS degree FROM (
+              |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id""".stripMargin)),
+
+    Q("q_graph_cc",
+      (s, d) => Queries.eventsGraph(s, d).connectedComponents(),
+      Some(s"""WITH RECURSIVE $eventsGraphCte,
+              |und AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+              |r AS (SELECT a AS id, a AS lbl FROM und
+              |      UNION
+              |      SELECT und.a, r.lbl FROM und JOIN r ON r.id = und.b)
+              |SELECT id, min(lbl) AS component FROM r GROUP BY id""".stripMargin)),
+
+    Q("q_graph_triangles",
+      (s, d) => Queries.eventsGraph(s, d).triangleCount,
+      Some(s"""WITH $eventsGraphCte,
+              |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |        FROM e WHERE src <> dst),
+              |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              |        FROM und e1
+              |        JOIN und e2 ON e1.b = e2.a
+              |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+              |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+              |SELECT v.id, CAST(coalesce(t.c, 0) AS BIGINT) AS tri_count
+              |FROM v LEFT JOIN (
+              |  SELECT id, count(*) AS c FROM (SELECT unnest([x, y, z]) AS id FROM tri)
+              |  GROUP BY id) t ON v.id = t.id""".stripMargin)),
 
     // HT-graph (explode + normalize + weight count) over documents-as-corpus.
     Q("q_graph_ht_edges",

@@ -32,6 +32,56 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     */
   def find(pattern: String): DataFrame = Motif.find(this, pattern)
 
+  /** GraphFrames-parity degree views — one groupBy each, partial-agg
+    * map-side. `degrees` counts both endpoints of every edge (a self-loop
+    * contributes 2, like GraphFrames).
+    */
+  def degrees: DataFrame =
+    edges.select(explode(array(col("src"), col("dst"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+
+  def inDegrees: DataFrame =
+    edges.groupBy(col("dst").as("id")).agg(count(lit(1)).as("inDegree"))
+
+  def outDegrees: DataFrame =
+    edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("outDegree"))
+
+  /** Connected components (direction ignored) — delegates to the
+    * oracle-verified min-label propagation in
+    * [[graft.pipeline.Dedup.components]]. Returns `(id, component)` where
+    * the component label is the smallest member id; vertices with no
+    * edges are their own singleton component.
+    */
+  def connectedComponents(maxIter: Int = 20): DataFrame = {
+    val linked = graft.pipeline.Dedup.components(
+      edges.select(col("src").as("id1"), col("dst").as("id2")), maxIter)
+    val singletons = vertices.select(col("id"))
+      .join(linked.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    linked.unionByName(singletons)
+  }
+
+  /** Triangles through each vertex, direction ignored (GraphFrames
+    * `triangleCount` semantics). Canonical orientation `a < b` makes each
+    * undirected edge one row and each triangle one (x < y < z) triple, so
+    * the 3-way equi-join counts every triangle exactly once; two shuffles
+    * (edge canonicalization + the join) and a final explode-count.
+    */
+  def triangleCount: DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val counts = tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri_count"))
+    vertices.select(col("id")).join(counts, Seq("id"), "left")
+      .withColumn("tri_count", coalesce(col("tri_count"), lit(0L)))
+  }
+
   /** CSV export of edges + vertices (reference S2, `bigdata/__init__.py:96-114`).
     * `coalesce(1)` instead of the reference's `repartition(1)` — same single
     * output file without the full shuffle.

@@ -1,0 +1,54 @@
+package graft
+
+import graft.graph.Graph
+
+class GraphAlgorithmsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // triangle a-b-c (one edge reversed to prove direction is ignored),
+  // pendant d hanging off c, disconnected pair e-f, isolated vertex g
+  private lazy val g = {
+    val e = Seq(
+      ("a", "b", 1.0, "T"), ("b", "c", 1.0, "T"), ("c", "a", 1.0, "T"),
+      ("c", "d", 1.0, "T"), ("e", "f", 1.0, "T"))
+      .toDF("src", "dst", "w", "type")
+    val v = Graph.verticesOf(e).union(Seq("g").toDF("id")).distinct()
+    Graph(v, e)
+  }
+
+  test("degrees / inDegrees / outDegrees count edge endpoints") {
+    val d = g.degrees.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d === Map("a" -> 2L, "b" -> 2L, "c" -> 3L, "d" -> 1L, "e" -> 1L, "f" -> 1L))
+    val in = g.inDegrees.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(in === Map("b" -> 1L, "c" -> 1L, "a" -> 1L, "d" -> 1L, "f" -> 1L))
+    val out = g.outDegrees.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 1L, "b" -> 1L, "c" -> 2L, "e" -> 1L))
+  }
+
+  test("connectedComponents: min-id labels, singleton vertices included") {
+    val cc = g.connectedComponents().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(cc === Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "e", "f" -> "e",
+      "g" -> "g")) // isolated vertex is its own component
+  }
+
+  test("triangleCount: direction ignored, non-members zero") {
+    val tc = g.triangleCount.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tc === Map(
+      "a" -> 1L, "b" -> 1L, "c" -> 1L, // the one triangle
+      "d" -> 0L, "e" -> 0L, "f" -> 0L, "g" -> 0L))
+  }
+
+  test("triangleCount: duplicate and reversed edges do not double-count") {
+    val e = Seq(
+      ("a", "b", 1.0, "T"), ("b", "a", 1.0, "T"), // same undirected edge twice
+      ("b", "c", 1.0, "T"), ("a", "c", 1.0, "T"),
+      ("a", "a", 1.0, "T")) // self-loop must be ignored
+      .toDF("src", "dst", "w", "type")
+    val tc = Graph(Graph.verticesOf(e), e).triangleCount.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tc === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+}
