@@ -457,6 +457,30 @@ object Queries {
               |  SELECT id, count(*) AS c FROM (SELECT unnest([x, y, z]) AS id FROM tri)
               |  GROUP BY id) t ON v.id = t.id""".stripMargin)),
 
+    // fixed-point integer PageRank (see Graph.pageRank scaladoc): every
+    // iteration is exact long arithmetic, so the oracle UNROLLS all 10
+    // iterations as chained CTEs and matches bit-for-bit — impossible
+    // with float PageRank, whose per-vertex sums are partition-order-
+    // dependent
+    Q("q_graph_pagerank",
+      (s, d) => Queries.eventsGraph(s, d).pageRank(iters = 10),
+      Some {
+        val iterCtes = (1 to 10).map { i =>
+          s"""pr$i AS (SELECT v.id, 150000000 + (17 * coalesce(c.s, 0)) // 20 AS rank
+             |  FROM v LEFT JOIN (
+             |    SELECT e.dst AS id, sum(pr${i - 1}.rank // od.d) AS s
+             |    FROM e JOIN pr${i - 1} ON e.src = pr${i - 1}.id
+             |           JOIN od ON od.oid = e.src
+             |    GROUP BY e.dst) c ON v.id = c.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $eventsGraphCte,
+           |od AS (SELECT src AS oid, count(*) AS d FROM e GROUP BY src),
+           |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |pr0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank FROM v),
+           |$iterCtes
+           |SELECT id, CAST(rank AS BIGINT) AS rank FROM pr10""".stripMargin
+      }),
+
     // HT-graph (explode + normalize + weight count) over documents-as-corpus.
     Q("q_graph_ht_edges",
       (s, d) => {

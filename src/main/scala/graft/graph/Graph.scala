@@ -61,6 +61,39 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     linked.unionByName(singletons)
   }
 
+  /** PageRank in FIXED-POINT integer arithmetic — deterministic by
+    * construction, which float PageRank is not (per-vertex sums of
+    * `rank/outDegree` doubles depend on partition order; integer sums
+    * don't). Ranks are scaled by 1e9; damping 0.85 is the rational 17/20
+    * applied with integer `div` (= floor for non-negative operands):
+    *
+    *   rank'(v) = 0.15·S + floor(17 · Σ_{u→v} floor(rank(u)/outDeg(u)) / 20)
+    *
+    * Unnormalized (base 0.15·S per vertex), multigraph semantics (each
+    * duplicate edge contributes), dangling vertices simply leak mass —
+    * the standard simplifications. Every quantity is a long (mass is
+    * bounded by ~|V|·S, and 17× that fits comfortably), so the DuckDB
+    * oracle replays all `iters` iterations bit-exactly. Per iteration:
+    * one equi-join + one aggregate, hash-partitioned on vertex id.
+    */
+  def pageRank(iters: Int = 10): DataFrame = {
+    val scale = 1000000000L
+    val e = edges.select(col("src"), col("dst"))
+    val od = e.groupBy(col("src").as("oid")).agg(count(lit(1)).as("d"))
+    var ranks = vertices.select(col("id")).withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "rid"), col("src") === col("rid"))
+        .join(od, col("src") === col("oid"))
+        .select(col("dst").as("id"), expr("rank div d").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      ranks = vertices.select(col("id")).join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(scale * 3 / 20) + expr("(17 * coalesce(s, 0L)) div 20")).as("rank"))
+    }
+    ranks
+  }
+
   /** Triangles through each vertex, direction ignored (GraphFrames
     * `triangleCount` semantics). Canonical orientation `a < b` makes each
     * undirected edge one row and each triangle one (x < y < z) triple, so

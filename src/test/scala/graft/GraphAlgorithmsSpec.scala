@@ -41,6 +41,26 @@ class GraphAlgorithmsSpec extends SparkTestBase {
       "d" -> 0L, "e" -> 0L, "f" -> 0L, "g" -> 0L))
   }
 
+  test("pageRank: matches an independent in-test fixed-point implementation") {
+    val edgeList = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d", "e" -> "f")
+    // reference implementation: same fixed-point recurrence, plain Scala
+    val verts = (edgeList.flatMap(e => Seq(e._1, e._2)) :+ "g").distinct
+    val outDeg = edgeList.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = verts.map(_ -> 1000000000L).toMap
+    for (_ <- 1 to 10) {
+      val contrib = edgeList.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => rank(u) / outDeg(u) }.sum).toMap
+      rank = verts.map(v => v -> (150000000L + 17L * contrib.getOrElse(v, 0L) / 20L)).toMap
+    }
+    val got = g.pageRank(10).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === rank)
+    // structural sanity: c splits evenly between a and d → equal ranks,
+    // and both trail c (which receives b's whole share)
+    assert(got("a") === got("d"))
+    assert(got("c") > got("a"))
+    assert(got("g") === 150000000L) // isolated vertex: base mass only
+  }
+
   test("triangleCount: duplicate and reversed edges do not double-count") {
     val e = Seq(
       ("a", "b", 1.0, "T"), ("b", "a", 1.0, "T"), // same undirected edge twice
