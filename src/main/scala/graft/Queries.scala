@@ -2,7 +2,7 @@ package graft
 
 import graft.graph.Graph
 import graft.ops.{AsOfJoin, HashtagGraph, JaccardGraph, Neighbours, Normalize, TextClean}
-import graft.pipeline.{Dedup, Multimodal, Similarity, SimilarityIvf, Skew, Text}
+import graft.pipeline.{Dedup, Multimodal, QualityFilters, Similarity, SimilarityIvf, Skew, Text}
 import graft.streaming.EventStream
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1310,6 +1310,62 @@ object Queries {
               |keep AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(text))
               |SELECT doc_id, lang, quality FROM f
               |WHERE doc_id IN (SELECT doc_id FROM keep)""".stripMargin)),
+
+    // ------------------------------------------- Gopher/C4 quality filters
+
+    Q("q_rep_dup_words",
+      (s, d) => t(s, d)("documents").select(col("doc_id"),
+        QualityFilters.dupWordRatio(col("text")).as("dup_ratio")),
+      Some("""SELECT doc_id,
+             |  CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)
+             |    / CAST(len(ws) AS DOUBLE) AS dup_ratio
+             |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin)),
+
+    // Gopher's "top n-gram fraction" repetition gate: the one quality rule
+    // that needs an aggregation (most-frequent 2-gram per doc). Two-stage
+    // hash aggregate on (doc_id, shingle); min_by over (-count, shingle)
+    // struct ordering makes the tie-break partition-order-independent.
+    Q("q_rep_top_ngram",
+      (s, d) => QualityFilters.topNgram(t(s, d)("documents"), "text", 2),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |g AS (SELECT doc_id, len(ws) AS nw,
+             |        unnest(list_filter(list_transform(ws,
+             |          (x,i) -> CASE WHEN i <= len(ws)-1 THEN x || ' ' || ws[i+1] END),
+             |          v -> v IS NOT NULL)) AS sh
+             |      FROM w),
+             |c AS (SELECT doc_id, any_value(nw) AS nw, sh, count(*) AS cnt
+             |      FROM g GROUP BY doc_id, sh)
+             |SELECT doc_id, sh AS top_ngram,
+             |       CAST(cnt * 2 AS DOUBLE) / CAST(nw AS DOUBLE) AS frac
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, sh) AS rn
+             |      FROM c)
+             |WHERE rn = 1""".stripMargin)),
+
+    // the full Gopher rule battery as one shuffle-free per-row verdict:
+    // keep boolean + sorted fail-reason audit trail (what a corpus
+    // pipeline logs for every dropped document)
+    Q("q_gopher_filter",
+      (s, d) => t(s, d)("documents").select(col("doc_id"),
+        QualityFilters.keep(col("text")).as("keep"),
+        QualityFilters.failReasons(col("text")).as("reasons")),
+      Some {
+        val f = Map(
+          "word_count" -> "NOT (len(ws) BETWEEN 25 AND 80)",
+          "mean_word_len" ->
+            """NOT (CAST(list_reduce(list_transform(ws, x -> length(x)), (a,b) -> a + b) AS DOUBLE)
+              |     / CAST(len(ws) AS DOUBLE) BETWEEN 4.0 AND 4.6)""".stripMargin,
+          "dup_words" ->
+            "CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) > 0.55",
+          "stopword" -> s"len(list_filter(ws, x -> x IN (${sqlList(AllStopwords)}))) < 2")
+        val reasonCases = QualityFilters.GopherRules
+          .map(r => s"CASE WHEN ${f(r.name)} THEN '${r.name}' END").mkString(",\n      ")
+        s"""SELECT doc_id,
+           |  NOT (${QualityFilters.GopherRules.map(r => s"(${f(r.name)})").mkString(" OR ")}) AS keep,
+           |  coalesce(array_to_string(list_sort(list_filter(
+           |    [$reasonCases],
+           |    v -> v IS NOT NULL)), ','), '') AS reasons
+           |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin
+      }),
 
     Q("q_fingerprint",
       (s, d) => t(s, d)("documents").select(col("doc_id"),
