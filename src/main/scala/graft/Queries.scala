@@ -1367,6 +1367,39 @@ object Queries {
            |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin
       }),
 
+    // ----------------------------------------------- data mixing (Mix)
+
+    // deterministic hash-based stratified sampling: per-source keep rates,
+    // decided by md5(seed:key) mod 100 — reproducible across runs/engines
+    // (RNG sample() is neither), shuffle-free. pct exposed so the oracle
+    // pins the hash-percentile parity itself, not just the survivor set.
+    Q("q_sample_stratified",
+      (s, d) => {
+        val rates = Map("src0" -> 100, "src1" -> 75, "src2" -> 50, "src3" -> 25, "src4" -> 10)
+        graft.pipeline.Mix.stratifiedSample(
+            t(s, d)("documents").select(col("doc_id"), col("source")),
+            "source", col("doc_id"), rates, default = 5)
+          .withColumn("pct", graft.pipeline.Mix.hashPct(col("doc_id"), "mix"))
+      },
+      Some("""SELECT doc_id, source, pct FROM (
+             |  SELECT doc_id, source,
+             |    CAST(concat('0x', substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS pct
+             |  FROM documents)
+             |WHERE pct < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 75
+             |  WHEN 'src2' THEN 50 WHEN 'src3' THEN 25 WHEN 'src4' THEN 10 ELSE 5 END""".stripMargin)),
+
+    // epoch-weighted upsampling (mixture over-sampling): src0 ×3, src1 ×2,
+    // everything else ×1, tagged with the epoch index — map-side explode,
+    // no shuffle
+    Q("q_mix_upsample",
+      (s, d) => graft.pipeline.Mix.upsample(
+        t(s, d)("documents").select(col("doc_id"), col("source")),
+        "source", Map("src0" -> 3, "src1" -> 2)),
+      Some("""SELECT doc_id, source,
+             |  unnest(CASE WHEN source = 'src0' THEN [1, 2, 3]
+             |              WHEN source = 'src1' THEN [1, 2] ELSE [1] END) AS epoch
+             |FROM documents""".stripMargin)),
+
     Q("q_fingerprint",
       (s, d) => t(s, d)("documents").select(col("doc_id"),
         Text.fingerprint(col("text")).as("fp")),

@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic data-mixing primitives for training-corpus assembly:
+  * stratified downsampling and epoch-weighted upsampling by source/domain
+  * (the "data mixture" knobs of every public LLM recipe — e.g. The Pile /
+  * Gopher / LLaMA mixture tables weight each source independently).
+  *
+  * Sampling is HASH-based, not RNG-based: a row is kept iff
+  * `md5(seed:key) mod 100 < rate(stratum)`. That makes the sample
+  *   - reproducible across runs, retries, and engines (no RNG state, no
+  *     partition-order dependence — `sample()` has both),
+  *   - consistent under re-partitioning (decision is a pure row function),
+  *   - oracle-verifiable bit-for-bit.
+  * Per-stratum rates compile to a literal CASE chain — no join, no
+  * broadcast, shuffle-free; the whole mix streams through a 100 TB scan.
+  */
+object Mix {
+
+  /** Deterministic percentile in [0, 100): first 6 hex chars of
+    * `md5(seed ++ ":" ++ key)` as an integer, mod 100. 6 hex chars = 24
+    * bits, so the mod-100 bias is < 2⁻¹⁷ — negligible and, more
+    * important, identical in every engine.
+    */
+  def hashPct(key: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % 100
+
+  private def rateExpr(stratum: Column, rates: Map[String, Int], default: Int): Column =
+    rates.toSeq.sortBy(_._1).foldRight(lit(default): Column) { case ((k, v), e) =>
+      when(stratum === k, lit(v)).otherwise(e)
+    }
+
+  /** Keep each row of stratum `s` with probability `rates(s)/100`
+    * (`default`/100 for unlisted strata), decided by [[hashPct]] of
+    * `key` — deterministic stratified sampling.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, key: Column,
+                       rates: Map[String, Int], default: Int,
+                       seed: String = "mix"): DataFrame =
+    df.filter(hashPct(key, seed) < rateExpr(col(stratumCol), rates, default))
+
+  /** Integer epoch-weighted upsampling: stratum `s` appears `weights(s)`
+    * times (unlisted strata once), tagged with `epoch` 1..w — how a
+    * mixture over-samples high-quality sources. Explodes map-side; no
+    * shuffle, output size = Σ wᵢ·|stratumᵢ|.
+    */
+  def upsample(df: DataFrame, stratumCol: String, weights: Map[String, Int]): DataFrame =
+    df.withColumn("epoch",
+      explode(sequence(lit(1), rateExpr(col(stratumCol), weights, 1))))
+}

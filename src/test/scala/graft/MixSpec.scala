@@ -1,0 +1,36 @@
+package graft
+
+import graft.pipeline.Mix
+import org.apache.spark.sql.functions._
+
+class MixSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val df = (0L until 400L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+
+  test("stratifiedSample: rate 100 keeps all, rate 0 keeps none, repartition-invariant") {
+    val rates = Map("src0" -> 100, "src1" -> 0)
+    val kept = Mix.stratifiedSample(df, "source", $"id", rates, default = 50)
+      .groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("src0") === 100L)
+    assert(!kept.contains("src1"))
+    // default-rate strata land between the extremes (hash-uniform ±noise)
+    assert(kept("src2") + kept("src3") > 50 && kept("src2") + kept("src3") < 150)
+    // decision is a pure row function → identical survivors after reshuffle
+    val a = Mix.stratifiedSample(df, "source", $"id", rates, 50).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Mix.stratifiedSample(df.repartition(13), "source", $"id", rates, 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("upsample: per-stratum copy counts with epoch tags") {
+    val up = Mix.upsample(df, "source", Map("src0" -> 3, "src1" -> 2))
+    val counts = up.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("src0" -> 300L, "src1" -> 200L, "src2" -> 100L, "src3" -> 100L))
+    val epochs = up.filter($"source" === "src0" && $"id" === 0L)
+      .select("epoch").collect().map(_.getInt(0)).sorted
+    assert(epochs === Array(1, 2, 3))
+  }
+}
