@@ -1400,6 +1400,23 @@ object Queries {
              |              WHEN source = 'src1' THEN [1, 2] ELSE [1] END) AS epoch
              |FROM documents""".stripMargin)),
 
+    // benchmark decontamination: 3-gram shingle overlap between the
+    // corpus (doc_id % 97 != 0) and a small "benchmark" split (% 97 == 0);
+    // broadcast benchmark digests — the corpus side never shuffles
+    Q("q_contamination",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        graft.pipeline.Contamination.overlaps(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some(s"""WITH $shingleSqlCte
+              |SELECT c.id AS doc_id, b.id AS bench_id, count(*) AS n_shared
+              |FROM sh c JOIN sh b ON c.s = b.s
+              |WHERE c.id % 97 <> 0 AND b.id % 97 = 0
+              |GROUP BY c.id, b.id""".stripMargin)),
+
     Q("q_fingerprint",
       (s, d) => t(s, d)("documents").select(col("doc_id"),
         Text.fingerprint(col("text")).as("fp")),
