@@ -1417,6 +1417,43 @@ object Queries {
               |WHERE c.id % 97 <> 0 AND b.id % 97 = 0
               |GROUP BY c.id, b.id""".stripMargin)),
 
+    // ------------------------------------------- relevance (TF-IDF / BM25)
+    // linear-idf variants — order-isomorphic to the textbook log formulas
+    // but bit-deterministic cross-engine (see Relevance scaladoc)
+
+    Q("q_tfidf_top_terms",
+      (s, d) => graft.pipeline.Relevance.tfIdfTopTerms(t(s, d)("documents"), "doc_id", "text", 3),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |sc AS (SELECT tf.doc_id, tf.term,
+             |         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+             |       FROM tf JOIN df USING (term) CROSS JOIN n)
+             |SELECT doc_id, term, score, CAST(rn AS BIGINT) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+             |      FROM sc)
+             |WHERE rn <= 3""".stripMargin)),
+
+    Q("q_bm25_top_terms",
+      (s, d) => graft.pipeline.Relevance.bm25TopTerms(t(s, d)("documents"), "doc_id", "text", 3),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+             |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+             |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+             |st AS (SELECT count(*) AS n_docs,
+             |              CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+             |sc AS (SELECT tf.doc_id, tf.term,
+             |         ((CAST(st.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5))
+             |         * ((CAST(tf.tf AS DOUBLE) * 2.2)
+             |            / (CAST(tf.tf AS DOUBLE)
+             |               + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / st.avgdl)))) AS score
+             |       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+             |SELECT doc_id, term, score, CAST(rn AS BIGINT) AS rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+             |      FROM sc)
+             |WHERE rn <= 3""".stripMargin)),
+
     Q("q_fingerprint",
       (s, d) => t(s, d)("documents").select(col("doc_id"),
         Text.fingerprint(col("text")).as("fp")),

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-relevance scoring: per-document top-k terms by TF-IDF and BM25
+  * (Robertson et al., public literature). Used in training pipelines for
+  * keyword extraction, domain tagging, and quality-weighted sampling.
+  *
+  * Determinism contract: both scorers use a LINEAR idf ratio rather than
+  * the textbook logarithm — `N/df` for TF-IDF, `(N-df+0.5)/(df+0.5)` for
+  * BM25 — because `log`'s last ulp is libm-dependent while IEEE
+  * `+ - * /` are correctly rounded and bit-identical in every engine.
+  * Linear idf is order-isomorphic to log idf (log is monotone), so
+  * RANKINGS are identical to the textbook formulas; only the absolute
+  * scores differ. Every other input is an exact integer (tf, df, doc
+  * length) or an exact ratio of them, and the oracle replays the same
+  * operation tree.
+  *
+  * Scale shape: two hash aggregates (doc-term tf, term df), one
+  * broadcast of the per-term df table IF small — here left as a shuffle
+  * join since term vocabulary at 100 TB is itself huge — and one scalar
+  * corpus-stats DataFrame cross-joined as a broadcast (never a driver
+  * `.count()` in the plan). Final top-k windows partition on the
+  * high-cardinality doc id, so no straggler task.
+  */
+object Relevance {
+
+  /** `(doc_id, term, tf)` and `(term, df)` building blocks. */
+  private def tfTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), explode(Text.words(col(textCol))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+
+  private def topK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    scored.withColumn("rank",
+        row_number().over(Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= k)
+
+  /** Top-k terms per document by `tf · N/df` (linear idf; see class doc),
+    * rank ties broken on the lexicographically smaller term.
+    */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = tfTable(docs, idCol, textCol)
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, "term").crossJoin(broadcast(n))
+      .select(col(idCol), col("term"),
+        ((col("tf") * col("n_docs")).cast("double") / col("df").cast("double")).as("score"))
+    topK(scored, idCol, k)
+  }
+
+  /** Top-k terms per document by BM25 with linear idf (see class doc):
+    *
+    *   idf = (N - df + 0.5) / (df + 0.5)
+    *   score = idf · (tf·(k1+1)) / (tf + k1·(0.25 + 0.75·(dl/avgdl)))
+    *
+    * with the standard k1 = 1.2, b = 0.75 (0.25 + 0.75·x ≡ 1 − b + b·x).
+    * The operation tree is replayed verbatim by the oracle, so scores are
+    * bit-identical.
+    */
+  def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val dl = docs.select(col(idCol), Text.nWords(col(textCol)).as("dl"))
+    val tf = tfTable(docs, idCol, textCol)
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val scored = tf.join(df_, "term").join(dl, idCol).crossJoin(broadcast(stats))
+      .select(col(idCol), col("term"), {
+        val tfD = col("tf").cast("double")
+        val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5))
+        val denom = tfD + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+        (idf * ((tfD * lit(2.2)) / denom)).as("score")
+      })
+    topK(scored, idCol, k)
+  }
+}
