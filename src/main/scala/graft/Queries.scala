@@ -457,6 +457,21 @@ object Queries {
               |  SELECT id, count(*) AS c FROM (SELECT unnest([x, y, z]) AS id FROM tri)
               |  GROUP BY id) t ON v.id = t.id""".stripMargin)),
 
+    // GraphFrames shortestPaths parity (hop distance to landmarks along
+    // edge direction, 6-hop cap): Spark runs 6 Bellman-Ford rounds, the
+    // oracle a depth-bounded recursive CTE — identical reachable sets and
+    // exact integer distances
+    Q("q_graph_shortest_paths",
+      (s, d) => Queries.eventsGraph(s, d).shortestPaths(Seq("1", "42"), maxHops = 6),
+      Some(s"""WITH RECURSIVE $eventsGraphCte,
+              |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+              |r AS (SELECT id, id AS landmark, 0 AS d FROM v WHERE id IN ('1', '42')
+              |      UNION
+              |      SELECT e.src, r.landmark, r.d + 1 FROM e JOIN r ON e.dst = r.id
+              |      WHERE r.d < 6)
+              |SELECT id, landmark, CAST(min(d) AS BIGINT) AS distance
+              |FROM r GROUP BY id, landmark""".stripMargin)),
+
     // fixed-point integer PageRank (see Graph.pageRank scaladoc): every
     // iteration is exact long arithmetic, so the oracle UNROLLS all 10
     // iterations as chained CTEs and matches bit-for-bit — impossible

@@ -94,6 +94,32 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     ranks
   }
 
+  /** GraphFrames-parity `shortestPaths`: hop distance from every vertex
+    * TO each landmark, following edge direction. Returns exploded rows
+    * `(id, landmark, distance)` (GraphFrames packs them in a map column;
+    * rows are the relational, oracle-comparable shape) with unreachable
+    * pairs absent — GraphFrames omits them from the map too.
+    *
+    * Bellman-Ford-style: `maxHops` rounds of (edge ⋈ dist) + min-agg,
+    * both hash-partitioned on vertex id, so each round is one shuffle of
+    * `(id, landmark, long)` rows — never the vertex payload. Distances
+    * are exact integers; paths longer than `maxHops` are treated as
+    * unreachable (document the cap; at 100 TB you bound rounds anyway).
+    */
+  def shortestPaths(landmarks: Seq[String], maxHops: Int = 6): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var dist = vertices.select(col("id"))
+      .filter(col("id").isin(landmarks: _*))
+      .select(col("id"), col("id").as("landmark"), lit(0L).as("distance"))
+    for (_ <- 1 to maxHops) {
+      val stepped = e.join(dist.withColumnRenamed("id", "did"), col("dst") === col("did"))
+        .select(col("src").as("id"), col("landmark"), (col("distance") + 1L).as("distance"))
+      dist = dist.unionByName(stepped)
+        .groupBy("id", "landmark").agg(min("distance").as("distance"))
+    }
+    dist
+  }
+
   /** Triangles through each vertex, direction ignored (GraphFrames
     * `triangleCount` semantics). Canonical orientation `a < b` makes each
     * undirected edge one row and each triangle one (x < y < z) triple, so

@@ -61,6 +61,18 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(got("g") === 150000000L) // isolated vertex: base mass only
   }
 
+  test("shortestPaths: directed hop distances to landmarks, unreachable absent") {
+    val got = g.shortestPaths(Seq("a", "d"), maxHops = 6).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("a", "a") -> 0L, ("c", "a") -> 1L, ("b", "a") -> 2L,           // via c→a
+      ("d", "d") -> 0L, ("c", "d") -> 1L, ("b", "d") -> 2L, ("a", "d") -> 3L))
+    // hop cap truncates: with maxHops=2, a can no longer reach d
+    val capped = g.shortestPaths(Seq("d"), maxHops = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!capped.contains(("a", "d")) && capped.contains(("b", "d")))
+  }
+
   test("triangleCount: duplicate and reversed edges do not double-count") {
     val e = Seq(
       ("a", "b", 1.0, "T"), ("b", "a", 1.0, "T"), // same undirected edge twice
