@@ -1432,6 +1432,27 @@ object Queries {
               |WHERE c.id % 97 <> 0 AND b.id % 97 = 0
               |GROUP BY c.id, b.id""".stripMargin)),
 
+    // PII scrub: the corpus has no real PII, so the row synthesizes a
+    // deterministic contact preamble from doc_id, then redacts it — what
+    // the oracle pins is the REGEX-ENGINE PARITY (Java vs RE2) of the
+    // email/phone/IP patterns, the risky part of a cross-engine scrub
+    Q("q_pii_scrub",
+      (s, d) => t(s, d)("documents").select(col("doc_id"),
+        graft.pipeline.Scrub.redact(concat(
+          lit("contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 555-"), lpad(col("doc_id").cast("string"), 4, "0"),
+          lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 "),
+          col("text"))).as("clean")),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(
+             |    'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com or 555-'
+             |      || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' ip 10.0.'
+             |      || CAST(doc_id % 256 AS VARCHAR) || '.7 ' || text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+             |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS clean
+             |FROM documents""".stripMargin)),
+
     // ------------------------------------------- relevance (TF-IDF / BM25)
     // linear-idf variants — order-isomorphic to the textbook log formulas
     // but bit-deterministic cross-engine (see Relevance scaladoc)
