@@ -929,6 +929,47 @@ object Queries {
         Seq("event_type")),
       None),
 
+    // Count-Min Sketch over document words — the mergeable FREQUENCY twin
+    // of the HLL distinct sketch, and unlike it fully oracle-replayable:
+    // md5-derived bucket hashing makes the d×w cell relation deterministic
+    // in both engines
+    Q("q_sketch_cms",
+      (s, d) => graft.pipeline.Sketches.cmsSketch(
+        t(s, d)("documents").select(explode(split(col("text"), " ")).as("term")),
+        "term", depth = 4, width = 64),
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |k AS (SELECT term, unnest([0, 1, 2, 3]) AS r FROM w)
+             |SELECT CAST(r AS BIGINT) AS r,
+             |       CAST(concat('0x', substring(md5(CAST(r AS VARCHAR) || ':' || term), 1, 6)) AS BIGINT) % 64 AS bucket,
+             |       count(*) AS cnt
+             |FROM k GROUP BY 1, 2""".stripMargin)),
+
+    // CMS point estimates for heavy-hitter candidates (min over depth
+    // rows, empty cell = 0; never under-counts — 'zzz' probes the
+    // collision-mass upper bound for an absent term)
+    Q("q_sketch_cms_estimate",
+      (s, d) => {
+        import s.implicits._
+        val sketch = graft.pipeline.Sketches.cmsSketch(
+          t(s, d)("documents").select(explode(split(col("text"), " ")).as("term")),
+          "term", depth = 4, width = 64)
+        val items = Seq("table", "value", "the", "spark", "zzz").toDF("term")
+        graft.pipeline.Sketches.cmsEstimate(sketch, items, "term", depth = 4, width = 64)
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |k AS (SELECT term, unnest([0, 1, 2, 3]) AS r FROM w),
+             |sk AS (SELECT CAST(r AS BIGINT) AS r,
+             |         CAST(concat('0x', substring(md5(CAST(r AS VARCHAR) || ':' || term), 1, 6)) AS BIGINT) % 64 AS bucket,
+             |         count(*) AS cnt
+             |       FROM k GROUP BY 1, 2),
+             |it AS (SELECT unnest(['table', 'value', 'the', 'spark', 'zzz']) AS term),
+             |ib AS (SELECT term, CAST(r AS BIGINT) AS r,
+             |         CAST(concat('0x', substring(md5(CAST(r AS VARCHAR) || ':' || term), 1, 6)) AS BIGINT) % 64 AS bucket
+             |       FROM (SELECT term, unnest([0, 1, 2, 3]) AS r FROM it))
+             |SELECT term, min(coalesce(sk.cnt, 0)) AS est
+             |FROM ib LEFT JOIN sk USING (r, bucket)
+             |GROUP BY term""".stripMargin)),
+
     Q("q_props_json",
       (s, d) => {
         val k = get_json_object(col("props"), "$.k").cast("long")

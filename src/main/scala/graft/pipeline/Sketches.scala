@@ -34,4 +34,49 @@ object Sketches {
                      valueCol: String): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol))).as("approx_distinct"))
+
+  // ------------------------------------------------------- Count-Min Sketch
+
+  /** Count-Min Sketch (Cormode & Muthukrishnan 2005) as a RELATION:
+    * `(row, bucket, cnt)` with `depth` rows × `width` buckets — the
+    * mergeable frequency twin of the HLL distinct sketch. Hashing is
+    * md5-derived (`bucket_i(x) = int(md5("i:x")[0,6)) mod width`), so the
+    * sketch is deterministic in every engine and the DuckDB oracle
+    * replays it exactly.
+    *
+    * Scale shape: `posexplode` of the depth bucket keys (computed per row,
+    * shuffle-free) then ONE hash aggregate onto at most depth×width
+    * cells — the sketch is a few KB regardless of input size. Merging
+    * shards is `union → groupBy(row, bucket) → sum` ([[cmsMerge]]):
+    * addition is commutative/associative, so partial sketches from any
+    * partitioning/retry merge to the identical sketch.
+    */
+  def cmsBucket(value: Column, row: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"$row:"), value.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % width
+
+  def cmsSketch(df: DataFrame, valueCol: String, depth: Int, width: Int): DataFrame =
+    df.select(posexplode(array((0 until depth).map(i =>
+        cmsBucket(col(valueCol), i, width)): _*)).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+      .select(col("r").cast("long").as("r"), col("bucket"), col("cnt"))
+
+  /** Union partial sketches built with the same (depth, width). */
+  def cmsMerge(sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Point-estimate the frequency of each item in `items`: `min` over the
+    * depth rows of the addressed cell, an empty cell counting 0 (the
+    * classic CMS upper-bound estimate — never under-counts, over-counts
+    * only on collisions). `items` is expected to be small (heavy-hitter
+    * candidates); it left-joins the KB-size sketch.
+    */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, itemCol: String,
+                  depth: Int, width: Int): DataFrame =
+    items.select(col(itemCol), posexplode(array((0 until depth).map(i =>
+        cmsBucket(col(itemCol), i, width)): _*)).as(Seq("r", "bucket")))
+      .withColumn("r", col("r").cast("long"))
+      .join(sketch, Seq("r", "bucket"), "left")
+      .groupBy(itemCol).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 }

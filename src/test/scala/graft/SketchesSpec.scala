@@ -45,4 +45,31 @@ class SketchesSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(a === b)
   }
+
+  private lazy val terms =
+    (1 to 500).map(i => s"t${i % 37}").toDF("term")
+
+  test("CMS: merging shard sketches equals sketching the union; cells sum to depth×n") {
+    val whole = Sketches.cmsSketch(terms, "term", 4, 32)
+    val merged = Sketches.cmsMerge(
+      Sketches.cmsSketch(terms.limit(200), "term", 4, 32),
+      Sketches.cmsSketch(terms.exceptAll(terms.limit(200)), "term", 4, 32))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(asMap(whole) === asMap(merged))
+    assert(whole.agg(sum("cnt")).collect()(0).getLong(0) === 4L * 500)
+  }
+
+  test("CMS estimate never under-counts; absent item bounded by collision mass") {
+    val sketch = Sketches.cmsSketch(terms, "term", 4, 32)
+    val items = (0 until 37).map(i => s"t$i").toDF("term")
+    val est = Sketches.cmsEstimate(sketch, items, "term", 4, 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = terms.groupBy("term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((t, e) <- exact) assert(est(t) >= e, s"$t: est ${est(t)} < exact $e")
+    val absent = Sketches.cmsEstimate(sketch, Seq("nope").toDF("term"), "term", 4, 32)
+      .collect()(0).getLong(1)
+    assert(absent >= 0 && absent <= 500)
+  }
 }
