@@ -457,6 +457,17 @@ object Queries {
               |  SELECT id, count(*) AS c FROM (SELECT unnest([x, y, z]) AS id FROM tri)
               |  GROUP BY id) t ON v.id = t.id""".stripMargin)),
 
+    // aggregateMessages primitive (the GraphFrames building block): each
+    // edge sends its opposite endpoint's id to both ends; per-vertex min
+    // = smallest neighbor id in either direction
+    Q("q_graph_agg_messages",
+      (s, d) => Queries.eventsGraph(s, d).aggregateMessages(
+        msgToSrc = Some(col("dst")), msgToDst = Some(col("src")), m => min(m)),
+      Some(s"""WITH $eventsGraphCte
+              |SELECT id, min(msg) AS agg FROM (
+              |  SELECT src AS id, dst AS msg FROM e
+              |  UNION ALL SELECT dst, src FROM e) GROUP BY id""".stripMargin)),
+
     // GraphFrames shortestPaths parity (hop distance to landmarks along
     // edge direction, 6-hop cap): Spark runs 6 Bellman-Ford rounds, the
     // oracle a depth-bounded recursive CTE — identical reachable sets and

@@ -94,6 +94,25 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     ranks
   }
 
+  /** GraphFrames-parity `aggregateMessages`: per edge, optionally send a
+    * message (any Column over the edge's `src`/`dst`/`w`/`type` columns)
+    * to the source and/or destination vertex, then reduce per receiving
+    * vertex with `agg`. Returns `(id, agg)`, vertices receiving no
+    * message absent — GraphFrames semantics.
+    *
+    * This is the primitive degrees / weighted degrees / neighbor
+    * aggregation all desugar to: a projection per direction, one union,
+    * ONE hash aggregate (map-side partials) keyed on the vertex id.
+    */
+  def aggregateMessages(msgToSrc: Option[Column], msgToDst: Option[Column],
+                        agg: Column => Column): DataFrame = {
+    require(msgToSrc.nonEmpty || msgToDst.nonEmpty, "no message expression given")
+    val parts =
+      msgToSrc.map(m => edges.select(col("src").as("id"), m.as("msg"))).toSeq ++
+        msgToDst.map(m => edges.select(col("dst").as("id"), m.as("msg")))
+    parts.reduce(_ unionByName _).groupBy("id").agg(agg(col("msg")).as("agg"))
+  }
+
   /** GraphFrames-parity `shortestPaths`: hop distance from every vertex
     * TO each landmark, following edge direction. Returns exploded rows
     * `(id, landmark, distance)` (GraphFrames packs them in a map column;

@@ -73,6 +73,19 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(!capped.contains(("a", "d")) && capped.contains(("b", "d")))
   }
 
+  test("aggregateMessages: weighted degree desugars to degrees; one-sided send") {
+    import org.apache.spark.sql.functions.{col, min, sum}
+    // send w=1.0 to both ends + sum ≡ degrees
+    val wdeg = g.aggregateMessages(Some(col("w")), Some(col("w")), m => sum(m))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val deg = g.degrees.collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    assert(wdeg === deg)
+    // one-sided: min incoming neighbor id per dst
+    val minIn = g.aggregateMessages(None, Some(col("src")), m => min(m))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(minIn === Map("b" -> "a", "c" -> "b", "a" -> "c", "d" -> "c", "f" -> "e"))
+  }
+
   test("triangleCount: duplicate and reversed edges do not double-count") {
     val e = Seq(
       ("a", "b", 1.0, "T"), ("b", "a", 1.0, "T"), // same undirected edge twice
