@@ -507,6 +507,29 @@ object Queries {
            |SELECT id, CAST(rank AS BIGINT) AS rank FROM pr10""".stripMargin
       }),
 
+    // deterministic label propagation (ties → smallest label; GraphFrames
+    // tie-breaks by hash order, which is run-dependent — lexicographic is
+    // the oracle-replayable choice). 3 unrolled rounds.
+    Q("q_graph_lpa",
+      (s, d) => Queries.eventsGraph(s, d).labelPropagation(iters = 3),
+      Some {
+        val iterCtes = (1 to 3).map { i =>
+          s"""c$i AS (SELECT u.a AS id, p.lbl, count(*) AS cnt
+             |  FROM und u JOIN l${i - 1} p ON u.b = p.id GROUP BY 1, 2),
+             |w$i AS (SELECT id, lbl FROM (
+             |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+             |  FROM c$i) WHERE rn = 1),
+             |l$i AS (SELECT p.id, coalesce(w.lbl, p.lbl) AS lbl
+             |  FROM l${i - 1} p LEFT JOIN w$i w ON p.id = w.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $eventsGraphCte,
+           |und AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+           |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |l0 AS (SELECT id, id AS lbl FROM v),
+           |$iterCtes
+           |SELECT id, lbl FROM l3""".stripMargin
+      }),
+
     // HT-graph (explode + normalize + weight count) over documents-as-corpus.
     Q("q_graph_ht_edges",
       (s, d) => {

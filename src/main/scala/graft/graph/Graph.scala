@@ -139,6 +139,34 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     dist
   }
 
+  /** Label propagation (GraphFrames `labelPropagation` semantics made
+    * DETERMINISTIC): synchronous rounds where every vertex adopts the most
+    * frequent label among its neighbors (both directions, multigraph
+    * multiplicities counted), ties broken on the smallest label —
+    * GraphFrames breaks ties by hash-order, which varies run to run; the
+    * lexicographic rule is stable and oracle-replayable. Vertices with no
+    * neighbors keep their current label. Labels start as the vertex id.
+    *
+    * Per round: one equi-join (neighbor labels) + two hash aggregates
+    * (label counts, then `min_by` argmax over `(-count, label)` struct
+    * ordering) — all keyed on vertex id, map-side partials throughout.
+    */
+  def labelPropagation(iters: Int = 3): DataFrame = {
+    val und = edges.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(edges.select(col("dst").as("a"), col("src").as("b")))
+    var labels = vertices.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iters) {
+      val counts = und
+        .join(labels.select(col("id").as("bid"), col("lbl")), col("b") === col("bid"))
+        .groupBy(col("a").as("id"), col("lbl")).agg(count(lit(1)).as("cnt"))
+      val winner = counts.groupBy("id")
+        .agg(min_by(col("lbl"), struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("newLbl"))
+      labels = labels.join(winner, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
+    }
+    labels
+  }
+
   /** Triangles through each vertex, direction ignored (GraphFrames
     * `triangleCount` semantics). Canonical orientation `a < b` makes each
     * undirected edge one row and each triangle one (x < y < z) triple, so

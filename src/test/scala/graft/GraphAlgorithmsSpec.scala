@@ -86,6 +86,17 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(minIn === Map("b" -> "a", "c" -> "b", "a" -> "c", "d" -> "c", "f" -> "e"))
   }
 
+  test("labelPropagation: deterministic smallest-label ties, isolated keeps own") {
+    // round 1 (und neighbor labels, ties → smallest):
+    //   a~{b,c}→b, b~{a,c}→a, c~{a,b,d}→a, d~{c}→c, e~{f}→f, f~{e}→e, g→g
+    // round 2: triangle converges to a, d follows c, e/f oscillate back
+    val l1 = g.labelPropagation(1).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(l1 === Map("a" -> "b", "b" -> "a", "c" -> "a", "d" -> "c",
+      "e" -> "f", "f" -> "e", "g" -> "g"))
+    val l2 = g.labelPropagation(2).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(l2("d") === "a" && l2("e") === "e" && l2("f") === "f" && l2("g") === "g")
+  }
+
   test("triangleCount: duplicate and reversed edges do not double-count") {
     val e = Seq(
       ("a", "b", 1.0, "T"), ("b", "a", 1.0, "T"), // same undirected edge twice
