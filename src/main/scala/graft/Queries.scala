@@ -273,6 +273,63 @@ object Queries {
              |SELECT c_custkey, 'no_orders' AS kind FROM customer
              |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
 
+    // full outer equi-join with unmatched rows on BOTH sides (users 0-99
+    // left-only, custkeys 150-299 right-only) — null columns survive the
+    // hash compare
+    Q("q_join_full",
+      (s, d) => {
+        val u = t(s, d)("events").groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        val c = t(s, d)("customer").filter(col("c_custkey").between(100, 299))
+          .select(col("c_custkey"),
+            col("c_acctbal").cast("decimal(18,2)").cast("double").as("acctbal"))
+        u.join(c, col("user_id") === col("c_custkey"), "full")
+          .select(coalesce(col("user_id"), col("c_custkey")).as("id"),
+            col("n_events"), col("acctbal"))
+      },
+      Some("""SELECT coalesce(user_id, c_custkey) AS id, n_events, acctbal
+             |FROM (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id) u
+             |FULL JOIN (SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+             |           FROM customer WHERE c_custkey BETWEEN 100 AND 299) c
+             |  ON user_id = c_custkey""".stripMargin)),
+
+    // set operations with SQL set semantics (INTERSECT / EXCEPT dedup —
+    // Spark's intersect/except match)
+    Q("q_set_ops",
+      (s, d) => {
+        val clickers = t(s, d)("events").filter(col("event_type") === "click").select("user_id")
+        val buyers = t(s, d)("events").filter(col("event_type") === "purchase").select("user_id")
+        clickers.intersect(buyers).withColumn("kind", lit("both"))
+          .union(clickers.except(buyers).withColumn("kind", lit("click_only")))
+      },
+      Some("""SELECT user_id, 'both' AS kind FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'click'
+             |  INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase')
+             |UNION ALL
+             |SELECT user_id, 'click_only' AS kind FROM (
+             |  SELECT user_id FROM events WHERE event_type = 'click'
+             |  EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin)),
+
+    // deterministic descriptive statistics (mean/stddev/corr from exact
+    // decimal sufficient statistics — built-in stddev/corr are
+    // partition-order-dependent in the last ulps; see pipeline/Stats)
+    Q("q_stats_moments",
+      (s, d) => graft.pipeline.Stats.moments(
+        t(s, d)("lineitem"), "l_returnflag", "l_quantity", "l_extendedprice"),
+      Some("""WITH a AS (SELECT l_returnflag, count(*) AS n,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+             |  FROM lineitem GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  sx / CAST(n AS DOUBLE) AS mean_x,
+             |  sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) / CAST(n AS DOUBLE) AS stddev_x,
+             |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+             |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+             |           * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_xy
+             |FROM a""".stripMargin)),
+
     // temporal as-of join (union+window rewrite — see ops/AsOfJoin): each
     // click gets the latest same-user purchase value at or before its ts
     Q("q_asof_join",
