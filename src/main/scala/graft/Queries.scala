@@ -309,6 +309,25 @@ object Queries {
              |  SELECT user_id FROM events WHERE event_type = 'click'
              |  EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase')""".stripMargin)),
 
+    // Z-order layout cells: Morton-interleave (partkey, suppkey) and count
+    // rows per coarse curve cell — pins the bit-interleave parity the
+    // write-side ZOrder.layout clustering depends on
+    Q("q_zorder_cells",
+      (s, d) => t(s, d)("lineitem")
+        .select(graft.sources.ZOrder.morton(
+          pmod(col("l_partkey"), lit(1024)), pmod(col("l_suppkey"), lit(1024)), 10).as("z"))
+        .groupBy(shiftright(col("z"), 12).as("cell")).agg(count(lit(1)).as("cnt")),
+      Some {
+        // NB: DuckDB gives <<, >>, &, | EQUAL precedence (left-assoc), so
+        // every term is fully parenthesized
+        val interleave = (0 until 10).flatMap { i =>
+          Seq(s"((((l_partkey % 1024) >> $i) & 1) << ${2 * i})",
+            s"((((l_suppkey % 1024) >> $i) & 1) << ${2 * i + 1})")
+        }.mkString(" | ")
+        s"""SELECT ($interleave) >> 12 AS cell, count(*) AS cnt
+           |FROM lineitem GROUP BY 1""".stripMargin
+      }),
+
     // deterministic descriptive statistics (mean/stddev/corr from exact
     // decimal sufficient statistics — built-in stddev/corr are
     // partition-order-dependent in the last ulps; see pipeline/Stats)
