@@ -91,6 +91,17 @@ object EventStream {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: every streaming event picks up its
+    * dimension row. The static side is stateless for the stream (no
+    * watermark needed), re-planned each micro-batch (a refreshed dim
+    * table is picked up on the next batch — the slowly-changing-dimension
+    * idiom), and explicitly broadcast: the 100 TB event stream never
+    * shuffles, each executor probes a local hash map.
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String,
+             joinType: String = "left"): DataFrame =
+    events.join(broadcast(dim), Seq(key), joinType)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)

@@ -164,4 +164,20 @@ class EventStreamSpec extends SparkTestBase {
       .map(s => (s.user_id, s.n_events, s.sum_value)).toSet
     assert(all === Set((10L, 2L, 3.0), (20L, 1L, 4.0), (10L, 1L, 3.0)))
   }
+
+  test("stream-static enrichment join broadcasts the dim; unmatched keys keep null") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val dim = Seq((10L, "gold"), (99L, "silver")).toDF("user_id", "segment")
+    val q = EventStream.enrich(mem.toDF(), dim, "user_id")
+      .select("event_id", "segment")
+      .writeStream.format("memory").queryName("enriched").outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows === Map(1L -> Some("gold"), 2L -> Some("gold"),
+      3L -> Some("gold"), 4L -> None))
+  }
 }
