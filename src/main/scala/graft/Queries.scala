@@ -1533,6 +1533,35 @@ object Queries {
            |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)""".stripMargin
       }),
 
+    // -------------------------------------- context-window chunking/packing
+
+    // overlapping 32-word windows, stride 16 — the training-sample
+    // chunking op; boundaries are pure word-position functions
+    Q("q_chunk_windows",
+      (s, d) => graft.pipeline.Chunking.chunk(t(s, d)("documents"), "doc_id", "text",
+        window = 32, stride = 16),
+      Some("""SELECT doc_id,
+             |  generate_subscripts(cs, 1) - 1 AS chunk_idx,
+             |  unnest(cs) AS chunk_text
+             |FROM (SELECT doc_id,
+             |        list_filter(
+             |          list_transform(ws, (x, i) -> CASE WHEN (i - 1) % 16 = 0
+             |            THEN array_to_string(ws[i:i+31], ' ') END),
+             |          v -> v IS NOT NULL) AS cs
+             |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin)),
+
+    // concatenate-and-cut sequence packing: per-source doc order, 256-word
+    // budget; pack_id = floor(preceding-words / budget). Window partitions
+    // on the stratum (source), the shard unit a real pipeline packs within
+    Q("q_pack_context",
+      (s, d) => graft.pipeline.Chunking.pack(t(s, d)("documents"), "doc_id", "text",
+        groupCol = "source", budget = 256),
+      Some("""SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |  (sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |   - len(string_split(text, ' '))) // 256 AS pack_id
+             |FROM documents""".stripMargin)),
+
     // ----------------------------------------------- data mixing (Mix)
 
     // deterministic hash-based stratified sampling: per-source keep rates,

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window assembly for LLM training: split long documents into
+  * overlapping word windows (chunking) and assign short documents to
+  * fixed-budget training sequences (the concatenate-and-cut packing every
+  * public pretraining recipe uses — GPT-2's "documents are concatenated,
+  * then sliced into 1024-token segments" onward).
+  *
+  * Both are deterministic: chunk boundaries are pure functions of the
+  * word positions, and packing order is the explicit `(group, id)` sort
+  * key — never partition order.
+  */
+object Chunking {
+
+  /** Overlapping word windows: one chunk starting at every `stride`-th
+    * word position (`0, stride, 2·stride, …` while < word count), each
+    * `window` words long (the tail chunks are shorter). A document
+    * shorter than `window` yields exactly one chunk. Pure per-row
+    * array expressions + one posexplode — shuffle-free, streams through
+    * the scan.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1, s"window/stride must be >= 1")
+    // transform's index i is 0-based over words; a chunk starts wherever
+    // i % stride == 0 (slice is 1-based, hence i+1). bindArray let-binds
+    // the split ONCE — referencing it inside the lambda directly would
+    // re-split per word position (the O(W²) trap, see Text.bindArray)
+    val chunks = docs.select(col(idCol),
+      Text.bindArray(Text.words(col(textCol))) { ws =>
+        filter(
+          transform(ws,
+            (_, i) => when(i % stride === 0, array_join(slice(ws, i + 1, lit(window)), " "))),
+          c => c.isNotNull)
+      }.as("chunks"))
+    chunks.select(col(idCol),
+      posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx").cast("long"), col("chunk_text"))
+  }
+
+  /** Concatenate-and-cut sequence packing: within each `groupCol` stratum
+    * (documents ordered by `idCol`), a running word-count is cut every
+    * `budget` words; a document's `pack_id` is the pack its FIRST word
+    * lands in — `floor(cumsum_before / budget)`. Documents may straddle a
+    * boundary (standard pretraining semantics; the consumer slices the
+    * concatenated stream).
+    *
+    * Scale note: the running sum is a window over `(groupCol, idCol)` —
+    * partition the packing by a real stratum (source/shard/date) so no
+    * single task sorts the whole corpus; packing WITHIN a shard is what
+    * training pipelines do anyway (shards are the unit of shuffling).
+    */
+  def pack(docs: DataFrame, idCol: String, textCol: String,
+           groupCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(groupCol), col(idCol), Text.nWords(col(textCol)).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      // integer `div`, not `/`: Column./ on longs returns double
+      .select(col(groupCol), col(idCol), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("pack_id"))
+  }
+}
