@@ -1651,6 +1651,18 @@ object Queries {
              |      FROM sc)
              |WHERE rn <= 3""".stripMargin)),
 
+    // mean token rarity (inverse corpus frequency) — fold order pinned by
+    // sorting the per-doc ratio array before summing
+    Q("q_token_rarity",
+      (s, d) => graft.pipeline.Relevance.tokenRarity(t(s, d)("documents"), "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT term, count(*) AS tf FROM w GROUP BY term),
+             |tot AS (SELECT count(*) AS n_total FROM w),
+             |l AS (SELECT doc_id, list_sort(list(CAST(n_total AS DOUBLE) / CAST(tf AS DOUBLE))) AS rs
+             |      FROM w JOIN tf USING (term) CROSS JOIN tot GROUP BY doc_id)
+             |SELECT doc_id, list_reduce(rs, (a, b) -> a + b) / CAST(len(rs) AS DOUBLE) AS rarity
+             |FROM l""".stripMargin)),
+
     Q("q_bm25_top_terms",
       (s, d) => graft.pipeline.Relevance.bm25TopTerms(t(s, d)("documents"), "doc_id", "text", 3),
       Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),

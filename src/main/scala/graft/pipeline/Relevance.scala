@@ -50,6 +50,31 @@ object Relevance {
     topK(scored, idCol, k)
   }
 
+  /** Mean token rarity per document: the average over the doc's word
+    * occurrences of `corpus_word_count / corpus_tf(word)` — high = rare
+    * vocabulary, the cheap "information density" quality signal (the
+    * linear-ratio stand-in for mean self-information, order-isomorphic
+    * per word since log is monotone).
+    *
+    * Determinism: each ratio divides exact longs; the per-doc SUM fixes
+    * its fold order by sorting the ratios first (float addition is not
+    * associative — an unordered SQL SUM would be partition-order-
+    * dependent; `aggregate` over a sorted array is not). The collected
+    * array is bounded by document length, never corpus size.
+    */
+  def tokenRarity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = docs.select(col(idCol), explode(Text.words(col(textCol))).as("term"))
+    val tf = w.groupBy("term").agg(count(lit(1)).as("tf"))
+    val tot = w.agg(count(lit(1)).as("n_total"))
+    val rs = w.join(tf, "term").crossJoin(broadcast(tot))
+      .select(col(idCol),
+        (col("n_total").cast("double") / col("tf").cast("double")).as("ratio"))
+      .groupBy(idCol).agg(sort_array(collect_list("ratio")).as("rs"))
+    rs.select(col(idCol),
+      (aggregate(col("rs"), lit(0.0), (a, x) => a + x) /
+        size(col("rs")).cast("double")).as("rarity"))
+  }
+
   /** Top-k terms per document by BM25 with linear idf (see class doc):
     *
     *   idf = (N - df + 0.5) / (df + 0.5)
