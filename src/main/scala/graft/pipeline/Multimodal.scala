@@ -153,6 +153,97 @@ object Multimodal {
     }
   }
 
+  /** Real AUDIO codec on in-JDK `javax.sound.sampled` (WAV/AIFF/AU — no
+    * external deps, same zero-dependency rule as [[ImageIoCodec]]).
+    * Supports 16-bit signed PCM, mono or multi-channel (channels are
+    * averaged to mono). Deterministic: sample extraction is exact integer
+    * decoding; energies come from exact Long sums of squares.
+    *
+    *  - `features(bytes, dim)`: per-bucket RMS energy profile — the PCM
+    *    stream split into `dim` equal segments, each `√(Σs²/n) / 32768`.
+    *  - `sampleFrames(bytes, n)`: n equal-duration clips, each re-encoded
+    *    as a standalone WAV.
+    *  - `resize(bytes, w, _)`: a `w`-sample nearest-neighbor "thumbnail"
+    *    (audio has one axis; `h` is ignored), re-encoded as WAV at the
+    *    source sample rate.
+    *
+    * Undecodable / non-PCM16 payloads fall back to [[StubCodec]], same
+    * contract as the image codec.
+    */
+  object WavCodec extends MediaCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    /** (16-bit mono samples, format) — channels averaged. */
+    private def decode(bytes: Array[Byte]): Option[(Array[Int], AudioFormat)] =
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        val f = in.getFormat
+        if (f.getEncoding != AudioFormat.Encoding.PCM_SIGNED || f.getSampleSizeInBits != 16) None
+        else {
+          val raw = in.readAllBytes()
+          val ch = f.getChannels
+          val frameBytes = 2 * ch
+          val nFrames = raw.length / frameBytes
+          val out = new Array[Int](nFrames)
+          var i = 0
+          while (i < nFrames) {
+            var sum = 0; var c = 0
+            while (c < ch) {
+              val o = i * frameBytes + 2 * c
+              val s = if (f.isBigEndian) (raw(o) << 8) | (raw(o + 1) & 0xff)
+                      else (raw(o + 1) << 8) | (raw(o) & 0xff)
+              sum += s; c += 1
+            }
+            out(i) = sum / ch
+            i += 1
+          }
+          Some((out, f))
+        }
+      } catch { case _: Exception => None }
+
+    private def encodeWav(samples: Array[Int], f: AudioFormat): Array[Byte] = {
+      val mono = new AudioFormat(f.getSampleRate, 16, 1, true, false)
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new AudioInputStream(new java.io.ByteArrayInputStream(pcm), mono, samples.length),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    def features(bytes: Array[Byte], dim: Int): Array[Double] = decode(bytes) match {
+      case Some((s, _)) if s.length >= dim && dim > 0 =>
+        (0 until dim).map { k =>
+          val from = s.length * k / dim
+          val to = s.length * (k + 1) / dim
+          var acc = 0L; var i = from
+          while (i < to) { acc += s(i).toLong * s(i); i += 1 }
+          math.sqrt(acc.toDouble / (to - from)) / 32768.0
+        }.toArray
+      case _ => StubCodec.features(bytes, dim)
+    }
+
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = decode(bytes) match {
+      case Some((s, f)) if s.length >= n && n > 0 =>
+        (0 until n).map { k =>
+          encodeWav(s.slice(s.length * k / n, s.length * (k + 1) / n), f)
+        }
+      case _ => StubCodec.sampleFrames(bytes, n)
+    }
+
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = decode(bytes) match {
+      case Some((s, f)) if s.nonEmpty && w > 0 =>
+        encodeWav(Array.tabulate(w)(i => s(i * s.length / w)), f)
+      case _ => StubCodec.resize(bytes, w, h)
+    }
+  }
+
   /** Wrap a text table as a media table (testdata has no binary column;
     * utf-8 bytes stand in for an encoded payload — the plumbing downstream
     * is payload-agnostic).

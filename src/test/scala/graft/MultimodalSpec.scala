@@ -103,4 +103,61 @@ class MultimodalSpec extends SparkTestBase {
       2, 2, codec = Multimodal.ImageIoCodec).collect()
     assert(decode(resized.head.getAs[Array[Byte]]("media")).getWidth === 2)
   }
+
+  // ---------------------------------------------------- real codec (wav)
+
+  /** 800-sample 8 kHz mono WAV: loud square wave for the first half,
+    * silence for the second — asymmetric so energy profiles are visible.
+    */
+  private def testWav(): Array[Byte] = {
+    val f = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](800 * 2)
+    for (i <- 0 until 400) {
+      val s = if (i % 8 < 4) 16000 else -16000
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), f, 800),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavCodec.features: RMS energy profile — loud first half, silent second") {
+    val e = Multimodal.WavCodec.features(testWav(), 4)
+    assert(e.length === 4)
+    // square wave of amplitude 16000 → RMS 16000/32768 ≈ 0.488 exactly
+    assert(math.abs(e(0) - 16000.0 / 32768.0) < 1e-9 && e(1) === e(0))
+    assert(e(2) === 0.0 && e(3) === 0.0)
+  }
+
+  test("WavCodec.sampleFrames: equal-duration clips, each a decodable WAV") {
+    val clips = Multimodal.WavCodec.sampleFrames(testWav(), 4)
+    assert(clips.length === 4)
+    // each clip decodes to 200 samples; clip 0 loud, clip 3 silent
+    val profiles = clips.map(c => Multimodal.WavCodec.features(c, 1)(0))
+    assert(profiles(0) > 0.4 && profiles(3) === 0.0)
+  }
+
+  test("WavCodec.resize: w-sample thumbnail, decodable, energy preserved in shape") {
+    val thumb = Multimodal.WavCodec.resize(testWav(), 80, 0)
+    val e = Multimodal.WavCodec.features(thumb, 2)
+    assert(e(0) > 0.4 && e(1) === 0.0)
+  }
+
+  test("WavCodec falls back to StubCodec on undecodable bytes") {
+    val junk = "not audio".getBytes("UTF-8")
+    assert(Multimodal.WavCodec.features(junk, 8).toSeq ===
+      Multimodal.StubCodec.features(junk, 8).toSeq)
+  }
+
+  test("pipeline runs end-to-end with the wav codec") {
+    val wav = testWav()
+    val mediaDf = Seq((1L, wav)).toDF("media_id", "media")
+    val feats = Multimodal.extractFeatures(mediaDf, dim = 4,
+      codec = Multimodal.WavCodec).collect()
+    assert(feats.head.getAs[Seq[Double]]("features")(0) > 0.4)
+  }
 }
