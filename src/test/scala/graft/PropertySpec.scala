@@ -108,4 +108,57 @@ class PropertySpec extends SparkTestBase {
       assert(a.forall(t => t == t.toLowerCase))
     }
   }
+
+  private val wordGen = Gen.oneOf("ab", "cde", "f", "ghij", "kl", "mno", "p")
+  private val docGen: Gen[List[String]] =
+    Gen.choose(1, 24).flatMap(n => Gen.listOfN(n, wordGen))
+
+  test("chunk: stride-prefix concatenation reconstructs the document exactly") {
+    trials(Gen.listOfN(5, docGen), 6) { docs =>
+      val window = 4; val stride = 2
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val chunks = graft.pipeline.Chunking.chunk(df, "doc_id", "text", window, stride)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(_._1).map { case (id, cs) => id -> cs.sortBy(_._2).map(_._3) }
+      for ((ws, i) <- docs.zipWithIndex) {
+        val got = chunks(i.toLong)
+        // every chunk is a verbatim window of the source at its stride offset
+        got.zipWithIndex.foreach { case (c, k) =>
+          assert(c === ws.slice(k * stride, k * stride + window).mkString(" "))
+        }
+        // first `stride` words of each chunk + the last chunk's tail = doc
+        val rebuilt = got.dropRight(1).flatMap(_.split(" ").take(stride)) ++
+          got.last.split(" ")
+        assert(rebuilt.toList === ws)
+      }
+    }
+  }
+
+  test("CMS estimate ≥ exact count for every item in any corpus") {
+    trials(Gen.listOfN(60, wordGen), 5) { terms =>
+      val df = terms.toDF("term")
+      val sketch = graft.pipeline.Sketches.cmsSketch(df, "term", 3, 8)
+      val est = graft.pipeline.Sketches
+        .cmsEstimate(sketch, terms.distinct.toDF("term"), "term", 3, 8)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      exact.foreach { case (t, c) => assert(est(t) >= c, s"$t: ${est(t)} < $c") }
+      // total sketch mass is conserved per row
+      assert(sketch.groupBy("r").sum("cnt").collect()
+        .forall(_.getLong(1) === terms.size.toLong))
+    }
+  }
+
+  test("stratifiedSample survivors are a subset invariant under union order and rate-monotone") {
+    trials(Gen.listOfN(40, Gen.choose(0L, 10000L)), 5) { keys =>
+      val df = keys.distinct.map(k => (k, if (k % 2 == 0) "a" else "b")).toDF("id", "source")
+      def survivors(rates: Map[String, Int]) =
+        graft.pipeline.Mix.stratifiedSample(df, "source", col("id"), rates, default = 0)
+          .collect().map(_.getLong(0)).toSet
+      val lo = survivors(Map("a" -> 20, "b" -> 50))
+      val hi = survivors(Map("a" -> 60, "b" -> 90))
+      assert(lo.subsetOf(hi), "raising every rate must only ADD survivors")
+    }
+  }
 }
