@@ -1562,6 +1562,57 @@ object Queries {
              |   - len(string_split(text, ' '))) // 256 AS pack_id
              |FROM documents""".stripMargin)),
 
+    // web-corpus URL handling: synthesize a crawl-like URL per doc (the
+    // corpus has none), then host/path/param extraction + per-domain
+    // counts with a blocklist filter — the C4 domain-filtering step.
+    // Extraction is regexp_extract with an RE2-safe pattern (same
+    // cross-engine contract as q_pii_scrub).
+    Q("q_url_domains",
+      (s, d) => {
+        val url = concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("doc_id").cast("string"), lit("?lang="), col("lang"))
+        val host = regexp_extract(url, "^https?://([^/]+)/", 1)
+        t(s, d)("documents")
+          .select(col("doc_id"), host.as("host"),
+            regexp_extract(url, "^https?://[^/]+(/[^?]*)", 1).as("path"),
+            regexp_extract(url, "[?&]lang=([^&]*)", 1).as("lang_param"))
+          .filter(!col("host").isin("src13.example.com", "src7.example.com"))
+          .groupBy("host").agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |  'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+             |    || '?lang=' || lang AS url FROM documents),
+             |x AS (SELECT doc_id,
+             |  regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+             |  regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+             |  regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param FROM u)
+             |SELECT host, count(*) AS n_docs FROM x
+             |WHERE host NOT IN ('src13.example.com', 'src7.example.com')
+             |GROUP BY host""".stripMargin)),
+
+    // incremental ingest dedup: new batch (doc_id >= 400) anti-joined on a
+    // content digest against the already-ingested snapshot — only digests
+    // ride the shuffle, the production "don't re-ingest what we have"
+    // gate. The digest here is the sorted vocabulary set (bag-of-words
+    // near-dup, drops 16/100 new docs at sf0.01 so the elimination path
+    // is actually exercised); plug md5(text) for exact or a MinHash
+    // signature for fuzzier — the anti-join shape is digest-agnostic.
+    Q("q_dedup_incremental",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        def digest = md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " "))
+        val snapshot = docs.filter(col("doc_id") < 400).select(digest.as("h"))
+        docs.filter(col("doc_id") >= 400)
+          .select(col("doc_id"), digest.as("h"))
+          .join(snapshot, Seq("h"), "left_anti")
+          .select("doc_id")
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE doc_id >= 400
+             |  AND md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             |      NOT IN (SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+             |              FROM documents WHERE doc_id < 400)""".stripMargin)),
+
     // ----------------------------------------------- data mixing (Mix)
 
     // deterministic hash-based stratified sampling: per-source keep rates,
