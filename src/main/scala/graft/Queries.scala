@@ -1562,6 +1562,56 @@ object Queries {
              |   - len(string_split(text, ' '))) // 256 AS pack_id
              |FROM documents""".stripMargin)),
 
+    // conversion funnel: each user's FIRST click, then the first purchase
+    // within 12 h of it (null = no conversion) — the standard two-stage
+    // funnel as one equi-join + range filter + min-agg, all keyed on the
+    // high-cardinality user id
+    Q("q_funnel",
+      (s, d) => {
+        val ev = t(s, d)("events")
+        val fc = ev.filter(col("event_type") === "click")
+          .groupBy("user_id").agg(min("ts").as("t0"))
+        val conv = fc.join(
+            ev.filter(col("event_type") === "purchase").select(col("user_id"), col("ts")),
+            Seq("user_id"))
+          .filter(col("ts") >= col("t0") && col("ts") < col("t0") + expr("INTERVAL 12 HOURS"))
+          .groupBy("user_id").agg(min("ts").as("pts"))
+        fc.join(conv, Seq("user_id"), "left")
+          .select(col("user_id"), unix_micros(col("t0")).as("first_click_us"),
+            unix_micros(col("pts")).as("converted_us"))
+      },
+      Some("""WITH fc AS (SELECT user_id, min(ts) AS t0 FROM events
+             |            WHERE event_type = 'click' GROUP BY user_id),
+             |cv AS (SELECT e.user_id, min(e.ts) AS pts
+             |       FROM events e JOIN fc ON e.user_id = fc.user_id
+             |       WHERE e.event_type = 'purchase'
+             |         AND e.ts >= fc.t0 AND e.ts < fc.t0 + INTERVAL 12 HOUR
+             |       GROUP BY e.user_id)
+             |SELECT fc.user_id, epoch_us(fc.t0) AS first_click_us, epoch_us(cv.pts) AS converted_us
+             |FROM fc LEFT JOIN cv ON fc.user_id = cv.user_id""".stripMargin)),
+
+    // cohort retention: users bucketed by first-event week, counted in
+    // each later active week — two hash aggs + one equi-join on user id;
+    // week arithmetic is exact integer day counts
+    Q("q_cohort_retention",
+      (s, d) => {
+        val ev = t(s, d)("events")
+        val cohort = ev.groupBy("user_id").agg(date_trunc("week", min("ts")).as("cohort"))
+        val active = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+        active.join(cohort, "user_id")
+          .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+            expr("CAST(datediff(wk, cohort) div 7 AS BIGINT)").as("week_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+      },
+      Some("""WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+             |           FROM events GROUP BY user_id),
+             |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+             |SELECT strftime(CAST(cohort AS DATE), '%Y-%m-%d') AS cohort_week,
+             |       date_diff('day', cohort, wk) // 7 AS week_offset,
+             |       count(DISTINCT a.user_id) AS n_users
+             |FROM a JOIN c ON a.user_id = c.user_id
+             |GROUP BY 1, 2""".stripMargin)),
+
     // web-corpus URL handling: synthesize a crawl-like URL per doc (the
     // corpus has none), then host/path/param extraction + per-domain
     // counts with a blocklist filter — the C4 domain-filtering step.
