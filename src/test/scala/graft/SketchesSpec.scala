@@ -60,6 +60,26 @@ class SketchesSpec extends SparkTestBase {
     assert(whole.agg(sum("cnt")).collect()(0).getLong(0) === 4L * 500)
   }
 
+  test("CMS maintained as a streaming aggregate equals the batch sketch") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[String]
+    val q = Sketches.cmsSketch(mem.toDF().toDF("term"), "term", 3, 16)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    mem.addData((1 to 250).map(i => s"t${i % 11}"): _*)
+    q.processAllAvailable()
+    mem.addData((251 to 500).map(i => s"t${i % 11}"): _*)   // incremental update
+    q.processAllAvailable()
+    q.stop()
+    def asMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = asMap(spark.table("cms_stream").collect())
+    val batch = asMap(Sketches.cmsSketch(
+      (1 to 500).map(i => s"t${i % 11}").toDF("term"), "term", 3, 16).collect())
+    assert(streamed === batch)
+  }
+
   test("CMS estimate never under-counts; absent item bounded by collision mass") {
     val sketch = Sketches.cmsSketch(terms, "term", 4, 32)
     val items = (0 until 37).map(i => s"t$i").toDF("term")
