@@ -1080,6 +1080,34 @@ object Queries {
              |FROM ib LEFT JOIN sk USING (r, bucket)
              |GROUP BY term""".stripMargin)),
 
+    // fixed-bin histogram sketch (the mergeable QUANTILE sketch — HLL =
+    // distinct, CMS = frequency): 50 bins over value ∈ [0, 500)
+    Q("q_sketch_hist",
+      (s, d) => graft.pipeline.Sketches.histSketch(
+        t(s, d)("events"), "value", lo = 0.0, hi = 500.0, bins = 50),
+      Some("""SELECT CAST(LEAST(49, GREATEST(0,
+             |         CAST(floor((value - 0.0) / 500.0 * 50) AS INTEGER))) AS BIGINT) AS bin,
+             |       count(*) AS cnt
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // interpolated quantiles read from the sketch — the window/cumsum run
+    // over the 50-row sketch, never the data
+    Q("q_sketch_hist_quantile",
+      (s, d) => graft.pipeline.Sketches.histQuantile(
+        graft.pipeline.Sketches.histSketch(t(s, d)("events"), "value", 0.0, 500.0, 50),
+        Seq(0.5, 0.9, 0.99), 0.0, 500.0, 50),
+      Some("""WITH h AS (SELECT CAST(LEAST(49, GREATEST(0,
+             |              CAST(floor((value - 0.0) / 500.0 * 50) AS INTEGER))) AS BIGINT) AS bin,
+             |            count(*) AS cnt FROM events GROUP BY 1),
+             |c AS (SELECT bin, cnt,
+             |        sum(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |        sum(cnt) OVER () AS n FROM h),
+             |qq AS (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q)
+             |SELECT q,
+             |  0.0 + (CAST(bin AS DOUBLE)
+             |         + (q * n - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)) * 10.0 AS est
+             |FROM qq JOIN c ON cum >= q * n AND (cum - cnt) < q * n""".stripMargin)),
+
     Q("q_props_json",
       (s, d) => {
         val k = get_json_object(col("props"), "$.k").cast("long")

@@ -66,6 +66,44 @@ object Sketches {
     sketches.reduce(_ unionByName _)
       .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
 
+  /** Fixed-bin histogram sketch over a KNOWN value range — the mergeable
+    * QUANTILE member of the sketch family (HLL = distinct, CMS =
+    * frequency). `bins` equal-width buckets over `[lo, hi)`, out-of-range
+    * values clamped to the edge bins. Mergeable like CMS: union + sum.
+    * Honest trade-off vs t-digest/KLL: needs the range up front and has
+    * fixed resolution `(hi-lo)/bins` — in exchange it is DETERMINISTIC
+    * (t-digest centroids depend on merge order) and replayable in any
+    * engine.
+    */
+  def histSketch(df: DataFrame, valueCol: String,
+                 lo: Double, hi: Double, bins: Int): DataFrame =
+    df.select(least(lit(bins - 1), greatest(lit(0),
+        floor((col(valueCol) - lo) / (hi - lo) * bins).cast("int"))).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+
+  /** Interpolated quantile estimates from a [[histSketch]]: for each q,
+    * find the bin where the cumulative count crosses `q·n` and
+    * interpolate linearly inside it. The window runs over the BIN-SIZED
+    * sketch (not the data), so the single-partition sort is `bins` rows.
+    */
+  def histQuantile(sketch: DataFrame, qs: Seq[Double],
+                   lo: Double, hi: Double, bins: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = sketch.withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", max("cum").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    val qdf = sketch.sparkSession.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    val width = (hi - lo) / bins
+    qdf.crossJoin(cum)
+      .filter(col("cum") >= col("q") * col("n") &&
+        (col("cum") - col("cnt")) < col("q") * col("n"))
+      .select(col("q"),
+        (lit(lo) + (col("bin").cast("double") +
+          (col("q") * col("n") - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double")) * lit(width)).as("est"))
+  }
+
   /** Point-estimate the frequency of each item in `items`: `min` over the
     * depth rows of the addressed cell, an empty cell counting 0 (the
     * classic CMS upper-bound estimate — never under-counts, over-counts

@@ -80,6 +80,21 @@ class SketchesSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("histogram sketch: shard merge equals whole; quantiles within one bin width of exact") {
+    val vals = (1 to 1000).map(i => (i * 37 % 997).toDouble).toDF("v")
+    val whole = Sketches.histSketch(vals, "v", 0.0, 1000.0, 100)
+    val merged = Sketches.histSketch(vals.limit(400), "v", 0.0, 1000.0, 100)
+      .unionByName(Sketches.histSketch(vals.exceptAll(vals.limit(400)), "v", 0.0, 1000.0, 100))
+      .groupBy("bin").agg(sum("cnt").as("cnt"))   // additive merge, like CMS
+    assert(whole.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      merged.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val est = Sketches.histQuantile(whole, Seq(0.5, 0.9), 0.0, 1000.0, 100)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = vals.stat.approxQuantile("v", Array(0.5, 0.9), 0.0)
+    assert(math.abs(est(0.5) - exact(0)) <= 10.0, s"p50 ${est(0.5)} vs ${exact(0)}")
+    assert(math.abs(est(0.9) - exact(1)) <= 10.0, s"p90 ${est(0.9)} vs ${exact(1)}")
+  }
+
   test("CMS estimate never under-counts; absent item bounded by collision mass") {
     val sketch = Sketches.cmsSketch(terms, "term", 4, 32)
     val items = (0 until 37).map(i => s"t$i").toDF("term")
