@@ -36,15 +36,29 @@ object Bench {
     // A failed query records -1, not its (near-zero) time-to-throw: xxhash64
     // rejects MapType columns unless legacy-enabled, and an analysis error
     // must not masquerade as a fast query in the emitted JSON.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_REPS > 1 records the per-query MEDIAN of that many
+    // timed runs — single-shot timings carry ±2-3 s of JIT/GC noise that
+    // otherwise dominates per-query comparisons across rounds.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      val ok = try { consume(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val times = Seq.fill(reps)(timeOnce(fn)).filter(_ >= 0).sorted
+      name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Short second line: the per-query line outgrew the driver's stdout tail
+    // capture at 104 queries (BENCH_r03 lost its total) — the summary must
+    // always fit.
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"summary","total":$total,"n":${results.size},"reps":$reps,"failed":$failedJson,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1585,9 +1585,9 @@ object Queries {
       (s, d) => graft.pipeline.Chunking.pack(t(s, d)("documents"), "doc_id", "text",
         groupCol = "source", budget = 256),
       Some("""SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-             |  (sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id
+             |  CAST((sum(len(string_split(text, ' '))) OVER (PARTITION BY source ORDER BY doc_id
              |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |   - len(string_split(text, ' '))) // 256 AS pack_id
+             |   - len(string_split(text, ' '))) // 256 AS BIGINT) AS pack_id
              |FROM documents""".stripMargin)),
 
     // conversion funnel: each user's FIRST click, then the first purchase

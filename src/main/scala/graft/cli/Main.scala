@@ -50,6 +50,16 @@ object Main {
       case ("--only-tags-from-not-retweeted-posts" |
             "--only-tags-from-not-retweetted-posts") :: t =>
         loop(t, acc.copy(onlyTagsFromNotRetweetedPosts = true))
+      // the reference declares its booleans with argparse's
+      // BooleanOptionalAction (main.py:31-38), which also generates
+      // `--no-<flag>` negative forms — accept them so any verbatim
+      // reference command line parses
+      case "--no-save-full-graph" :: t => loop(t, acc.copy(saveFullGraph = false))
+      case "--no-save-pbi-report" :: t => loop(t, acc.copy(savePbiReport = false))
+      case "--no-save-word-cloud" :: t => loop(t, acc.copy(saveWordCloud = false))
+      case ("--no-only-tags-from-not-retweeted-posts" |
+            "--no-only-tags-from-not-retweetted-posts") :: t =>
+        loop(t, acc.copy(onlyTagsFromNotRetweetedPosts = false))
       case "--jaccard-threshold" :: v :: t => loop(t, acc.copy(jaccardThreshold = v.toDouble))
       case "--stem-word-cloud" :: t => loop(t, acc.copy(stemWordCloud = true))
       case f :: t if !f.startsWith("--") =>

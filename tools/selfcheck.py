@@ -29,6 +29,20 @@ def frame_key(con, sql):
     return sorted(c for c in cols), len(rows), hash(tuple(map(tuple, data))), data
 
 
+def hugeint_cols(con, sql):
+    """Columns whose DuckDB type the driver's pandas bridge mangles.
+
+    The driver canonicalizes oracle results through pandas, which renders
+    HUGEINT/UHUGEINT (e.g. a window sum over BIGINT) as float64 while the
+    Spark parquet holds int64 — a guaranteed hash mismatch that fetchall()
+    (native Python ints) does NOT reproduce. Flag them here so the local
+    gate is at least as strict as the driver's.
+    """
+    desc = con.sql(f"DESCRIBE ({sql})").fetchall()
+    return [(name, typ) for name, typ, *_ in desc
+            if "HUGEINT" in typ.upper()]
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -37,6 +51,13 @@ def main(sf_dir, out_dir):
     failed = []
     for name, sql in sorted(oracle.items()):
         try:
+            bad = hugeint_cols(con, sql)
+            if bad:
+                print(f"FAIL {name}: oracle columns {bad} are HUGEINT — "
+                      f"the driver's pandas bridge renders these as float64; "
+                      f"CAST them (e.g. AS BIGINT) in the oracle SQL")
+                failed.append(name)
+                continue
             ocols, on, ohash, odata = frame_key(con, sql)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
