@@ -1039,6 +1039,35 @@ object Queries {
         Seq("event_type")),
       None),
 
+    // the oracle-REPLAYABLE HLL twin (md5 registers, see
+    // Sketches.hllReplaySketch): the same shard→merge→estimate lifecycle
+    // as q_sketch_distinct, but every step — register index, rho, max
+    // merge, harmonic finish — is deterministic SQL the oracle replays
+    // bit-for-bit (the float estimate divides exact integers once)
+    Q("q_sketch_distinct_replay",
+      (s, d) => {
+        val ev = t(s, d)("events").withColumn("shard", pmod(col("event_id"), lit(8)))
+        val shards = graft.pipeline.Sketches.hllReplaySketch(
+          ev, Seq("event_type", "shard"), "user_id")
+        val merged = graft.pipeline.Sketches.hllReplayMerge(
+          Seq("event_type"), shards.drop("shard"))
+        graft.pipeline.Sketches.hllReplayEstimate(merged, Seq("event_type"))
+      },
+      Some("""WITH x AS (SELECT event_type,
+             |    CAST(concat('0x', substring(md5('reg:' || CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) % 64 AS register,
+             |    CAST(concat('0x', substring(md5('rho:' || CAST(user_id AS VARCHAR)), 1, 6)) AS BIGINT) AS v
+             |  FROM events),
+             |r AS (SELECT event_type, register,
+             |    max(CASE WHEN v = 0 THEN 25 ELSE 25 - length(bin(v)) END) AS max_rho
+             |  FROM x GROUP BY 1, 2),
+             |e AS (SELECT event_type, count(*) AS registers_used,
+             |    CAST(sum((1::BIGINT << (25 - max_rho))) AS BIGINT)
+             |      + (64 - count(*)) * (1::BIGINT << 25) AS s_scaled
+             |  FROM r GROUP BY 1)
+             |SELECT event_type, registers_used, s_scaled,
+             |  0.709 * 64 * 64 * 33554432.0 / CAST(s_scaled AS DOUBLE) AS approx_distinct
+             |FROM e""".stripMargin)),
+
     // Count-Min Sketch over document words — the mergeable FREQUENCY twin
     // of the HLL distinct sketch, and unlike it fully oracle-replayable:
     // md5-derived bucket hashing makes the d×w cell relation deterministic

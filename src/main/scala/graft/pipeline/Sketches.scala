@@ -35,6 +35,79 @@ object Sketches {
     df.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_sketch_agg(col(valueCol))).as("approx_distinct"))
 
+  // -------------------------------------------- oracle-replayable HLL twin
+
+  /** md5-register HyperLogLog twin of [[distinctSketch]] (Flajolet et al.
+    * 2007) as a RELATION: `(group…, register, max_rho)` with `m` registers —
+    * same pattern as [[cmsSketch]], which made the CMS a deterministic
+    * relation. The DataSketches path above stays the production variant
+    * (tighter error, dense binary registers); THIS twin exists so the
+    * whole sketch lifecycle — build, merge, estimate — is replayable
+    * bit-for-bit by a SQL oracle in any engine:
+    *
+    *  - register index and rho both derive from md5 (engine-independent);
+    *  - rho = leading-zero-count + 1 of a 24-bit hash, computed as
+    *    `25 - length(bin(v))` — `bin` drops leading zeros identically in
+    *    Spark and DuckDB (`bin(0) = "0"` in both, special-cased to 25);
+    *  - merge is `max(max_rho)` per register — commutative, associative,
+    *    idempotent, so any shard partitioning/retry yields THE sketch;
+    *  - the harmonic-mean finish avoids float-sum order dependence by
+    *    summing EXACT integers `2^(25-max_rho)` (dyadic rationals scaled
+    *    by 2^25) and dividing once — IEEE `*`/`/` are correctly rounded,
+    *    so the double estimate is identical in every engine.
+    *
+    * The finish is the RAW HLL estimator (no linear-counting small-range
+    * correction: that needs `ln`, which is not correctly rounded and may
+    * differ across engines' libm — the production DataSketches path has
+    * the corrected estimate).
+    *
+    * Scale shape: identical to the DataSketches path — one hash aggregate
+    * onto at most `m` cells per group; the sketch is KBs regardless of
+    * input size, and only `(register, max_rho)` pairs ride the shuffle.
+    */
+  val HllM = 64 // registers; alpha_64 = 0.709 (Flajolet et al., table 1)
+
+  private def hllRegister(value: Column): Column =
+    conv(substring(md5(concat(lit("reg:"), value.cast("string"))), 1, 6), 16, 10)
+      .cast("long") % HllM
+
+  private def hllRho(value: Column): Column = {
+    val v = conv(substring(md5(concat(lit("rho:"), value.cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+    when(v === 0, lit(25L)).otherwise(lit(25L) - length(bin(v)))
+  }
+
+  /** One `(register, max_rho)` relation per group — the ingest-time step. */
+  def hllReplaySketch(df: DataFrame, groupCols: Seq[String],
+                      valueCol: String): DataFrame =
+    df.select((groupCols.map(col) :+ hllRegister(col(valueCol)).as("register")
+        :+ hllRho(col(valueCol)).as("rho")): _*)
+      .groupBy((groupCols :+ "register").map(col): _*)
+      .agg(max("rho").as("max_rho"))
+
+  /** Union partial sketches: register-wise max, any merge order. */
+  def hllReplayMerge(groupCols: Seq[String], sketches: DataFrame*): DataFrame =
+    sketches.reduce(_ unionByName _)
+      .groupBy((groupCols :+ "register").map(col): _*)
+      .agg(max("max_rho").as("max_rho"))
+
+  /** Raw-HLL harmonic estimate from a [[hllReplaySketch]] relation.
+    * `s_scaled = Σ_j 2^(25 - M_j)` over all m registers (absent register ⇒
+    * M_j = 0 ⇒ 2^25) is exact integer arithmetic; the only float ops are
+    * one multiply chain of constants and one division.
+    */
+  def hllReplayEstimate(sketch: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("registers_used"),
+        // the Scala shiftleft() helper takes a literal shift only; the SQL
+        // form accepts a column expression
+        (sum(expr("shiftleft(1L, cast(25 - max_rho as int))")) +
+          (lit(HllM.toLong) - count(lit(1))) * lit(1L << 25)).as("s_scaled"))
+      .withColumn("approx_distinct",
+        lit(0.709 * HllM * HllM) * lit((1L << 25).toDouble) /
+          col("s_scaled").cast("double"))
+
   // ------------------------------------------------------- Count-Min Sketch
 
   /** Count-Min Sketch (Cormode & Muthukrishnan 2005) as a RELATION:

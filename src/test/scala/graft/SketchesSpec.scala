@@ -46,6 +46,41 @@ class SketchesSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("replay HLL: shard merge equals direct sketch, bit-for-bit") {
+    val perShard = Sketches.hllReplaySketch(events, Seq("event_type", "shard"), "user_id")
+    val merged = Sketches.hllReplayEstimate(
+      Sketches.hllReplayMerge(Seq("event_type"), perShard.drop("shard")),
+      Seq("event_type"))
+    val direct = Sketches.hllReplayEstimate(
+      Sketches.hllReplaySketch(events, Seq("event_type"), "user_id"),
+      Seq("event_type"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // register-wise max merge: identical registers → identical s_scaled →
+    // the IEEE division yields the identical double, not just a close one
+    assert(asMap(merged) === asMap(direct))
+  }
+
+  test("replay HLL: raw estimate lands within HLL error of the exact count") {
+    val est = Sketches.hllReplayEstimate(
+      Sketches.hllReplaySketch(events, Seq("event_type"), "user_id"),
+      Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val exact = events.groupBy("event_type").agg(countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // raw estimator at m=64: std error 1.04/sqrt(64) = 13%; allow 3 sigma
+    for ((k, e) <- exact)
+      assert(math.abs(est(k) - e) / e < 0.4, s"$k: est ${est(k)} vs exact $e")
+  }
+
+  test("replay HLL: estimates are deterministic under repartitioning") {
+    def run(parts: Int) = Sketches.hllReplayEstimate(
+      Sketches.hllReplaySketch(events.repartition(parts), Seq("event_type"), "user_id"),
+      Seq("event_type"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(run(13) === run(2))
+  }
+
   private lazy val terms =
     (1 to 500).map(i => s"t${i % 37}").toDF("term")
 
