@@ -498,6 +498,19 @@ object Queries {
              |FROM ut x JOIN ut y ON x.tag = y.tag AND x.id > y.id
              |GROUP BY x.id, y.id HAVING count(*) >= 2""".stripMargin)),
 
+    // negated motif term — "x follows y with NO reciprocal edge", the
+    // canonical NOT EXISTS pattern, compiled to ONE left-anti hash join
+    // (Motif.find) rather than a per-row subquery
+    Q("q_motif_negation",
+      (s, d) => Queries.eventsGraph(s, d)
+        .find("(x)-[]->(y); !(y)-[]->(x)")
+        .select(col("x.id").as("src"), col("y.id").as("dst")).distinct(),
+      Some(s"""WITH $eventsGraphCte,
+             |de AS (SELECT DISTINCT src, dst FROM e)
+             |SELECT a.src, a.dst FROM de a
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM de b WHERE b.src = a.dst AND b.dst = a.src)""".stripMargin)),
+
     // GraphFrames-parity algorithms over a deterministic user-space graph
     // derived from events (src = user, dst = event_id mod 150 + 1 — same
     // id space, so triangles exist; the doc→word graph is bipartite and

@@ -18,8 +18,15 @@ import org.apache.spark.sql.functions._
   *     returned;
   *   - named vertices must exist in `vertices` (inner join); anonymous
   *     endpoints are not checked;
-  *   - no implicit dedup — one output row per distinct binding.
-  * Negated terms (`!(a)-[]->(b)`) are not supported and fail fast.
+  *   - no implicit dedup — one output row per distinct binding;
+  *   - negated terms `!(a)-[]->(b)` assert NO such edge exists, compiled
+  *     to a LEFT ANTI join (the scale-safe NOT EXISTS plan — one
+  *     hash-partitioned anti join on the bound vertex columns, never a
+  *     per-row subquery). GraphFrames' rules apply: a negated term may
+  *     not name its edge, a motif may not be all-negated, and every
+  *     vertex named in a negated term must be bound by a positive term
+  *     (an anonymous endpoint is existential: `!(a)-[]->()` = "a has no
+  *     out-edges at all").
   *
   * Scale shape: each term is one equi-join on a bound vertex column — the
   * same hash-partitioned shuffle a hand-written self-join cascade would
@@ -32,20 +39,37 @@ import org.apache.spark.sql.functions._
   */
 object Motif {
 
-  private[graft] final case class EdgeTerm(src: String, edge: String, dst: String)
+  private[graft] final case class EdgeTerm(src: String, edge: String, dst: String,
+                                           negated: Boolean = false)
 
   private val Term =
-    """\(\s*(\w*)\s*\)\s*-\s*\[\s*(\w*)\s*\]\s*->\s*\(\s*(\w*)\s*\)""".r
+    """(!?)\s*\(\s*(\w*)\s*\)\s*-\s*\[\s*(\w*)\s*\]\s*->\s*\(\s*(\w*)\s*\)""".r
 
   private[graft] def parse(pattern: String): Seq[EdgeTerm] = {
     val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, s"empty motif pattern: '$pattern'")
-    terms.map {
-      case Term(s, e, d) => EdgeTerm(s, e, d)
+    val parsed = terms.map {
+      case Term(bang, s, e, d) =>
+        val neg = bang.nonEmpty
+        if (neg) require(e.isEmpty,
+          s"negated term '!($s)-[$e]->($d)' may not name its edge (GraphFrames rule)")
+        EdgeTerm(s, e, d, neg)
       case bad => throw new IllegalArgumentException(
-        s"unsupported motif term '$bad' — expected '(v1)-[e]->(v2)' " +
-          "(negated terms and undirected edges are not supported)")
+        s"unsupported motif term '$bad' — expected '(v1)-[e]->(v2)' or " +
+          "'!(v1)-[]->(v2)' (undirected edges are not supported)")
     }
+    require(parsed.exists(!_.negated),
+      s"motif '$pattern' contains only negated terms (GraphFrames rule)")
+    val positive = parsed.filterNot(_.negated)
+      .flatMap(t => Seq(t.src, t.dst)).filter(_.nonEmpty).toSet
+    parsed.filter(_.negated).foreach { t =>
+      Seq(t.src, t.dst).filter(_.nonEmpty).foreach { v =>
+        require(positive.contains(v),
+          s"vertex '$v' appears only in a negated term — it must be bound " +
+            "by a positive term")
+      }
+    }
+    parsed
   }
 
   def find(g: Graph, pattern: String): DataFrame = {
@@ -67,7 +91,7 @@ object Motif {
 
     var bound = Map.empty[String, String] // vertex name -> internal id column
     var acc: DataFrame = null
-    terms.zipWithIndex.foreach { case (t, i) =>
+    terms.filterNot(_.negated).zipWithIndex.foreach { case (t, i) =>
       val (sCol, dCol) = (s"__s$i", s"__d$i")
       val cols = Seq(col("src").as(sCol), col("dst").as(dCol)) ++
         (if (t.edge.nonEmpty) Seq(struct(col("*")).as(t.edge)) else Nil)
@@ -86,6 +110,21 @@ object Motif {
       }
       if (t.src.nonEmpty && !bound.contains(t.src)) bound += t.src -> sCol
       if (t.dst.nonEmpty && !bound.contains(t.dst)) bound += t.dst -> dCol
+    }
+
+    // negated terms LAST (conjunctive semantics — order is immaterial, and
+    // placing them after the positive joins keeps each one a single
+    // LEFT ANTI hash join against the already-bound vertex columns; an
+    // anonymous endpoint stays unconstrained = existentially quantified
+    // inside the NOT EXISTS)
+    terms.filter(_.negated).foreach { t =>
+      require(t.src.nonEmpty || t.dst.nonEmpty,
+        "a negated term needs at least one named endpoint")
+      val nterm = g.edges.select(col("src").as("__ns"), col("dst").as("__nd"))
+      val conds = Seq(t.src -> "__ns", t.dst -> "__nd").collect {
+        case (name, c) if name.nonEmpty => col(c) === col(bound(name))
+      }
+      acc = acc.join(nterm, conds.reduce(_ && _), "left_anti")
     }
 
     // attach vertex attribute structs (inner join: named vertices must exist)

@@ -19,16 +19,43 @@ class MotifSpec extends SparkTestBase {
     ("u1", "t2", 1.0, "HT"), ("u2", "t2", 1.0, "HT"),
     ("u3", "t1", 1.0, "HT")))
 
-  test("parse: named, anonymous, and malformed terms") {
+  test("parse: named, anonymous, negated, and malformed terms") {
     assert(Motif.parse("(a)-[e]->(b); ()-[]->(c)") ===
       Seq(Motif.EdgeTerm("a", "e", "b"), Motif.EdgeTerm("", "", "c")))
+    assert(Motif.parse("(a)-[]->(b); !(b)-[]->(a)") ===
+      Seq(Motif.EdgeTerm("a", "", "b"),
+        Motif.EdgeTerm("b", "", "a", negated = true)))
+    // GraphFrames rules: all-negated motif, named edge inside a negation,
+    // and a vertex that exists only in a negated term are all rejected
     intercept[IllegalArgumentException](Motif.parse("!(a)-[]->(b)"))
+    intercept[IllegalArgumentException](Motif.parse("(a)-[]->(b); !(a)-[e]->(b)"))
+    intercept[IllegalArgumentException](Motif.parse("(a)-[]->(b); !(c)-[]->(a)"))
     intercept[IllegalArgumentException](Motif.parse("(a)-[e]-(b)"))
     intercept[IllegalArgumentException](Motif.parse("   "))
     intercept[IllegalArgumentException](
       Motif.find(diamond, "(a)-[e]->(b); (b)-[e]->(c)")) // duplicate edge name
     intercept[IllegalArgumentException](
       Motif.find(diamond, "(a)-[a]->(b)")) // vertex/edge name clash
+  }
+
+  test("negated term: one-way edges (a→b with no b→a)") {
+    val g = graphOf(Seq(
+      ("a", "b", 1.0, "RT"), ("b", "a", 1.0, "RT"), // mutual — excluded
+      ("c", "d", 1.0, "RT")))                       // one-way — kept
+    val oneWay = g.find("(x)-[]->(y); !(y)-[]->(x)")
+      .select(col("x.id"), col("y.id")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(oneWay === Set(("c", "d")))
+  }
+
+  test("negated term with anonymous endpoint: terminal vertices") {
+    val g = graphOf(Seq(
+      ("a", "b", 1.0, "RT"), ("b", "c", 1.0, "RT")))
+    // y has no out-edge at all
+    val terminal = g.find("(x)-[]->(y); !(y)-[]->()")
+      .select(col("x.id"), col("y.id")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(terminal === Set(("b", "c")))
   }
 
   test("single edge term returns src-struct, edge-struct, dst-struct columns") {
@@ -101,6 +128,38 @@ class MotifSpec extends SparkTestBase {
         .select("src", "dst").collect()
         .map(r => (r.getString(0), r.getString(1))).toSet
       assert(viaMotif === viaRewrite, s"pairs=$ut")
+    }
+  }
+
+  // -------- property: negation ≡ brute-force NOT EXISTS enumeration
+
+  private val edgeListGen: Gen[List[(String, String)]] =
+    Gen.listOfN(12, for {
+      s <- Gen.choose(1, 5)
+      d <- Gen.choose(1, 5)
+    } yield (s"u$s", s"u$d"))
+
+  test("negated motif ≡ brute-force enumeration on random directed graphs") {
+    trials(edgeListGen, 10) { raw =>
+      val edges = raw.distinct
+      val e = edges.toSet
+      val g = graphOf(edges.map { case (s, d) => (s, d, 1.0, "RT") })
+
+      // one-way edges: (x)->(y) with no back edge
+      val oneWay = g.find("(x)-[]->(y); !(y)-[]->(x)")
+        .select(col("x.id"), col("y.id")).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(oneWay === e.filter { case (s, d) => !e.contains((d, s)) },
+        s"one-way mismatch, edges=$edges")
+
+      // open 2-paths: x→y→z with no closing x→z (bindings, so x=z allowed)
+      val open = g.find("(x)-[]->(y); (y)-[]->(z); !(x)-[]->(z)")
+        .select(col("x.id"), col("y.id"), col("z.id")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val brute = for {
+        (x, y) <- e; (y2, z) <- e if y2 == y && !e.contains((x, z))
+      } yield (x, y, z)
+      assert(open === brute, s"open-path mismatch, edges=$edges")
     }
   }
 }
