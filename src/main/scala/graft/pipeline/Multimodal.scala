@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side plumbing — schema, batch shape, partition-parallel
   * decode via `mapPartitions`, explode for frame sampling — is real and
-  * tested. Two codecs behind the [[MediaCodec]] seam: [[ImageIoCodec]]
+  * tested. Three codecs behind the [[MediaCodec]] seam: [[ImageIoCodec]]
   * really decodes/resizes images on the in-JDK `javax.imageio` stack
-  * (png/jpeg/gif/bmp), and [[StubCodec]] derives deterministic features
-  * straight from the bytes — the oracle rows use the stub (its arithmetic
-  * is replayable in DuckDB), the image specs use the real codec. Audio and
-  * video still need an external decoder (javacv / ffmpeg-cli) dropped
-  * into the same seam.
+  * (png/jpeg/gif/bmp) — including TEMPORAL frame sampling from animated
+  * GIFs — [[WavCodec]] really decodes PCM audio on `javax.sound.sampled`,
+  * and [[StubCodec]] derives deterministic features straight from the
+  * bytes — the oracle rows use the stub (its arithmetic is replayable in
+  * DuckDB), the media specs use the real codecs. General video (mp4/webm)
+  * still needs an external decoder (javacv / ffmpeg-cli) dropped into the
+  * same seam; animated GIF is the in-JDK stand-in that keeps the temporal
+  * path real.
   */
 object Multimodal {
 
@@ -120,18 +123,84 @@ object Multimodal {
       case None => StubCodec.features(bytes, dim)
     }
 
-    /** n horizontal strips (the still-image analogue of frame sampling),
-      * each re-encoded as PNG.
+    /** (x, y) placement of a GIF delta frame from its ImageDescriptor;
+      * (0, 0) for formats/readers without one.
       */
-    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = decode(bytes) match {
-      case Some(img) if img.getHeight >= n && n > 0 =>
-        val h = img.getHeight
-        (0 until n).map { k =>
-          val top = h * k / n
-          val bot = h * (k + 1) / n
-          encodePng(img.getSubimage(0, top, img.getWidth, math.max(1, bot - top)))
+    private def frameOffset(reader: javax.imageio.ImageReader, i: Int): (Int, Int) =
+      try {
+        val tree = reader.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val kids = tree.getElementsByTagName("ImageDescriptor")
+        if (kids.getLength == 0) (0, 0)
+        else {
+          val d = kids.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          (d.getAttribute("imageLeftPosition").toInt,
+            d.getAttribute("imageTopPosition").toInt)
         }
-      case _ => StubCodec.sampleFrames(bytes, n)
+      } catch { case _: Exception => (0, 0) }
+
+    /** n evenly-spaced TEMPORAL frames from a multi-frame payload (animated
+      * GIF on the stock JDK readers), or None for stills. Frame k snapshots
+      * the animation at index `T·k/n`. GIF frames are often DELTAS — a
+      * sub-rectangle at an offset — so frames composite progressively onto
+      * a persistent canvas (disposal modes are not replayed; the
+      * do-not-dispose accumulation is the common case and is deterministic:
+      * integer-offset pixel copies, no interpolation).
+      */
+    private def decodeAnimation(bytes: Array[Byte], n: Int): Option[Seq[Array[Byte]]] =
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val total = reader.getNumImages(true)
+          if (total <= 1) None
+          else {
+            val canvas = new java.awt.image.BufferedImage(
+              reader.getWidth(0), reader.getHeight(0),
+              java.awt.image.BufferedImage.TYPE_INT_ARGB)
+            val g = canvas.createGraphics()
+            val targets = (0 until n).map(k => total * k / n)
+            val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+            var i = 0
+            while (i < total && out.size < n) {
+              val frame = reader.read(i)
+              val (ox, oy) = frameOffset(reader, i)
+              g.drawImage(frame, ox, oy, null)
+              var snap: Array[Byte] = null // encode once even if k repeats
+              targets.drop(out.size).takeWhile(_ == i).foreach { _ =>
+                if (snap == null) snap = encodePng(canvas)
+                out += snap
+              }
+              i += 1
+            }
+            g.dispose()
+            Some(out.toSeq)
+          }
+        } finally reader.dispose()
+      } catch { case _: Exception => None }
+
+    /** n temporal frames for animated payloads ([[decodeAnimation]]);
+      * stills fall back to n horizontal strips, each re-encoded as PNG.
+      */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      if (n > 0) {
+        val animated = decodeAnimation(bytes, n)
+        if (animated.isDefined) return animated.get
+      }
+      decode(bytes) match {
+        case Some(img) if img.getHeight >= n && n > 0 =>
+          val h = img.getHeight
+          (0 until n).map { k =>
+            val top = h * k / n
+            val bot = h * (k + 1) / n
+            encodePng(img.getSubimage(0, top, img.getWidth, math.max(1, bot - top)))
+          }
+        case _ => StubCodec.sampleFrames(bytes, n)
+      }
     }
 
     /** Nearest-neighbor resample to exactly w×h, re-encoded as PNG. */

@@ -82,6 +82,61 @@ class MultimodalSpec extends SparkTestBase {
     assert(imgs.forall(i => i.getWidth === 4 && i.getHeight === 2))
   }
 
+  /** Animated GIF: `nFrames` solid-color full frames at 10×8 (primary
+    * palette colors survive GIF quantization exactly).
+    */
+  private def testAnimatedGif(nFrames: Int): Array[Byte] = {
+    val colors = Array(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000, 0xffff00)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until nFrames).foreach { i =>
+      val img = new java.awt.image.BufferedImage(10, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 10) img.setRGB(x, y, colors(i % colors.length))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec.sampleFrames: animated GIF yields real temporal frames") {
+    val gif = testAnimatedGif(6)
+    val frames = Multimodal.ImageIoCodec.sampleFrames(gif, 4)
+    assert(frames.length === 4)
+    val imgs = frames.map(decode)
+    // temporal frames are the FULL logical screen, not horizontal strips
+    assert(imgs.forall(i => i.getWidth === 10 && i.getHeight === 8))
+    // frame k snapshots animation index 6k/4 → indices 0,1,3,4
+    val expected = Seq(0xff0000, 0x00ff00, 0xffffff, 0x000000)
+    assert(imgs.map(_.getRGB(5, 4) & 0xffffff).toSeq === expected)
+    // ≥4 distinct real frames, per the animation — not one frame repeated
+    assert(imgs.map(_.getRGB(5, 4)).distinct.length === 4)
+  }
+
+  test("ImageIoCodec.sampleFrames: animation determinism and n > frame-count clamping") {
+    val gif = testAnimatedGif(3)
+    val a = Multimodal.ImageIoCodec.sampleFrames(gif, 6)
+    val b = Multimodal.ImageIoCodec.sampleFrames(gif, 6)
+    assert(a.map(_.toSeq) === b.map(_.toSeq))
+    assert(a.length === 6) // contract: n frames, repeats allowed when T < n
+    // snapshots at indices 3k/6 = 0,0,1,1,2,2 — consecutive duplicates
+    assert(a(0).toSeq === a(1).toSeq && a(2).toSeq === a(3).toSeq)
+    val colors = a.map(f => decode(f).getRGB(5, 4) & 0xffffff).distinct
+    assert(colors === Seq(0xff0000, 0x00ff00, 0x0000ff))
+  }
+
+  test("ImageIoCodec.sampleFrames: single-frame GIF keeps the strip path") {
+    val gif = testAnimatedGif(1)
+    val frames = Multimodal.ImageIoCodec.sampleFrames(gif, 2)
+    val imgs = frames.map(decode)
+    // strips: full width, half height each
+    assert(imgs.forall(i => i.getWidth === 10 && i.getHeight === 4))
+  }
+
   test("ImageIoCodec falls back to StubCodec on undecodable bytes") {
     val junk = "not an image".getBytes("UTF-8")
     assert(Multimodal.ImageIoCodec.features(junk, 8).toSeq ===
