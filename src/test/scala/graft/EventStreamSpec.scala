@@ -138,6 +138,21 @@ class EventStreamSpec extends SparkTestBase {
     assert(b === Set((10L, 2L, 3.0), (10L, 1L, 3.0), (20L, 1L, 4.0)))
   }
 
+  test("sessionize(EventTimeIdleFlush) on BATCH input: final open sessions are NOT emitted (documented divergence)") {
+    // batch Datasets have no watermark, so the event-time flush degrades to
+    // NoIdleFlush — only gap-CLOSED sessions come out (the sessionize
+    // scaladoc's BATCH CAVEAT; sessionizeBatch is the batch-correct twin)
+    val out = EventStream.sessionize(events.toDS(),
+        gapMs = 30L * 60 * 1000, idleFlush = EventStream.EventTimeIdleFlush)
+      .collect().map(s => (s.user_id, s.n_events, s.sum_value)).toSet
+    assert(out === Set((10L, 2L, 3.0))) // users' final sessions absent
+    val batchTwin = EventStream.sessionizeBatch(
+        events.toDF().withColumn("props", lit("{}")), gapMs = 30L * 60 * 1000)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(batchTwin === Set((10L, 2L, 3.0), (10L, 1L, 3.0), (20L, 1L, 4.0)))
+  }
+
   test("event-time idle flush emits final sessions deterministically via the watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
