@@ -1493,6 +1493,47 @@ object Queries {
            |WHERE rank <= 5""".stripMargin
       }),
 
+    // TRAINED-quantizer IVF: one deterministic k-means refinement pass
+    // (fixed-point floor(v·2^20) cell means — exact long sums, two IEEE
+    // divisions) before assignment, so the quantizer adapts to the data
+    // while the oracle replays training, assignment, and search exactly
+    Q("q_ann_ivf_trained",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select("vec_id", "embedding")
+        SimilarityIvf.topKTrained(emb, emb.filter(col("vec_id") < 20),
+          k = 5, numCells = 16)
+      },
+      Some {
+        def cosSql(x: String, y: String) =
+          s"${dotSql(s"$x", s"$y")} / (sqrt(${dotSql(s"$x", s"$x")}) * sqrt(${dotSql(s"$y", s"$y")}))"
+        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, e AS ce FROM de WHERE vec_id < 16),
+           |sc0 AS (SELECT de.vec_id, de.e, c0.cid, ${cosSql("de.e", "c0.ce")} AS ccos FROM de CROSS JOIN c0),
+           |a0 AS (SELECT vec_id, e, cid AS cell FROM (
+           |   SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |   FROM sc0) WHERE rn = 1),
+           |el AS (SELECT cell, generate_subscripts(e, 1) AS pos,
+           |         CAST(floor(unnest(e) * 1048576.0) AS BIGINT) AS sv
+           |       FROM a0),
+           |ms AS (SELECT cell, pos, CAST(sum(sv) AS BIGINT) AS s, count(*) AS cnt
+           |       FROM el GROUP BY 1, 2),
+           |c1 AS (SELECT cell AS cid,
+           |         list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1048576.0 ORDER BY pos) AS ce
+           |       FROM ms GROUP BY cell),
+           |sc1 AS (SELECT de.vec_id, de.e, c1.cid, ${cosSql("de.e", "c1.ce")} AS ccos FROM de CROSS JOIN c1),
+           |a1 AS (SELECT vec_id, e, cid AS cell FROM (
+           |   SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |   FROM sc1) WHERE rn = 1),
+           |q AS (SELECT vec_id AS q_id, e AS qe, cell FROM a1 WHERE vec_id < 20),
+           |s2 AS (SELECT q.q_id, a1.vec_id AS n_id, ${cosSql("q.qe", "a1.e")} AS cos
+           |       FROM q JOIN a1 ON q.cell = a1.cell AND q.q_id <> a1.vec_id)
+           |SELECT q_id, n_id, cos, rank FROM (
+           |  SELECT q_id, n_id, cos,
+           |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM s2)
+           |WHERE rank <= 5""".stripMargin
+      }),
+
     // -------------------------------------------------------- text analysis
     Q("q_text_stats",
       (s, d) => t(s, d)("documents").select(col("doc_id"),

@@ -92,8 +92,14 @@ object SimilarityIvf {
     * `row_number().over(partitionBy(vec_id))` would full-shuffle all n×k
     * scored rows, embeddings included, just to rank them.)
     */
-  def assign(vectors: DataFrame, k: Int): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids(vectors, k)))
+  def assign(vectors: DataFrame, k: Int): DataFrame =
+    assignTo(vectors, centroids(vectors, k))
+
+  /** [[assign]] against an arbitrary `(cid, ce)` centroid relation —
+    * shared by the fixed and trained quantizers.
+    */
+  def assignTo(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cid"),
         Similarity.cosine(col("embedding"), col("ce")).as("ccos"))
     // ordering struct: max ccos first, then -cid → lowest cid wins ties
@@ -104,13 +110,66 @@ object SimilarityIvf {
         col("best.cid").as("cell"))
   }
 
-  /** Top-k neighbors per query among vectors sharing the query's cell
-    * (nprobe=1; see [[topKMultiProbe]] for higher recall). The cell
-    * equi-join is the inverted-list lookup.
+  /** One DETERMINISTIC k-means refinement pass over the fixed quantizer:
+    * assign every vector to its nearest fixed centroid, then replace each
+    * centroid with its cell's mean — computed in FIXED-POINT (the PageRank
+    * trick, [[graft.graph.Graph.pageRank]]): elements scale to integers by
+    * `floor(v·2^20)`, per-(cell, dim) sums are exact longs (commutative —
+    * any partitioning/retry yields the identical sum), and the mean is two
+    * IEEE divisions of exact integers — so the trained centroids are
+    * bit-replayable in any engine, where a float k-means average would be
+    * partition-order-dependent.
+    *
+    * Scale shape: `posexplode` fans each vector to `dim` (cell, pos, v)
+    * rows, but the hash aggregate partials map-side onto at most k×dim
+    * cells — only k×dim partial sums per partition ride the shuffle, never
+    * the fan-out. Empty cells (no vectors assigned) drop out of the
+    * refined quantizer; with cosine assignment every centroid claims at
+    * least itself, so k survives in practice.
+    *
+    * Why ONE pass: each further pass costs one corpus scan + one k×dim
+    * aggregate (linear, cheap), but refinement converges geometrically —
+    * the first pass captures most of the recall gain (see
+    * `SimilaritySpec`); run it `iters` times if the corpus drifts far from
+    * the seed vectors.
     */
-  def topKWithinCell(vectors: DataFrame, queries: DataFrame, k: Int,
-                     numCells: Int = 16): DataFrame = {
-    val assigned = assign(vectors, numCells)
+  def refineCentroids(vectors: DataFrame, k: Int, iters: Int = 1): DataFrame = {
+    val scale = 1L << 20
+    var cents = centroids(vectors, k)
+    (0 until iters).foreach { _ =>
+      val sums = assignTo(vectors, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cell"), col("pos"),
+          floor(col("v").cast("double") * scale).cast("long").as("sv"))
+        .groupBy("cell", "pos")
+        .agg(sum("sv").as("s"), count(lit(1)).as("cnt"))
+      cents = sums
+        .withColumn("m",
+          col("s").cast("double") / col("cnt").cast("double") / lit(scale.toDouble))
+        .groupBy("cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m")).as("ce"))
+        .select(col("cell").as("cid"), col("ce"))
+    }
+    cents
+  }
+
+  /** [[topKWithinCell]] with the TRAINED quantizer ([[refineCentroids]]):
+    * same inverted-list search, but cells adapt to the data — higher
+    * recall when the corpus doesn't resemble its first k vectors — while
+    * staying bit-deterministic and oracle-checkable.
+    */
+  def topKTrained(vectors: DataFrame, queries: DataFrame, k: Int,
+                  numCells: Int = 16, iters: Int = 1): DataFrame =
+    searchWithinCells(
+      assignTo(vectors, refineCentroids(vectors, numCells, iters)), queries, k)
+
+  /** Inverted-list search: top-k per query among vectors sharing the
+    * query's cell in an `assigned` relation. The cell equi-join IS the
+    * inverted-list lookup.
+    */
+  private def searchWithinCells(assigned: DataFrame, queries: DataFrame,
+                                k: Int): DataFrame = {
     val q = queries.join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("cell"))
     broadcast(q).join(assigned, Seq("cell"))
@@ -121,6 +180,13 @@ object SimilarityIvf {
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)).cast("long"))
       .filter(col("rank") <= k)
   }
+
+  /** Top-k neighbors per query among vectors sharing the query's cell
+    * (nprobe=1; see [[topKMultiProbe]] for higher recall).
+    */
+  def topKWithinCell(vectors: DataFrame, queries: DataFrame, k: Int,
+                     numCells: Int = 16): DataFrame =
+    searchWithinCells(assign(vectors, numCells), queries, k)
 
   /** Multi-probe IVF search: each query probes its `nprobe`
     * HIGHEST-CENTROID-COSINE cells (not just its own) — the standard

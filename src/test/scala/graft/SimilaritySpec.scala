@@ -84,6 +84,65 @@ class SimilaritySpec extends SparkTestBase {
     assert(multi.values.toSet === Set(0L, 1L, 6L))
   }
 
+  test("trained IVF: refined centroids are the exact fixed-point cell means") {
+    import graft.pipeline.SimilarityIvf
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.8f, 0.2f)),  // cell 0
+      (3L, Seq(0.2f, 0.8f)))  // cell 1
+      .toDF("vec_id", "embedding")
+    val refined = SimilarityIvf.refineCentroids(vecs, k = 2).collect()
+      .map(r => r.getAs[Long]("cid") -> r.getAs[Seq[Double]]("ce")).toMap
+    // cell 0 = {v0, v2}: mean of floor-scaled elements over 2^20
+    def fp(xs: Seq[Float]) = xs.map(x => math.floor(x.toDouble * (1L << 20)))
+    def mean2(a: Seq[Float], b: Seq[Float]) =
+      fp(a).zip(fp(b)).map { case (x, y) => (x + y) / 2.0 / (1L << 20).toDouble }
+    assert(refined(0L) === mean2(Seq(1.0f, 0.0f), Seq(0.8f, 0.2f)))
+    assert(refined(1L) === mean2(Seq(0.0f, 1.0f), Seq(0.2f, 0.8f)))
+  }
+
+  test("trained IVF: refinement is bit-deterministic under repartitioning") {
+    import graft.pipeline.SimilarityIvf
+    val corpus = randVecs(120, 8, seed = 7)
+    def run(parts: Int) = SimilarityIvf.refineCentroids(corpus.repartition(parts), k = 4)
+      .collect().map(r => r.getAs[Long]("cid") -> r.getAs[Seq[Double]]("ce")).toMap
+    assert(run(13) === run(3))
+  }
+
+  test("trained IVF: recall beats the fixed quantizer on clustered data with bad seeds") {
+    import graft.pipeline.SimilarityIvf
+    // 3 tight clusters far from the origin-adjacent seed vectors: the
+    // fixed quantizer (first k by id) puts ALL clusters behind whichever
+    // seed they lean toward; one refinement pass moves centroids onto the
+    // clusters and splits them into separate cells
+    val rng = new scala.util.Random(11)
+    val centers = Seq(
+      Array(10.0, 0.0, 0.0, 1.0), Array(0.0, 10.0, 0.0, 1.0), Array(0.0, 0.0, 10.0, 1.0))
+    val clustered = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong + 3, c.map(x => (x + rng.nextGaussian() * 0.3).toFloat).toSeq)
+    }
+    // seeds 0..2 (the fixed centroids) are nearly collinear junk vectors
+    val seeds = Seq(
+      (0L, Seq(1.0f, 1.0f, 1.0f, 0.0f)),
+      (1L, Seq(1.0f, 1.0f, 0.9f, 0.0f)),
+      (2L, Seq(1.0f, 0.9f, 1.0f, 0.0f)))
+    val corpus = (seeds ++ clustered).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") >= 3 && col("vec_id") < 15)
+
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame) = {
+      val got = df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val fixed = recall(SimilarityIvf.topKWithinCell(corpus, queries, k = 5, numCells = 3))
+    val trained = recall(SimilarityIvf.topKTrained(corpus, queries, k = 5, numCells = 3))
+    assert(trained > fixed, s"trained recall $trained not above fixed $fixed")
+    assert(trained >= 0.9, s"trained recall $trained below 0.9")
+  }
+
   test("bucket key is a deterministic bit string") {
     val corpus = randVecs(10, 8, seed = 3)
     val planes = SimilarityLsh.hyperplanes(6, 8)
