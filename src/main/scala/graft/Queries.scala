@@ -977,6 +977,39 @@ object Queries {
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // traffic anomaly flags: hourly counts z-scored against the corpus
+    // mean/stddev — the ops-side "is this hour weird" monitor. Stats come
+    // from ONE 1-row aggregate of exact decimal sums (Stats.moments
+    // pattern: deterministic where built-in stddev is partition-order-
+    // dependent), broadcast back over the hourly relation — never a
+    // driver-side collect
+    Q("q_window_anomaly",
+      (s, d) => {
+        val hourly = t(s, d)("events")
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"))
+          .agg(count(lit(1)).as("cnt"))
+        val st = hourly.agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("cnt").cast("decimal(18,2)")).cast("double").as("s"),
+          sum((col("cnt") * col("cnt")).cast("decimal(18,2)")).cast("double").as("sxx"))
+        hourly.crossJoin(broadcast(st))
+          .select(col("h"), col("cnt"),
+            ((col("cnt").cast("double") - col("s") / col("n")) /
+              (sqrt(col("n") * col("sxx") - col("s") * col("s")) / col("n"))).as("z"))
+          .withColumn("anomaly", (abs(col("z")) > lit(2.0)).cast("long"))
+      },
+      Some("""WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+             |             count(*) AS cnt
+             |           FROM events GROUP BY 1),
+             |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             |              CAST(sum(CAST(cnt AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             |              CAST(sum(CAST(cnt * cnt AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+             |       FROM h)
+             |SELECT h, cnt,
+             |  (CAST(cnt AS DOUBLE) - s / n) / (sqrt(n * sxx - s * s) / n) AS z,
+             |  CAST(abs((CAST(cnt AS DOUBLE) - s / n) / (sqrt(n * sxx - s * s) / n)) > 2.0 AS BIGINT) AS anomaly
+             |FROM h CROSS JOIN st""".stripMargin)),
+
     Q("q_sessionize",
       (s, d) => EventStream.sessionizeBatch(t(s, d)("events"))
         .select(col("user_id"), col("session_no"),
@@ -1806,6 +1839,74 @@ object Queries {
              |  unnest(CASE WHEN source = 'src0' THEN [1, 2, 3]
              |              WHEN source = 'src1' THEN [1, 2] ELSE [1] END) AS epoch
              |FROM documents""".stripMargin)),
+
+    // fixed-SIZE per-stratum sample: exactly 7 docs per source by md5 hash
+    // order (deterministic permutation) — eval hold-outs / audit samples.
+    // Runs as Skew.saltedTopK shards (strata are low-cardinality hot
+    // keys); the oracle replays the equivalent unsalted rank
+    Q("q_sample_per_stratum",
+      (s, d) => graft.pipeline.Mix.samplePerStratum(
+        t(s, d)("documents").select(col("doc_id"), col("source")),
+        "source", col("doc_id"), k = 7),
+      Some("""SELECT doc_id, source, sample_rank FROM (
+             |  SELECT doc_id, source,
+             |    CAST(row_number() OVER (PARTITION BY source
+             |      ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+             |  FROM documents)
+             |WHERE sample_rank <= 7""".stripMargin)),
+
+    // --------------------------------------- snapshot maintenance (Snapshot)
+
+    // latest-wins upsert of a crawl delta into the corpus: one max_by hash
+    // aggregate per key — each key contributes ONE row to the exchange
+    // regardless of its update count; updates win version ties
+    Q("q_upsert_latest",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        val base = docs.select(col("doc_id"), col("source"), col("text"),
+          lit(1L).as("version"))
+        val upd = docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("source"),
+            concat(lit("v2 "), col("text")).as("text"), lit(2L).as("version"))
+        graft.pipeline.Snapshot.upsert(base, upd, "doc_id", "version")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, source, text, CAST(1 AS BIGINT) AS version, 0 AS pri FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, source, 'v2 ' || text, CAST(2 AS BIGINT), 1 FROM documents
+             |  WHERE doc_id % 7 = 0)
+             |SELECT doc_id, source, text, version FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY version DESC, pri DESC) AS rn FROM u)
+             |WHERE rn = 1""".stripMargin)),
+
+    // snapshot diff / change capture: ONE full-outer equi-join on the key
+    // classifies every doc as added / removed / changed / unchanged —
+    // the daily "what did the refresh do" report
+    Q("q_snapshot_diff",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        val oldSnap = docs.select(col("doc_id"), col("text"))
+        val newSnap = docs.filter(col("doc_id") % 11 =!= 3)
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0, concat(lit("v2 "), col("text")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(docs.filter(col("doc_id") < 25)
+            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        graft.pipeline.Snapshot.diff(oldSnap, newSnap, "doc_id")
+      },
+      Some("""WITH o AS (SELECT doc_id, text FROM documents),
+             |n AS (
+             |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text
+             |  FROM documents WHERE doc_id % 11 <> 3
+             |  UNION ALL
+             |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25)
+             |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             |  CASE WHEN o.doc_id IS NULL THEN 'added'
+             |       WHEN n.doc_id IS NULL THEN 'removed'
+             |       WHEN o.text = n.text THEN 'unchanged'
+             |       ELSE 'changed' END AS change
+             |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin)),
 
     // benchmark decontamination: 3-gram shingle overlap between the
     // corpus (doc_id % 97 != 0) and a small "benchmark" split (% 97 == 0);

@@ -50,4 +50,23 @@ object Mix {
   def upsample(df: DataFrame, stratumCol: String, weights: Map[String, Int]): DataFrame =
     df.withColumn("epoch",
       explode(sequence(lit(1), rateExpr(col(stratumCol), weights, 1))))
+
+  /** Exactly (up to) `k` rows per stratum — the fixed-SIZE twin of
+    * [[stratifiedSample]]'s fixed-rate: eval hold-outs, per-domain audit
+    * samples, "10k docs from every source". Selection order is the md5 of
+    * `seed:key` (a uniform deterministic permutation — reproducible across
+    * runs, retries, engines, and re-partitioning), tie-broken by `key` for
+    * totality. Output = input + `sample_rank` (1-based hash rank within
+    * the stratum).
+    *
+    * Scale shape: strata are LOW-cardinality by construction, so a plain
+    * `Window.partitionBy(stratum)` would sort whole strata in single
+    * tasks; this delegates to [[Skew.saltedTopK]] — per-(stratum, salt)
+    * shard ranks, then a merge rank over ≤ 32·k survivors.
+    */
+  def samplePerStratum(df: DataFrame, stratumCol: String, key: Column, k: Int,
+                       seed: String = "mix"): DataFrame =
+    Skew.saltedTopK(df, col(stratumCol), key, k,
+        order = Seq(md5(concat(lit(seed + ":"), key.cast("string"))), key))
+      .withColumnRenamed("rank", "sample_rank")
 }

@@ -33,4 +33,20 @@ class MixSpec extends SparkTestBase {
       .select("epoch").collect().map(_.getInt(0)).sorted
     assert(epochs === Array(1, 2, 3))
   }
+
+  test("samplePerStratum: exactly k per stratum, equals the unsalted window rank, repartition-invariant") {
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("source"), r.getAs[Long]("id"), r.getAs[Long]("sample_rank"))
+    val sampled = Mix.samplePerStratum(df, "source", $"id", k = 7).collect().map(keyOf).toSet
+    assert(sampled.groupBy(_._1).forall(_._2.size == 7))
+    // ground truth: plain window rank under the same (md5, key) total order
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(md5(concat(lit("mix:"), $"id".cast("string"))), $"id")
+    val unsalted = df.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter($"sample_rank" <= 7).collect().map(keyOf).toSet
+    assert(sampled === unsalted)
+    val reshuffled = Mix.samplePerStratum(df.repartition(13), "source", $"id", k = 7)
+      .collect().map(keyOf).toSet
+    assert(sampled === reshuffled)
+  }
 }
