@@ -1183,6 +1183,27 @@ object Queries {
              |         + (q * n - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)) * 10.0 AS est
              |FROM qq JOIN c ON cum >= q * n AND (cum - cnt) < q * n""".stripMargin)),
 
+    // per-group quantiles from the grouped histogram sketch: doc-length
+    // p50/p90 per source — windows partition on the group over the
+    // (groups × bins)-sized sketch, never the data
+    Q("q_hist_quantile_by_source",
+      (s, d) => graft.pipeline.Sketches.histQuantileBy(
+        graft.pipeline.Sketches.histSketchBy(
+          t(s, d)("documents"), "source", "n_chars", lo = 0.0, hi = 600.0, bins = 60),
+        "source", Seq(0.5, 0.9), lo = 0.0, hi = 600.0, bins = 60),
+      Some("""WITH h AS (SELECT source, CAST(LEAST(59, GREATEST(0,
+             |              CAST(floor((n_chars - 0.0) / 600.0 * 60) AS INTEGER))) AS BIGINT) AS bin,
+             |            count(*) AS cnt FROM documents GROUP BY 1, 2),
+             |c AS (SELECT source, bin, cnt,
+             |        sum(cnt) OVER (PARTITION BY source ORDER BY bin
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |        sum(cnt) OVER (PARTITION BY source) AS n FROM h),
+             |qq AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+             |SELECT source, q,
+             |  0.0 + (CAST(bin AS DOUBLE)
+             |         + (q * n - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)) * 10.0 AS est
+             |FROM qq JOIN c ON cum >= q * n AND (cum - cnt) < q * n""".stripMargin)),
+
     Q("q_props_json",
       (s, d) => {
         val k = get_json_object(col("props"), "$.k").cast("long")
@@ -1402,6 +1423,32 @@ object Queries {
               |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
               |  FROM scored)
               |WHERE rank <= 5""".stripMargin)),
+
+    // seeded random projection 64 → 8 dims (Johnson–Lindenstrauss): the
+    // dimensionality-reduction front end for ANN/clustering when full-dim
+    // cosines dominate; each output element is one codegen'd graft_dot
+    // against plan-literal planes, replayed by the oracle fold-for-fold
+    Q("q_embed_project",
+      (s, d) => t(s, d)("embeddings")
+        .select(col("vec_id"),
+          posexplode(Similarity.project(col("embedding"), k = 8, dim = 64, seed = 7L))
+            .as(Seq("dim", "v")))
+        .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v")),
+      Some {
+        // exponent suffix forces a DOUBLE literal: a bare 17-digit decimal
+        // parses as DECIMAL(17,16) in DuckDB, silently rounding the 17th
+        // significant digit BEFORE any cast could save it (sign-bit LSH
+        // oracles tolerate that; an exact-value projection cannot)
+        def dbl(x: Double) = { val s = x.toString; if (s.contains("E")) s else s + "e0" }
+        def planeSql(p: Array[Double]) = "[" + p.map(dbl).mkString(", ") + "]"
+        val exprs = graft.pipeline.SimilarityLsh.hyperplanes(8, 64, 7L)
+          .map(p => s"list_reduce(list_transform(e, (x,i) -> x * ${planeSql(p)}[i]), (p,q) -> p + q)")
+          .mkString(",\n  ")
+        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |pr AS (SELECT vec_id, [$exprs] AS pv FROM de)
+           |SELECT vec_id, CAST(generate_subscripts(pv, 1) - 1 AS BIGINT) AS dim, unnest(pv) AS v
+           |FROM pr""".stripMargin
+      }),
 
     Q("q_ann_lsh",
       (s, d) => graft.pipeline.SimilarityLsh.candidatePairs(

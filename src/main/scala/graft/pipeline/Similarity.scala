@@ -38,6 +38,20 @@ object Similarity {
   def cosine(a0: Column, b0: Column): Column =
     graft.functions.VectorFunctions.cosine(toDouble(a0), toDouble(b0))
 
+  /** Seeded random projection to `k` dimensions (Johnson–Lindenstrauss):
+    * `k` sequential-fold dots against fixed seeded hyperplanes — the cheap
+    * dimensionality reduction in front of brute-force / IVF / clustering
+    * stages when 64-dim cosines dominate the profile. Deterministic: the
+    * planes are literals compiled into the plan (same generator as
+    * [[SimilarityLsh.hyperplanes]], whose sign bits are the 1-bit special
+    * case of this map), each output element one codegen'd `graft_dot`.
+    */
+  def project(emb: Column, k: Int, dim: Int, seed: Long = 42L): Column =
+    array(SimilarityLsh.hyperplanes(k, dim, seed).map { p =>
+      dot(toDouble(emb),
+        array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*))
+    }: _*)
+
   /** All (query, candidate) pairs with cosine >= threshold. `queries` must
     * be the small side — it is broadcast, so the corpus streams with no
     * shuffle.

@@ -177,6 +177,39 @@ object Sketches {
             col("cnt").cast("double")) * lit(width)).as("est"))
   }
 
+  /** Per-GROUP [[histSketch]]: `(group, bin, cnt)` cells — one hash
+    * aggregate onto at most groups×bins cells, additive-mergeable like the
+    * global sketch.
+    */
+  def histSketchBy(df: DataFrame, groupCol: String, valueCol: String,
+                   lo: Double, hi: Double, bins: Int): DataFrame =
+    df.select(col(groupCol), least(lit(bins - 1), greatest(lit(0),
+        floor((col(valueCol) - lo) / (hi - lo) * bins).cast("int"))).cast("long").as("bin"))
+      .groupBy(groupCol, "bin").agg(count(lit(1)).as("cnt"))
+
+  /** Per-group interpolated quantiles from a [[histSketchBy]] relation —
+    * the grouped twin of [[histQuantile]]. Windows partition on the group
+    * over the (groups × bins)-sized sketch: no single-partition global
+    * sort, and the q-list cross join stays sketch-sized.
+    */
+  def histQuantileBy(sketch: DataFrame, groupCol: String, qs: Seq[Double],
+                     lo: Double, hi: Double, bins: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy(groupCol).orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = sketch.withColumn("cum", sum("cnt").over(wc))
+      .withColumn("n", max("cum").over(Window.partitionBy(groupCol)))
+    val qdf = sketch.sparkSession.createDataFrame(qs.map(Tuple1(_))).toDF("q")
+    val width = (hi - lo) / bins
+    qdf.crossJoin(cum)
+      .filter(col("cum") >= col("q") * col("n") &&
+        (col("cum") - col("cnt")) < col("q") * col("n"))
+      .select(col(groupCol), col("q"),
+        (lit(lo) + (col("bin").cast("double") +
+          (col("q") * col("n") - (col("cum") - col("cnt")).cast("double")) /
+            col("cnt").cast("double")) * lit(width)).as("est"))
+  }
+
   /** Point-estimate the frequency of each item in `items`: `min` over the
     * depth rows of the addressed cell, an empty cell counting 0 (the
     * classic CMS upper-bound estimate — never under-counts, over-counts

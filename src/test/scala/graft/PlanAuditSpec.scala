@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_ann_ivf", "q_ann_ivf_probe", "q_ann_ivf_trained", // k-row centroid cross join
     "q_tfidf_top_terms", "q_bm25_top_terms", "q_token_rarity",
     "q_window_anomaly",                  // 1-row stats broadcast
-    "q_sketch_hist_quantile")            // quantile list × bin-sized sketch
+    "q_sketch_hist_quantile",
+    "q_hist_quantile_by_source")         // quantile list × bin-sized sketch
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {

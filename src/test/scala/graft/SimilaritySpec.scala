@@ -143,6 +143,31 @@ class SimilaritySpec extends SparkTestBase {
     assert(trained >= 0.9, s"trained recall $trained below 0.9")
   }
 
+  test("random projection: deterministic, k dims, JL distance correlation") {
+    val corpus = randVecs(80, 32, seed = 21)
+    val proj = corpus.select($"vec_id", Similarity.project($"embedding", k = 12, dim = 32).as("p"))
+    val a = proj.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    val b = corpus.repartition(7)
+      .select($"vec_id", Similarity.project($"embedding", k = 12, dim = 32).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(a === b) // plan-literal planes → bit-identical anywhere
+    assert(a.values.forall(_.length == 12))
+    // JL sanity: full-dim and projected euclidean distances correlate
+    // strongly over random pairs (not a tight bound at k=12 — direction)
+    val vecs = corpus.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    def d2(x: Seq[Double], y: Seq[Double]) =
+      x.zip(y).map { case (u, v) => (u - v) * (u - v) }.sum
+    val pairs = (0L until 40L).map(i => (i, i + 40L))
+    val full = pairs.map { case (i, j) => d2(vecs(i).map(_.toDouble), vecs(j).map(_.toDouble)) }
+    val prjd = pairs.map { case (i, j) => d2(a(i), a(j)) }
+    def corr(x: Seq[Double], y: Seq[Double]) = {
+      val (mx, my) = (x.sum / x.size, y.sum / y.size)
+      val cov = x.zip(y).map { case (u, v) => (u - mx) * (v - my) }.sum
+      cov / math.sqrt(x.map(u => (u - mx) * (u - mx)).sum * y.map(v => (v - my) * (v - my)).sum)
+    }
+    assert(corr(full, prjd) > 0.5, s"JL correlation too weak: ${corr(full, prjd)}")
+  }
+
   test("bucket key is a deterministic bit string") {
     val corpus = randVecs(10, 8, seed = 3)
     val planes = SimilarityLsh.hyperplanes(6, 8)

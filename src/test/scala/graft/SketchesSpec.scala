@@ -130,6 +130,25 @@ class SketchesSpec extends SparkTestBase {
     assert(math.abs(est(0.9) - exact(1)) <= 10.0, s"p90 ${est(0.9)} vs ${exact(1)}")
   }
 
+  test("grouped histogram: per-group quantiles within one bin width; cells merge additively") {
+    val vals = (1 to 900).map(i => (s"g${i % 3}", (i * 37 % 997).toDouble)).toDF("g", "v")
+    val sk = Sketches.histSketchBy(vals, "g", "v", 0.0, 1000.0, 100)
+    // additive shard merge, like the global sketch
+    val merged = Sketches.histSketchBy(vals.limit(300), "g", "v", 0.0, 1000.0, 100)
+      .unionByName(Sketches.histSketchBy(vals.exceptAll(vals.limit(300)), "g", "v", 0.0, 1000.0, 100))
+      .groupBy("g", "bin").agg(sum("cnt").as("cnt"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(asMap(sk) === asMap(merged))
+    val est = Sketches.histQuantileBy(sk, "g", Seq(0.5, 0.9), 0.0, 1000.0, 100)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val exact = vals.filter($"g" === g).stat.approxQuantile("v", Array(0.5, 0.9), 0.0)
+      assert(math.abs(est((g, 0.5)) - exact(0)) <= 10.0, s"$g p50 ${est((g, 0.5))} vs ${exact(0)}")
+      assert(math.abs(est((g, 0.9)) - exact(1)) <= 10.0, s"$g p90 ${est((g, 0.9))} vs ${exact(1)}")
+    }
+  }
+
   test("CMS estimate never under-counts; absent item bounded by collision mass") {
     val sketch = Sketches.cmsSketch(terms, "term", 4, 32)
     val items = (0 until 37).map(i => s"t$i").toDF("term")
