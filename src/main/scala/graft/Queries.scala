@@ -775,6 +775,26 @@ object Queries {
              |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
              |WHERE rnk <= 3""".stripMargin)),
 
+    // distribution-position window functions — ntile curriculum buckets,
+    // percent_rank / cume_dist percentiles — partitioned on the
+    // HIGH-cardinality custkey (a low-cardinality partition would need the
+    // histogram-sketch binning, q_hist_quantile_by_source, instead)
+    Q("q_window_ntile",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d)("orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .withColumn("prank", percent_rank().over(w))
+          .withColumn("cdist", cume_dist().over(w))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+             |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             |  percent_rank() OVER w AS prank,
+             |  cume_dist() OVER w AS cdist
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin)),
+
     Q("q_rollup",
       (s, d) => t(s, d)("lineitem")
         .rollup("l_returnflag", "l_linestatus")

@@ -64,7 +64,8 @@ object EventStream {
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    maxGapMs: Long = 30L * 60 * 1000,
-                   watermark: String = "1 hour"): DataFrame = {
+                   watermark: String = "1 hour",
+                   joinType: String = "inner"): DataFrame = {
     val l0 = left.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
       col("user_id").as("l_user"), col("value").as("l_value"))
     val r0 = right.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
@@ -73,10 +74,15 @@ object EventStream {
       if (left.isStreaming) (l0.withWatermark("l_ts", watermark),
         r0.withWatermark("r_ts", watermark))
       else (l0, r0)
+    // leftOuter: unmatched left rows emit with null r_id/r_value ONCE the
+    // watermark passes their join window (the engine must prove no future
+    // right row can match before releasing the null) — so outer results
+    // trail the watermark by design; inner results emit immediately
     l.join(r,
       col("l_user") === col("r_user") &&
         col("r_ts") > col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGapMs MILLISECOND"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGapMs MILLISECOND"),
+      joinType)
       .select(col("l_id"), col("r_id"), col("l_user").as("user_id"),
         col("l_value"), col("r_value"))
   }

@@ -77,6 +77,38 @@ class EventStreamSpec extends SparkTestBase {
     assert(pairs === Set((1L, 9L)))
   }
 
+  test("LEFT OUTER interval join releases null-padded rows only after the watermark proves no match") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    clicks.addData(Event(1L, ts(0), 10L, "click", 1.0),   // will match purchase@3
+      Event(2L, ts(1), 20L, "click", 2.0))                // never matches
+    purchases.addData(Event(9L, ts(3), 10L, "purchase", 9.0))
+    val joined = EventStream.intervalJoin(
+      clicks.toDF().withColumn("props", lit("{}")),
+      purchases.toDF().withColumn("props", lit("{}")),
+      watermark = "10 minutes", joinType = "leftOuter")
+    val q = joined.writeStream.format("memory").queryName("ij_outer")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // inner match emits; the unmatched click@1 is still HELD — the
+    // watermark hasn't passed its join window, a matching purchase could
+    // still arrive
+    val early = spark.table("ij_outer").collect()
+      .map(r => (r.getAs[Long]("l_id"), Option(r.get(1)))).toSet
+    assert(early === Set((1L, Some(9L))))
+    // late traffic advances the watermark past click@1's window (1 + 30min
+    // gap + 10min delay) → the engine can prove no-match and emits the
+    // null-padded row
+    purchases.addData(Event(99L, ts(120), 30L, "purchase", 1.0))
+    clicks.addData(Event(98L, ts(120), 31L, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("ij_outer").collect()
+      .map(r => (r.getAs[Long]("l_id"), Option(r.get(1)))).toSet
+    assert(all === Set((1L, Some(9L)), (2L, None)))
+  }
+
   test("streaming dedup drops watermark-window duplicate event ids") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
