@@ -988,6 +988,87 @@ object Queries {
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
 
+    // TPC-H Q3 shape: shipping-priority revenue — fact⨝fact⨝dim with
+    // selective date filters PUSHED to all three scans, then agg + top-10.
+    // No join hints: customer is fact-sized at 100 TB, so the right plan is
+    // whatever AQE picks per scale (broadcast at test SF, shuffle at 100×);
+    // revenue is exact decimal arithmetic end-to-end, cast once
+    Q("q_tpch_q3",
+      (s, d) => {
+        val cust = t(s, d)("customer").filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = t(s, d)("orders")
+          .filter(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, d)("lineitem")
+          .filter(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             |  o_orderpriority,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < TIMESTAMP '1998-01-01'
+             |  AND l_shipdate > TIMESTAMP '1998-01-01'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)),
+
+    // TPC-H Q5 shape: regional supplier revenue — the 6-table join. The
+    // nation⨝region dim (≤25 rows at ANY scale) is explicitly broadcast;
+    // the fact⨝fact joins shuffle on their keys; the customer-supplier
+    // same-nation constraint rides the supplier equi-join
+    Q("q_tpch_q5",
+      (s, d) => {
+        val nr = t(s, d)("nation")
+          .join(broadcast(t(s, d)("region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val ord = t(s, d)("orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+          .select("o_orderkey", "o_custkey")
+        val li = t(s, d)("lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val cust = t(s, d)("customer").select("c_custkey", "c_nationkey")
+        val sup = t(s, d)("supplier").select("s_suppkey", "s_nationkey")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(sup, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+      },
+      Some("""SELECT n_name,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-01-01'
+             |GROUP BY n_name""".stripMargin)),
+
     Q("q_window_hourly",
       (s, d) => EventStream.windowedAgg(t(s, d)("events"), "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
