@@ -596,6 +596,42 @@ object Queries {
            |SELECT id, CAST(rank AS BIGINT) AS rank FROM pr10""".stripMargin
       }),
 
+    // GraphFrames-parity BFS: all minimum-length doc→doc paths through
+    // the SYMMETRIZED doc-word graph (a bipartite "docs sharing vocabulary
+    // chains" walk) — per-depth frontier equi-join + distinct, stops at
+    // the first depth that reaches the target; oracle replays it as a
+    // recursive CTE with the same simple-path guard
+    Q("q_graph_bfs",
+      (s, d) => {
+        val fw = t(s, d)("documents").filter(col("doc_id") < 12)
+          .select(col("doc_id").cast("string").as("src"),
+            explode(array_distinct(
+              filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0))).as("dst"))
+        val sym = fw.unionByName(fw.select(col("dst").as("src"), col("src").as("dst")))
+          .withColumn("w", lit(1.0)).withColumn("type", lit("B"))
+        val g = Graph(Graph.verticesOf(sym), sym)
+        g.bfs(col("id") === "3", col("id") === "7", maxPathLength = 4)
+          .select(col("from"), col("to"),
+            concat_ws("->", col("path")).as("path"), col("length"))
+      },
+      Some("""WITH RECURSIVE
+             |fw AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src, w AS dst FROM (
+             |   SELECT doc_id, unnest(list_filter(
+             |     string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS w
+             |   FROM documents WHERE doc_id < 12)),
+             |e AS (SELECT src, dst FROM fw UNION ALL SELECT dst AS src, src AS dst FROM fw),
+             |p AS (
+             |  SELECT '3' AS head, ['3'] AS path, 0 AS len
+             |  UNION ALL
+             |  SELECT e.dst, list_append(p.path, e.dst), p.len + 1
+             |  FROM p JOIN e ON p.head = e.src
+             |  WHERE p.len < 4 AND NOT list_contains(p.path, e.dst)),
+             |hits AS (SELECT * FROM p WHERE head = '7'),
+             |m AS (SELECT min(len) AS ml FROM hits)
+             |SELECT path[1] AS "from", head AS "to",
+             |  array_to_string(path, '->') AS path, CAST(len AS BIGINT) AS length
+             |FROM hits, m WHERE len = m.ml""".stripMargin)),
+
     // deterministic label propagation (ties → smallest label; GraphFrames
     // tie-breaks by hash order, which is run-dependent — lexicographic is
     // the oracle-replayable choice). 3 unrolled rounds.
@@ -1730,6 +1766,19 @@ object Queries {
               |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
               |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
               |FROM documents""".stripMargin)),
+
+    // levenshtein parity: both engines implement the classic integer DP —
+    // distance from each doc's prefix to its vowel-stripped form (a cheap
+    // per-row "how much would normalization change this" signal)
+    Q("q_text_edit_distance",
+      (s, d) => t(s, d)("documents").select(col("doc_id"),
+        levenshtein(substring(col("text"), 1, 40),
+          regexp_replace(substring(col("text"), 1, 40), "[aeiou]", ""))
+          .cast("long").as("dist")),
+      Some("""SELECT doc_id,
+             |  CAST(levenshtein(substring(text, 1, 40),
+             |    regexp_replace(substring(text, 1, 40), '[aeiou]', '', 'g')) AS BIGINT) AS dist
+             |FROM documents""".stripMargin)),
 
     Q("q_text_quality",
       (s, d) => t(s, d)("documents").select(col("doc_id"),

@@ -113,6 +113,46 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     parts.reduce(_ unionByName _).groupBy("id").agg(agg(col("msg")).as("agg"))
   }
 
+  /** GraphFrames-parity breadth-first search: ALL minimum-length paths
+    * from vertices matching `fromExpr` to vertices matching `toExpr`,
+    * following edge direction, searched depth-by-depth — the search stops
+    * at the first depth where ANY from→to path exists (GraphFrames `bfs`
+    * semantics: every returned path has the same, globally minimal
+    * length; a vertex matching both expressions yields a length-0 path).
+    *
+    * Returns the STABLE relational shape `(from, to, path, length)` with
+    * `path` the full vertex-id array — GraphFrames instead widens the
+    * schema per hop (`from, e0, v1, …, to`), which makes the column set
+    * data-dependent; the information is identical and this shape is
+    * hash-comparable under a fixed schema.
+    *
+    * Scale shape: one frontier⋈edges equi-join + distinct per depth, all
+    * keyed on the frontier head; the cycle guard (`!array_contains`) is
+    * sound because a minimum-length path is necessarily simple. The
+    * per-depth `count()` is driver CONTROL FLOW (did any path land?),
+    * not a data collect. Frontier size is bounded by (simple paths of
+    * length d), which the guard and `maxPathLength` cap.
+    */
+  def bfs(fromExpr: Column, toExpr: Column, maxPathLength: Int = 10): DataFrame = {
+    val targets = vertices.filter(toExpr).select(col("id").as("head"))
+    var frontier = vertices.filter(fromExpr)
+      .select(col("id").as("head"), array(col("id")).as("path"))
+    var depth = 0
+    while (true) {
+      val hits = frontier.join(targets, Seq("head"), "left_semi")
+        .select(element_at(col("path"), 1).as("from"), col("head").as("to"),
+          col("path"), lit(depth.toLong).as("length"))
+      if (depth == maxPathLength || hits.limit(1).count() > 0) return hits
+      frontier = frontier
+        .join(edges.select(col("src").as("head"), col("dst")), Seq("head"))
+        .filter(!array_contains(col("path"), col("dst")))
+        .select(col("dst").as("head"), concat(col("path"), array(col("dst"))).as("path"))
+        .distinct()
+      depth += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** GraphFrames-parity `shortestPaths`: hop distance from every vertex
     * TO each landmark, following edge direction. Returns exploded rows
     * `(id, landmark, distance)` (GraphFrames packs them in a map column;

@@ -25,6 +25,42 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(out === Map("a" -> 1L, "b" -> 1L, "c" -> 2L, "e" -> 1L))
   }
 
+  test("bfs: all minimum-length paths, directed, stable schema") {
+    import org.apache.spark.sql.functions.col
+    // diamond with a longer decoy: a→b→d, a→c→d (both length 2), a→x→y→d
+    val e = Seq(
+      ("a", "b", 1.0, "T"), ("b", "d", 1.0, "T"),
+      ("a", "c", 1.0, "T"), ("c", "d", 1.0, "T"),
+      ("a", "x", 1.0, "T"), ("x", "y", 1.0, "T"), ("y", "d", 1.0, "T"))
+      .toDF("src", "dst", "w", "type")
+    val dg = Graph(Graph.verticesOf(e), e)
+    val paths = dg.bfs(col("id") === "a", col("id") === "d").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[String](2).toList, r.getLong(3)))
+    assert(paths.toSet === Set(
+      ("a", "d", List("a", "b", "d"), 2L),
+      ("a", "d", List("a", "c", "d"), 2L))) // the length-3 decoy is NOT returned
+  }
+
+  test("bfs: length-0 self hit, direction respected, unreachable is empty") {
+    import org.apache.spark.sql.functions.col
+    // a→b only: b cannot reach a
+    val e = Seq(("a", "b", 1.0, "T")).toDF("src", "dst", "w", "type")
+    val dg = Graph(Graph.verticesOf(e), e)
+    val self = dg.bfs(col("id") === "a", col("id") === "a").collect()
+    assert(self.map(r => (r.getString(0), r.getLong(3))).toSeq === Seq(("a", 0L)))
+    assert(dg.bfs(col("id") === "b", col("id") === "a", maxPathLength = 4).isEmpty)
+  }
+
+  test("bfs: cycle guard terminates on cyclic graphs within maxPathLength") {
+    import org.apache.spark.sql.functions.col
+    val e = Seq(("a", "b", 1.0, "T"), ("b", "a", 1.0, "T"), ("b", "c", 1.0, "T"))
+      .toDF("src", "dst", "w", "type")
+    val dg = Graph(Graph.verticesOf(e), e)
+    val paths = dg.bfs(col("id") === "a", col("id") === "c").collect()
+      .map(r => r.getSeq[String](2).toList)
+    assert(paths.toSeq === Seq(List("a", "b", "c")))
+  }
+
   test("connectedComponents: min-id labels, singleton vertices included") {
     val cc = g.connectedComponents().collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
