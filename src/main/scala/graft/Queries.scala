@@ -1767,6 +1767,36 @@ object Queries {
               |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
               |FROM documents""".stripMargin)),
 
+    // fuzzy match / entity resolution: vocabulary vs a deterministically
+    // corrupted variant (2nd char dropped), BLOCKED into an equi-join on
+    // (first char, length band) before the levenshtein verify — the
+    // standard blocking+verify shape that keeps fuzzy joins off the n²
+    // cliff; block-key choice is the scale knob (same role as LSH bands)
+    Q("q_fuzzy_match",
+      (s, d) => {
+        val vocab = t(s, d)("documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) > 3).distinct()
+        val dirty = vocab.select(
+          concat(substring(col("w"), 1, 1), substring(col("w"), 3, 100)).as("dw")).distinct()
+        vocab.join(dirty,
+            substring(col("w"), 1, 1) === substring(col("dw"), 1, 1) &&
+              length(col("dw")) >= length(col("w")) - 1 &&
+              length(col("dw")) <= length(col("w")) + 1)
+          .filter(levenshtein(col("w"), col("dw")) <= 1)
+          .select(col("w"), col("dw"),
+            levenshtein(col("w"), col("dw")).cast("long").as("dist"))
+      },
+      Some("""WITH vocab AS (SELECT DISTINCT w FROM (
+             |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
+             |  WHERE len(w) > 3),
+             |dirty AS (SELECT DISTINCT substring(w, 1, 1) || substring(w, 3, 100) AS dw FROM vocab)
+             |SELECT w, dw, CAST(levenshtein(w, dw) AS BIGINT) AS dist
+             |FROM vocab JOIN dirty
+             |  ON substring(w, 1, 1) = substring(dw, 1, 1)
+             | AND len(dw) >= len(w) - 1 AND len(dw) <= len(w) + 1
+             |WHERE levenshtein(w, dw) <= 1""".stripMargin)),
+
     // levenshtein parity: both engines implement the classic integer DP —
     // distance from each doc's prefix to its vowel-stripped form (a cheap
     // per-row "how much would normalization change this" signal)
