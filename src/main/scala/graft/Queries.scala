@@ -777,6 +777,26 @@ object Queries {
              |  ON c.user_id = p.user_id
              | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1800 SECONDS""".stripMargin)),
 
+    // streaming-capable windowed funnel: interval join chained into a
+    // tumbling-window count (two stateful operators in one streaming
+    // query; this batch twin is the oracle-checked form)
+    Q("q_funnel_windowed",
+      (s, d) => {
+        val ev = t(s, d)("events")
+        EventStream.funnelCounts(
+            ev.filter(col("event_type") === "click"),
+            ev.filter(col("event_type") === "purchase"))
+          .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+            col("conversions"))
+      },
+      Some("""SELECT strftime(date_trunc('hour', c.ts), '%Y-%m-%d %H:%M:%S') AS wstart,
+             |       count(*) AS conversions
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON c.user_id = p.user_id
+             | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1800 SECONDS
+             |GROUP BY 1""".stripMargin)),
+
     // two-stage salted aggregations — results identical to the unsalted
     // forms (same oracles), the salt only reshapes the shuffle (SCALE.md)
     Q("q_agg_salted",
@@ -1023,6 +1043,28 @@ object Queries {
              |  count(*) AS cnt,
              |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
+    // the SQL front door: the same engine drives spark.sql() over
+    // registered views — TPC-H Q1 pricing-summary shape. Catalyst plans
+    // SQL text and the DataFrame API into the identical physical plan
+    Q("q_sql_q1",
+      (s, d) => {
+        t(s, d)("lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
+                |FROM lineitem_v
+                |GROUP BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price
+             |FROM lineitem
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
     // TPC-H Q3 shape: shipping-priority revenue — fact⨝fact⨝dim with
     // selective date filters PUSHED to all three scans, then agg + top-10.
@@ -1340,6 +1382,56 @@ object Queries {
              |  0.0 + (CAST(bin AS DOUBLE)
              |         + (q * n - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)) * 10.0 AS est
              |FROM qq JOIN c ON cum >= q * n AND (cum - cnt) < q * n""".stripMargin)),
+
+    // sketch-driven winsorize audit: per-type p05/p95 bounds from the
+    // grouped histogram sketch, broadcast back over the events to count
+    // clip candidates and sum in-range values exactly — outlier clipping
+    // decided by a KB-size sketch, never a global sort. (The clipped-value
+    // SUM is deliberately split kept/below/above: summing clamped DOUBLES
+    // would re-introduce partition-order float nondeterminism.)
+    Q("q_winsorize_stats",
+      (s, d) => {
+        val ev = t(s, d)("events")
+        val bounds = graft.pipeline.Sketches.histQuantileBy(
+            graft.pipeline.Sketches.histSketchBy(ev, "event_type", "value", 0.0, 500.0, 50),
+            "event_type", Seq(0.05, 0.95), 0.0, 500.0, 50)
+          .groupBy("event_type")
+          .agg(max(when(col("q") === 0.05, col("est"))).as("lo"),
+            max(when(col("q") === 0.95, col("est"))).as("hi"))
+        ev.join(broadcast(bounds), Seq("event_type"))
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum((col("value") < col("lo")).cast("long")).as("n_below"),
+            sum((col("value") > col("hi")).cast("long")).as("n_above"),
+            sum(when(col("value") >= col("lo") && col("value") <= col("hi"),
+              col("value").cast("decimal(18,6)"))).cast("double").as("sum_kept"),
+            max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      },
+      Some("""WITH h AS (SELECT event_type, CAST(LEAST(49, GREATEST(0,
+             |              CAST(floor((value - 0.0) / 500.0 * 50) AS INTEGER))) AS BIGINT) AS bin,
+             |            count(*) AS cnt FROM events GROUP BY 1, 2),
+             |c AS (SELECT event_type, bin, cnt,
+             |        sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |        sum(cnt) OVER (PARTITION BY event_type) AS n FROM h),
+             |qq AS (SELECT CAST(unnest([0.05, 0.95]) AS DOUBLE) AS q),
+             |est AS (SELECT event_type, q,
+             |    0.0 + (CAST(bin AS DOUBLE)
+             |           + (q * n - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)) * 10.0 AS est
+             |  FROM qq JOIN c ON cum >= q * n AND (cum - cnt) < q * n),
+             |b AS (SELECT event_type,
+             |        max(CASE WHEN q = 0.05 THEN est END) AS lo,
+             |        max(CASE WHEN q = 0.95 THEN est END) AS hi
+             |      FROM est GROUP BY 1)
+             |SELECT e.event_type, count(*) AS n,
+             |  CAST(sum(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+             |  CAST(sum(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             |  CAST(sum(CASE WHEN e.value >= b.lo AND e.value <= b.hi
+             |    THEN CAST(e.value AS DECIMAL(18,6)) END) AS DOUBLE) AS sum_kept,
+             |  max(b.lo) AS lo, max(b.hi) AS hi
+             |FROM events e JOIN b ON e.event_type = b.event_type
+             |GROUP BY 1""".stripMargin)),
 
     Q("q_props_json",
       (s, d) => {

@@ -87,6 +87,35 @@ object EventStream {
         col("l_value"), col("r_value"))
   }
 
+  /** Windowed funnel conversion counts: (click, later-in-gap purchase)
+    * pairs per tumbling window of the CLICK time — the streaming form of
+    * the batch funnel (`q_funnel`). On streams this CHAINS two stateful
+    * operators (stream-stream interval join → windowed aggregate) in one
+    * query; the watermark propagates through the join, so downstream
+    * windows close deterministically off event time. Batch input runs the
+    * identical plan minus watermarks — the oracle-checked twin.
+    */
+  def funnelCounts(clicks: DataFrame, purchases: DataFrame,
+                   maxGapMs: Long = 30L * 60 * 1000,
+                   windowLen: String = "1 hour",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l0 = clicks.select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+      col("user_id").as("l_user"))
+    val r0 = purchases.select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+      col("user_id").as("r_user"))
+    val (l, r) =
+      if (clicks.isStreaming) (l0.withWatermark("l_ts", watermark),
+        r0.withWatermark("r_ts", watermark))
+      else (l0, r0)
+    l.join(r,
+        col("l_user") === col("r_user") &&
+          col("r_ts") > col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxGapMs MILLISECOND"))
+      .groupBy(window(col("l_ts"), windowLen))
+      .agg(count(lit(1)).as("conversions"))
+      .select(col("window.start").as("window_start"), col("conversions"))
+  }
+
   /** Streaming exact-dedup on event id: watermarked
     * `dropDuplicatesWithinWatermark`, the training-pipeline ingest guard
     * (at-least-once sources replay events; state for ids older than the

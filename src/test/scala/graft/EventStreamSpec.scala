@@ -109,6 +109,40 @@ class EventStreamSpec extends SparkTestBase {
     assert(all === Set((1L, Some(9L)), (2L, None)))
   }
 
+  test("funnelCounts chains stream-stream join into a windowed agg; matches its batch twin") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val cEvents = Seq(
+      Event(1L, ts(0), 10L, "click", 1.0),   // converts (purchase@5)
+      Event(2L, ts(2), 20L, "click", 1.0),   // converts (purchase@20)
+      Event(3L, ts(65), 10L, "click", 1.0))  // hour 2, no purchase in gap
+    val pEvents = Seq(
+      Event(8L, ts(5), 10L, "purchase", 5.0),
+      Event(9L, ts(20), 20L, "purchase", 5.0))
+    clicks.addData(cEvents: _*)
+    purchases.addData(pEvents: _*)
+    val q = EventStream.funnelCounts(clicks.toDF(), purchases.toDF(),
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance the watermark far past hour 1 so its window closes
+    clicks.addData(Event(99L, ts(300), 30L, "click", 1.0))
+    purchases.addData(Event(98L, ts(300), 31L, "purchase", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("funnel_stream").collect()
+      .map(r => r.getAs[java.sql.Timestamp](0).getTime -> r.getAs[Long](1)).toMap
+    // hour-1 window: clicks 1 and 2 both converted
+    assert(streamed === Map(1704067200000L -> 2L))
+    // batch twin on the same data agrees
+    val batch = EventStream.funnelCounts(
+        cEvents.toDF(), pEvents.toDF())
+      .collect().map(r => r.getAs[java.sql.Timestamp](0).getTime -> r.getAs[Long](1)).toMap
+    assert(batch === Map(1704067200000L -> 2L))
+  }
+
   test("streaming dedup drops watermark-window duplicate event ids") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
