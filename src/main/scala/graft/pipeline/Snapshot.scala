@@ -36,6 +36,17 @@ object Snapshot {
       .select(col(key) +: payload.map(c => col(s"__w.$c").as(c)): _*)
   }
 
+  /** [[upsert]] plus TOMBSTONES: after the latest-wins merge, keys listed
+    * in `deletes` are dropped with ONE left-anti equi-join — the full
+    * "apply a CDC batch" primitive (upserts + deletes in one pass).
+    * Deletes win over same-batch upserts: a delete is the final word on
+    * the key for this batch.
+    */
+  def applyChanges(base: DataFrame, updates: DataFrame, deletes: DataFrame,
+                   key: String, version: String): DataFrame =
+    upsert(base, updates, key, version)
+      .join(deletes.select(col(key)), Seq(key), "left_anti")
+
   /** Classify each key across two snapshots: `added` (new only),
     * `removed` (old only), `changed` (both, any compared column differs),
     * `unchanged`. Comparison spans all non-key columns present in BOTH

@@ -35,6 +35,14 @@ class SnapshotSpec extends SparkTestBase {
     assert(merged.filter($"id" === 1L).head().getString(1) === "a50")
   }
 
+  test("applyChanges: upserts merge, tombstones drop, deletes beat same-batch upserts") {
+    val updates = Seq((2L, "b2", 2L), (4L, "d", 1L)).toDF("id", "text", "version")
+    val deletes = Seq(Tuple1(1L), Tuple1(4L)).toDF("id") // 4 also upserted this batch
+    val out = Snapshot.applyChanges(base, updates, deletes, "id", "version")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "b2", 3L -> "c")) // 1 deleted, 4 delete-wins
+  }
+
   test("diff: added / removed / changed / unchanged classification") {
     val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
     val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
