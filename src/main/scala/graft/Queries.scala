@@ -2199,6 +2199,29 @@ object Queries {
              |    ORDER BY version DESC, pri DESC) AS rn FROM u)
              |WHERE rn = 1""".stripMargin)),
 
+    // full CDC batch: latest-wins upserts + tombstone deletes in one pass
+    // (deletes win over same-batch upserts)
+    Q("q_apply_changes",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        val base = docs.select(col("doc_id"), col("source"), col("text"),
+          lit(1L).as("version"))
+        val upd = docs.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), col("source"),
+            concat(lit("v2 "), col("text")).as("text"), lit(2L).as("version"))
+        val del = docs.filter(col("doc_id") % 13 === 0).select(col("doc_id"))
+        graft.pipeline.Snapshot.applyChanges(base, upd, del, "doc_id", "version")
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id, source, text, CAST(1 AS BIGINT) AS version, 0 AS pri FROM documents
+             |  UNION ALL
+             |  SELECT doc_id, source, 'v2 ' || text, CAST(2 AS BIGINT), 1 FROM documents
+             |  WHERE doc_id % 7 = 0)
+             |SELECT doc_id, source, text, version FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY version DESC, pri DESC) AS rn FROM u)
+             |WHERE rn = 1 AND doc_id % 13 <> 0""".stripMargin)),
+
     // snapshot diff / change capture: ONE full-outer equi-join on the key
     // classifies every doc as added / removed / changed / unchanged —
     // the daily "what did the refresh do" report
