@@ -1156,6 +1156,32 @@ object Queries {
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
              |FROM events GROUP BY 1, 2""".stripMargin)),
 
+    // calendar heat-map: events per (day-of-week, hour) — calendar
+    // function parity (Spark dayofweek is 1-7 Sun=1; DuckDB dayofweek is
+    // 0-6 Sun=0, hence the +1 on the oracle side)
+    Q("q_dow_heatmap",
+      (s, d) => t(s, d)("events")
+        .groupBy(dayofweek(col("ts")).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value")),
+      Some("""SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+             |  CAST(hour(ts) AS BIGINT) AS hr, count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // exact distinct users per hourly window — count(DISTINCT) inside a
+    // time bucket plans as Expand + two-phase aggregate, partial distinct
+    // map-side (same scale shape as q_agg_distinct, now time-keyed)
+    Q("q_window_distinct",
+      (s, d) => t(s, d)("events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("h"),
+          col("event_type"))
+        .agg(countDistinct(col("user_id")).as("users")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
+             |  event_type, count(DISTINCT user_id) AS users
+             |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // traffic anomaly flags: hourly counts z-scored against the corpus
     // mean/stddev — the ops-side "is this hour weird" monitor. Stats come
     // from ONE 1-row aggregate of exact decimal sums (Stats.moments
