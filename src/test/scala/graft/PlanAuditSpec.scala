@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_tfidf_top_terms", "q_bm25_top_terms", "q_token_rarity",
     "q_window_anomaly",                  // 1-row stats broadcast
     "q_sketch_hist_quantile",
-    "q_hist_quantile_by_source")         // quantile list × bin-sized sketch
+    "q_hist_quantile_by_source",
+    "q_winsorize_stats")                 // quantile list × bin-sized sketch
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {
