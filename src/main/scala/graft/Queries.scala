@@ -2395,6 +2395,180 @@ object Queries {
              |             len(string_split(text, '')) AS n
              |      FROM documents)""".stripMargin)),
 
+    // ------------------------------------------------- relational extras
+    // GROUPING SETS — the general form rollup/cube specialize; Spark plans
+    // all three through the same Expand, one scan for every set
+    Q("q_grouping_sets",
+      (s, d) => t(s, d)("lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("long").as("g1"),
+          grouping(col("l_linestatus")).cast("long").as("g2"),
+          count(lit(1)).as("cnt"), moneySum(col("l_extendedprice")).as("rev"))
+        .select("l_returnflag", "l_linestatus", "g1", "g2", "cnt", "rev"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(grouping(l_returnflag) AS BIGINT) AS g1,
+             |  CAST(grouping(l_linestatus) AS BIGINT) AS g2,
+             |  count(*) AS cnt,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)),
+
+    // unpivot/melt — wide metric columns → long (metric, value) rows.
+    // Spark's native unpivot is a zero-shuffle Expand (per input row, one
+    // output row per metric), NOT a union of re-scans
+    Q("q_unpivot",
+      (s, d) => t(s, d)("lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value"),
+      Some("""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             |       'l_quantity' AS metric, l_quantity AS value FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_extendedprice', l_extendedprice FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_discount', l_discount FROM lineitem
+             |UNION ALL
+             |SELECT l_orderkey, CAST(l_linenumber AS BIGINT), 'l_tax', l_tax FROM lineitem""".stripMargin)),
+
+    // null-safe equality join (<=>): NULL keys MATCH each other — the
+    // semantics plain `=` silently drops. Still hash-partitionable (null is
+    // one key value), so the plan is a normal shuffled equi-join
+    Q("q_join_nullsafe",
+      (s, d) => {
+        val keyed = t(s, d)("orders").withColumn("k",
+          when(col("o_orderstatus") === "O", lit(null: String))
+            .otherwise(col("o_orderstatus")))
+        val a = keyed.groupBy("k").agg(count(lit(1)).as("n_orders"))
+        val b = keyed.groupBy("k").agg(moneySum(col("o_totalprice")).as("rev"))
+        a.join(b, a("k") <=> b("k"))
+          .select(a("k").as("k"), col("n_orders"), col("rev"))
+      },
+      Some("""WITH x AS (SELECT CASE WHEN o_orderstatus = 'O' THEN NULL
+             |                       ELSE o_orderstatus END AS k, o_totalprice
+             |           FROM orders),
+             |a AS (SELECT k, count(*) AS n_orders FROM x GROUP BY k),
+             |b AS (SELECT k, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+             |      FROM x GROUP BY k)
+             |SELECT a.k, n_orders, rev
+             |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin)),
+
+    // TPC-H Q17 shape through the SQL front door: TWO correlated scalar
+    // subqueries over the same group. Catalyst decorrelates each into an
+    // aggregate + join and MergeScalarSubqueries fuses them into ONE
+    // per-partkey aggregate — the plan a hand-rewrite would produce.
+    // Determinism: quantities are integral, count·quantity·5 < 2^53, so
+    // the avg test is all-integer (`5·qty·cnt < sum`) — no float avg
+    Q("q_scalar_subquery",
+      (s, d) => {
+        t(s, d)("lineitem").createOrReplaceTempView("lineitem_sq")
+        t(s, d)("part").createOrReplaceTempView("part_sq")
+        s.sql("""SELECT p_brand, count(*) AS n_small,
+                |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS below_avg_revenue
+                |FROM lineitem_sq l1 JOIN part_sq ON p_partkey = l_partkey
+                |WHERE 5 * CAST(l_quantity AS BIGINT) *
+                |      (SELECT count(*) FROM lineitem_sq l2 WHERE l2.l_partkey = l1.l_partkey)
+                |    < (SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem_sq l2
+                |       WHERE l2.l_partkey = l1.l_partkey)
+                |GROUP BY p_brand""".stripMargin)
+      },
+      Some("""SELECT p_brand, count(*) AS n_small,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS below_avg_revenue
+             |FROM lineitem l1 JOIN part ON p_partkey = l_partkey
+             |WHERE 5 * CAST(l_quantity AS BIGINT) *
+             |      (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+             |    < (SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem l2
+             |       WHERE l2.l_partkey = l1.l_partkey)
+             |GROUP BY p_brand""".stripMargin)),
+
+    // bounded power-of-two EWMA (exact-float smoothing, one window pass) —
+    // see Smooth.ewmaPow2 for why this form instead of the recursion
+    Q("q_ewma",
+      (s, d) => graft.ops.Smooth.ewmaPow2(t(s, d)("events"),
+        key = "user_id", ts = "ts", seq = "event_id", value = "value"),
+      Some {
+        val terms = (0 until 8).map { j =>
+          val lagE = if (j == 0) "value" else s"lag(value, $j) OVER w"
+          val wj = 1.0 / (1L << j)
+          (s"coalesce(($lagE) * $wj, 0.0)",
+            s"(CASE WHEN ($lagE) IS NOT NULL THEN $wj ELSE 0.0 END)")
+        }
+        s"""SELECT user_id, event_id,
+           |  (${terms.map(_._1).mkString("\n   + ")})
+           |  / (${terms.map(_._2).mkString("\n   + ")}) AS ewma
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+      }),
+
+    // Bloom-filter join pruning: high-balance customers' keys packed into a
+    // 1 KiB broadcast bitmap; every distinct order custkey tagged by a pure
+    // projection. is_member exhibits the contract: bloom_hit ⊇ is_member
+    // (no false negatives), surplus = false positives
+    Q("q_bloom_join",
+      (s, d) => {
+        val members = t(s, d)("customer").filter(col("c_acctbal") >= 9000)
+          .select(col("c_custkey").as("custkey"))
+        val bloom = graft.pipeline.Bloom.build(members, col("custkey"))
+        val probe = t(s, d)("orders").select(col("o_custkey").as("custkey")).distinct()
+        graft.pipeline.Bloom.tagProbe(probe, col("custkey"), bloom)
+          .join(members.withColumn("is_member", lit(1L)), Seq("custkey"), "left")
+          .select(col("custkey"), col("bloom_hit"),
+            coalesce(col("is_member"), lit(0L)).as("is_member"))
+      },
+      Some("""WITH b AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 9000),
+             |bits AS (SELECT DISTINCT
+             |           (CAST(concat('0x', substr(md5(i || ':' || CAST(custkey AS VARCHAR)), 1, 6)) AS BIGINT) % 8192) AS pos
+             |         FROM b CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) s),
+             |p AS (SELECT DISTINCT o_custkey AS custkey FROM orders)
+             |SELECT p.custkey,
+             |  CAST((CAST(concat('0x', substr(md5('0:' || CAST(p.custkey AS VARCHAR)), 1, 6)) AS BIGINT) % 8192) IN (SELECT pos FROM bits)
+             |   AND (CAST(concat('0x', substr(md5('1:' || CAST(p.custkey AS VARCHAR)), 1, 6)) AS BIGINT) % 8192) IN (SELECT pos FROM bits)
+             |   AND (CAST(concat('0x', substr(md5('2:' || CAST(p.custkey AS VARCHAR)), 1, 6)) AS BIGINT) % 8192) IN (SELECT pos FROM bits) AS BIGINT) AS bloom_hit,
+             |  CAST(p.custkey IN (SELECT custkey FROM b) AS BIGINT) AS is_member
+             |FROM p""".stripMargin)),
+
+    // inverted index: term → df + capped sorted posting list (df counts the
+    // FULL set; the cap bounds the row). Hot-term skew note in Index.scala
+    Q("q_inverted_index",
+      (s, d) => graft.pipeline.Index.inverted(t(s, d)("documents"),
+        "doc_id", "text", minDf = 5L, maxPostings = 100),
+      Some("""WITH tk AS (SELECT DISTINCT doc_id AS did, unnest(string_split(text, ' ')) AS term
+             |            FROM documents)
+             |SELECT term, count(*) AS df,
+             |  array_to_string(list_transform((list_sort(list(did)))[1:100],
+             |    x -> CAST(x AS VARCHAR)), ',') AS postings
+             |FROM tk GROUP BY term HAVING count(*) >= 5""".stripMargin)),
+
+    // one-scan per-column profile (null + exact distinct counts via a
+    // single Expand) — the ingest health report; approx variant noted in
+    // Profile.scala for advisory use at 100 TB
+    Q("q_profile_columns",
+      (s, d) => graft.pipeline.Profile.columns(t(s, d)("orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")),
+      Some("""SELECT 'o_orderkey' AS col_name,
+             |       count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+             |       count(DISTINCT o_orderkey) AS n_distinct FROM orders
+             |UNION ALL
+             |SELECT 'o_custkey', count(CASE WHEN o_custkey IS NULL THEN 1 END),
+             |       count(DISTINCT o_custkey) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderstatus', count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+             |       count(DISTINCT o_orderstatus) FROM orders
+             |UNION ALL
+             |SELECT 'o_totalprice', count(CASE WHEN o_totalprice IS NULL THEN 1 END),
+             |       count(DISTINCT o_totalprice) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderdate', count(CASE WHEN o_orderdate IS NULL THEN 1 END),
+             |       count(DISTINCT o_orderdate) FROM orders
+             |UNION ALL
+             |SELECT 'o_orderpriority', count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+             |       count(DISTINCT o_orderpriority) FROM orders""".stripMargin)),
+
     // ----------------------------------------------------------- multimodal
     // mapPartitions feature extraction (StubCodec byte histogram), exploded
     // to scalars — utf-8 bytes == chars on this ASCII corpus, so the oracle

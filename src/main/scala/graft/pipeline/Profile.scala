@@ -1,0 +1,35 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-profiling: the per-column health report every ingest pipeline runs
+  * before trusting a new drop of data.
+  */
+object Profile {
+
+  /** Per-column null count + EXACT distinct count in ONE scan, long form
+    * (`col_name, n_nulls, n_distinct`).
+    *
+    * Plan shape: Catalyst rewrites the multi-column `count(DISTINCT …)`
+    * aggregate into a single Expand (one pass over the data, ×N rows in
+    * flight) rather than N separate scans — the right trade at 100 TB
+    * where the scan dominates. The wide 1-row aggregate then unpivots via
+    * `stack`, which is driver-free.
+    *
+    * Exact distinct over a 100 TB column is itself a full shuffle of that
+    * column; when the profile is advisory (it usually is), swap
+    * `countDistinct` for `approx_count_distinct` and keep the same shape —
+    * the Expand collapses to map-side HLL sketches.
+    */
+  def columns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(when(col(c).isNull, lit(1))).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__dst"))
+    }
+    val stackArgs = cols.map(c => s"'$c', `${c}__nulls`, `${c}__dst`").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)"))
+  }
+}

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_window_anomaly",                  // 1-row stats broadcast
     "q_sketch_hist_quantile",
     "q_hist_quantile_by_source",
-    "q_winsorize_stats")                 // quantile list × bin-sized sketch
+    "q_winsorize_stats",                 // quantile list × bin-sized sketch
+    "q_bloom_join")                      // 1-row packed-bitmap broadcast
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {

@@ -1,0 +1,36 @@
+package graft
+
+import graft.pipeline.{Index, Profile}
+import org.apache.spark.sql.functions._
+
+class ProfileIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("inverted index: df counts all docs, postings sorted and capped") {
+    val docs = Seq(
+      (3L, "b a"), (1L, "a a c"), (2L, "a b"))
+      .toDF("doc_id", "text")
+    val idx = Index.inverted(docs, "doc_id", "text", minDf = 1L, maxPostings = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(idx("a") === ((3L, "1,2")))   // df=3 (duplicate within doc 1 collapsed), cap=2
+    assert(idx("b") === ((2L, "2,3")))
+    assert(idx("c") === ((1L, "1")))
+  }
+
+  test("profile: null and exact distinct counts per column, one row each") {
+    val df = Seq(
+      (Some(1), Some("x")), (None, Some("x")), (Some(1), None), (Some(2), Some("y")))
+      .toDF("a", "b")
+    val got = Profile.columns(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a") === ((1L, 2L)))
+    assert(got("b") === ((1L, 2L)))
+  }
+
+  test("profile plans one scan: multi-distinct goes through a single Expand") {
+    val df = Seq((1, "x")).toDF("a", "b")
+    val plan = Profile.columns(df, Seq("a", "b")).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"))
+    assert("(?s)Scan|LocalTableScan".r.findAllIn(plan).size >= 1)
+  }
+}
