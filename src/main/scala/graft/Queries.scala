@@ -2458,9 +2458,12 @@ object Queries {
              |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin)),
 
     // TPC-H Q17 shape through the SQL front door: TWO correlated scalar
-    // subqueries over the same group. Catalyst decorrelates each into an
-    // aggregate + join and MergeScalarSubqueries fuses them into ONE
-    // per-partkey aggregate — the plan a hand-rewrite would produce.
+    // subqueries over the same group. Catalyst decorrelates both into
+    // per-partkey aggregate + join — ZERO residual per-row subqueries in
+    // the optimized plan (verified) — though it does NOT fuse them, so
+    // lineitem is aggregated twice; a throughput-critical pipeline would
+    // hand-rewrite to one pre-aggregate join (the q_funnel pattern). This
+    // row pins the decorrelation semantics, not the hand-tuned plan.
     // Determinism: quantities are integral, count·quantity·5 < 2^53, so
     // the avg test is all-integer (`5·qty·cnt < sum`) — no float avg
     Q("q_scalar_subquery",
