@@ -2572,6 +2572,98 @@ object Queries {
              |SELECT 'o_orderpriority', count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
              |       count(DISTINCT o_orderpriority) FROM orders""".stripMargin)),
 
+    // correlated EXISTS through the SQL front door (TPC-H Q4 shape):
+    // Catalyst decorrelates to a LEFT SEMI equi-join on the order key —
+    // the scale-safe plan (no per-row subquery ever executes)
+    Q("q_exists_subquery",
+      (s, d) => {
+        t(s, d)("orders").createOrReplaceTempView("orders_eq")
+        t(s, d)("lineitem").createOrReplaceTempView("lineitem_eq")
+        s.sql("""SELECT o_orderpriority, count(*) AS n_orders
+                |FROM orders_eq
+                |WHERE EXISTS (SELECT 1 FROM lineitem_eq
+                |              WHERE l_orderkey = o_orderkey
+                |                AND l_shipdate > o_orderdate)
+                |GROUP BY o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // correlated LATERAL subquery with per-group ORDER BY + LIMIT — the
+    // declarative top-N-per-group. No aggregates ride through, so the
+    // acctbal doubles pass to the oracle untouched
+    Q("q_lateral_topn",
+      (s, d) => {
+        t(s, d)("customer").createOrReplaceTempView("customer_lt")
+        t(s, d)("nation").createOrReplaceTempView("nation_lt")
+        s.sql("""SELECT n_name, t.c_name, t.c_acctbal
+                |FROM nation_lt JOIN LATERAL (
+                |  SELECT c_name, c_acctbal FROM customer_lt
+                |  WHERE c_nationkey = n_nationkey
+                |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)
+      },
+      Some("""SELECT n_name, t.c_name, t.c_acctbal
+             |FROM nation, LATERAL (
+             |  SELECT c_name, c_acctbal FROM customer
+             |  WHERE c_nationkey = n_nationkey
+             |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)),
+
+    // prefix-filtered EXACT similarity join (SSJoin/PPJoin family) — same
+    // ≥0.5-Jaccard contract as the share-any-shingle baseline but
+    // candidates come only from each doc's rarest-shingle prefix; zero
+    // false negatives by the pigeonhole argument (see Dedup scaladoc)
+    Q("q_jaccard_prefix",
+      (s, d) => Dedup.prefixFilteredPairs(t(s, d)("documents"), minJaccard = 0.5),
+      Some(s"""WITH $shingleSqlCte,
+              |fr AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+              |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+              |rk AS (SELECT sh.id, sh.s,
+              |         row_number() OVER (PARTITION BY sh.id ORDER BY fr.df, sh.s) AS rnk
+              |       FROM sh JOIN fr USING (s)),
+              |pf AS (SELECT rk.id, rk.s FROM rk JOIN sz USING (id)
+              |       WHERE rnk <= nsh - ceil(0.5 * nsh) + 1),
+              |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+              |         FROM pf a JOIN pf b ON a.s = b.s AND a.id < b.id),
+              |sharedc AS (SELECT id1, id2, count(*) AS shared
+              |            FROM cand
+              |            JOIN sh x ON x.id = id1
+              |            JOIN sh y ON y.id = id2 AND y.s = x.s
+              |            GROUP BY id1, id2)
+              |SELECT id1, id2, shared,
+              |  CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) AS jaccard
+              |FROM sharedc JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+              |WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5""".stripMargin)),
+
+    // k-core decomposition of the events graph: the oracle UNROLLS the
+    // peel loop to the same maxIter cap the Spark side asserts convergence
+    // under — past the fixed point every further round is the identity, so
+    // the unrolled e12 IS the core regardless of when peeling stabilized
+    Q("q_graph_kcore",
+      (s, d) => Queries.eventsGraph(s, d).kCore(k = 4),
+      Some {
+        val k = 4
+        // MATERIALIZED: each round references the previous CTE 3× — with
+        // DuckDB's default inlining the tree (and its parquet scans) would
+        // grow exponentially in the unroll depth
+        val rounds = (1 to 12).map { i =>
+          s"""d$i AS MATERIALIZED (SELECT id, count(*) AS deg FROM (
+             |  SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY id),
+             |v$i AS MATERIALIZED (SELECT id FROM d$i WHERE deg >= $k),
+             |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+             |        WHERE a IN (SELECT id FROM v$i) AND b IN (SELECT id FROM v$i))""".stripMargin
+        }
+        s"""WITH $eventsGraphCte,
+           |e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |       FROM e WHERE src <> dst),
+           |${rounds.mkString(",\n")}
+           |SELECT id, count(*) AS deg FROM (
+           |  SELECT a AS id FROM e12 UNION ALL SELECT b FROM e12) GROUP BY id""".stripMargin
+      }),
+
     // ----------------------------------------------------------- multimodal
     // mapPartitions feature extraction (StubCodec byte histogram), exploded
     // to scalars — utf-8 bytes == chars on this ASCII corpus, so the oracle

@@ -241,6 +241,54 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
       .withColumn("tri_count", coalesce(col("tri_count"), lit(0L)))
   }
 
+  /** k-core decomposition: the maximal subgraph in which every vertex has
+    * degree ≥ k (direction ignored, self-loops dropped, parallel edges
+    * collapsed — the standard simple-graph semantics). Returns
+    * `(id, deg)` — the surviving vertices with their in-core degree.
+    *
+    * The classic peel loop: drop sub-k vertices, restrict edges to the
+    * survivors, repeat to fixed point. Per round: one degree aggregate +
+    * two LEFT SEMI joins, all hash-partitioned on vertex id — no
+    * driver-side graph state; the per-round `count()` is job-sizing
+    * control flow (the [[graft.pipeline.Dedup.components]] precedent).
+    * Rounds are bounded by the peel depth (≤ degeneracy ordering depth,
+    * usually single digits on social-ish graphs); the cap fails LOUDLY
+    * rather than returning an unconverged core, because downstream
+    * consumers assume the degree invariant.
+    */
+  def kCore(k: Int, maxIter: Int = 12): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var cur = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(lvl)
+    var nEdges = cur.count()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val deg = cur.select(col("a").as("id")).unionAll(cur.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select("id")
+      val next = cur
+        .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .persist(lvl)
+      val n = next.count()
+      converged = n == nEdges
+      cur.unpersist()
+      cur = next
+      nEdges = n
+      iter += 1
+    }
+    require(converged,
+      s"Graph.kCore: still peeling after $maxIter iterations — raise maxIter")
+    // `cur` stays persisted — the returned plan reads it twice (a/b sides),
+    // same as the final `labels` in Dedup.components
+    cur.select(col("a").as("id")).unionAll(cur.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+  }
+
   /** CSV export of edges + vertices (reference S2, `bigdata/__init__.py:96-114`).
     * `coalesce(1)` instead of the reference's `repartition(1)` — same single
     * output file without the full shuffle.

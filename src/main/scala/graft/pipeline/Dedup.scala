@@ -150,6 +150,55 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Prefix-filtered exact set-similarity join (the SSJoin/PPJoin family,
+    * Chaudhuri et al. ICDE'06 / Xiao et al. WWW'08 — published algorithms):
+    * all pairs with shingle-Jaccard ≥ `minJaccard`, generating candidates
+    * ONLY from each doc's PREFIX under a global token-rarity order.
+    *
+    * Why this beats [[ngramJaccardPairs]] at 100 TB: share-ANY-shingle
+    * candidate generation explodes on common shingles (the df² blowup per
+    * hot shingle). Prefix filtering keeps just the
+    * `|x| - ceil(t·|x|) + 1` RAREST shingles per doc — if J(x,y) ≥ t, the
+    * prefixes must intersect (pigeonhole on the global order), so recall
+    * is exact by construction while hot shingles almost never make a
+    * prefix (they sort last). Exact verification then touches only the
+    * surviving candidates. Same output contract as the LSH+verify flow
+    * but with ZERO false negatives and no tuning knob.
+    *
+    * Plan: df aggregate + per-doc rank window (keyed on the
+    * high-cardinality doc id) + one prefix self-equi-join + a
+    * candidate-bounded verify join — every stage hash-partitioned.
+    */
+  def prefixFilteredPairs(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text", n: Int = 3,
+                          minJaccard: Double = 0.5): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val ranked = sh.join(dfreq, "sh")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("df", "sh")))
+    // prefix length n - ceil(t·n) + 1: t·n is an exact double for the
+    // catalog's t (dyadic), ceil exact — both engines agree bit-for-bit
+    val pref = ranked.join(sizes, "id")
+      .filter(col("rnk") <= col("nsh") - ceil(lit(minJaccard) * col("nsh")) + 1)
+      .select("id", "sh")
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
+    val shared = cand
+      .join(sh.as("x"), col("id1") === col("x.id"))
+      .join(sh.as("y"), col("id2") === col("y.id") && col("x.sh") === col("y.sh"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("z1"), col("id1") === col("z1.id"))
+      .join(sizes.as("z2"), col("id2") === col("z2.id"))
+      .select(col("id1"), col("id2"), col("shared"),
+        (col("shared").cast("double") /
+          (col("z1.nsh") + col("z2.nsh") - col("shared")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** MinHash Jaccard ESTIMATE on the LSH candidates: the fraction of
     * agreeing signature components is an unbiased estimator of the true
     * Jaccard — the cheap score you rank candidates by BEFORE paying for

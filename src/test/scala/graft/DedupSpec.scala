@@ -71,6 +71,43 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-filtered pairs equal the brute-force jaccard join above threshold") {
+    // richer corpus: planted exact dup, word-swap near-dups, decoys that
+    // share common shingles but sit below 0.5
+    val corpus = (1L to 10L).map { i =>
+      val tail = if (i <= 2) "alpha beta gamma delta epsilon zeta eta theta"
+      else if (i == 3) "alpha beta gamma delta epsilon zeta eta iota"
+      else s"common words here then unique u$i v$i w$i x$i y$i z$i"
+      (i, s"doc opener text $tail")
+    }.toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toSet
+    val brute = key(Dedup.ngramJaccardPairs(corpus, minShared = 1L, minJaccard = 0.5))
+    val prefix = key(Dedup.prefixFilteredPairs(corpus, minJaccard = 0.5))
+    assert(prefix === brute)            // exact: no false negatives OR positives
+    assert(brute.exists(p => p._1 == 1L && p._2 == 2L && p._4 === 1.0))
+  }
+
+  test("prefix-filtered pairs: randomized corpora, exact equality with brute force") {
+    // seeded random docs over a small vocabulary force heavy shingle
+    // sharing and borderline jaccards — the regime where a buggy prefix
+    // bound would drop a true pair
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("red", "blue", "green", "cat", "dog", "runs", "fast", "slow")
+    val corpus = (1L to 20L).map { i =>
+      val words = Seq.fill(6 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("jaccard"))).toSet
+    for (t <- Seq(0.25, 0.5, 0.75)) {
+      val brute = key(Dedup.ngramJaccardPairs(corpus, minShared = 1L, minJaccard = t))
+      val prefix = key(Dedup.prefixFilteredPairs(corpus, minJaccard = t))
+      assert(prefix === brute, s"threshold $t")
+    }
+  }
+
   test("embedding near-dup finds planted identical vector") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),

@@ -133,6 +133,26 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(l2("d") === "a" && l2("e") === "e" && l2("f") === "f" && l2("g") === "g")
   }
 
+  test("kCore: peel removes pendant and chain, keeps the triangle; cascade works") {
+    // 2-core of g: d (deg 1) and e-f (deg 1 each) peel away; the triangle
+    // survives with every degree exactly 2 (c's edge to d vanishes)
+    val core2 = g.kCore(2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core2 === Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // 3-core is empty — and the peel must CASCADE (after d peels, c drops
+    // to 2 and the triangle unravels only at k=3, not k=2)
+    assert(g.kCore(3).count() === 0)
+  }
+
+  test("kCore: cap fails loudly instead of returning an unconverged core") {
+    import spark.implicits._
+    // a long path peels one layer per round from each end — 1 iteration
+    // cannot finish, and an unconverged result must throw, not return
+    val e = (1 to 12).map(i => (s"v$i", s"v${i + 1}", 1.0, "T"))
+      .toDF("src", "dst", "w", "type")
+    val pathG = Graph(Graph.verticesOf(e), e)
+    assertThrows[IllegalArgumentException](pathG.kCore(2, maxIter = 1))
+  }
+
   test("triangleCount: duplicate and reversed edges do not double-count") {
     val e = Seq(
       ("a", "b", 1.0, "T"), ("b", "a", 1.0, "T"), // same undirected edge twice
