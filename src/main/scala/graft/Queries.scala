@@ -2572,6 +2572,26 @@ object Queries {
              |SELECT 'o_orderpriority', count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
              |       count(DISTINCT o_orderpriority) FROM orders""".stripMargin)),
 
+    // exact distinct users per CUBE cell — the grouping-sets Expand and
+    // the distinct-aggregate Expand COMPOSE (4 sets × distinct rewrite in
+    // one scan); at 100 TB swap countDistinct for approx_count_distinct:
+    // same plan shape, map-side HLL sketches instead of the exact shuffle
+    Q("q_cube_distinct",
+      (s, d) => t(s, d)("events")
+        .select(col("event_type"), dayofweek(col("ts")).cast("long").as("dow"),
+          col("user_id"))
+        .cube("event_type", "dow")
+        .agg(grouping(col("event_type")).cast("long").as("g1"),
+          grouping(col("dow")).cast("long").as("g2"),
+          countDistinct(col("user_id")).as("users")),
+      Some("""SELECT event_type, dow,
+             |  CAST(grouping(event_type) AS BIGINT) AS g1,
+             |  CAST(grouping(dow) AS BIGINT) AS g2,
+             |  count(DISTINCT user_id) AS users
+             |FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow, user_id
+             |      FROM events)
+             |GROUP BY CUBE(event_type, dow)""".stripMargin)),
+
     // correlated EXISTS through the SQL front door (TPC-H Q4 shape):
     // Catalyst decorrelates to a LEFT SEMI equi-join on the order key —
     // the scale-safe plan (no per-row subquery ever executes)
@@ -2612,22 +2632,27 @@ object Queries {
              |  WHERE c_nationkey = n_nationkey
              |  ORDER BY c_acctbal DESC, c_name LIMIT 2) t""".stripMargin)),
 
-    // prefix-filtered EXACT similarity join (SSJoin/PPJoin family) — same
-    // ≥0.5-Jaccard contract as the share-any-shingle baseline but
-    // candidates come only from each doc's rarest-shingle prefix; zero
-    // false negatives by the pigeonhole argument (see Dedup scaladoc)
+    // prefix-filtered EXACT similarity join (SSJoin/PPJoin family):
+    // candidates come only from each doc's rarest-shingle prefix, zero
+    // false negatives by the pigeonhole argument (see Dedup scaladoc).
+    // t=0.75 (dyadic): prefix filtering's candidate savings scale with
+    // the threshold (prefix = (1-t)·n+1 shingles) — at t=0.5 half of
+    // every doc is prefix and the filter saves little; near-dup dedup
+    // thresholds live at 0.75+ anyway (this corpus: the ≥0.5 and ≥0.75
+    // pair sets are IDENTICAL, measured at both sf0.01 and sf0.1)
     Q("q_jaccard_prefix",
-      (s, d) => Dedup.prefixFilteredPairs(t(s, d)("documents"), minJaccard = 0.5),
+      (s, d) => Dedup.prefixFilteredPairs(t(s, d)("documents"), minJaccard = 0.75),
       Some(s"""WITH $shingleSqlCte,
               |fr AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
               |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
               |rk AS (SELECT sh.id, sh.s,
               |         row_number() OVER (PARTITION BY sh.id ORDER BY fr.df, sh.s) AS rnk
               |       FROM sh JOIN fr USING (s)),
-              |pf AS (SELECT rk.id, rk.s FROM rk JOIN sz USING (id)
-              |       WHERE rnk <= nsh - ceil(0.5 * nsh) + 1),
+              |pf AS (SELECT rk.id, rk.s, sz.nsh FROM rk JOIN sz USING (id)
+              |       WHERE rnk <= nsh - ceil(0.75 * nsh) + 1),
               |cand AS (SELECT DISTINCT a.id AS id1, b.id AS id2
-              |         FROM pf a JOIN pf b ON a.s = b.s AND a.id < b.id),
+              |         FROM pf a JOIN pf b ON a.s = b.s AND a.id < b.id
+              |          AND 0.75 * a.nsh <= b.nsh AND 0.75 * b.nsh <= a.nsh),
               |sharedc AS (SELECT id1, id2, count(*) AS shared
               |            FROM cand
               |            JOIN sh x ON x.id = id1
@@ -2636,7 +2661,7 @@ object Queries {
               |SELECT id1, id2, shared,
               |  CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) AS jaccard
               |FROM sharedc JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
-              |WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5""".stripMargin)),
+              |WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.75""".stripMargin)),
 
     // k-core decomposition of the events graph: the oracle UNROLLS the
     // peel loop to the same maxIter cap the Spark side asserts convergence

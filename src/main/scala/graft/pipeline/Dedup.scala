@@ -172,19 +172,32 @@ object Dedup {
   def prefixFilteredPairs(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", n: Int = 3,
                           minJaccard: Double = 0.5): DataFrame = {
+    // the (id, shingle) relation feeds FOUR consumers (df counts, the rank
+    // window, and both sides of the verify join) and its explode+distinct
+    // is the expensive part — materialize it once
     val sh = docShingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+    // doc size rides the SAME window partition as the rank — one exchange,
+    // no extra sizes join on the hot path
     val ranked = sh.join(dfreq, "sh")
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("df", "sh")))
+      .select(col("id"), col("sh"),
+        row_number().over(w.orderBy("df", "sh")).as("rnk"),
+        count(lit(1)).over(w).as("nsh"))
     // prefix length n - ceil(t·n) + 1: t·n is an exact double for the
     // catalog's t (dyadic), ceil exact — both engines agree bit-for-bit
-    val pref = ranked.join(sizes, "id")
+    val pref = ranked
       .filter(col("rnk") <= col("nsh") - ceil(lit(minJaccard) * col("nsh")) + 1)
-      .select("id", "sh")
+      .select("id", "sh", "nsh")
+    // LENGTH filter (the family's second pruning rule): J(x,y) ≥ t forces
+    // t·|x| ≤ |y| and t·|y| ≤ |x| — a free residual predicate on the
+    // candidate equi-join that prunes before the (expensive) verify
     val cand = pref.as("a").join(pref.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
+          lit(minJaccard) * col("a.nsh") <= col("b.nsh") &&
+          lit(minJaccard) * col("b.nsh") <= col("a.nsh"))
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
     val shared = cand
       .join(sh.as("x"), col("id1") === col("x.id"))
