@@ -511,6 +511,21 @@ object Queries {
              |WHERE NOT EXISTS (
              |  SELECT 1 FROM de b WHERE b.src = a.dst AND b.dst = a.src)""".stripMargin)),
 
+    // UNDIRECTED motif term (extension — GraphFrames motifs are
+    // directed-only): `(x)-[]-(y)` binds each edge row in both
+    // orientations, here composed with a directed negation. Distinct
+    // because the events graph is a multigraph (one edge row per event)
+    Q("q_motif_undirected",
+      (s, d) => Queries.eventsGraph(s, d)
+        .find("(x)-[]-(y); !(y)-[]->(x)")
+        .select(col("x.id").as("src"), col("y.id").as("dst")).distinct(),
+      Some(s"""WITH $eventsGraphCte,
+             |u AS (SELECT DISTINCT src, dst FROM e
+             |      UNION SELECT dst, src FROM e WHERE src <> dst)
+             |SELECT u.src, u.dst FROM u
+             |WHERE NOT EXISTS (
+             |  SELECT 1 FROM e WHERE e.src = u.dst AND e.dst = u.src)""".stripMargin)),
+
     // GraphFrames-parity algorithms over a deterministic user-space graph
     // derived from events (src = user, dst = event_id mod 150 + 1 — same
     // id space, so triangles exist; the doc→word graph is bipartite and

@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   * compiled to a cascade of equi-joins on the edge DataFrame.
   *
   * Supported pattern grammar: semicolon-separated edge terms
-  * `(v1)-[e]->(v2)`, where any name may be empty (anonymous). Matching
-  * GraphFrames semantics:
+  * `(v1)-[e]->(v2)`, where any name may be empty (anonymous). An
+  * UNDIRECTED term `(v1)-[e]-(v2)` — an extension; GraphFrames motifs are
+  * directed-only — matches the edge row in either orientation (`e` binds
+  * the original row; a self-loop binds once). Matching GraphFrames
+  * semantics:
   *   - a repeated VERTEX name unifies (equi-join on the id);
   *   - each term binds a fresh edge row — two named edges may still bind
   *     the same underlying row (GraphFrames imposes no distinctness);
@@ -40,23 +43,24 @@ import org.apache.spark.sql.functions._
 object Motif {
 
   private[graft] final case class EdgeTerm(src: String, edge: String, dst: String,
-                                           negated: Boolean = false)
+                                           negated: Boolean = false,
+                                           directed: Boolean = true)
 
   private val Term =
-    """(!?)\s*\(\s*(\w*)\s*\)\s*-\s*\[\s*(\w*)\s*\]\s*->\s*\(\s*(\w*)\s*\)""".r
+    """(!?)\s*\(\s*(\w*)\s*\)\s*-\s*\[\s*(\w*)\s*\]\s*(->|-)\s*\(\s*(\w*)\s*\)""".r
 
   private[graft] def parse(pattern: String): Seq[EdgeTerm] = {
     val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty).toSeq
     require(terms.nonEmpty, s"empty motif pattern: '$pattern'")
     val parsed = terms.map {
-      case Term(bang, s, e, d) =>
+      case Term(bang, s, e, arrow, d) =>
         val neg = bang.nonEmpty
         if (neg) require(e.isEmpty,
           s"negated term '!($s)-[$e]->($d)' may not name its edge (GraphFrames rule)")
-        EdgeTerm(s, e, d, neg)
+        EdgeTerm(s, e, d, neg, directed = arrow == "->")
       case bad => throw new IllegalArgumentException(
-        s"unsupported motif term '$bad' — expected '(v1)-[e]->(v2)' or " +
-          "'!(v1)-[]->(v2)' (undirected edges are not supported)")
+        s"unsupported motif term '$bad' — expected '(v1)-[e]->(v2)', " +
+          "'(v1)-[e]-(v2)' (either direction), or '!(v1)-[]->(v2)'")
     }
     require(parsed.exists(!_.negated),
       s"motif '$pattern' contains only negated terms (GraphFrames rule)")
@@ -89,13 +93,25 @@ object Motif {
       if (t.dst.nonEmpty) outOrder += t.dst
     }
 
+    // an undirected term matches the edge row in EITHER orientation; the
+    // reversed side drops self-loops so a loop row binds once, not twice
+    // (both orientations of a loop are the same edge). The bound struct is
+    // the ORIGINAL edge row either way.
+    def orient(sCol: String, dCol: String, edgeName: String, directed: Boolean) = {
+      val fwd = g.edges.select(Seq(col("src").as(sCol), col("dst").as(dCol)) ++
+        (if (edgeName.nonEmpty) Seq(struct(col("*")).as(edgeName)) else Nil): _*)
+      if (directed) fwd
+      else fwd.unionAll(
+        g.edges.filter(col("src") =!= col("dst"))
+          .select(Seq(col("dst").as(sCol), col("src").as(dCol)) ++
+            (if (edgeName.nonEmpty) Seq(struct(col("*")).as(edgeName)) else Nil): _*))
+    }
+
     var bound = Map.empty[String, String] // vertex name -> internal id column
     var acc: DataFrame = null
     terms.filterNot(_.negated).zipWithIndex.foreach { case (t, i) =>
       val (sCol, dCol) = (s"__s$i", s"__d$i")
-      val cols = Seq(col("src").as(sCol), col("dst").as(dCol)) ++
-        (if (t.edge.nonEmpty) Seq(struct(col("*")).as(t.edge)) else Nil)
-      var term = g.edges.select(cols: _*)
+      var term = orient(sCol, dCol, t.edge, t.directed)
       // self-loop term (a)-[e]->(a): constrain within the term itself
       if (t.src.nonEmpty && t.src == t.dst) term = term.filter(col(sCol) === col(dCol))
       if (acc == null) acc = term
@@ -120,7 +136,13 @@ object Motif {
     terms.filter(_.negated).foreach { t =>
       require(t.src.nonEmpty || t.dst.nonEmpty,
         "a negated term needs at least one named endpoint")
-      val nterm = g.edges.select(col("src").as("__ns"), col("dst").as("__nd"))
+      // undirected negation = "no edge in EITHER direction": the anti join
+      // runs against both orientations (duplicates are harmless in an anti)
+      val nterm = {
+        val fwd = g.edges.select(col("src").as("__ns"), col("dst").as("__nd"))
+        if (t.directed) fwd
+        else fwd.unionAll(g.edges.select(col("dst").as("__ns"), col("src").as("__nd")))
+      }
       val conds = Seq(t.src -> "__ns", t.dst -> "__nd").collect {
         case (name, c) if name.nonEmpty => col(c) === col(bound(name))
       }

@@ -30,7 +30,6 @@ class MotifSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Motif.parse("!(a)-[]->(b)"))
     intercept[IllegalArgumentException](Motif.parse("(a)-[]->(b); !(a)-[e]->(b)"))
     intercept[IllegalArgumentException](Motif.parse("(a)-[]->(b); !(c)-[]->(a)"))
-    intercept[IllegalArgumentException](Motif.parse("(a)-[e]-(b)"))
     intercept[IllegalArgumentException](Motif.parse("   "))
     intercept[IllegalArgumentException](
       Motif.find(diamond, "(a)-[e]->(b); (b)-[e]->(c)")) // duplicate edge name
@@ -160,6 +159,44 @@ class MotifSpec extends SparkTestBase {
         (x, y) <- e; (y2, z) <- e if y2 == y && !e.contains((x, z))
       } yield (x, y, z)
       assert(open === brute, s"open-path mismatch, edges=$edges")
+    }
+  }
+
+  test("undirected term: parses, matches either orientation, loop binds once") {
+    assert(Motif.parse("(a)-[e]-(b)") ===
+      Seq(Motif.EdgeTerm("a", "e", "b", directed = false)))
+    val g = graphOf(Seq(
+      ("u1", "u2", 1.0, "RT"), ("u3", "u3", 1.0, "RT")))
+    val und = g.find("(a)-[e]-(b)")
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // u1-u2 binds in both orientations; the u3 loop exactly once
+    assert(und.sorted === Seq(("u1", "u2"), ("u2", "u1"), ("u3", "u3")).sorted)
+  }
+
+  test("undirected ≡ union of both directed orientations on random graphs") {
+    trials(edgeListGen, 10) { raw =>
+      val edges = raw.distinct
+      val g = graphOf(edges.map { case (s, d) => (s, d, 1.0, "RT") })
+      def pairs(p: String) = g.find(p).select(col("x.id"), col("y.id"))
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      val und = pairs("(x)-[]-(y)")
+      val fwd = pairs("(x)-[]->(y)")
+      val rev = edges.filter { case (s, d) => s != d }
+        .map { case (s, d) => (d, s) }
+      // multiset equality: undirected = forward bindings + reversed non-loops
+      assert(und.sorted === (fwd ++ rev).sorted, s"edges=$edges")
+
+      // undirected negation: connected-in-NEITHER-direction 2-path closure
+      val e = edges.toSet
+      val open = g.find("(x)-[]->(y); (y)-[]->(z); !(x)-[]-(z)")
+        .select(col("x.id"), col("y.id"), col("z.id")).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+      val brute = for {
+        (x, y) <- e; (y2, z) <- e
+        if y2 == y && !e.contains((x, z)) && !e.contains((z, x))
+      } yield (x, y, z)
+      assert(open === brute, s"undirected-negation mismatch, edges=$edges")
     }
   }
 }
