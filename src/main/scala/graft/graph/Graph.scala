@@ -257,11 +257,17 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * consumers assume the degree invariant.
     */
   def kCore(k: Int, maxIter: Int = 12): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // eager localCheckpoint per round, NOT persist: each round reads the
+    // previous edge set three times (degree union ×2 + the semi-join
+    // source), so the retained plan tree triples per round — the same
+    // exponential plan-serialization trap documented in
+    // [[graft.pipeline.Dedup.components]]. Checkpointing cuts the plan to
+    // a leaf; deep peels stay O(1) per round. Swap in reliable
+    // checkpoint() on a real cluster.
     var cur = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .persist(lvl)
+      .localCheckpoint(true)
     var nEdges = cur.count()
     var converged = false
     var iter = 0
@@ -273,18 +279,17 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
         .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi")
         .select("a", "b")
-        .persist(lvl)
+        .localCheckpoint(true)
       val n = next.count()
       converged = n == nEdges
-      cur.unpersist()
       cur = next
       nEdges = n
       iter += 1
     }
     require(converged,
       s"Graph.kCore: still peeling after $maxIter iterations — raise maxIter")
-    // `cur` stays persisted — the returned plan reads it twice (a/b sides),
-    // same as the final `labels` in Dedup.components
+    // `cur` is checkpointed — the returned plan reads its blocks twice
+    // (a/b sides) without recomputing the peel
     cur.select(col("a").as("id")).unionAll(cur.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
   }

@@ -280,9 +280,17 @@ object Dedup {
       .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // LINEAGE TRUNCATION, not just caching: each round references the
+    // previous labels twice (neighbor-min join + the left join), so the
+    // retained plan TREE triples per round — and Spark re-serializes the
+    // whole tree per action (SparkPlanInfo walks THROUGH cached plans),
+    // which goes exponential by ~round 8 even though execution is fine.
+    // Eager localCheckpoint cuts the plan to a leaf each round. On a real
+    // cluster swap in reliable checkpoint() (HDFS) — localCheckpoint
+    // blocks die with their executor; bounded lineage is the point.
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = Long.MaxValue
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -292,9 +300,8 @@ object Dedup {
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("old"), coalesce(col("nlbl"), col("old"))).as("lbl"),
           col("old"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = next.drop("old")
       iter += 1
     }
