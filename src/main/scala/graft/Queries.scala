@@ -2704,6 +2704,162 @@ object Queries {
            |  SELECT a AS id FROM e12 UNION ALL SELECT b FROM e12) GROUP BY id""".stripMargin
       }),
 
+    // personalized PageRank: all teleport mass at vertex '7' — proximity
+    // ranking to one item; same fixed-point integer iteration as
+    // q_graph_pagerank, oracle unrolls all 10 rounds bit-exactly
+    Q("q_graph_ppr",
+      (s, d) => Queries.eventsGraph(s, d).personalizedPageRank(lit("7"), iters = 10),
+      Some {
+        val iterCtes = (1 to 10).map { i =>
+          s"""pr$i AS (SELECT v.id,
+             |    (CASE WHEN v.id = '7' THEN 150000000 ELSE 0 END)
+             |      + (17 * coalesce(c.s, 0)) // 20 AS rank
+             |  FROM v LEFT JOIN (
+             |    SELECT e.dst AS id, sum(pr${i - 1}.rank // od.d) AS s
+             |    FROM e JOIN pr${i - 1} ON e.src = pr${i - 1}.id
+             |           JOIN od ON od.oid = e.src
+             |    GROUP BY e.dst) c ON v.id = c.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $eventsGraphCte,
+           |od AS (SELECT src AS oid, count(*) AS d FROM e GROUP BY src),
+           |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |pr0 AS (SELECT id,
+           |  CAST(CASE WHEN id = '7' THEN 1000000000 ELSE 0 END AS BIGINT) AS rank FROM v),
+           |$iterCtes
+           |SELECT id, CAST(rank AS BIGINT) AS rank FROM pr10""".stripMargin
+      }),
+
+    // -------------------------------------------- pipeline ops (round 4b)
+    // int8 embedding quantization: per-vector max-abs scale, shuffle-free
+    // projection; floor(x·scale + 0.5) is round-half-up in exact double
+    // arithmetic — engine-portable where round()'s tie rule is not
+    Q("q_embed_quantize",
+      (s, d) => graft.pipeline.Embeddings.quantizeInt8(t(s, d)("embeddings")),
+      Some("""WITH e AS (SELECT vec_id,
+             |            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM e),
+             |sc AS (SELECT vec_id, e,
+             |         CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale FROM m)
+             |SELECT vec_id, scale,
+             |  array_to_string(list_transform(e,
+             |    x -> CAST(CAST(floor(x * scale + 0.5) AS BIGINT) AS VARCHAR)), ',') AS qvec
+             |FROM sc""".stripMargin)),
+
+    // SCD2 dimension build from the event change log: collapse consecutive
+    // equal event_type runs per user into [valid_from, valid_to) validity
+    // intervals — two windows + one agg, all partitioned on user_id
+    Q("q_scd2_intervals",
+      (s, d) => graft.pipeline.Snapshot
+        .scd2(t(s, d)("events"), "user_id", "event_type", "ts", "event_id")
+        .select(col("user_id"), col("version"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"),
+          col("is_current")),
+      Some("""WITH o AS (
+             |  SELECT user_id, event_type, ts, event_id,
+             |    CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM event_type
+             |         THEN 0 ELSE 1 END AS chg
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version FROM o),
+             |g AS (SELECT user_id, version, min(event_type) AS event_type, min(ts) AS vf
+             |      FROM r GROUP BY user_id, version)
+             |SELECT user_id, version, event_type,
+             |  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+             |  strftime(lead(vf) OVER wr, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+             |  lead(vf) OVER wr IS NULL AS is_current
+             |FROM g WINDOW wr AS (PARTITION BY user_id ORDER BY version)""".stripMargin)),
+
+    // key-skew diagnostic: count-of-counts histogram for a join key — the
+    // pre-shuffle health check; two hash aggs, sketch-sized output
+    Q("q_key_skew",
+      (s, d) => graft.pipeline.Profile.keySkew(t(s, d)("lineitem"), "l_partkey"),
+      Some("""WITH kc AS (SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey)
+             |SELECT cnt, count(*) AS n_keys, cnt * count(*) AS n_rows
+             |FROM kc GROUP BY cnt""".stripMargin)),
+
+    // sorted-neighborhood dedup blocking: ONE window pass (row order by a
+    // text-prefix sort key within 2-char blocks), each row paired with its
+    // 4 lead() successors — no self-join; prefix edit-distance verify
+    Q("q_dedup_sorted_neighborhood",
+      (s, d) => graft.pipeline.Dedup.sortedNeighborhood(t(s, d)("documents"), windowSize = 5),
+      Some {
+        val leads = (1 to 4).map(i =>
+          s"lead(doc_id, $i) OVER w AS i$i, lead(pfx, $i) OVER w AS q$i").mkString(",\n  ")
+        val branches = (1 to 4).map(i =>
+          s"SELECT doc_id AS id1, pfx AS p1, i$i AS id2, q$i AS p2 FROM r").mkString("\nUNION ALL\n")
+        s"""WITH k AS (SELECT doc_id, substring(text, 1, 24) AS sk,
+           |                  substring(text, 1, 48) AS pfx,
+           |                  substring(text, 1, 2) AS block FROM documents),
+           |r AS (SELECT doc_id, pfx,
+           |  $leads
+           |FROM k WINDOW w AS (PARTITION BY block ORDER BY sk, doc_id)),
+           |p AS ($branches)
+           |SELECT id1, id2, CAST(levenshtein(p1, p2) AS BIGINT) AS dist
+           |FROM p WHERE id2 IS NOT NULL AND levenshtein(p1, p2) <= 24""".stripMargin
+      }),
+
+    // bigram language-model training: conditional P(w2|w1) as an exact
+    // integer ratio — two hash aggs + one window on the high-cardinality
+    // first word; the classic n-gram-LM-on-Spark workload
+    Q("q_bigram_lm",
+      (s, d) => {
+        val bg = t(s, d)("documents")
+          .select(explode(Text.shingles(col("text"), 2)).as("bg"))
+          .select(split(col("bg"), " ").getItem(0).as("w1"),
+            split(col("bg"), " ").getItem(1).as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+        bg.withColumn("prob",
+          col("c").cast("double") /
+            sum(col("c")).over(Window.partitionBy(col("w1"))).cast("double"))
+      },
+      Some("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+             |bg AS (SELECT unnest(list_filter(
+             |         list_transform(ws, (x,i) -> CASE WHEN i <= len(ws)-1
+             |           THEN x || ' ' || ws[i+1] END), v -> v IS NOT NULL)) AS bg FROM w),
+             |c AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+             |             count(*) AS c FROM bg GROUP BY 1, 2)
+             |SELECT w1, w2, c,
+             |  CAST(c AS DOUBLE) / CAST(CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS DOUBLE) AS prob
+             |FROM c""".stripMargin)),
+
+    // BPE tokenizer-training statistic: corpus-wide adjacent char-pair
+    // counts (each training round merges the argmax pair) — explode +
+    // one hash agg onto the ≤ alphabet² pair space
+    Q("q_bpe_pairs",
+      (s, d) => t(s, d)("documents")
+        .select(explode(Text.words(col("text"))).as("w"))
+        .select(explode(Text.charPairs(col("w"))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt")),
+      Some("""WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+             |p AS (SELECT unnest(list_transform(range(1, length(w)),
+             |        i -> substring(w, CAST(i AS INTEGER), 2))) AS pair
+             |      FROM wd WHERE length(w) >= 2)
+             |SELECT pair, count(*) AS cnt FROM p GROUP BY pair""".stripMargin)),
+
+    // salted equi-join: fact salt × dim replication — result provably the
+    // plain join (the oracle IS the plain join); the skew cure when the
+    // dim can't broadcast and AQE can't re-split
+    Q("q_join_salted",
+      (s, d) => graft.pipeline.Skew.saltedJoin(
+        t(s, d)("lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+        t(s, d)("part").select(col("p_partkey").as("l_partkey"), col("p_name")),
+        "l_partkey", col("l_orderkey"), salts = 8)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("p_name")),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, p_name
+             |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin)),
+
+    // contiguous 0-based ids with NO global sort: md5-prefix range buckets
+    // → 256-row offset prefix-sum → per-bucket row_number; equals the
+    // one-window global answer bit for bit (the oracle)
+    Q("q_global_ids",
+      (s, d) => graft.pipeline.Ids.contiguous(t(s, d)("documents"), "doc_id")
+        .select(col("doc_id"), col("gid")),
+      Some("""SELECT doc_id,
+             |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+             |       AS BIGINT) AS gid
+             |FROM documents""".stripMargin)),
+
     // ----------------------------------------------------------- multimodal
     // mapPartitions feature extraction (StubCodec byte histogram), exploded
     // to scalars — utf-8 bytes == chars on this ASCII corpus, so the oracle

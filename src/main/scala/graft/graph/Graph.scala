@@ -94,6 +94,35 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     ranks
   }
 
+  /** Personalized PageRank: [[pageRank]]'s fixed-point integer iteration
+    * with ALL teleport mass directed at `sourceId` — rank'(v) gets the
+    * 0.15·S base term only at the source; all mass starts there too. The
+    * result ranks vertices by proximity to the source (random walks that
+    * restart at it), the standard "related items for THIS item"
+    * recommendation primitive. Same plan per iteration (one equi-join +
+    * one aggregate on vertex id), same bit-exact determinism, same oracle
+    * replayability — the personalization changes one literal CASE.
+    */
+  def personalizedPageRank(sourceId: Column, iters: Int = 10): DataFrame = {
+    val scale = 1000000000L
+    val e = edges.select(col("src"), col("dst"))
+    val od = e.groupBy(col("src").as("oid")).agg(count(lit(1)).as("d"))
+    val base = when(col("id") === sourceId, lit(scale * 3 / 20)).otherwise(lit(0L))
+    var ranks = vertices.select(col("id"))
+      .withColumn("rank", when(col("id") === sourceId, lit(scale)).otherwise(lit(0L)))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "rid"), col("src") === col("rid"))
+        .join(od, col("src") === col("oid"))
+        .select(col("dst").as("id"), expr("rank div d").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+      ranks = vertices.select(col("id")).join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (base + expr("(17 * coalesce(s, 0L)) div 20")).as("rank"))
+    }
+    ranks
+  }
+
   /** GraphFrames-parity `aggregateMessages`: per edge, optionally send a
     * message (any Column over the edge's `src`/`dst`/`w`/`type` columns)
     * to the source and/or destination vertex, then reduce per receiving

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for large-scale training-data pipelines: exact,
@@ -340,5 +341,48 @@ object Dedup {
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
           Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
     pairs.filter(col("cos") >= threshold)
+  }
+
+  /** Sorted-neighborhood blocking (Hernández–Stolfo SNM): sort documents by
+    * a domain key under which near-duplicates collide (here the text
+    * prefix), then pair each row with only its `windowSize-1` successors in
+    * sort order, verifying candidates with edit distance on a bounded
+    * prefix. The classic complement to LSH blocking: no hash tuning, and
+    * recall degrades gracefully with sort-key quality instead of banding
+    * probability.
+    *
+    * Distributed shape: ONE window pass (row_number + the w-1 leads share
+    * the same window frame → single sort) partitioned by a sort-key prefix
+    * block, then a shuffle-free explode. No self-join at all — the
+    * neighbor texts ride along as lead() columns. Pairs straddling block
+    * boundaries are missed: the standard SNM blocking trade-off (windows
+    * within a block), tunable via `blockLen` — shorter blocks = more
+    * parallelism, more boundary misses. A block's rows must sort in one
+    * task, the same bound any blocked window has; at 100 TB size `blockLen`
+    * so blocks stay task-sized, and salt only if the key distribution
+    * demands it.
+    */
+  def sortedNeighborhood(docs: DataFrame, windowSize: Int = 5,
+                         blockLen: Int = 2, keyLen: Int = 24,
+                         verifyLen: Int = 48, maxDist: Int = 24,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(windowSize >= 2, "windowSize must pair each row with ≥1 neighbor")
+    val keyed = docs.select(col(idCol), substring(col(textCol), 1, keyLen).as("sk"),
+      substring(col(textCol), 1, verifyLen).as("pfx"),
+      substring(col(textCol), 1, blockLen).as("block"))
+    val w = Window.partitionBy(col("block")).orderBy(col("sk"), col(idCol))
+    val withLeads = (1 until windowSize).foldLeft(keyed) { (d, i) =>
+      d.withColumn(s"__n$i",
+        struct(lead(col(idCol), i).over(w).as("id2"),
+          lead(col("pfx"), i).over(w).as("p2")))
+    }
+    withLeads
+      .select(col(idCol).as("id1"), col("pfx").as("p1"),
+        explode(array((1 until windowSize).map(i => col(s"__n$i")): _*)).as("n"))
+      .filter(col("n.id2").isNotNull)
+      .select(col("id1"), col("n.id2").as("id2"),
+        levenshtein(col("p1"), col("n.p2")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
   }
 }

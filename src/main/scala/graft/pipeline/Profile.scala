@@ -32,4 +32,20 @@ object Profile {
     df.agg(aggs.head, aggs.tail: _*)
       .select(expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct)"))
   }
+
+  /** Key-distribution skew report: the count-of-counts histogram for a
+    * prospective join/group key — `(cnt, n_keys, n_rows)` = "n_keys
+    * distinct keys occur cnt times each, contributing cnt·n_keys rows". This
+    * is the diagnostic to run BEFORE keying a 100 TB shuffle: a heavy tail
+    * here is the signal to reach for [[Skew.saltedCount]] / stop-key caps,
+    * and max(cnt)² bounds the worst self-join blowup per key.
+    *
+    * Two hash aggregates, both with map-side partials; the second groups by
+    * the count value itself (tiny domain), so the report is sketch-sized
+    * no matter how large or skewed the input.
+    */
+  def keySkew(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("n_keys"))
+      .select(col("cnt"), col("n_keys"), (col("cnt") * col("n_keys")).as("n_rows"))
 }

@@ -55,6 +55,27 @@ object Skew {
       .filter(col("rank") <= k)
   }
 
+  /** Skew-mitigating equi-join — the JOIN twin of [[saltedCount]]. The
+    * fact side gets a deterministic salt hashed from `saltSource` (pick a
+    * row-unique column); the dim side is replicated ×`salts` so the join
+    * key becomes (key, salt) and a hot key's rows spread over `salts`
+    * reducers instead of one straggler task. Result is exactly the plain
+    * equi-join: each fact row matches the one dim replica carrying its
+    * salt.
+    *
+    * Reach for this when the dim is too big to broadcast AND AQE's
+    * runtime skew split can't apply (the join's partitioning is pinned by
+    * a downstream operator, or the skew is in a sort-merge side AQE won't
+    * touch). Cost: the dim shuffle grows ×`salts` — size `salts` to the
+    * hot key's multiple of a healthy partition, not higher.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+                 saltSource: Column, salts: Int = 32): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(hash(saltSource), lit(salts)))
+    val replicated = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Two-stage distinct-collect: per-salt collect_set partial → flatten +
     * dedup final. Result set equals the unsalted `collect_set` (order is
     * canonicalized by `array_sort`). Bounds the per-task set size.

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Snapshot maintenance for a continuously-refreshed corpus: latest-wins
@@ -64,5 +65,35 @@ object Snapshot {
           .when(col("__n").isNull, "removed")
           .when(col("__o") <=> col("__n"), "unchanged")
           .otherwise("changed").as("change"))
+  }
+
+  /** Type-2 slowly-changing dimension from a change log: per key, collapse
+    * consecutive runs of the same `attr` value and emit one row per run
+    * with `[valid_from, valid_to)` validity (`valid_to` null on the open
+    * current run, flagged `is_current`). `version` numbers runs 1..n per
+    * key in time order.
+    *
+    * Deterministic: rows are ordered by `(ts, tie)` — `tie` must make the
+    * order total (an event id); the run boundary test is null-safe
+    * (`IS DISTINCT FROM`), so a null attr value forms runs like any other.
+    *
+    * Scale shape: two window passes and one hash aggregate, ALL partitioned
+    * on the high-cardinality entity key — no global sort, no skew beyond
+    * the per-entity history length (an entity's whole history must sort in
+    * one task, the same bound any per-user sessionization has).
+    */
+  def scd2(log: DataFrame, key: String, attr: String, ts: String,
+           tie: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val runs = log.select(col(key), col(attr), col(ts), col(tie))
+      .withColumn("__chg",
+        when(lag(col(attr), 1).over(w) <=> col(attr), 0L).otherwise(1L))
+      .withColumn("__run", sum(col("__chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(key), col("__run").as("version"))
+      .agg(min(col(attr)).as(attr), min(col(ts)).as("valid_from"))
+    val wr = Window.partitionBy(col(key)).orderBy(col("version"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 }

@@ -39,6 +39,17 @@ object Text {
         s => s.isNotNull)
     }
 
+  /** Adjacent character pairs of a word ("fox" → ["fo", "ox"]) — the
+    * statistic a BPE tokenizer-training round maximizes (count pairs →
+    * merge the argmax). Empty for words shorter than 2 chars. O(W) via a
+    * sliding `substring`, shuffle-free per row.
+    */
+  def charPairs(word: Column): Column =
+    bindArray(word)(w =>
+      when(length(w) >= 2,
+        transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+        .otherwise(array().cast("array<string>")))
+
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small and fixed — the mechanism (per-language
     * evidence counts + deterministic argmax) is what matters; lists are

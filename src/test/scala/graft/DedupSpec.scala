@@ -22,6 +22,26 @@ class DedupSpec extends SparkTestBase {
     assert(r === Set((1L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+  test("sortedNeighborhood: near-dups adjacent in sort order pair; blocks isolate") {
+    val pairs = Dedup.sortedNeighborhood(docs, windowSize = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1,2,3 share the 2-char block "th" and sort adjacently → all pair up;
+    // 4 starts "co" — a different block, never paired
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("sortedNeighborhood: the window bounds how far apart pairs can form") {
+    // five docs in one block whose sort keys order them 0..4
+    val many = (0L to 4L).map(i => (i, s"aa doc number $i padded with words"))
+      .toDF("doc_id", "text")
+    val w2 = Dedup.sortedNeighborhood(many, windowSize = 2, maxDist = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w2 === Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))) // adjacent only
+    val w3 = Dedup.sortedNeighborhood(many, windowSize = 3, maxDist = 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w3 === w2 ++ Set((0L, 2L), (1L, 3L), (2L, 4L))) // plus rank-distance 2
+  }
+
   test("minhash: identical docs get identical signatures; near-dups share most") {
     val sigs = Dedup.minhashSignatures(docs).collect()
       .map(r => r.getAs[Long]("id") -> (0 until 8).map(i => r.getAs[Long](s"m$i"))).toMap

@@ -97,6 +97,27 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(got("g") === 150000000L) // isolated vertex: base mass only
   }
 
+  test("personalizedPageRank: matches an in-test replay; off-component ranks zero") {
+    import org.apache.spark.sql.functions.lit
+    val edgeList = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d", "e" -> "f")
+    val verts = (edgeList.flatMap(e => Seq(e._1, e._2)) :+ "g").distinct
+    val outDeg = edgeList.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var rank = verts.map(v => v -> (if (v == "a") 1000000000L else 0L)).toMap
+    for (_ <- 1 to 10) {
+      val contrib = edgeList.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => rank(u) / outDeg(u) }.sum).toMap
+      rank = verts.map(v => v ->
+        ((if (v == "a") 150000000L else 0L) + 17L * contrib.getOrElse(v, 0L) / 20L)).toMap
+    }
+    val got = g.personalizedPageRank(lit("a"), 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === rank)
+    // vertices unreachable from the source get NO mass — the point of PPR
+    assert(got("e") === 0L && got("f") === 0L && got("g") === 0L)
+    // the source dominates its own neighborhood
+    assert(got("a") > got("b") && got("b") > 0L)
+  }
+
   test("shortestPaths: directed hop distances to landmarks, unreachable absent") {
     val got = g.shortestPaths(Seq("a", "d"), maxHops = 6).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap

@@ -17,6 +17,14 @@ class ProfileIndexSpec extends SparkTestBase {
     assert(idx("c") === ((1L, "1")))
   }
 
+  test("keySkew: count-of-counts histogram with row contributions") {
+    val df = Seq("a", "a", "a", "b", "b", "b", "c").toDF("k")
+    val got = Profile.keySkew(df, "k").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // two keys occur 3× (6 rows), one key occurs once
+    assert(got === Map(3L -> ((2L, 6L)), 1L -> ((1L, 1L))))
+  }
+
   test("profile: null and exact distinct counts per column, one row each") {
     val df = Seq(
       (Some(1), Some("x")), (None, Some("x")), (Some(1), None), (Some(2), Some("y")))

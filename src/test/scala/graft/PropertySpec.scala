@@ -95,6 +95,48 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("saltedJoin ≡ plain equi-join for any data and any salt count") {
+    import graft.pipeline.Skew
+    val factGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(50, for {
+        id <- Gen.choose(1L, 1000L)
+        k <- Gen.oneOf(1L, 2L, 2L, 2L, 3L) // deliberately skewed key
+      } yield (id, k))
+    trials(factGen, 6) { rows =>
+      val fact = rows.distinctBy(_._1).toDF("id", "k")
+      val dim = Seq((1L, "one"), (2L, "two"), (4L, "absent")).toDF("k", "name")
+      for (salts <- Seq(1, 2, 16)) {
+        val got = Skew.saltedJoin(fact, dim, "k", col("id"), salts)
+          .select("id", "k", "name").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        val want = fact.join(dim, Seq("k")).select("id", "k", "name").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        assert(got === want, s"salts=$salts")
+      }
+    }
+  }
+
+  test("Ids.contiguous: dense 0..n-1, equals the global one-window answer, layout-invariant") {
+    import graft.pipeline.Ids
+    import org.apache.spark.sql.expressions.Window
+    val idsGen: Gen[List[Long]] = Gen.listOfN(60, Gen.choose(0L, 5000L))
+    trials(idsGen, 6) { raw =>
+      val ids = raw.distinct
+      val df = ids.toDF("doc_id")
+      val got = Ids.contiguous(df, "doc_id").select("doc_id", "gid").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = df.withColumn("gid", row_number().over(
+          Window.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long") - 1L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+      assert(got.values.toSeq.sorted === ids.indices.map(_.toLong))
+      // stable under a different physical layout
+      val re = Ids.contiguous(df.repartition(7), "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(re === got)
+    }
+  }
+
   test("normalizeTags is idempotent and output is sorted-distinct-lowercase") {
     trials(Gen.listOfN(12, tagGen), 10) { tags =>
       val df = Seq(Tuple1(tags)).toDF("raw")

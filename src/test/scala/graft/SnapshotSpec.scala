@@ -68,4 +68,34 @@ class SnapshotSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(d === Map(1L -> "unchanged"))
   }
+
+  test("scd2: consecutive runs collapse; intervals abut; last run is current") {
+    // user 1: A A B A (A repeats → one run; A later returns → NEW run)
+    val log = Seq(
+      (1L, "A", 10L, 100L), (1L, "A", 20L, 101L), (1L, "B", 30L, 102L),
+      (1L, "A", 40L, 103L), (2L, "X", 10L, 104L))
+      .toDF("k", "attr", "ts", "tie")
+    val out = Snapshot.scd2(log, "k", "attr", "ts", "tie").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long]),
+          r.getBoolean(5)))).toMap
+    assert(out === Map(
+      (1L, 1L) -> (("A", 10L, Some(30L), false)),
+      (1L, 2L) -> (("B", 30L, Some(40L), false)),
+      (1L, 3L) -> (("A", 40L, None, true)),
+      (2L, 1L) -> (("X", 10L, None, true))))
+  }
+
+  test("scd2: same-ts events break ties on the tie column; null attr forms runs") {
+    val log = Seq(
+      (1L, Some("A"), 10L, 1L), (1L, Option.empty[String], 10L, 2L),
+      (1L, Option.empty[String], 20L, 3L), (1L, Some("A"), 30L, 4L))
+      .toDF("k", "attr", "ts", "tie")
+    val out = Snapshot.scd2(log, "k", "attr", "ts", "tie")
+      .orderBy("version").collect()
+      .map(r => (r.getLong(1), Option(r.getString(2)), r.getLong(3)))
+    // A(ts10,tie1) → null(ts10,tie2 .. ts20) → A(ts30): three runs
+    assert(out.toSeq === Seq(
+      (1L, Some("A"), 10L), (2L, None, 10L), (3L, Some("A"), 30L)))
+  }
 }

@@ -18,6 +18,18 @@ class TextSpec extends SparkTestBase {
     assert(short.toSeq === Seq.empty)
   }
 
+  test("charPairs: sliding 2-char windows; degenerate words empty") {
+    val df = Seq(Tuple1("fox")).toDF("w")
+    assert(one[collection.Seq[String]](df.select(Text.charPairs(col("w")))).toSeq
+      === Seq("fo", "ox"))
+    assert(one[collection.Seq[String]](Seq(Tuple1("ab")).toDF("w")
+      .select(Text.charPairs(col("w")))).toSeq === Seq("ab"))
+    assert(one[collection.Seq[String]](Seq(Tuple1("x")).toDF("w")
+      .select(Text.charPairs(col("w")))).toSeq === Seq.empty)
+    assert(one[collection.Seq[String]](Seq(Tuple1("")).toDF("w")
+      .select(Text.charPairs(col("w")))).toSeq === Seq.empty)
+  }
+
   test("token count: alpha runs, digit runs, single punct") {
     val df = Seq(Tuple1("Hello, world! x2")).toDF("text")
     // tokens: Hello , world ! x 2
