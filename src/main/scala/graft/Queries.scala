@@ -2860,6 +2860,73 @@ object Queries {
              |       AS BIGINT) AS gid
              |FROM documents""".stripMargin)),
 
+    // curriculum binning: per-doc length decile WITHOUT a global ntile
+    // sort — bin ids equi-join the broadcast cumulative histogram, bucket
+    // is exact integer arithmetic ((10·before) div n)
+    Q("q_quantile_buckets",
+      (s, d) => graft.pipeline.Sketches.histBucketize(
+          t(s, d)("documents").select(col("doc_id"), col("n_chars")),
+          "n_chars", 0.0, 640.0, 64)
+        .groupBy("bucket").agg(count(lit(1)).as("n_docs"),
+          min("n_chars").as("lo_chars"), max("n_chars").as("hi_chars")),
+      Some("""WITH h AS (SELECT LEAST(63, GREATEST(0,
+             |         CAST(floor((n_chars - 0.0) / 640.0 * 64) AS INTEGER))) AS bin,
+             |         count(*) AS cnt
+             |       FROM documents GROUP BY 1),
+             |c AS (SELECT bin,
+             |        CAST(coalesce(sum(cnt) OVER (ORDER BY bin
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef,
+             |        CAST(sum(cnt) OVER () AS BIGINT) AS n
+             |      FROM h),
+             |d AS (SELECT doc_id, n_chars, LEAST(63, GREATEST(0,
+             |        CAST(floor((n_chars - 0.0) / 640.0 * 64) AS INTEGER))) AS bin
+             |      FROM documents)
+             |SELECT (10 * c.bef) // c.n AS bucket, count(*) AS n_docs,
+             |       min(d.n_chars) AS lo_chars, max(d.n_chars) AS hi_chars
+             |FROM d JOIN c USING (bin) GROUP BY 1""".stripMargin)),
+
+    // asymmetric containment dedup: |x∩y|/|x| catches subset documents
+    // (boilerplate wraps) that Jaccard scores low; same count-based
+    // shared-shingle join as q_dedup_ngram
+    Q("q_dedup_containment",
+      (s, d) => Dedup.containmentPairs(t(s, d)("documents"), minContainment = 0.6),
+      Some(s"""WITH $shingleSqlCte,
+              |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+              |p AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+              |      FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              |      GROUP BY 1, 2)
+              |SELECT id1, id2, shared,
+              |       CAST(shared AS DOUBLE) / CAST(z1.nsh AS DOUBLE) AS c12,
+              |       CAST(shared AS DOUBLE) / CAST(z2.nsh AS DOUBLE) AS c21
+              |FROM p JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+              |WHERE GREATEST(CAST(shared AS DOUBLE) / CAST(z1.nsh AS DOUBLE),
+              |               CAST(shared AS DOUBLE) / CAST(z2.nsh AS DOUBLE)) >= 0.6""".stripMargin)),
+
+    // window frame breadth: first/nth/last value over the full per-key
+    // frame, one row per key
+    Q("q_window_bounds",
+      (s, d) => {
+        val frame = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val rn = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, d)("events").select(col("user_id"),
+            first("event_type").over(frame).as("first_type"),
+            nth_value(col("event_type"), 2).over(frame).as("second_type"),
+            last("event_type").over(frame).as("last_type"),
+            row_number().over(rn).as("__rn"))
+          .filter(col("__rn") === 1).drop("__rn")
+      },
+      Some("""WITH b AS (
+             |  SELECT user_id,
+             |    first_value(event_type) OVER w AS first_type,
+             |    nth_value(event_type, 2) OVER w AS second_type,
+             |    last_value(event_type) OVER w AS last_type,
+             |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, first_type, second_type, last_type FROM b WHERE rn = 1""".stripMargin)),
+
     // ----------------------------------------------------------- multimodal
     // mapPartitions feature extraction (StubCodec byte histogram), exploded
     // to scalars — utf-8 bytes == chars on this ASCII corpus, so the oracle

@@ -343,6 +343,35 @@ object Dedup {
     pairs.filter(col("cos") >= threshold)
   }
 
+  /** Shingle CONTAINMENT pairs: C(x→y) = |x∩y| / |x| — the asymmetric
+    * near-dup measure Jaccard misses: a page whose content is wholly
+    * embedded in a longer page (boilerplate wrap, quote-and-extend) has
+    * high containment but low Jaccard, and web-scale dedup wants exactly
+    * those "subset document" pairs. Returns both directions (`c12`, `c21`)
+    * for pairs where either exceeds the threshold.
+    *
+    * Same count-based shared-shingle equi-join as [[ngramJaccardPairs]]
+    * (no array intersection on the shuffle); the same stop-shingle /
+    * prefix-filter guards apply if the corpus has hot shingles.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text", n: Int = 3,
+                       minContainment: Double = 0.8): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val shared = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id1"), col("y.id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("s1"), col("id1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.id"))
+      .select(col("id1"), col("id2"), col("shared"),
+        (col("shared").cast("double") / col("s1.nsh").cast("double")).as("c12"),
+        (col("shared").cast("double") / col("s2.nsh").cast("double")).as("c21"))
+      .filter(greatest(col("c12"), col("c21")) >= minContainment)
+  }
+
   /** Sorted-neighborhood blocking (Hernández–Stolfo SNM): sort documents by
     * a domain key under which near-duplicates collide (here the text
     * prefix), then pair each row with only its `windowSize-1` successors in

@@ -210,6 +210,33 @@ object Sketches {
             col("cnt").cast("double")) * lit(width)).as("est"))
   }
 
+  /** Curriculum/quantile binning: tag every row with the quantile bucket
+    * (0..buckets-1) of `valueCol`'s own distribution — the scalable
+    * replacement for a global `ntile()` window, whose empty partitionBy
+    * sorts the whole dataset in ONE task. Here the distribution lives in
+    * the bin-sized [[histSketch]]; each row equi-joins its bin id against
+    * the broadcast cumulative table and gets
+    * `bucket = buckets·(rows before my bin) div n` — exact integer
+    * arithmetic, so any engine replays it bit-for-bit. Resolution is the
+    * histogram bin: rows inside one bin share a bucket (ntile's exact
+    * rank-split needs the global sort this avoids).
+    */
+  def histBucketize(df: DataFrame, valueCol: String, lo: Double, hi: Double,
+                    bins: Int, buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = histSketch(df, valueCol, lo, hi, bins)
+      .withColumn("__before", coalesce(sum("cnt").over(w), lit(0L)))
+      .withColumn("__n", sum("cnt").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bin"), col("__before"), col("__n"))
+    df.withColumn("bin", least(lit(bins - 1), greatest(lit(0),
+        floor((col(valueCol) - lo) / (hi - lo) * bins).cast("int"))).cast("long"))
+      .join(broadcast(cum), "bin")
+      .withColumn("bucket", expr(s"($buckets * __before) div __n"))
+      .drop("bin", "__before", "__n")
+  }
+
   /** Point-estimate the frequency of each item in `items`: `min` over the
     * depth rows of the addressed cell, an empty cell counting 0 (the
     * classic CMS upper-bound estimate — never under-counts, over-counts

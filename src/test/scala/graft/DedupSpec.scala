@@ -91,6 +91,19 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment: subset doc scores 1.0 containment despite low jaccard") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon"), // strict prefix subset of 1
+      (3L, "nothing shared here at all with anything else whatsoever"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(corpus, minContainment = 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+    // doc2's 3 shingles all appear in doc1: c21 = 1.0 while jaccard is only 0.3
+    assert(pairs.keySet === Set((1L, 2L)))
+    assert(pairs((1L, 2L)) === ((0.3, 1.0)))
+  }
+
   test("prefix-filtered pairs equal the brute-force jaccard join above threshold") {
     // richer corpus: planted exact dup, word-swap near-dups, decoys that
     // share common shingles but sit below 0.5

@@ -115,6 +115,23 @@ class SketchesSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("histBucketize: buckets are monotone in value, near-even, and layout-invariant") {
+    val df = (1L to 1000L).map(i => (i, (i * 37 % 500).toDouble)).toDF("id", "v")
+    val out = Sketches.histBucketize(df, "v", 0.0, 500.0, 50, buckets = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    // monotone: a larger value never lands in a smaller bucket
+    val sorted = out.sortBy(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a._3 <= b._3 })
+    // near-even: with 50 bins over 10 buckets each decile holds 10% ± one bin
+    val perBucket = out.groupBy(_._3).view.mapValues(_.size)
+    assert(perBucket.values.forall(n => n >= 60 && n <= 140), perBucket.toMap)
+    assert(perBucket.keySet.forall(b => b >= 0 && b <= 9))
+    // layout-invariant: same assignment after repartition
+    val re = Sketches.histBucketize(df.repartition(7), "v", 0.0, 500.0, 50, buckets = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(re === out.map(r => (r._1, r._3)).toMap)
+  }
+
   test("histogram sketch: shard merge equals whole; quantiles within one bin width of exact") {
     val vals = (1 to 1000).map(i => (i * 37 % 997).toDouble).toDF("v")
     val whole = Sketches.histSketch(vals, "v", 0.0, 1000.0, 100)
