@@ -2860,6 +2860,37 @@ object Queries {
              |       AS BIGINT) AS gid
              |FROM documents""".stripMargin)),
 
+    // ANN over int8-QUANTIZED vectors — the serving path end-to-end: the
+    // max-abs scales cancel in cosine, so search runs on the quantized
+    // integers directly (4× less IO at 100 TB) with no dequantization;
+    // same broadcast(seeds) × corpus shape as q_ann_topk
+    Q("q_ann_quantized",
+      (s, d) => {
+        val qv = graft.pipeline.Embeddings.quantize(t(s, d)("embeddings"))
+        val seeds = qv.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("q_id"), col("q").as("qe"))
+        broadcast(seeds).join(qv, col("q_id") =!= col("vec_id"))
+          .select(col("q_id"), col("vec_id").as("n_id"),
+            Similarity.cosine(col("qe"), col("q")).as("qcos"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy("q_id").orderBy(col("qcos").desc, col("n_id").asc)).cast("long"))
+          .filter(col("rank") <= 5)
+      },
+      Some(s"""WITH e0 AS (SELECT vec_id,
+              |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+              |m AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM e0),
+              |qv AS (SELECT vec_id, list_transform(e,
+              |         x -> floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END) + 0.5)) AS q
+              |       FROM m),
+              |scored AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+              |    ${dotSql("a.q", "b.q")} / (sqrt(${dotSql("a.q", "a.q")}) * sqrt(${dotSql("b.q", "b.q")})) AS qcos
+              |  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id WHERE a.vec_id < 20)
+              |SELECT q_id, n_id, qcos, rank FROM (
+              |  SELECT q_id, n_id, qcos,
+              |         row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rank
+              |  FROM scored)
+              |WHERE rank <= 5""".stripMargin)),
+
     // curriculum binning: per-doc length decile WITHOUT a global ntile
     // sort — bin ids equi-join the broadcast cumulative histogram, bucket
     // is exact integer arithmetic ((10·before) div n)

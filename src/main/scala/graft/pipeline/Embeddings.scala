@@ -24,22 +24,33 @@ object Embeddings {
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Symmetric max-abs int8 quantization of an embedding column: per
-    * vector, `scale = 127 / max|x_i|` and `q_i = floor(x_i·scale + 0.5)` ∈
-    * [-127, 127]. Returns `(id, scale, qvec)` — `qvec` as a comma-joined
-    * string (the catalog's array canonicalization; order is positional, so
-    * NOT sorted). Dequantization is `q_i / scale`; max error per component
-    * is `0.5/scale`. All-zero vectors get `scale = 0` and an all-zero qvec
-    * (the consumer treats scale 0 as "null embedding").
+  /** Symmetric max-abs int8 quantization: per vector,
+    * `scale = 127 / max|x_i|` and `q_i = floor(x_i·scale + 0.5)` ∈
+    * [-127, 127]. Returns `(id, scale, q)` with `q` an array of
+    * integer-valued doubles (exact, so downstream dot products stay inside
+    * the same codegen'd vector expressions the float path uses — and
+    * cosine over `q` needs no dequantization at all: the scales cancel).
+    * Dequantization is `q_i / scale`; max error per component is
+    * `0.5/scale`. All-zero vectors get `scale = 0` and an all-zero q (the
+    * consumer treats scale 0 as "null embedding").
     */
-  def quantizeInt8(df: DataFrame, id: String = "vec_id",
-                   emb: String = "embedding"): DataFrame = {
+  def quantize(df: DataFrame, id: String = "vec_id",
+               emb: String = "embedding"): DataFrame = {
     val e = toDouble(col(emb))
     val maxabs = array_max(transform(e, x => abs(x)))
     val scale = when(maxabs > 0d, lit(127.0) / maxabs).otherwise(lit(0.0))
     df.select(col(id), scale.as("scale"), e.as("e"))
       .select(col(id), col("scale"),
-        concat_ws(",", transform(col("e"),
-          x => floor(x * col("scale") + lit(0.5)).cast("string"))).as("qvec"))
+        transform(col("e"),
+          x => floor(x * col("scale") + lit(0.5)).cast("double")).as("q"))
   }
+
+  /** [[quantize]] with the q-vector serialized as a comma-joined string —
+    * the catalog's array canonicalization (positional, NOT sorted).
+    */
+  def quantizeInt8(df: DataFrame, id: String = "vec_id",
+                   emb: String = "embedding"): DataFrame =
+    quantize(df, id, emb).select(col(id), col("scale"),
+      concat_ws(",", transform(col("q"),
+        x => x.cast("long").cast("string"))).as("qvec"))
 }

@@ -20,6 +20,7 @@ class PlanAuditSpec extends SparkTestBase {
   /** Must match SCALE.md §4 — change BOTH or neither. */
   private val nestedLoopWhitelist = Set(
     "q_ann_cosine", "q_ann_topk",        // broadcast(seed queries) ⨝ corpus
+    "q_ann_quantized",                   // same shape, int8-quantized vectors
     "q_dedup_embedding",                 // declared all-pairs baseline
     "q_ann_ivf", "q_ann_ivf_probe", "q_ann_ivf_trained", // k-row centroid cross join
     "q_tfidf_top_terms", "q_bm25_top_terms", "q_token_rarity",
