@@ -137,6 +137,39 @@ object EventStream {
              joinType: String = "left"): DataFrame =
     events.join(broadcast(dim), Seq(key), joinType)
 
+  /** Continuous CDC merge sink: apply each micro-batch as a latest-wins
+    * upsert ([[graft.pipeline.Snapshot.upsert]]) into a generational
+    * parquet snapshot — the `foreachBatch` pattern a lakehouse MERGE INTO
+    * automates. The caller seeds `dir/gen0`; batch i reads `gen{i}` and
+    * writes `gen{i+1}` (alternating generations keep the read and the
+    * overwrite on disjoint paths — Spark cannot overwrite a path it is
+    * reading). Returns the started query; the highest `gen*` dir is the
+    * current snapshot.
+    *
+    * 100 TB honesty: this rewrites the WHOLE snapshot every batch — right
+    * for small/medium dimension tables maintained off a CDC stream; for a
+    * fact-sized snapshot, partition the table and rewrite only the
+    * partitions a batch touches (or use a table format with real MERGE).
+    * The generation counter lives on the driver: single-query ownership,
+    * same as any foreachBatch accumulator.
+    */
+  def mergeStream(updates: DataFrame, dir: String, key: String,
+                  version: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val gen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fn: (Dataset[org.apache.spark.sql.Row], Long) => Unit = (batch, _) => {
+      val i = gen.get
+      val cur = batch.sparkSession.read.parquet(s"$dir/gen$i")
+      graft.pipeline.Snapshot.upsert(cur, batch.toDF(), key, version)
+        .write.mode("overwrite").parquet(s"$dir/gen${i + 1}")
+      gen.incrementAndGet()
+      ()
+    }
+    updates.writeStream
+      .option("checkpointLocation", s"$dir/_checkpoint")
+      .foreachBatch(fn)
+      .start()
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sumValue: Double)

@@ -261,4 +261,26 @@ class EventStreamSpec extends SparkTestBase {
     assert(rows === Map(1L -> Some("gold"), 2L -> Some("gold"),
       3L -> Some("gold"), 4L -> None))
   }
+
+  test("mergeStream: micro-batch CDC upserts converge to the batch upsert; stale rows lose") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_merge").toString
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("id", "text", "version")
+      .write.parquet(s"$dir/gen0")
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = EventStream.mergeStream(
+      mem.toDF().toDF("id", "text", "version"), dir, "id", "version")
+    mem.addData((2L, "b2", 2L), (3L, "c", 1L))
+    q.processAllAvailable()
+    mem.addData((2L, "b3", 3L), (1L, "a0", 0L)) // a0 is STALE — must not clobber
+    q.processAllAvailable()
+    q.stop()
+    val latest = new java.io.File(dir).list().filter(_.startsWith("gen"))
+      .map(_.drop(3).toInt).max
+    assert(latest === 2) // one generation per non-empty micro-batch
+    val snap = spark.read.parquet(s"$dir/gen$latest").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(snap === Map(
+      1L -> (("a", 1L)), 2L -> (("b3", 3L)), 3L -> (("c", 1L))))
+  }
 }
