@@ -2994,7 +2994,212 @@ object Queries {
              |k AS (SELECT unnest([0, 1, 2, 3]) AS fno)
              |SELECT media_id, CAST(fno AS BIGINT) AS frame_no,
              |  least(greatest((L * (fno + 1)) // 4, (L * fno) // 4 + 1), L) - (L * fno) // 4 AS frame_bytes
-             |FROM d, k WHERE L > 0""".stripMargin))
+             |FROM d, k WHERE L > 0""".stripMargin)),
+
+    // ------------------------------------------- span-level dedup (r4 cont.)
+
+    // FineWeb/RefinedWeb-style "line dedup" one level below the document:
+    // keep only the FIRST corpus occurrence of every 2-word span; output
+    // the per-doc audit. One digest-keyed shuffle — Dedup.exact's shape
+    Q("q_dedup_spans",
+      (s, d) => graft.pipeline.SpanDedup.keepFirst(
+        t(s, d)("documents"), "doc_id", "text", span = 2),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sp AS (SELECT doc_id, generate_subscripts(cs, 1) - 1 AS span_idx, unnest(cs) AS span_text
+             |       FROM (SELECT doc_id,
+             |               list_filter(list_transform(ws, (x, i) -> CASE WHEN (i - 1) % 2 = 0
+             |                 THEN array_to_string(ws[i:i+1], ' ') END),
+             |                 v -> v IS NOT NULL) AS cs
+             |             FROM w)),
+             |k AS (SELECT doc_id,
+             |        row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) = 1 AS kept
+             |      FROM sp),
+             |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |        CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |      FROM k GROUP BY doc_id)
+             |SELECT doc_id, n_spans, n_kept,
+             |       CAST(n_kept AS DOUBLE) / CAST(n_spans AS DOUBLE) AS kept_frac
+             |FROM a""".stripMargin)),
+
+    // boilerplate spans: 3-word spans present in >= 2 distinct documents
+    // (the nav-bar / cookie-banner strip list of a web pipeline)
+    Q("q_boilerplate",
+      (s, d) => graft.pipeline.SpanDedup.boilerplate(
+        t(s, d)("documents"), "doc_id", "text", span = 3, minDocs = 2),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sp AS (SELECT doc_id, unnest(cs) AS span_text
+             |       FROM (SELECT doc_id,
+             |               list_filter(list_transform(ws, (x, i) -> CASE WHEN (i - 1) % 3 = 0
+             |                 THEN array_to_string(ws[i:i+2], ' ') END),
+             |                 v -> v IS NOT NULL) AS cs
+             |             FROM w))
+             |SELECT span_text, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             |       CAST(count(*) AS BIGINT) AS n_occurrences
+             |FROM sp GROUP BY span_text HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
+    // --------------------------------------------- regression / time series
+
+    // per-group OLS (y = slope·x + intercept, plus r²) via exact-decimal
+    // sufficient sums — distributed linear regression is ONE algebraic
+    // aggregate; only the closed-form 2×2 solve happens after it
+    Q("q_regression",
+      (s, d) => graft.pipeline.Stats.ols(
+        t(s, d)("lineitem"), "l_returnflag", "l_quantity", "l_extendedprice"),
+      Some("""WITH u AS (SELECT l_returnflag,
+             |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS xu,
+             |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yu
+             |  FROM lineitem),
+             |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(xu AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+             |  CAST(sum(CAST(yu AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+             |  CAST(sum(CAST(xu AS DECIMAL(19,0)) * CAST(xu AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+             |  CAST(sum(CAST(yu AS DECIMAL(19,0)) * CAST(yu AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+             |  CAST(sum(CAST(xu AS DECIMAL(19,0)) * CAST(yu AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+             |  FROM u GROUP BY l_returnflag)
+             |SELECT l_returnflag, n,
+             |  (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+             |  ((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             |    / CAST(n AS DOUBLE)) / 100.0 AS intercept,
+             |  ((CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy))
+             |    / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+             |FROM a""".stripMargin)),
+
+    // lag-1 autocorrelation of the daily value series per event type —
+    // "is yesterday predictive of today": window lag + the same
+    // six-number sufficient-stats aggregate as q_regression
+    Q("q_autocorr",
+      (s, d) => graft.pipeline.Stats.lagCorr(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,6)")) * lit(1000000))
+            .cast("long").as("v")),
+        "event_type", "day", "v"),
+      Some("""WITH ds AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |        CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v
+             |      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+             |l AS (SELECT event_type, v,
+             |        lag(v) OVER (PARTITION BY event_type ORDER BY day) AS xp
+             |      FROM ds),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(xp AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+             |  CAST(sum(CAST(v AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+             |  CAST(sum(CAST(xp AS DECIMAL(19,0)) * CAST(xp AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+             |  CAST(sum(CAST(v AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+             |  CAST(sum(CAST(xp AS DECIMAL(19,0)) * CAST(v AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+             |  FROM l WHERE xp IS NOT NULL GROUP BY event_type)
+             |SELECT event_type, n AS n_pairs,
+             |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+             |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) AS autocorr
+             |FROM a""".stripMargin)),
+
+    // ------------------------------------------------------------ band join
+
+    // |Δvalue| <= 1.0 same-type event pairs WITHOUT a nested loop: one side
+    // keeps its width-cell, the other replicates to cell±1, hash-join on
+    // (type, cell) + residual filter. The oracle runs the naive theta join
+    // (DuckDB IEJoin) — same pairs, different plan class. Output is the
+    // per-type pair count + exact-decimal gap sum
+    Q("q_band_join",
+      (s, d) => graft.ops.BandJoin.selfPairs(
+          Tables.events(s, d), "event_id", "value", width = 1.0,
+          equiKeys = Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("a_x") - col("b_x")).cast("decimal(18,6)"))
+            .cast("double").as("sum_gap")),
+      Some("""SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(CAST(abs(a.value - b.value) AS DECIMAL(18,6))) AS DOUBLE) AS sum_gap
+             |FROM events a JOIN events b
+             |  ON a.event_type = b.event_type
+             | AND a.event_id < b.event_id
+             | AND abs(a.value - b.value) <= 1.0
+             |GROUP BY a.event_type""".stripMargin)),
+
+    // -------------------------------------------------- temperature mixing
+
+    // mT5-style temperature (α = 0.5) source mixing over the lineitem
+    // return-flag strata: weight ∝ √count, per-row keep decided by the
+    // deterministic md5 uniform — per-stratum audit row
+    Q("q_mix_temperature",
+      (s, d) => graft.pipeline.Mix.temperatureAudit(
+        t(s, d)("lineitem"),
+        "l_returnflag", col("l_orderkey") * 8 + col("l_linenumber"),
+        budget = 10000L),
+      Some("""WITH c AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_total,
+             |        CAST(CAST(sqrt(CAST(count(*) AS DOUBLE)) AS DECIMAL(18,8)) AS DOUBLE) AS sq
+             |      FROM lineitem GROUP BY l_returnflag),
+             |t AS (SELECT CAST(sum(CAST(sq AS DECIMAL(18,8))) AS DOUBLE) AS tot FROM c),
+             |r AS (SELECT l_returnflag, n_total,
+             |        least(1.0, (10000.0 * (sq / tot)) / CAST(n_total AS DOUBLE)) AS rate
+             |      FROM c, t),
+             |s AS (SELECT li.l_returnflag, r.n_total, r.rate
+             |      FROM lineitem li JOIN r USING (l_returnflag)
+             |      WHERE CAST(concat('0x', substring(
+             |              md5('mix:' || CAST(li.l_orderkey * 8 + li.l_linenumber AS VARCHAR)),
+             |              1, 6)) AS BIGINT) / 16777216.0 < r.rate)
+             |SELECT l_returnflag, any_value(n_total) AS n_total, any_value(rate) AS rate,
+             |       CAST(count(*) AS BIGINT) AS n_sampled
+             |FROM s GROUP BY l_returnflag""".stripMargin)),
+
+    // ------------------------------------------------------ k-means / skyline
+
+    // 2 Lloyd rounds of k = 4 over int8-quantized embeddings — integer
+    // distances and floor(Σ/n) centroid updates make the whole iterative
+    // algorithm hash-replayable; the oracle unrolls both rounds as CTEs
+    Q("q_kmeans",
+      (s, d) => graft.pipeline.KMeansCluster.kMeans(
+        t(s, d)("embeddings"), k = 4, iters = 2, dim = 64),
+      Some {
+        def assign(src: String, cents: String, out: String) =
+          s"""$out AS (SELECT vec_id, qv, cluster FROM (
+             |  SELECT q.vec_id, q.qv, c.cluster,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      list_sum(list_transform(q.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+             |      c.cluster) AS rn
+             |  FROM $src q, $cents c) WHERE rn = 1)""".stripMargin
+        def update(asg: String, prev: String, out: String) =
+          s"""$out AS (SELECT p.cluster, coalesce(u.cv, p.cv) AS cv FROM $prev p
+             |  LEFT JOIN (SELECT cluster, list(cd ORDER BY i) AS cv FROM (
+             |      SELECT cluster, i,
+             |        CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cd
+             |      FROM (SELECT cluster, generate_subscripts(qv, 1) AS i, unnest(qv) AS v FROM $asg)
+             |      GROUP BY cluster, i)
+             |    GROUP BY cluster) u ON p.cluster = u.cluster)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           |           FROM embeddings),
+           |m AS (SELECT vec_id, ed, list_max(list_transform(ed, x -> abs(x))) AS maxabs FROM e),
+           |q AS (SELECT vec_id, list_transform(ed,
+           |        x -> CAST(floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END)
+           |               + 0.5) AS BIGINT)) AS qv
+           |      FROM m),
+           |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+           |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 4)),
+           |${assign("q", "c0", "a1")},
+           |${update("a1", "c0", "c1")},
+           |${assign("q", "c1", "a2")},
+           |${update("a2", "c1", "c2")},
+           |f AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vectors FROM a2 GROUP BY cluster)
+           |SELECT f.cluster, f.n_vectors,
+           |  array_to_string(list_transform(c2.cv, x -> CAST(x AS VARCHAR)), ',') AS centroid
+           |FROM f JOIN c2 ON f.cluster = c2.cluster""".stripMargin
+      }),
+
+    // 2-D skyline of part (cheapest price vs largest size): dedup to best
+    // size per price, then the two-stage running-max frontier scan. The
+    // oracle's single global window is plan-equivalent (the bucket pass
+    // only discards already-dominated rows)
+    Q("q_skyline",
+      (s, d) => graft.ops.Skyline.frontier2d(
+          t(s, d)("part"), "p_retailprice", "p_size", bucketWidth = 100.0)
+        .select(col("x").as("price"), col("y").as("best_size")),
+      Some("""WITH g AS (SELECT p_retailprice AS price, max(p_size) AS best_size
+             |           FROM part GROUP BY p_retailprice)
+             |SELECT price, best_size FROM (
+             |  SELECT price, best_size,
+             |    max(best_size) OVER (ORDER BY price
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+             |  FROM g)
+             |WHERE prev IS NULL OR best_size > prev""".stripMargin))
   )
 
   val queries: Map[String, QueryFn] = all.map { q =>

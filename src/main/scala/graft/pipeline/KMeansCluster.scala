@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over embedding vectors — the clustering step behind
+  * semantic dedup (SemDeDup-style), corpus topic bucketing, and IVF
+  * coarse-quantizer training. Runs on the INT8-QUANTIZED vectors
+  * ([[Embeddings.quantize]]): with integer components every distance is
+  * an exact long, every comparison is exact, and the centroid update
+  * `floor(Σq_i / n)` is replayable bit-for-bit — so an inherently
+  * iterative float algorithm becomes hash-comparable across engines
+  * (the same trick that made the CMS and HLL sketches oracle-checkable).
+  * Quantization costs ≤ 0.4% per-component error (0.5/127) — irrelevant
+  * to cluster assignment quality, decisive for verifiability.
+  *
+  * Scale shape per iteration: assignment is a map-side argmin against a
+  * BROADCAST k×d literal (no shuffle, no join — the centroids ride the
+  * closure exactly like IVF's [[SimilarityIvf.assignTo]]); the update is
+  * ONE hash aggregate emitting d per-dimension sums + a count per
+  * cluster — k·(d+1) numbers on the shuffle regardless of corpus size.
+  * The only driver traffic is the k×d centroid matrix between
+  * iterations, which is what every distributed k-means (MLlib included)
+  * collects. Ties (equidistant centroids) break to the lowest cluster
+  * id — deterministic under any partitioning.
+  */
+object KMeansCluster {
+
+  /** Int-quantized `(id, q: array<long>)` relation. */
+  def quantized(df: DataFrame, id: String = "vec_id",
+                emb: String = "embedding"): DataFrame =
+    Embeddings.quantize(df, id, emb)
+      .select(col(id), transform(col("q"), _.cast("long")).as("q"))
+
+  /** Exact integer squared-L2 distance from `q` to a literal centroid. */
+  private def sqDist(q: Column, cent: Array[Long]): Column =
+    aggregate(
+      zip_with(q, typedLit(cent), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Nearest-centroid id (ties → lowest id): argmin via `array_min` over
+    * `(dist, cluster)` structs — lexicographic struct order IS the
+    * deterministic tie-break.
+    */
+  private def assignExpr(q: Column, cents: Seq[Array[Long]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(q, c).as("d"), lit(i).as("cluster"))
+    }: _*)).getField("cluster")
+
+  /** `iters` Lloyd rounds from a deterministic seed (the quantized
+    * vectors of the k smallest ids, in id order, as clusters 0..k−1).
+    * Returns `(cluster, n_vectors, centroid)` — the centroid AFTER the
+    * final update, `n_vectors` the assignment that produced it, the
+    * centroid serialized positionally (comma-joined ints).
+    */
+  def kMeans(df: DataFrame, k: Int, iters: Int, dim: Int,
+             id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val q = quantized(df, id, emb).persist()
+    try {
+      // seed centroids: k smallest ids, cluster = rank in id order.
+      // k rows — a driver collect of the same order as MLlib's init.
+      var cents: Seq[Array[Long]] = q.orderBy(col(id)).limit(k)
+        .select(col("q")).collect()
+        .map(_.getSeq[Long](0).toArray).toSeq
+
+      var assigned: DataFrame = null
+      for (_ <- 1 to iters) {
+        assigned = q.select(col(id), col("q"),
+          assignExpr(col("q"), cents).as("cluster"))
+        // d per-dim sums + count per cluster; floor(sum/n) via exact
+        // double division (sums < 2^53) — the oracle replays it verbatim
+        val sums = assigned.groupBy(col("cluster")).agg(
+          count(lit(1)).as("n"),
+          (0 until dim).map(i =>
+            sum(element_at(col("q"), i + 1)).as(s"s$i")): _*)
+        val updated = sums.collect().map { r =>
+          val n = r.getAs[Long]("n").toDouble
+          (r.getAs[Int]("cluster"),
+            Array.tabulate(dim)(i =>
+              math.floor(r.getAs[Long](s"s$i").toDouble / n).toLong))
+        }.toMap
+        // empty clusters keep their previous centroid
+        cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+      }
+
+      val counts = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_vectors"))
+      val centRows = cents.zipWithIndex.map { case (c, i) =>
+        (i, c.mkString(","))
+      }
+      val centDf = df.sparkSession.createDataFrame(centRows)
+        .toDF("cluster", "centroid")
+      counts.join(broadcast(centDf), "cluster")
+        .select(col("cluster"), col("n_vectors"), col("centroid"))
+    } finally q.unpersist()
+  }
+}

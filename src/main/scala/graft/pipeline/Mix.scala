@@ -69,4 +69,60 @@ object Mix {
     Skew.saltedTopK(df, col(stratumCol), key, k,
         order = Seq(md5(concat(lit(seed + ":"), key.cast("string"))), key))
       .withColumnRenamed("rank", "sample_rank")
+
+  /** Deterministic uniform in [0, 1): 24 md5 bits / 2²⁴ — the same hash
+    * stream as [[hashPct]], but exact (the divisor is a power of two, so
+    * the double is the bit pattern itself — no mod bias, no rounding).
+    */
+  def hashUniform(key: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 6), 16, 10)
+      .cast("double") / lit(16777216.0)
+
+  /** Temperature-weighted source mixing (mT5/XLM-R style): stratum `s`
+    * gets sampling weight `w_s = √cnt_s / Σ√cnt`, i.e. temperature
+    * α = 0.5 — small sources are up-weighted relative to their share,
+    * head sources down-weighted. Each row is kept with probability
+    * `rate_s = min(1, budget·w_s / cnt_s)`, decided by [[hashUniform]]
+    * (reproducible across runs / retries / engines). α is fixed at 0.5
+    * because `sqrt` is IEEE-correctly-rounded — `pow(x, α)` for general α
+    * is not, so its last ulp could differ between engines and flip a
+    * hash-compared keep decision.
+    *
+    * Returns the per-stratum audit `(stratum, n_total, rate, n_sampled)`;
+    * [[temperatureSampled]] returns the sampled rows themselves.
+    *
+    * Scale shape: stratum counts are ONE map-combined aggregate; the
+    * Σ√cnt total is a 1-row broadcast cross join over the tiny stratum
+    * relation (never a driver collect); the per-row keep decision joins
+    * the broadcast rate table and streams through the scan shuffle-free.
+    */
+  def temperatureSampled(df: DataFrame, stratumCol: String, key: Column,
+                         budget: Long, seed: String = "mix"): DataFrame = {
+    // √cnt is rounded to decimal(18,8) BEFORE the Σ√cnt total: decimal
+    // addition is associative (a double sum's last ulp would depend on
+    // stratum order, which the two engines need not share)
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_total"))
+      .withColumn("sqrt_n",
+        sqrt(col("n_total").cast("double")).cast("decimal(18,8)"))
+    val tot = counts.agg(sum(col("sqrt_n")).cast("double").as("tot_sqrt"))
+    val rates = counts.crossJoin(broadcast(tot)).select(col(stratumCol),
+      col("n_total"),
+      least(lit(1.0),
+        (lit(budget.toDouble) *
+          (col("sqrt_n").cast("double") / col("tot_sqrt"))) /
+          col("n_total").cast("double")).as("rate"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(hashUniform(key, seed) < col("rate"))
+  }
+
+  /** The per-stratum audit of [[temperatureSampled]]:
+    * `(stratum, n_total, rate, n_sampled)`.
+    */
+  def temperatureAudit(df: DataFrame, stratumCol: String, key: Column,
+                       budget: Long, seed: String = "mix"): DataFrame =
+    temperatureSampled(df, stratumCol, key, budget, seed)
+      .groupBy(col(stratumCol))
+      .agg(any_value(col("n_total")).as("n_total"),
+        any_value(col("rate")).as("rate"),
+        count(lit(1)).as("n_sampled"))
 }

@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sub-document (span-level) corpus dedup and boilerplate detection — the
+  * "line dedup" stage of public web-corpus recipes (RefinedWeb / FineWeb
+  * remove repeated LINES across documents; C4 drops any three-sentence
+  * span seen before). The harness documents are single-line word streams,
+  * so the unit here is a fixed-width non-overlapping word window
+  * ([[Chunking.chunk]] with `stride = window`) — the same shape, with the
+  * span boundary a pure word-position function instead of '\n'.
+  *
+  * Both operators share one plan skeleton: split → span rows → ONE hash
+  * shuffle keyed on the span text (equivalently its digest). At 100 TB
+  * that shuffle carries (span_digest, doc_id, span_idx) triples — never
+  * documents — and the span keys are high-cardinality by construction, so
+  * there is no skew: this is the same "only digests ride the shuffle"
+  * shape as [[Dedup.exact]], one level below the document.
+  */
+object SpanDedup {
+
+  /** Non-overlapping `span`-word units of each document, exactly
+    * [[Chunking.chunk]]`(window = span, stride = span)`.
+    */
+  def spans(docs: DataFrame, idCol: String, textCol: String, span: Int): DataFrame =
+    Chunking.chunk(docs, idCol, textCol, window = span, stride = span)
+      .withColumnRenamed("chunk_idx", "span_idx")
+      .withColumnRenamed("chunk_text", "span_text")
+
+  /** Keep-first span dedup: a span survives iff it is the FIRST corpus
+    * occurrence of its text, in deterministic `(doc_id, span_idx)` order —
+    * later repeats are dropped, whatever document they sit in. Returns the
+    * per-document audit a cleaning pipeline logs: total spans, surviving
+    * spans, kept fraction (exact-integer-ratio double).
+    *
+    * Plan: one window `row_number` partitioned by the span text (the
+    * digest), then a per-document re-aggregate. The window partitions are
+    * per-UNIQUE-span — tiny and high-cardinality (a span repeated enough
+    * to matter is exactly what the operator removes), so no task ever
+    * sorts more than one span's occurrence list.
+    */
+  def keepFirst(docs: DataFrame, idCol: String, textCol: String,
+                span: Int): DataFrame = {
+    val w = Window.partitionBy(col("span_text"))
+      .orderBy(col(idCol), col("span_idx"))
+    spans(docs, idCol, textCol, span)
+      .withColumn("kept", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col(idCol), col("n_spans"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_spans").cast("double"))
+          .as("kept_frac"))
+  }
+
+  /** Boilerplate spans: span texts occurring in at least `minDocs`
+    * DISTINCT documents (nav bars, cookie banners, license headers — the
+    * lines a web pipeline strips before dedup). Returns
+    * `(span_text, n_docs, n_occurrences)`.
+    *
+    * Plan: one hash aggregate on the span text; the distinct-doc count is
+    * a partial-aggregating `count(distinct)` over (span, doc) pairs —
+    * two map-combined exchanges of digest-sized rows, output sketch-sized
+    * (only spans above the threshold).
+    */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String,
+                  span: Int, minDocs: Int): DataFrame =
+    spans(docs, idCol, textCol, span)
+      .groupBy(col("span_text"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+}

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic descriptive statistics. Spark's built-in `stddev`/`corr`
@@ -43,5 +44,100 @@ object Stats {
       ((nD * col("sxy") - col("sx") * col("sy")) /
         sqrt((nD * col("sxx") - col("sx") * col("sx")) *
           (nD * col("syy") - col("sy") * col("sy")))).as("corr_xy"))
+  }
+
+  /** The five sufficient sums for a (x, y) regression over INTEGER-UNIT
+    * inputs (`xu`/`yu` long-valued columns, e.g. cents), cast to double
+    * once — shared by [[ols]] and [[lagCorr]].
+    *
+    * Why integer units and scale-0 decimals rather than the decimal(18,6)
+    * sums [[moments]] uses: a fractional-scale decimal→double cast is TWO
+    * roundings in DuckDB (int128→double, then ÷10^scale) and can land one
+    * ulp off Spark's correctly-rounded BigDecimal cast — harmless alone,
+    * but the regression finish `n·Σy² − (Σy)²` cancels catastrophically
+    * and amplifies that ulp into the visible digits (observed empirically
+    * on q_regression's r²). A scale-0 sum crosses the cast as a SINGLE
+    * int→double rounding, which both engines perform correctly, so every
+    * downstream double is bit-identical. Slope and r² are invariant under
+    * the unit scaling; the intercept is de-scaled by the caller.
+    */
+  private def suffStats(df: DataFrame, groupCol: String,
+                        xu: Column, yu: Column): DataFrame = {
+    // products in decimal(19,0) — int128-backed in both engines, so the
+    // per-group sums stay exact far past long range (6e5 rows × 1e14
+    // products at sf0.1 already pass 2⁶³)
+    val (dx, dy) = (xu.cast("decimal(19,0)"), yu.cast("decimal(19,0)"))
+    df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("n"),
+      sum(dx).cast("double").as("sx"),
+      sum(dy).cast("double").as("sy"),
+      sum(dx * dx).cast("double").as("sxx"),
+      sum(dy * dy).cast("double").as("syy"),
+      sum(dx * dy).cast("double").as("sxy"))
+  }
+
+  /** `round(x · 10^decimals)` as an exact long — the deterministic
+    * fixed-point scaling both engines replay (`floor(x·u + 0.5)` is
+    * round-half-up in exact double arithmetic).
+    */
+  def toUnits(c: Column, decimals: Int): Column =
+    floor(c * lit(math.pow(10, decimals)) + lit(0.5)).cast("long")
+
+  /** Per-group simple linear regression (ordinary least squares) of
+    * `y ≈ slope·x + intercept` with fit quality r², both columns scaled
+    * to integer units at `decimals` fractional digits first
+    * ([[suffStats]] explains why). The finish is a fixed IEEE tree the
+    * oracle replays verbatim:
+    *
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)      (unit-invariant)
+    *   intercept = ((Σy − slope·Σx) / n) / 10^decimals    (de-scaled)
+    *   r²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))
+    *
+    * DuckDB's `regr_slope` (streaming co-moments) is NOT replayable
+    * bit-for-bit, so the oracle replays these formulas instead.
+    *
+    * Scale shape: identical to [[moments]] — ONE hash aggregate, six
+    * numbers per group on the shuffle. Distributed OLS on 100 TB is
+    * exactly this: the normal equations' sufficient statistics are
+    * algebraic aggregates; only the k×k solve (here closed-form 2×2) is
+    * driver-side.
+    */
+  def ols(df: DataFrame, groupCol: String, x: String, y: String,
+          decimals: Int = 2): DataFrame = {
+    val agg = suffStats(df, groupCol,
+      toUnits(col(x), decimals), toUnits(col(y), decimals))
+    val nD = col("n").cast("double")
+    val covN = nD * col("sxy") - col("sx") * col("sy")
+    val varxN = nD * col("sxx") - col("sx") * col("sx")
+    val varyN = nD * col("syy") - col("sy") * col("sy")
+    agg.select(col(groupCol), col("n"),
+      (covN / varxN).as("slope"),
+      (((col("sy") - (covN / varxN) * col("sx")) / nD) /
+        lit(math.pow(10, decimals))).as("intercept"),
+      ((covN * covN) / (varxN * varyN)).as("r2"))
+  }
+
+  /** Per-group lag-1 autocorrelation of an integer-unit series ordered by
+    * `orderCol`: Pearson corr of (value_{t-1}, value_t). `valueCol` must
+    * already be long-valued units (correlation is scale-invariant, so the
+    * caller picks any exact fixed-point scaling, e.g.
+    * [[toUnits]]`(sum, 6)`).
+    *
+    * Scale shape: the window partitions per group — use on series whose
+    * per-group length fits a task (daily/hourly rollups, not raw events);
+    * the aggregate after it is the same six-number shuffle as [[ols]].
+    */
+  def lagCorr(df: DataFrame, groupCol: String, orderCol: String,
+              valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    val lagged = df
+      .withColumn("x_prev", lag(col(valueCol), 1).over(w))
+      .filter(col("x_prev").isNotNull)
+    val agg = suffStats(lagged, groupCol, col("x_prev"), col(valueCol))
+    val nD = col("n").cast("double")
+    agg.select(col(groupCol), col("n").as("n_pairs"),
+      ((nD * col("sxy") - col("sx") * col("sy")) /
+        sqrt((nD * col("sxx") - col("sx") * col("sx")) *
+          (nD * col("syy") - col("sy") * col("sy")))).as("autocorr"))
   }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import graft.pipeline.KMeansCluster
+
+class KMeansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two tight groups on a 2-d line: ids 0,1 near (100,0); ids 2,3,4 near (0,100)
+  private val vecs = Seq(
+    (0L, Array(1.00f, 0.02f)),
+    (1L, Array(0.98f, 0.00f)),
+    (2L, Array(0.02f, 1.00f)),
+    (3L, Array(0.00f, 0.98f)),
+    (4L, Array(0.04f, 0.96f)))
+    .toDF("vec_id", "embedding")
+
+  test("kMeans separates two obvious clusters and counts their members") {
+    // k=2 seeds are vec 0 (group A) and vec 1 (also group A) — after two
+    // Lloyd rounds the centroids split: one captures A, the other B
+    val out = KMeansCluster.kMeans(vecs, k = 2, iters = 2, dim = 2)
+      .collect().map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("n_vectors"))
+      .toMap
+    assert(out.values.toSeq.sorted === Seq(2L, 3L))
+  }
+
+  test("centroids are integer vectors of the quantized scale") {
+    val cents = KMeansCluster.kMeans(vecs, k = 2, iters = 1, dim = 2)
+      .collect().map(_.getAs[String]("centroid"))
+    cents.foreach { c =>
+      val parts = c.split(",")
+      assert(parts.length === 2)
+      parts.foreach(p => assert(p.toLong >= -127L && p.toLong <= 127L))
+    }
+  }
+
+  test("assignment ties break to the lowest cluster id") {
+    // all-identical vectors: every centroid is identical after quantization,
+    // so every vector must land in cluster 0
+    val same = (0L until 6L).map(i => (i, Array(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val out = KMeansCluster.kMeans(same, k = 3, iters = 2, dim = 2)
+      .collect().map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("n_vectors")).toMap
+    assert(out.getOrElse(0, 0L) === 6L)
+    assert(!out.contains(1) && !out.contains(2))
+  }
+
+  test("result is invariant under input repartitioning") {
+    val a = KMeansCluster.kMeans(vecs, k = 2, iters = 2, dim = 2)
+      .collect().map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_vectors"),
+        r.getAs[String]("centroid"))).toSet
+    val b = KMeansCluster.kMeans(vecs.repartition(7), k = 2, iters = 2, dim = 2)
+      .collect().map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_vectors"),
+        r.getAs[String]("centroid"))).toSet
+    assert(a === b)
+  }
+}

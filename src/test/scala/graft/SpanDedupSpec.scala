@@ -1,0 +1,56 @@
+package graft
+
+import graft.pipeline.SpanDedup
+
+class SpanDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "a b c d"),       // spans: "a b", "c d"
+    (2L, "a b x y"),       // "a b" repeats doc 1 → dropped here
+    (3L, "c d c d"))       // "c d" repeats doc 1; the SECOND "c d" within
+                           // the doc is also a repeat of the first corpus
+                           // occurrence → both dropped
+    .toDF("doc_id", "text")
+
+  test("keepFirst keeps only the first corpus occurrence of each span") {
+    val got = SpanDedup.keepFirst(docs, "doc_id", "text", span = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_kept")))).toMap
+    assert(got === Map(1L -> ((2L, 2L)), 2L -> ((2L, 1L)), 3L -> ((2L, 0L))))
+  }
+
+  test("kept_frac is the exact integer ratio") {
+    val fracs = SpanDedup.keepFirst(docs, "doc_id", "text", span = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("kept_frac"))
+      .toMap
+    assert(fracs(2L) === 0.5 && fracs(3L) === 0.0)
+  }
+
+  test("first occurrence is by (doc_id, span_idx) order, not partition order") {
+    // doc 1's span_idx 0 and doc 2's span_idx 0 tie on doc order → doc 1 wins
+    val spans = SpanDedup.spans(docs, "doc_id", "text", span = 2)
+      .where($"span_text" === "a b").orderBy("doc_id").collect()
+    assert(spans.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+  }
+
+  test("tail spans shorter than the span width still participate") {
+    val d = Seq((1L, "a b c"), (2L, "c")).toDF("doc_id", "text")
+    // doc 1: "a b", "c"; doc 2: "c" is a repeat
+    val got = SpanDedup.keepFirst(d, "doc_id", "text", span = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_kept")).toMap
+    assert(got === Map(1L -> 2L, 2L -> 0L))
+  }
+
+  test("boilerplate reports spans in >= minDocs distinct docs with occurrence counts") {
+    val d = Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z d e f"),
+      (3L, "x y z x y z"))  // two occurrences in one doc count once for n_docs
+      .toDF("doc_id", "text")
+    val got = SpanDedup.boilerplate(d, "doc_id", "text", span = 3, minDocs = 2)
+      .collect().map(r => (r.getAs[String]("span_text"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences")))
+    assert(got.toSet === Set(("x y z", 3L, 4L)))
+  }
+}

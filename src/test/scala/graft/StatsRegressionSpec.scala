@@ -1,0 +1,90 @@
+package graft
+
+import graft.pipeline.Stats
+import graft.ops.{BandJoin, Skyline}
+import org.apache.spark.sql.functions._
+
+class StatsRegressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("ols recovers an exact linear relationship (slope 2, intercept 1, r2 1)") {
+    val df = Seq(("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0), ("g", 4.0, 9.0))
+      .toDF("grp", "x", "y")
+    val r = Stats.ols(df, "grp", "x", "y").collect().head
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("intercept") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-12)
+  }
+
+  test("ols groups independently and n counts rows per group") {
+    val df = Seq(("a", 1.0, 1.0), ("a", 2.0, 2.0),
+      ("b", 1.0, 2.0), ("b", 2.0, 1.0), ("b", 3.0, 3.0)).toDF("grp", "x", "y")
+    val got = Stats.ols(df, "grp", "x", "y").collect()
+      .map(r => r.getAs[String]("grp") -> r.getAs[Long]("n")).toMap
+    assert(got === Map("a" -> 2L, "b" -> 3L))
+  }
+
+  test("lagCorr of a perfectly alternating series is -1") {
+    // series 0, 10, 0, 10 … lag-1 pairs are (0,10),(10,0),… → corr −1
+    val df = (0 until 10).map(i => ("s", i, if (i % 2 == 0) 0L else 10L))
+      .toDF("grp", "t", "v")
+    val r = Stats.lagCorr(df, "grp", "t", "v").collect().head
+    assert(r.getAs[Long]("n_pairs") === 9L)
+    assert(math.abs(r.getAs[Double]("autocorr") + 1.0) < 1e-12)
+  }
+
+  test("band selfPairs finds exactly the within-width pairs, once each") {
+    val df = Seq((1L, "t", 1.0), (2L, "t", 1.8), (3L, "t", 3.5), (4L, "u", 1.2))
+      .toDF("id", "typ", "x")
+    // width 1.0: (1,2) in band; (2,3) gap 1.7 out; (1,4) different type
+    val got = BandJoin.selfPairs(df, "id", "x", 1.0, Seq("typ"))
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("band pairs straddling a cell boundary are found exactly once") {
+    // width 1.0 cells: 0.95 in cell 0, 1.05 in cell 1 — adjacent-cell match
+    val df = Seq((1L, "t", 0.95), (2L, "t", 1.05)).toDF("id", "typ", "x")
+    val got = BandJoin.selfPairs(df, "id", "x", 1.0, Seq("typ"))
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(got.toSeq === Seq((1L, 2L)))
+  }
+
+  test("skyline keeps exactly the non-dominated (min x, max y) points") {
+    val df = Seq(
+      (1.0, 5), (2.0, 7),   // (2,7) not dominated (bigger y), (1,5) frontier
+      (3.0, 6),             // dominated by (2,7)
+      (1.0, 4),             // same x as (1,5): only max y per x survives
+      (5.0, 9)).toDF("price", "size")
+    val got = Skyline.frontier2d(df, "price", "size", bucketWidth = 2.0)
+      .as[(Double, Int)].collect().toSet
+    assert(got === Set((1.0, 5), (2.0, 7), (5.0, 9)))
+  }
+
+  test("skyline drops equal-y points at larger x (strict dominance in x)") {
+    val df = Seq((1.0, 5), (2.0, 5)).toDF("x", "y")
+    val got = Skyline.frontier2d(df, "x", "y", bucketWidth = 10.0)
+      .as[(Double, Int)].collect().toSet
+    assert(got === Set((1.0, 5)))
+  }
+
+  test("temperature audit: uniform strata get equal rates; budget bounds the expectation") {
+    val df = (0 until 400).map(i => (s"s${i % 4}", i.toLong)).toDF("src", "id")
+    val audit = graft.pipeline.Mix.temperatureAudit(df, "src", col("id"), budget = 200L)
+      .collect()
+    val rates = audit.map(_.getAs[Double]("rate")).distinct
+    assert(rates.length === 1)            // equal counts → equal rates
+    assert(math.abs(rates.head - 0.5) < 1e-9)  // 200 / 400
+    val sampled = audit.map(_.getAs[Long]("n_sampled")).sum
+    assert(sampled > 120 && sampled < 280)     // hash-uniform ≈ budget
+  }
+
+  test("temperature rates cap at 1.0 for tiny strata") {
+    val df = ((0 until 300).map(i => ("big", i.toLong)) ++ Seq(("tiny", 1000L)))
+      .toDF("src", "id")
+    val rates = graft.pipeline.Mix.temperatureAudit(df, "src", col("id"), budget = 200L)
+      .collect().map(r => r.getAs[String]("src") -> r.getAs[Double]("rate")).toMap
+    // tiny stratum: budget·(1/(√300+1))/1 >> 1 → capped
+    assert(rates.get("tiny").forall(_ == 1.0))
+  }
+}
