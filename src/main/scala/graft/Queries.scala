@@ -3094,14 +3094,18 @@ object Queries {
 
     // ------------------------------------------------------------ band join
 
-    // |Δvalue| <= 1.0 same-type event pairs WITHOUT a nested loop: one side
-    // keeps its width-cell, the other replicates to cell±1, hash-join on
-    // (type, cell) + residual filter. The oracle runs the naive theta join
-    // (DuckDB IEJoin) — same pairs, different plan class. Output is the
-    // per-type pair count + exact-decimal gap sum
+    // near-identical-value same-type event pairs (|Δvalue| <= 0.01)
+    // WITHOUT a nested loop: one side keeps its width-cell, the other
+    // replicates to cell±1, hash-join on (type, cell) + residual filter.
+    // The oracle runs the naive theta join (DuckDB IEJoin) — same pairs,
+    // different plan class. Width is the dedup-tolerance use case, and
+    // deliberately tight: events.value is exponentially distributed, so a
+    // wide band over the dense head would legitimately produce tens of
+    // millions of pairs (w=1.0 → 19.9M at sf0.1 — measured, not a plan
+    // defect; the cell join is still the right shape, the OUTPUT is big)
     Q("q_band_join",
       (s, d) => graft.ops.BandJoin.selfPairs(
-          Tables.events(s, d), "event_id", "value", width = 1.0,
+          Tables.events(s, d), "event_id", "value", width = 0.01,
           equiKeys = Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_pairs"),
@@ -3112,7 +3116,7 @@ object Queries {
              |FROM events a JOIN events b
              |  ON a.event_type = b.event_type
              | AND a.event_id < b.event_id
-             | AND abs(a.value - b.value) <= 1.0
+             | AND abs(a.value - b.value) <= 0.01
              |GROUP BY a.event_type""".stripMargin)),
 
     // -------------------------------------------------- temperature mixing
@@ -3199,7 +3203,123 @@ object Queries {
              |    max(best_size) OVER (ORDER BY price
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
              |  FROM g)
-             |WHERE prev IS NULL OR best_size > prev""".stripMargin))
+             |WHERE prev IS NULL OR best_size > prev""".stripMargin)),
+
+    // the SAME band join written as the naive theta join a user would
+    // type — the graft.plans.BandJoinRewrite optimizer rule (active via
+    // VectorFunctions.register / GraftExtensions) turns it into the
+    // bucketed cell equi-join automatically; PlanAuditSpec fails if the
+    // rewrite ever stops firing and this row regresses to a nested loop
+    Q("q_band_join_auto",
+      (s, d) => {
+        val e = Tables.events(s, d)
+        val a = e.select(col("event_type"), col("event_id").as("a"),
+          col("value").as("a_x"))
+        val b = e.select(col("event_type").as("bt"), col("event_id").as("b"),
+          col("value").as("b_x"))
+        a.join(b, col("event_type") === col("bt") &&
+            abs(col("a_x") - col("b_x")) <= lit(0.01) && col("a") < col("b"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_pairs"))
+      },
+      Some("""SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs
+             |FROM events a JOIN events b
+             |  ON a.event_type = b.event_type
+             | AND a.event_id < b.event_id
+             | AND abs(a.value - b.value) <= 0.01
+             |GROUP BY a.event_type""".stripMargin)),
+
+    // common-neighbor link prediction over the user—item bipartite graph
+    // (item = event_id mod 2000): non-adjacent pairs sharing >= 2
+    // neighbors, hub wedge-centers capped — "users like you" / PYMK
+    Q("q_link_prediction",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          col("user_id").cast("string").as("src"),
+          ((col("event_id") % 2000) + 1).cast("string").as("dst"))
+          .withColumn("w", lit(1.0)).withColumn("type", lit("EV"))
+        Graph(Graph.verticesOf(e), e).commonNeighbors(minCommon = 2L, maxDegree = 200L)
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS src,
+             |            CAST(event_id % 2000 + 1 AS VARCHAR) AS dst FROM events),
+             |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |        FROM e WHERE src <> dst),
+             |nbr AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und),
+             |deg AS (SELECT n AS hub FROM nbr GROUP BY n HAVING count(*) <= 200),
+             |wedge AS (SELECT v, n FROM nbr JOIN deg ON nbr.n = deg.hub),
+             |p AS (SELECT l.v AS a, r.v AS b, CAST(count(*) AS BIGINT) AS common
+             |      FROM wedge l JOIN wedge r ON l.n = r.n AND l.v < r.v
+             |      GROUP BY l.v, r.v HAVING count(*) >= 2)
+             |SELECT p.a, p.b, p.common
+             |FROM p LEFT JOIN und ON p.a = und.a AND p.b = und.b
+             |WHERE und.a IS NULL""".stripMargin)),
+
+    // per-source min-max normalization of a numeric feature — broadcast
+    // group stats, shuffle-free scaled projection
+    Q("q_minmax_scale",
+      (s, d) => graft.pipeline.Stats.minMaxScale(
+        t(s, d)("documents").select("doc_id", "source", "n_chars"),
+        "source", "n_chars"),
+      Some("""WITH st AS (SELECT source, min(n_chars) AS mn, max(n_chars) AS mx
+             |            FROM documents GROUP BY source)
+             |SELECT d.source, d.doc_id, d.n_chars,
+             |  CASE WHEN st.mx = st.mn THEN 0.0
+             |       ELSE (CAST(d.n_chars AS DOUBLE) - CAST(st.mn AS DOUBLE))
+             |            / (CAST(st.mx AS DOUBLE) - CAST(st.mn AS DOUBLE)) END AS scaled
+             |FROM documents d JOIN st USING (source)""".stripMargin)),
+
+    // per-user modal event type (deterministic tie-break to the smallest
+    // value) — argmin-as-aggregate, no rank window
+    Q("q_mode",
+      (s, d) => graft.pipeline.Profile.mode(
+        Tables.events(s, d), "user_id", "event_type"),
+      Some("""SELECT user_id, event_type AS mode_value, CAST(cnt AS BIGINT) AS mode_count
+             |FROM (SELECT user_id, event_type, count(*) AS cnt,
+             |        row_number() OVER (PARTITION BY user_id
+             |          ORDER BY count(*) DESC, event_type) AS rn
+             |      FROM events GROUP BY user_id, event_type)
+             |WHERE rn = 1""".stripMargin)),
+
+    // deterministic 80/10/10 train/val/test assignment (hash of doc_id —
+    // stable under corpus growth), audited per source
+    Q("q_split",
+      (s, d) => graft.pipeline.Mix.split(
+          t(s, d)("documents").select("doc_id", "source"), col("doc_id"))
+        .groupBy("source", "split").agg(count(lit(1)).as("n")),
+      Some("""SELECT source,
+             |  CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT source,
+             |        CAST(concat('0x', substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS pct
+             |      FROM documents)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // CUSUM change-point statistic over the daily value series per event
+    // type — all-integer running form (n·R_t − t·S)/n, no float window sum
+    Q("q_cusum",
+      (s, d) => graft.ops.Smooth.cusum(
+          Tables.events(s, d)
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg((sum(col("value").cast("decimal(18,6)")) * lit(1000000))
+              .cast("long").as("v")),
+          "event_type", "day", "v")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"), col("cusum")),
+      Some("""WITH ds AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |        CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v
+             |      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+             |st AS (SELECT event_type, CAST(sum(v) AS BIGINT) AS s_total,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM ds GROUP BY event_type),
+             |r AS (SELECT ds.event_type, ds.day, st.s_total, st.n,
+             |        CAST(sum(v) OVER (PARTITION BY ds.event_type ORDER BY ds.day
+             |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r_t,
+             |        CAST(row_number() OVER (PARTITION BY ds.event_type ORDER BY ds.day) AS BIGINT) AS t
+             |      FROM ds JOIN st USING (event_type))
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |  CAST(n * r_t - t * s_total AS DOUBLE) / CAST(n AS DOUBLE) AS cusum
+             |FROM r""".stripMargin))
   )
 
   val queries: Map[String, QueryFn] = all.map { q =>

@@ -208,11 +208,13 @@ case class PorterStem(child: Expression)
   * [[VectorFunctions.register]].
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     VectorFunctions.allFunctions.foreach { case (name, clazz, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(clazz, name), builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+  }
 }
 
 object VectorFunctions {
@@ -246,6 +248,13 @@ object VectorFunctions {
         reg.registerFunction(id, new ExpressionInfo(clazz, name), builder)
       }
     }
+    // the programmatic twin of GraftExtensions' injectOptimizerRule —
+    // experimental.extraOptimizations runs in the optimizer's
+    // user-provided batch (idempotent add; the rule itself is marker-
+    // guarded against fixed-point re-application)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
   }
 
   /** Column-level dot product; requires [[register]] on the session first

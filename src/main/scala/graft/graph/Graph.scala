@@ -270,6 +270,47 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
       .withColumn("tri_count", coalesce(col("tri_count"), lit(0L)))
   }
 
+  /** Common-neighbor link prediction: non-adjacent vertex pairs ranked by
+    * how many neighbors they share — the classic "people you may know" /
+    * co-occurrence signal (the count IS the unweighted Adamic-Adar
+    * precursor; weighted variants divide by log-degree, which is not
+    * hash-replayable cross-engine, so the count + the neighbor's degree
+    * cap are the deterministic contract here).
+    *
+    * Plan: undirected distinct neighbor pairs → degree aggregate →
+    * drop hub wedge-centers (degree > `maxDegree`) → ONE self-equi-join
+    * on the shared neighbor → pair count ≥ `minCommon` → LEFT ANTI join
+    * against the edge set (predict only NEW links).
+    *
+    * Scale: the wedge join is Σ d(n)² over wedge centers — the hub cap
+    * bounds it at `maxDegree`·|E| (same hazard and same cure as the
+    * shared-shingle dedup joins; at web scale you ALWAYS cap, because one
+    * celebrity vertex otherwise emits 10¹² wedges). `minCommon` bounds
+    * the output; dropped hubs are an explicit-threshold miss, exactly
+    * like LSH bucket guards.
+    */
+  def commonNeighbors(minCommon: Long = 2L, maxDegree: Long = 1000L): DataFrame = {
+    // und feeds the wedge join twice AND the final anti-join; wedge feeds
+    // both self-join sides — persist both or the distinct + degree-join
+    // subtree evaluates four times (the candidatePairsAuto lesson)
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (vertex, neighbor) in both directions
+    val nbr = und.union(und.select(col("b"), col("a"))).toDF("v", "n")
+    val deg = nbr.groupBy(col("n").as("hub")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDegree)
+    val wedge = nbr.join(deg, nbr("n") === deg("hub")).select(col("v"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = wedge.as("l")
+      .join(wedge.as("r"), col("l.n") === col("r.n") && col("l.v") < col("r.v"))
+      .groupBy(col("l.v").as("a"), col("r.v").as("b"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    pairs.join(und, Seq("a", "b"), "left_anti")
+  }
+
   /** k-core decomposition: the maximal subgraph in which every vertex has
     * degree ≥ k (direction ignored, self-loops dropped, parallel edges
     * collapsed — the standard simple-graph semantics). Returns

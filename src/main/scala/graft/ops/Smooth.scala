@@ -41,4 +41,37 @@ object Smooth {
     val den = terms.map(_._2).reduce(_ + _)
     df.select(col(key), col(seq), (num / den).as("ewma"))
   }
+
+  /** CUSUM change-point statistic over a keyed integer-unit series:
+    * `cusum_t = Σ_{i≤t}(v_i − mean)` — drifts near 0 while the series is
+    * stationary, ramps when the level shifts; `|cusum| > h` flags the
+    * change. `valueCol` must be long-valued units (e.g. micros — see
+    * [[graft.pipeline.Stats.toUnits]]).
+    *
+    * Determinism: the textbook form accumulates `v − mean` in floating
+    * point, whose half-open window sum is engine-internal (segment trees
+    * need not fold left-to-right). Instead everything stays INTEGER:
+    * with S = Σv and R_t the running sum,
+    *
+    *   cusum_t = R_t − t·S/n  =  (n·R_t − t·S) / n
+    *
+    * where `n·R_t − t·S` is an exact long — the only float op is the
+    * final division by n. One group-stats aggregate (broadcast back) +
+    * one running-sum window per key.
+    */
+  def cusum(df: DataFrame, key: String, order: String,
+            valueCol: String): DataFrame = {
+    val stats = df.groupBy(col(key)).agg(
+      sum(col(valueCol)).as("cusum_s"), count(lit(1)).as("cusum_n"))
+    val w = Window.partitionBy(col(key)).orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(stats), key)
+      .withColumn("cusum_r", sum(col(valueCol)).over(w))
+      .withColumn("cusum_i", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col(order))).cast("long"))
+      .select(col(key), col(order),
+        ((col("cusum_n") * col("cusum_r") -
+          col("cusum_i") * col("cusum_s")).cast("double") /
+          col("cusum_n").cast("double")).as("cusum"))
+  }
 }

@@ -64,9 +64,12 @@ object KMeansCluster {
         .select(col("q")).collect()
         .map(_.getSeq[Long](0).toArray).toSeq
 
-      var assigned: DataFrame = null
+      // one job per iteration: the assignment is a map-side projection
+      // folded INTO the update aggregate, and the aggregate's count IS the
+      // membership audit — no separate counting pass at the end
+      var counts: Map[Int, Long] = Map.empty
       for (_ <- 1 to iters) {
-        assigned = q.select(col(id), col("q"),
+        val assigned = q.select(col("q"),
           assignExpr(col("q"), cents).as("cluster"))
         // d per-dim sums + count per cluster; floor(sum/n) via exact
         // double division (sums < 2^53) — the oracle replays it verbatim
@@ -74,7 +77,10 @@ object KMeansCluster {
           count(lit(1)).as("n"),
           (0 until dim).map(i =>
             sum(element_at(col("q"), i + 1)).as(s"s$i")): _*)
-        val updated = sums.collect().map { r =>
+        val rows = sums.collect()
+        counts = rows.map(r =>
+          r.getAs[Int]("cluster") -> r.getAs[Long]("n")).toMap
+        val updated = rows.map { r =>
           val n = r.getAs[Long]("n").toDouble
           (r.getAs[Int]("cluster"),
             Array.tabulate(dim)(i =>
@@ -84,15 +90,13 @@ object KMeansCluster {
         cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
       }
 
-      val counts = assigned.groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n_vectors"))
-      val centRows = cents.zipWithIndex.map { case (c, i) =>
-        (i, c.mkString(","))
+      // k-row result assembled from the final aggregate (sketch-sized,
+      // like the CMS/HLL outputs); empty clusters emit no row
+      val out = cents.zipWithIndex.collect {
+        case (c, i) if counts.contains(i) => (i, counts(i), c.mkString(","))
       }
-      val centDf = df.sparkSession.createDataFrame(centRows)
-        .toDF("cluster", "centroid")
-      counts.join(broadcast(centDf), "cluster")
-        .select(col("cluster"), col("n_vectors"), col("centroid"))
+      df.sparkSession.createDataFrame(out)
+        .toDF("cluster", "n_vectors", "centroid")
     } finally q.unpersist()
   }
 }

@@ -115,6 +115,21 @@ object Mix {
       .filter(hashUniform(key, seed) < col("rate"))
   }
 
+  /** Deterministic train/val/test assignment: `split` = "train" for hash
+    * percentile < `trainPct`, "val" below `trainPct + valPct`, else
+    * "test". The decision is [[hashPct]] of `key` — stable across runs,
+    * engines, and repartitioning, and STABLE UNDER CORPUS GROWTH: a
+    * document keeps its split when new data arrives (the property RNG
+    * splits lack, and the reason eval contamination sneaks in when a
+    * reshuffled split moves docs across the boundary). Shuffle-free.
+    */
+  def split(df: DataFrame, key: Column, trainPct: Int = 80, valPct: Int = 10,
+            seed: String = "split"): DataFrame =
+    df.withColumn("split",
+      when(hashPct(key, seed) < trainPct, lit("train"))
+        .when(hashPct(key, seed) < trainPct + valPct, lit("val"))
+        .otherwise(lit("test")))
+
   /** The per-stratum audit of [[temperatureSampled]]:
     * `(stratum, n_total, rate, n_sampled)`.
     */

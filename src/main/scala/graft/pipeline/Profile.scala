@@ -48,4 +48,21 @@ object Profile {
     df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
       .groupBy(col("cnt")).agg(count(lit(1)).as("n_keys"))
       .select(col("cnt"), col("n_keys"), (col("cnt") * col("n_keys")).as("n_rows"))
+
+  /** Per-key mode: the most frequent `value`, ties broken to the SMALLEST
+    * value (mode is tie-ambiguous by definition — pinning the break makes
+    * it deterministic under any partitioning, and hash-replayable).
+    *
+    * Plan: (key, value) counts, then `min(struct(-cnt, value))` per key —
+    * an algebraic aggregate with map-side partials, NOT a rank window
+    * (a window would sort every key's whole value list; the struct-min
+    * collapses it shard-locally first — the same argmin-as-aggregate
+    * trick as [[SimilarityIvf.assignTo]]'s `max_by`).
+    */
+  def mode(df: DataFrame, key: String, value: String): DataFrame =
+    df.groupBy(col(key), col(value)).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(key))
+      .agg(min(struct((-col("cnt")).as("neg"), col(value).as("v"))).as("m"))
+      .select(col(key), col("m.v").as("mode_value"),
+        (-col("m.neg")).as("mode_count"))
 }

@@ -117,6 +117,29 @@ object Stats {
       ((covN * covN) / (varxN * varyN)).as("r2"))
   }
 
+  /** Per-group min-max feature normalization: `(x − min) / (max − min)`
+    * with the group stats attached via a BROADCAST join (groups are
+    * low-cardinality by contract; the stats aggregate is map-combined).
+    * Constant groups (max = min) scale to 0.0 rather than NaN. The
+    * division is one IEEE op over exactly-representable inputs when `x`
+    * is integer-valued — bit-identical cross-engine; for double `x` both
+    * engines still divide the same bits, since min/max are selections,
+    * not accumulations.
+    *
+    * Scale shape: one stats aggregate + a shuffle-free broadcast-joined
+    * projection — the whole normalization streams through the scan.
+    */
+  def minMaxScale(df: DataFrame, groupCol: String, x: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(
+      min(col(x)).as("mn"), max(col(x)).as("mx"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("scaled",
+        when(col("mx") === col("mn"), lit(0.0))
+          .otherwise((col(x).cast("double") - col("mn").cast("double")) /
+            (col("mx").cast("double") - col("mn").cast("double"))))
+      .drop("mn", "mx")
+  }
+
   /** Per-group lag-1 autocorrelation of an integer-unit series ordered by
     * `orderCol`: Pearson corr of (value_{t-1}, value_t). `valueCol` must
     * already be long-valued units (correlation is scale-invariant, so the
