@@ -3295,6 +3295,78 @@ object Queries {
              |      FROM documents)
              |GROUP BY 1, 2""".stripMargin)),
 
+    // trailing-1-hour value sum per user — a RANGE window frame keyed on
+    // event-time seconds (rows frames can't express "last hour"); exact
+    // decimal sums as everywhere
+    Q("q_window_range",
+      (s, d) => Tables.events(s, d).select(col("user_id"), col("event_id"),
+        sum(col("value").cast("decimal(18,6)")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("ts").cast("long"))
+            .rangeBetween(-3600L, 0L))
+          .cast("double").as("trailing_1h")),
+      Some("""SELECT user_id, event_id,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+             |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h
+             |FROM events""".stripMargin)),
+
+    // per-source table checksum (order/partitioning/engine-invariant sum
+    // of 48-bit row digests) — the cheap first pass of replica
+    // reconciliation between stores
+    Q("q_table_checksum",
+      (s, d) => graft.pipeline.Profile.checksum(
+        t(s, d)("documents"), "source",
+        Seq("doc_id", "text", "lang", "source", "n_chars")),
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CAST(concat('0x', substring(
+             |    md5(concat_ws('|', doc_id, text, lang, source, n_chars)),
+             |    1, 12)) AS BIGINT)) AS VARCHAR) AS checksum
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // modularity audit of the LPA partition — the quality number every
+    // community detection reports; counts are exact ints, the term a
+    // fixed IEEE tree, m attaches as a 1-row broadcast
+    Q("q_graph_modularity",
+      (s, d) => {
+        val g = Queries.eventsGraph(s, d)
+        g.modularity(g.labelPropagation(iters = 3))
+      },
+      Some {
+        val iterCtes = (1 to 3).map { i =>
+          s"""c$i AS (SELECT u.a AS id, p.lbl, count(*) AS cnt
+             |  FROM und u JOIN l${i - 1} p ON u.b = p.id GROUP BY 1, 2),
+             |w$i AS (SELECT id, lbl FROM (
+             |  SELECT id, lbl, row_number() OVER (PARTITION BY id ORDER BY cnt DESC, lbl) AS rn
+             |  FROM c$i) WHERE rn = 1),
+             |l$i AS (SELECT p.id, coalesce(w.lbl, p.lbl) AS lbl
+             |  FROM l${i - 1} p LEFT JOIN w$i w ON p.id = w.id)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $eventsGraphCte,
+           |und AS (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+           |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+           |l0 AS (SELECT id, id AS lbl FROM v),
+           |$iterCtes,
+           |ue AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |       FROM e WHERE src <> dst),
+           |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ue),
+           |intra AS (SELECT la.lbl AS community, CAST(count(*) AS BIGINT) AS intra_edges
+           |          FROM ue JOIN l3 la ON ue.a = la.id JOIN l3 lb ON ue.b = lb.id
+           |          WHERE la.lbl = lb.lbl GROUP BY la.lbl),
+           |dg AS (SELECT community, CAST(count(*) AS BIGINT) AS n_vertices,
+           |         CAST(sum(d) AS BIGINT) AS degree_sum
+           |       FROM (SELECT vv.v, CAST(count(*) AS BIGINT) AS d
+           |             FROM (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue) vv
+           |             GROUP BY vv.v) dv
+           |       JOIN (SELECT id, lbl AS community FROM l3) lc ON dv.v = lc.id
+           |       GROUP BY community)
+           |SELECT dg.community, dg.n_vertices, coalesce(intra.intra_edges, 0) AS intra_edges,
+           |  dg.degree_sum,
+           |  CAST(coalesce(intra.intra_edges, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE)
+           |    - (CAST(dg.degree_sum AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))
+           |      * (CAST(dg.degree_sum AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE))) AS modularity_term
+           |FROM dg LEFT JOIN intra ON dg.community = intra.community, mm""".stripMargin
+      }),
+
     // CUSUM change-point statistic over the daily value series per event
     // type — all-integer running form (n·R_t − t·S)/n, no float window sum
     Q("q_cusum",

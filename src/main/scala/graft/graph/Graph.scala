@@ -270,6 +270,55 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
       .withColumn("tri_count", coalesce(col("tri_count"), lit(0L)))
   }
 
+  /** Newman modularity of a vertex partition (undirected, unweighted):
+    * per community `c`,
+    *
+    *   term_c = L_c/m − (d_c/(2m))²
+    *
+    * (L_c intra-community edges, d_c total degree, m edge count); the
+    * partition's modularity is Σ term_c. Returns
+    * `(community, n_vertices, intra_edges, degree_sum, modularity_term)` —
+    * the quality audit for any community detection output (LPA here).
+    *
+    * Plan: canonical edge set → two label joins (edge endpoints) + one
+    * degree aggregate + label join, then per-community aggs; `m` attaches
+    * as a ONE-ROW broadcast cross join (the corpus-stats pattern), never
+    * a driver count. All counts are exact integers; the term is a fixed
+    * IEEE tree over them — hash-replayable.
+    */
+  def modularity(assignment: DataFrame, idCol: String = "id",
+                 labelCol: String = "lbl"): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val lbl = assignment.select(col(idCol).as("v"), col(labelCol).as("community"))
+
+    val m = und.agg(count(lit(1)).as("m"))
+    val la = lbl.select(col("v").as("va"), col("community").as("ca"))
+    val lb = lbl.select(col("v").as("vb"), col("community").as("cb"))
+    val intra = und
+      .join(la, col("a") === col("va"))
+      .join(lb, col("b") === col("vb"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("intra_edges"))
+    val deg = und.select(col("a").as("v")).union(und.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .join(lbl, "v")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("d")).as("degree_sum"))
+
+    val mD = col("m").cast("double")
+    deg.join(intra, Seq("community"), "left")
+      .withColumn("intra_edges", coalesce(col("intra_edges"), lit(0L)))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_vertices"), col("intra_edges"),
+        col("degree_sum"),
+        (col("intra_edges").cast("double") / mD -
+          (col("degree_sum").cast("double") / (lit(2.0) * mD)) *
+          (col("degree_sum").cast("double") / (lit(2.0) * mD)))
+          .as("modularity_term"))
+  }
+
   /** Common-neighbor link prediction: non-adjacent vertex pairs ranked by
     * how many neighbors they share — the classic "people you may know" /
     * co-occurrence signal (the count IS the unweighted Adamic-Adar

@@ -65,4 +65,25 @@ object Profile {
       .agg(min(struct((-col("cnt")).as("neg"), col(value).as("v"))).as("m"))
       .select(col(key), col("m.v").as("mode_value"),
         (-col("m.neg")).as("mode_count"))
+
+  /** Per-group content checksum for replica/sync reconciliation: each row
+    * hashes to a 48-bit md5 prefix integer; the group checksum is their
+    * exact-decimal SUM — commutative and associative, so it is invariant
+    * under partitioning, row order, retries, and engine, unlike any
+    * ordered digest. Two tables agree on (n_rows, checksum) per group ⟺
+    * their row multisets almost surely agree — the cheap first pass of
+    * any cross-store data-diff (the per-row digests are the second).
+    * Emitted as a STRING (engines disagree on wide-integer column types,
+    * not on digits).
+    *
+    * One map-combined hash aggregate; only (group, 48-bit int) partials
+    * ride the shuffle.
+    */
+  def checksum(df: DataFrame, group: String, cols: Seq[String]): DataFrame =
+    df.select(col(group),
+        conv(substring(md5(concat_ws("|", cols.map(col): _*)), 1, 12), 16, 10)
+          .cast("decimal(28,0)").as("h"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("h")).cast("string").as("checksum"))
 }
