@@ -3367,6 +3367,72 @@ object Queries {
            |FROM dg LEFT JOIN intra ON dg.community = intra.community, mm""".stripMargin
       }),
 
+    // first-order Markov transition matrix of per-user event sequences:
+    // lead window → transition counts → row-normalized probabilities
+    // (exact integer ratio — deterministic double)
+    Q("q_transitions",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("next_type", lead(col("event_type"), 1).over(w))
+          .filter(col("next_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("prob", col("cnt").cast("double") /
+            sum(col("cnt")).over(Window.partitionBy(col("from_type"))).cast("double"))
+      },
+      Some("""WITH tr AS (SELECT event_type AS from_type,
+             |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |      FROM events),
+             |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS cnt
+             |      FROM tr WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+             |SELECT from_type, to_type, cnt,
+             |  CAST(cnt AS DOUBLE) / CAST(sum(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+             |FROM c""".stripMargin)),
+
+    // Deequ-style data-quality gate: five constraint checks (PK
+    // uniqueness, completeness, value range, FK integrity, k-anonymity)
+    // each reduced to one exact-count audit row — the pre-promotion
+    // validation suite of any snapshot pipeline
+    Q("q_dq_audit",
+      (s, d) => {
+        val C = graft.pipeline.Checks
+        C.suite(
+          C.unique(t(s, d)("lineitem"), Seq("l_orderkey", "l_linenumber"),
+            "lineitem_pk_unique"),
+          C.complete(t(s, d)("orders"), "o_custkey", "orders_custkey_complete"),
+          C.inRange(t(s, d)("lineitem"), "l_discount", 0.0, 0.1,
+            "lineitem_discount_range"),
+          C.referential(t(s, d)("orders"), "o_custkey",
+            t(s, d)("customer"), "c_custkey", "orders_customer_fk"),
+          C.kAnonymity(t(s, d)("documents"), Seq("lang", "source"), 10L,
+            "documents_k10_anonymity"))
+      },
+      Some("""SELECT 'lineitem_pk_unique' AS "check",
+             |  CAST(count(*) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS BIGINT) AS metric,
+             |  count(*) = (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS passed
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'orders_custkey_complete',
+             |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0
+             |FROM orders
+             |UNION ALL
+             |SELECT 'lineitem_discount_range',
+             |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+             |  sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) = 0
+             |FROM lineitem
+             |UNION ALL
+             |SELECT 'orders_customer_fk', CAST(count(*) AS BIGINT), count(*) = 0
+             |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             |  ON o.o_custkey = c.c_custkey
+             |WHERE c.c_custkey IS NULL
+             |UNION ALL
+             |SELECT 'documents_k10_anonymity',
+             |  CAST(coalesce(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END), 0) AS BIGINT),
+             |  coalesce(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END), 0) = 0
+             |FROM (SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source)""".stripMargin)),
+
     // CUSUM change-point statistic over the daily value series per event
     // type — all-integer running form (n·R_t − t·S)/n, no float window sum
     Q("q_cusum",
