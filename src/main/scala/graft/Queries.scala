@@ -3367,6 +3367,45 @@ object Queries {
            |FROM dg LEFT JOIN intra ON dg.community = intra.community, mm""".stripMargin
       }),
 
+    // one true BPE trainer round: argmax pair → leftmost non-overlapping
+    // merge (run-parity windows) → post-merge pair counts, the relation
+    // the next round argmaxes. The argmax rides as a 1-row broadcast
+    Q("q_bpe_merge",
+      (s, d) => graft.pipeline.Bpe.trainRound(
+        t(s, d)("documents"), "doc_id", "text", rounds = 1),
+      Some("""WITH wd AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS wpos, unnest(ws) AS w
+             |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+             |tks AS (SELECT doc_id, wpos, unnest(generate_series(1, length(w))) AS tpos, w
+             |        FROM wd WHERE length(w) > 0),
+             |tk AS (SELECT doc_id, wpos, tpos,
+             |         substring(w, CAST(tpos AS INTEGER), 1) AS tok FROM tks),
+             |pc AS (SELECT a, b, count(*) AS cnt FROM
+             |        (SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id, wpos ORDER BY tpos) AS b
+             |         FROM tk)
+             |       WHERE b IS NOT NULL GROUP BY a, b),
+             |top AS (SELECT a AS pa, b AS pb FROM pc ORDER BY cnt DESC, a, b LIMIT 1),
+             |m AS (SELECT t.doc_id, t.wpos, t.tpos, t.tok, top.pa, top.pb,
+             |        lead(t.tok) OVER w AS nxt,
+             |        (lead(t.tok) OVER w IS NOT NULL AND t.tok = top.pa
+             |          AND lead(t.tok) OVER w = top.pb) AS mtch
+             |      FROM tk t, top
+             |      WINDOW w AS (PARTITION BY t.doc_id, t.wpos ORDER BY t.tpos)),
+             |r1 AS (SELECT *, CASE WHEN mtch THEN tpos - row_number()
+             |         OVER (PARTITION BY doc_id, wpos, mtch ORDER BY tpos) END AS grp FROM m),
+             |r2 AS (SELECT *, min(tpos) OVER (PARTITION BY doc_id, wpos, mtch, grp) AS run_start
+             |       FROM r1),
+             |r3 AS (SELECT *, (mtch AND (tpos - run_start) % 2 = 0) AS merged FROM r2),
+             |r4 AS (SELECT *, coalesce(lag(merged)
+             |         OVER (PARTITION BY doc_id, wpos ORDER BY tpos), false) AS consumed FROM r3),
+             |nt AS (SELECT doc_id, wpos,
+             |         row_number() OVER (PARTITION BY doc_id, wpos ORDER BY tpos) AS tpos2,
+             |         CASE WHEN merged THEN pa || pb ELSE tok END AS tok
+             |       FROM r4 WHERE NOT consumed)
+             |SELECT a, b, CAST(count(*) AS BIGINT) AS cnt FROM
+             |  (SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id, wpos ORDER BY tpos2) AS b
+             |   FROM nt)
+             |WHERE b IS NOT NULL GROUP BY a, b""".stripMargin)),
+
     // first-order Markov transition matrix of per-user event sequences:
     // lead window → transition counts → row-normalized probabilities
     // (exact integer ratio — deterministic double)
