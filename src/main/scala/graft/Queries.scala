@@ -3367,6 +3367,57 @@ object Queries {
            |FROM dg LEFT JOIN intra ON dg.community = intra.community, mm""".stripMargin
       }),
 
+    // STL-lite weekday seasonality: centered 7-day MA trend → detrended →
+    // per-dow means (decimal-pinned sums) over the daily rollup per type
+    Q("q_seasonal_dow",
+      (s, d) => graft.ops.Smooth.seasonalDow(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg((sum(col("value").cast("decimal(18,6)")) * lit(1000000))
+            .cast("long").as("v")),
+        "event_type", "day", "v"),
+      Some("""WITH ds AS (SELECT event_type, CAST(ts AS DATE) AS day,
+             |        CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS v
+             |      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+             |t AS (SELECT event_type, day,
+             |        v * count(*) OVER w - CAST(sum(v) OVER w AS BIGINT) AS det_num,
+             |        count(*) OVER w AS cnt
+             |      FROM ds WINDOW w AS (PARTITION BY event_type ORDER BY day
+             |        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+             |dt AS (SELECT event_type, CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+             |         CAST(det_num AS DOUBLE) / CAST(cnt AS DOUBLE) AS term
+             |       FROM t)
+             |SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_days,
+             |  list_reduce(list_sort(list(term)), (a, b) -> a + b)
+             |    / CAST(count(*) AS DOUBLE) AS seasonal
+             |FROM dt GROUP BY event_type, dow""".stripMargin)),
+
+    // Pearson chi-square independence of event type × weekday — exact
+    // integer contingency table, decimal-pinned term summation
+    Q("q_chisq",
+      (s, d) => graft.pipeline.Stats.chiSquare(
+        Tables.events(s, d).select(col("event_type"),
+          dayofweek(to_date(col("ts"))).cast("long").as("dow")),
+        "event_type", "dow"),
+      Some("""WITH cells AS (SELECT event_type AS r,
+             |        CAST(dayofweek(CAST(ts AS DATE)) + 1 AS BIGINT) AS c,
+             |        CAST(count(*) AS BIGINT) AS o
+             |      FROM events GROUP BY event_type, dayofweek(CAST(ts AS DATE)) + 1),
+             |t AS (SELECT r, c, o,
+             |        CAST(sum(o) OVER (PARTITION BY r) AS BIGINT) AS rt,
+             |        CAST(sum(o) OVER (PARTITION BY c) AS BIGINT) AS ct,
+             |        CAST(sum(o) OVER () AS BIGINT) AS n
+             |      FROM cells),
+             |terms AS (SELECT r, c, n,
+             |    CAST((CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n AS DOUBLE))
+             |      * (CAST(o AS DOUBLE) - (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n AS DOUBLE))
+             |      / ((CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)) / CAST(n AS DOUBLE)) AS DECIMAL(18,8)) AS term
+             |  FROM t)
+             |SELECT CAST(sum(term) AS DOUBLE) AS chi2,
+             |  CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS df,
+             |  any_value(n) AS n
+             |FROM terms""".stripMargin)),
+
     // one true BPE trainer round: argmax pair → leftmost non-overlapping
     // merge (run-parity windows) → post-merge pair counts, the relation
     // the next round argmaxes. The argmax rides as a 1-row broadcast

@@ -42,6 +42,40 @@ object Smooth {
     df.select(col(key), col(seq), (num / den).as("ewma"))
   }
 
+  /** Weekday seasonal components of a keyed daily series (STL-lite):
+    * trend = centered 7-row moving average of the integer-unit values,
+    * detrended = value − trend, seasonal(dow) = mean of the detrended
+    * values at that weekday. Returns `(key, dow, n_days, seasonal)`.
+    *
+    * Determinism: each detrended value stays an exact integer RATIONAL —
+    * `v − Σwin/cnt = (v·cnt − Σwin)/cnt` with an exact-long numerator —
+    * so the per-row term is ONE correctly-rounded division; the per-dow
+    * mean then sums a handful of such doubles with the order PINNED by
+    * a sorted-array fold (the Relevance.tokenRarity trick — a grouped
+    * double `sum()`'s accumulation order is engine-internal). Rounding
+    * arbitrary doubles to decimal does NOT work here: Spark rounds the
+    * shortest decimal repr while DuckDB rounds the binary value, and
+    * they disagree near .5 boundaries (observed empirically).
+    *
+    * Scale shape: one window + one agg per key on the (tiny) daily
+    * rollup relation — the raw events never enter; same per-key series
+    * bound as [[cusum]]. The collected per-dow array is ≤ ⌈days/7⌉.
+    */
+  def seasonalDow(daily: DataFrame, key: String, day: String,
+                  valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(day)).rowsBetween(-3, 3)
+    daily
+      .withColumn("det_num",
+        col(valueCol) * count(lit(1)).over(w) - sum(col(valueCol)).over(w))
+      .withColumn("term",
+        col("det_num").cast("double") / count(lit(1)).over(w).cast("double"))
+      .groupBy(col(key), dayofweek(col(day)).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"),
+        (aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+          (acc, x) => acc + x) /
+          count(lit(1)).cast("double")).as("seasonal"))
+  }
+
   /** CUSUM change-point statistic over a keyed integer-unit series:
     * `cusum_t = Σ_{i≤t}(v_i − mean)` — drifts near 0 while the series is
     * stationary, ramps when the level shifts; `|cusum| > h` flags the

@@ -140,6 +140,37 @@ object Stats {
       .drop("mn", "mx")
   }
 
+  /** Pearson chi-square independence statistic for a two-way contingency
+    * table: `χ² = Σ_cells (O − E)² / E` with `E = rowTot·colTot / N`.
+    * Returns one row: `(chi2, df, n)` (df = (R−1)(C−1)).
+    *
+    * Determinism: O and the totals are exact longs, so each cell term is
+    * a fixed IEEE tree — but the SUM over cells is float accumulation
+    * whose order differs between engines, so each term is rounded to
+    * decimal(18,8) BEFORE the (associative) decimal sum, same discipline
+    * as the temperature-mixing Σ√cnt.
+    *
+    * Scale shape: one (row, col) count aggregate; totals re-aggregate the
+    * CELL relation (≤ R·C rows), never the data; everything after the
+    * first agg is sketch-sized.
+    */
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(col(rowCol).as("r"), col(colCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+    val withTotals = cells
+      .withColumn("rt", sum(col("o")).over(Window.partitionBy(col("r"))))
+      .withColumn("ct", sum(col("o")).over(Window.partitionBy(col("c"))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    val e = (col("rt").cast("double") * col("ct").cast("double")) /
+      col("n").cast("double")
+    val term = ((col("o").cast("double") - e) * (col("o").cast("double") - e) / e)
+      .cast("decimal(18,8)")
+    withTotals.agg(
+      sum(term).cast("double").as("chi2"),
+      ((countDistinct(col("r")) - 1) * (countDistinct(col("c")) - 1)).as("df"),
+      any_value(col("n")).as("n"))
+  }
+
   /** Per-group lag-1 autocorrelation of an integer-unit series ordered by
     * `orderCol`: Pearson corr of (value_{t-1}, value_t). `valueCol` must
     * already be long-valued units (correlation is scale-invariant, so the
