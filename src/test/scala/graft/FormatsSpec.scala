@@ -32,4 +32,23 @@ class FormatsSpec extends SparkTestBase {
       .collectLeaves().head.toString
     assert(fscan.contains("PushedFilters: [IsNotNull(grp), EqualTo(grp,3)]"), fscan)
   }
+
+  test("CSV round-trip with explicit schema, header, and custom delimiter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1L, "a;x", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    // ';' payload with ';' delimiter exercises quoting on both sides
+    df.write.mode("overwrite").option("header", "true").option("sep", ";")
+      .csv(s"$dir/t")
+    val back = spark.read
+      .schema("id BIGINT, s STRING, v DOUBLE")
+      .option("header", "true").option("sep", ";")
+      .csv(s"$dir/t")
+    assert(back.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet)
+
+    // schema-on-read beats inferSchema at scale (no extra pass); the
+    // 1-column projection must still prune the read schema
+    val scan = back.select("id").queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(scan.contains("ReadSchema: struct<id:bigint>"), scan)
+  }
 }
