@@ -3418,6 +3418,26 @@ object Queries {
              |  any_value(n) AS n
              |FROM terms""".stripMargin)),
 
+    // WHOLE custom operator: logical node + planner strategy + physical
+    // partial/final top-k-per-key (plans/TopKPerKey) — per-partition
+    // bounded heaps BEFORE the exchange, so only ~k rows per (key,
+    // partition) shuffle where the rank-window formulation shuffles the
+    // whole table; deliberately run on the LOW-cardinality key where the
+    // window plan is at its worst. Oracle = the window formulation
+    Q("q_topk_physical",
+      (s, d) => graft.plans.TopKPerKey(
+        t(s, d)("lineitem")
+          .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq("l_returnflag"),
+        Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc), k = 5),
+      Some("""SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+             |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             |        row_number() OVER (PARTITION BY l_returnflag
+             |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+             |      FROM lineitem)
+             |WHERE rn <= 5""".stripMargin)),
+
     // one true BPE trainer round: argmax pair → leftmost non-overlapping
     // merge (run-parity windows) → post-merge pair counts, the relation
     // the next round argmaxes. The argmax rides as a 1-row broadcast

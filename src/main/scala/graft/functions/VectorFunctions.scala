@@ -214,6 +214,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new ExpressionInfo(clazz, name), builder))
     }
     e.injectOptimizerRule(_ => graft.plans.BandJoinRewrite)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 
@@ -255,6 +256,9 @@ object VectorFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BandJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BandJoinRewrite
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
   }
 
   /** Column-level dot product; requires [[register]] on the session first

@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Whole-operator custom plan: top-k rows per key, with PARTIAL pruning
+  * before the shuffle — the one thing a rank-window formulation cannot
+  * express. `Window.partitionBy(key).orderBy(...)` + `rank <= k` must
+  * shuffle and sort EVERY row of every key; this operator keeps a
+  * bounded per-key heap in each input partition, so at most
+  * k·|keys-per-partition| rows reach the exchange, then a second
+  * (post-shuffle) pass merges the per-partition survivors. On a 100 TB
+  * fact table with k = 10 this is the difference between shuffling the
+  * table and shuffling ~k rows per (key, partition) — the same
+  * partial/final split as hash aggregation, applied to top-k.
+  *
+  * The pieces, wired the way Spark wants whole operators delivered:
+  * [[TopKPerKeyNode]] (logical, analysis-visible), [[TopKPerKeyStrategy]]
+  * (planner: logical → Partial + Final physical pair; the exchange
+  * appears automatically because Final DECLARES
+  * `ClusteredDistribution(keys)` and EnsureRequirements inserts the
+  * shuffle), and [[TopKPerKeyExec]] (execution: per-partition bounded
+  * heaps over UnsafeRows). Registered via
+  * `GraftExtensions.injectPlannerStrategy` / `experimental.extraStrategies`.
+  *
+  * Ties: `order` must be a TOTAL order (extend it with a unique id) —
+  * with ties at rank k the kept row would otherwise be partition-order
+  * dependent. The operator is exact for total orders, like every
+  * deterministic top-k.
+  */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Seq[SortOrder],
+                          k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, "k must be >= 1")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+                          k: Int, partial: Boolean, child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  // the Final pass declares the clustered requirement; EnsureRequirements
+  // plants the exchange between Partial and Final
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keys))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val sortExprs = order
+    val childOutput = child.output
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(
+        BindReferences.bindReferences(keyExprs, childOutput))
+      // heap root = WORST kept row; evict it when a better row arrives
+      val rowOrd = new LazilyGeneratedOrdering(
+        BindReferences.bindReferences(sortExprs, childOutput))
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[UnsafeRow](kk, rowOrd.reverse)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) {
+          heap.add(row.asInstanceOf[UnsafeRow].copy())
+        } else if (rowOrd.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.asInstanceOf[UnsafeRow].copy())
+        }
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+      heaps.values().forEach { h => h.forEach { r => out += r } }
+      out.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKey {
+  /** Top-k rows of `df` per `keyCols` group under `orderCols` (`.asc` /
+    * `.desc` Columns or plain expressions, defaulting ascending — "top"
+    * is whatever sorts FIRST; `orderCols` must be a total order).
+    * Returns the rows themselves, un-ranked.
+    */
+  def apply(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+            orderCols: Seq[org.apache.spark.sql.Column], k: Int)
+  : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val analyzed = df.queryExecution.analyzed
+    def byName(n: String): Expression =
+      analyzed.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${analyzed.output}"))
+    def resolve(e: Expression): Expression = e.transformUp {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => byName(u.name)
+    }
+    val keyExprs: Seq[Expression] = keyCols.map(byName)
+    val sortOrders = orderCols.map { c =>
+      resolve(org.apache.spark.sql.classic.GraftPlanBridge.expr(c)) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, org.apache.spark.sql.catalyst.expressions.Ascending)
+      }
+    }
+    org.apache.spark.sql.classic.GraftPlanBridge.ofRows(spark,
+      TopKPerKeyNode(keyExprs, sortOrders, k, analyzed))
+  }
+}
