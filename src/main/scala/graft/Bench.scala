@@ -24,12 +24,16 @@ object Bench {
     // untimed warmup at the smallest SF (sibling of the bench dir, or the
     // bench dir itself): JIT + codegen compilation + parquet footer caching
     // happen here, not inside the timed runs
+    // comma-separated name substrings — warm/time only the matching
+    // queries (local iteration aid; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+    def selected(name: String) = only.forall(_.exists(name.contains))
     val warmDir = {
       val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
     if (new java.io.File(warmDir).isDirectory) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      SparkEntry.queries.filter(e => selected(e._1)).foreach { case (_, fn) =>
         try consume(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
     }
@@ -45,7 +49,7 @@ object Bench {
       try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => -1.0 }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.filter(e => selected(e._1)).map { case (name, fn) =>
       val times = Seq.fill(reps)(timeOnce(fn)).filter(_ >= 0).sorted
       name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
     }

@@ -102,7 +102,12 @@ object Bpe {
     */
   def trainRound(docs: DataFrame, id: String, text: String,
                  rounds: Int = 1): DataFrame = {
+    // Persist the char-split relation: each round reads it twice (the
+    // argmax aggregate runs as the broadcast-subquery job, the merge
+    // projection in the main job) and re-deriving it re-scans the text
+    // column — at 100 TB the scan, not the merge, is the round.
     var w = words(docs, id, text)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to rounds) w = mergeRound(w)
     pairCounts(w)
   }
