@@ -3567,7 +3567,83 @@ object Queries {
              |      FROM ds JOIN st USING (event_type))
              |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
              |  CAST(n * r_t - t * s_total AS DOUBLE) / CAST(n AS DOUBLE) AS cusum
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // SQL pipe syntax (Spark 4 front door): the |> operator chain plans to
+    // the IDENTICAL physical plan as the nested-SELECT form — parity row
+    // proving the engine accepts the linear query style end-to-end
+    Q("q_sql_pipe",
+      (s, d) => {
+        t(s, d)("events").createOrReplaceTempView("events_pipe_v")
+        s.sql("""FROM events_pipe_v
+                ||> WHERE event_type IN ('click', 'view')
+                ||> EXTEND CAST(value AS DECIMAL(18,2)) AS v
+                ||> AGGREGATE count(*) AS cnt, CAST(sum(v) AS DOUBLE) AS sum_v
+                |   GROUP BY event_type""".stripMargin)
+      },
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+             |FROM events WHERE event_type IN ('click', 'view')
+             |GROUP BY event_type""".stripMargin)),
+
+    // VARIANT semi-structured path (Spark 4): parse once into the binary
+    // variant encoding, then typed path extraction — the open-schema
+    // ingest shape where columnar shredding isn't available yet. At 100 TB
+    // the parse is a per-row projection (no shuffle); the agg shuffles
+    // only (event_type, partial sums)
+    Q("q_variant_extract",
+      (s, d) => t(s, d)("events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k")),
+      Some("""SELECT event_type, count(*) AS cnt,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+             |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin)),
+
+    // recursive CTE (Spark 4 front door) computing a per-key LINEAR
+    // RECURRENCE — s_t = s_{t-1} div 2 + c_t over each type's day series —
+    // the sequential-fold class no window frame can express (each state
+    // depends on the previous STATE, not the previous inputs). All-integer
+    // arithmetic → hash-exact across engines; depth = days per key (30),
+    // each level a |keys|-row equi-join, no fan-out
+    Q("q_sql_recursive",
+      (s, d) => {
+        t(s, d)("events").createOrReplaceTempView("events_rec_v")
+        s.sql("""WITH RECURSIVE ds AS (
+                |  SELECT event_type, CAST(ts AS DATE) AS day,
+                |         CAST(count(*) AS BIGINT) AS c,
+                |         CAST(row_number() OVER (PARTITION BY event_type
+                |           ORDER BY CAST(ts AS DATE)) AS BIGINT) AS t
+                |  FROM events_rec_v GROUP BY event_type, CAST(ts AS DATE)),
+                |rec AS (
+                |  SELECT event_type, day, t, c, c AS s FROM ds WHERE t = 1
+                |  UNION ALL
+                |  SELECT ds.event_type, ds.day, ds.t, ds.c, rec.s DIV 2 + ds.c AS s
+                |  FROM rec JOIN ds ON ds.event_type = rec.event_type
+                |                  AND ds.t = rec.t + 1)
+                |SELECT event_type, date_format(day, 'yyyy-MM-dd') AS day,
+                |       t, c, s
+                |FROM rec""".stripMargin)
+      },
+      Some("""WITH RECURSIVE ds AS (
+             |  SELECT event_type, CAST(ts AS DATE) AS day,
+             |         CAST(count(*) AS BIGINT) AS c,
+             |         CAST(row_number() OVER (PARTITION BY event_type
+             |           ORDER BY CAST(ts AS DATE)) AS BIGINT) AS t
+             |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+             |rec AS (
+             |  SELECT event_type, day, t, c, c AS s FROM ds WHERE t = 1
+             |  UNION ALL
+             |  SELECT ds.event_type, ds.day, ds.t, ds.c, rec.s // 2 + ds.c AS s
+             |  FROM rec JOIN ds ON ds.event_type = rec.event_type
+             |                  AND ds.t = rec.t + 1)
+             |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+             |       t, c, s
+             |FROM rec""".stripMargin))
   )
 
   val queries: Map[String, QueryFn] = all.map { q =>

@@ -51,4 +51,32 @@ class FormatsSpec extends SparkTestBase {
       .collectLeaves().head.toString
     assert(scan.contains("ReadSchema: struct<id:bigint>"), scan)
   }
+
+  test("XML round-trip (Spark 4 built-in source): rows, nesting, attributes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    val df = Seq((1L, "alpha", 1.5), (2L, "<b>&amp;", 2.5))
+      .toDF("id", "s", "v")
+      .withColumn("meta", struct(col("id").as("k"), col("s").as("label")))
+    // markup characters in the payload exercise escaping on both sides
+    df.write.mode("overwrite")
+      .option("rootTag", "rows").option("rowTag", "row")
+      .format("xml").save(s"$dir/t")
+    val back = spark.read
+      .schema("id BIGINT, s STRING, v DOUBLE, meta STRUCT<k: BIGINT, label: STRING>")
+      .option("rowTag", "row")
+      .format("xml").load(s"$dir/t")
+    assert(back.collect().map(_.toSeq).toSet === df.collect().map(_.toSeq).toSet)
+
+    // attribute mapping: columns prefixed `_` become XML attributes on
+    // write and round-trip back under the same name with schema-on-read
+    val attrs = Seq(("r1", 10L), ("r2", 20L)).toDF("_name", "n")
+    attrs.write.mode("overwrite")
+      .option("rootTag", "rows").option("rowTag", "row")
+      .format("xml").save(s"$dir/a")
+    val attrsBack = spark.read
+      .schema("_name STRING, n BIGINT").option("rowTag", "row")
+      .format("xml").load(s"$dir/a")
+    assert(attrsBack.collect().map(_.toSeq).toSet
+      === attrs.collect().map(_.toSeq).toSet)
+  }
 }
