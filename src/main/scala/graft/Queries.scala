@@ -76,6 +76,50 @@ object Queries {
       |                      v -> v IS NOT NULL)) AS s
       |             FROM w))""".stripMargin
 
+  /** The fixed merge table for `q_bpe_encode` — valid rank order (each
+    * compound operand is formed by an earlier rule; see
+    * [[graft.pipeline.Bpe.validateMerges]]).
+    */
+  private val bpeEncodeMerges = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "e" -> "r", "an" -> "d", "o" -> "u", "r" -> "e")
+
+  /** Oracle for BPE encode: the char-token relation, then ONE
+    * parity-merge window block PER RULE in rank order (pair as literals —
+    * the q_bpe_merge replay machinery minus its argmax CTE), finishing
+    * with 0-based token positions. Rule r's block reads `tk{r-1}` and
+    * writes `tk{r}`.
+    */
+  private def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
+    val blocks = merges.zipWithIndex.map { case ((a, b), r) =>
+      s"""m$r AS (SELECT doc_id, wpos, tpos, tok,
+         |        (lead(tok) OVER w IS NOT NULL AND tok = '$a'
+         |          AND lead(tok) OVER w = '$b') AS mtch
+         |      FROM tk$r WINDOW w AS (PARTITION BY doc_id, wpos ORDER BY tpos)),
+         |ra$r AS (SELECT *, CASE WHEN mtch THEN tpos - row_number()
+         |         OVER (PARTITION BY doc_id, wpos, mtch ORDER BY tpos) END AS grp FROM m$r),
+         |rb$r AS (SELECT *, min(tpos) OVER (PARTITION BY doc_id, wpos, mtch, grp) AS run_start
+         |        FROM ra$r),
+         |rc$r AS (SELECT *, (mtch AND (tpos - run_start) % 2 = 0) AS merged FROM rb$r),
+         |rd$r AS (SELECT *, coalesce(lag(merged)
+         |          OVER (PARTITION BY doc_id, wpos ORDER BY tpos), false) AS consumed FROM rc$r),
+         |tk${r + 1} AS (SELECT doc_id, wpos,
+         |          row_number() OVER (PARTITION BY doc_id, wpos ORDER BY tpos) AS tpos,
+         |          CASE WHEN merged THEN '$a$b' ELSE tok END AS tok
+         |        FROM rd$r WHERE NOT consumed)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wd AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS wpos, unnest(ws) AS w
+       |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |tks AS (SELECT doc_id, wpos, unnest(generate_series(1, length(w))) AS tpos, w
+       |        FROM wd WHERE length(w) > 0),
+       |tk0 AS (SELECT doc_id, wpos, tpos,
+       |         substring(w, CAST(tpos AS INTEGER), 1) AS tok FROM tks),
+       |$blocks
+       |SELECT doc_id, CAST(wpos AS BIGINT) AS wpos, CAST(tpos - 1 AS BIGINT) AS tpos,
+       |       tok AS token
+       |FROM tk${merges.size}""".stripMargin
+  }
+
   /** DuckDB sequential-fold dot product of two double-list columns —
     * bit-identical to [[Similarity.dot]].
     */
@@ -3476,6 +3520,17 @@ object Queries {
              |  (SELECT tok AS a, lead(tok) OVER (PARTITION BY doc_id, wpos ORDER BY tpos2) AS b
              |   FROM nt)
              |WHERE b IS NOT NULL GROUP BY a, b""".stripMargin)),
+
+    // tokenizer ENCODE: apply a fixed rank-ordered merge table via the
+    // codegen'd BpeEncode expression — per-row map, zero shuffles, plan
+    // size independent of vocab. The oracle replays every rule in rank
+    // order as one generated parity-merge window block per rule (the
+    // q_bpe_merge machinery with the pair as literals), which pins the
+    // priority-loop expression to the sequential-semantics ground truth.
+    Q("q_bpe_encode",
+      (s, d) => graft.pipeline.Bpe.encode(
+        t(s, d)("documents"), "doc_id", "text", bpeEncodeMerges),
+      Some(bpeEncodeOracle(bpeEncodeMerges))),
 
     // first-order Markov transition matrix of per-user event sequences:
     // lead window → transition counts → row-normalized probabilities

@@ -56,25 +56,22 @@ object Bpe {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Merge the argmax pair's leftmost non-overlapping occurrences in
-    * every word — one per-row projection against the 1-row broadcast
-    * argmax. `m(j)` marks a match at 1-based position j; a match merges
-    * iff the count of consecutive matches immediately before it is even
-    * (run parity); position i+1 is consumed by a merge at i.
+  /** Leftmost-non-overlapping merge of pair `(pa, pb)` in the token array
+    * `toks` — the shared per-row projection under [[mergeRound]] (argmax
+    * pair via 1-row broadcast columns) and [[encodeByPlan]] (literal pair
+    * per learned rule). `m(j)` marks a match at 1-based position j; a
+    * match merges iff the count of consecutive matches immediately before
+    * it is even (run parity); position i+1 is consumed by a merge at i.
+    *
+    * Guards matter under ANSI: `sequence(1, 0)` DESCENDS (1-char words
+    * need the size>1 branch) and `element_at(_, 0)` THROWS, so the
+    * boundary indices hide behind lazy `when` branches, never behind `||`.
     */
-  def mergeRound(words: DataFrame): DataFrame = {
-    val top = pairCounts(words)
-      .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
-      .select(col("a").as("pa"), col("b").as("pb"))
-
-    // m(j), 1-based over j=1..n-1: pair (t(j), t(j+1)) matches the argmax.
-    // Guards matter under ANSI: `sequence(1, 0)` DESCENDS (1-char words
-    // need the size>1 branch) and `element_at(_, 0)` THROWS, so the
-    // boundary indices hide behind lazy `when` branches, never behind `||`.
-    val merged = bind(col("toks")) { t =>
+  private[graft] def mergePairExpr(toks: Column, pa: Column, pb: Column): Column =
+    bind(toks) { t =>
       bind(when(size(t) > 1,
           transform(sequence(lit(1), size(t) - 1), j =>
-            element_at(t, j) === col("pa") && element_at(t, j + 1) === col("pb")))
+            element_at(t, j) === pa && element_at(t, j + 1) === pb))
         .otherwise(array().cast("array<boolean>"))) { m =>
         bind(transform(m, (mj, j0) =>
           // merge iff the run of consecutive matches before j = j0+1 has
@@ -88,13 +85,91 @@ object Bpe {
               .otherwise(
                 when(coalesce(when(i0 < size(t) - 1, element_at(mg, i0 + 1)),
                     lit(false)),
-                  concat(col("pa"), col("pb"))).otherwise(ti))),
+                  concat(pa, pb)).otherwise(ti))),
             x => x.isNotNull)
         }
       }
     }
+
+  /** Merge the argmax pair's leftmost non-overlapping occurrences in
+    * every word — one per-row projection against the 1-row broadcast
+    * argmax.
+    */
+  def mergeRound(words: DataFrame): DataFrame = {
+    val top = pairCounts(words)
+      .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+      .select(col("a").as("pa"), col("b").as("pb"))
     words.crossJoin(broadcast(top))
-      .select(col(words.columns.head), col("wpos"), merged.as("toks"))
+      .select(col(words.columns.head), col("wpos"),
+        mergePairExpr(col("toks"), col("pa"), col("pb")).as("toks"))
+  }
+
+  /** A merge table is VALID when every rule's operands are single
+    * characters or the output of an earlier rule — the invariant real BPE
+    * training produces (a merged token exists only after the rule that
+    * forms it). Validity is what makes sequential rank-order application
+    * ([[encodeByPlan]]) and priority-order application
+    * ([[graft.functions.BpeEncode]]) provably identical: merging rule r
+    * only creates adjacencies involving its output token, whose consuming
+    * rules necessarily rank AFTER r, so no earlier rule can ever become
+    * applicable again.
+    */
+  def validateMerges(merges: Seq[(String, String)]): Unit = {
+    val formed = scala.collection.mutable.Set[String]()
+    merges.zipWithIndex.foreach { case ((a, b), r) =>
+      def ok(x: String) = x.codePointCount(0, x.length) == 1 || formed.contains(x)
+      require(ok(a) && ok(b),
+        s"merge #$r ('$a','$b'): operand is neither a single character " +
+          "nor formed by an earlier rule — not a rank-ordered BPE table")
+      formed += a + b
+    }
+  }
+
+  /** ENCODE with a learned merge table, as a chain of per-rule
+    * [[mergePairExpr]] projections — rule r's pair as literals, applied
+    * exhaustively (leftmost non-overlapping) before rule r+1, the
+    * original sequential BPE encoder (Sennrich et al.). Output:
+    * `(id, wpos, tpos, token)`.
+    *
+    * Every stage is a shuffle-free narrow projection, so the whole encode
+    * is one map stage regardless of R — but the PLAN carries one Project
+    * node per rule, so analyzer time is O(R): right for oracle-sized
+    * tables (≤ a few dozen rules) and as the independent semantics spec
+    * for [[graft.functions.BpeEncode]]; production-vocab tables (R ~ 30k)
+    * use the expression, whose cost per word is O(tokens²) with O(1) rank
+    * lookups and no plan growth.
+    */
+  def encodeByPlan(docs: DataFrame, id: String, text: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    validateMerges(merges)
+    var w = words(docs, id, text)
+    merges.foreach { case (a, b) =>
+      w = w.select(col(id), col("wpos"),
+        mergePairExpr(col("toks"), lit(a), lit(b)).as("toks"))
+    }
+    w.select(col(id), col("wpos"),
+        posexplode(col("toks")).as(Seq("tpos", "token")))
+      .select(col(id), col("wpos").cast("long").as("wpos"),
+        col("tpos").cast("long").as("tpos"), col("token"))
+  }
+
+  /** ENCODE with the codegen'd [[graft.functions.BpeEncode]] expression —
+    * the production path: per-word greedy priority tokenization compiled
+    * into whole-stage codegen, O(1) rank lookups against the broadcast
+    * merge table, constant plan size at any vocab. Provably identical to
+    * [[encodeByPlan]] on a valid table (see [[validateMerges]];
+    * spec-verified on random tables). Output: `(id, wpos, tpos, token)`.
+    */
+  def encode(docs: DataFrame, id: String, text: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    validateMerges(merges)
+    val fn = graft.functions.BpeEncode.register(docs.sparkSession, merges)
+    docs.select(col(id), posexplode(split(col(text), " ")).as(Seq("wpos", "w")))
+      .filter(length(col("w")) > 0)
+      .select(col(id), col("wpos"),
+        posexplode(call_function(fn, col("w"))).as(Seq("tpos", "token")))
+      .select(col(id), col("wpos").cast("long").as("wpos"),
+        col("tpos").cast("long").as("tpos"), col("token"))
   }
 
   /** `rounds` merge rounds, then the post-merge pair counts — the

@@ -39,4 +39,63 @@ class BpeSpec extends SparkTestBase {
     val got = Bpe.trainRound(docs, "doc_id", "text", rounds = 2).collect()
     assert(got.isEmpty)
   }
+
+  // ------------------------------------------------------------- encode
+
+  private val engMerges = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+    "e" -> "r", "an" -> "d", "o" -> "u", "r" -> "e")
+
+  private def tokens(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Seq[String]] =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sortBy(_._1).map(_._2).toSeq }
+
+  test("encode: rules apply in rank order, exhaustively per rule") {
+    val docs = Seq((1L, "the other and tin")).toDF("doc_id", "text")
+    val got = tokens(Bpe.encode(docs, "doc_id", "text", engMerges))
+    // "the":  t,h,e → th,e (r0) → the (r1)
+    // "other": o,t,h,e,r → o,th,e,r (r0) → o,the,r (r1) — e consumed, r4 moot
+    // "and":  a,n,d → an,d (r3) → and (r5)
+    // "tin":  t,i,n → t,in (r2); (t,h) never matches
+    assert(got === Map(
+      (1L, 0L) -> Seq("the"), (1L, 1L) -> Seq("o", "the", "r"),
+      (1L, 2L) -> Seq("and"), (1L, 3L) -> Seq("t", "in")))
+  }
+
+  test("encode: surrogate-pair code points are single tokens") {
+    val docs = Seq((1L, "a😀b")).toDF("doc_id", "text")
+    val got = tokens(Bpe.encode(docs, "doc_id", "text", engMerges))
+    assert(got === Map((1L, 0L) -> Seq("a", "😀", "b")))
+  }
+
+  test("validateMerges rejects an operand no earlier rule forms") {
+    intercept[IllegalArgumentException] {
+      Bpe.validateMerges(Seq("ab" -> "c"))
+    }
+    Bpe.validateMerges(Seq("a" -> "b", "ab" -> "c")) // valid — no throw
+  }
+
+  test("encode (codegen priority) ≡ encodeByPlan (sequential projections) on random valid tables") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    for (trial <- 1 to 5) {
+      // grow a VALID table: operands sampled from formed ∪ alphabet
+      var formed = alphabet.map(_.toString).toVector
+      val merges = (1 to 6).map { _ =>
+        val a = formed(rnd.nextInt(formed.size))
+        val b = formed(rnd.nextInt(formed.size))
+        formed :+= a + b
+        a -> b
+      }
+      val docs = (1L to 40L).map { i =>
+        val w = (1 to 1 + rnd.nextInt(10)).map(_ => alphabet(rnd.nextInt(4))).mkString
+        (i, w)
+      }.toDF("doc_id", "text")
+      val fast = tokens(Bpe.encode(docs, "doc_id", "text", merges))
+      val slow = tokens(Bpe.encodeByPlan(docs, "doc_id", "text", merges))
+      assert(fast === slow, s"trial $trial diverged on table $merges")
+    }
+  }
 }
