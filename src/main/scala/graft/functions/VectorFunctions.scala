@@ -234,7 +234,10 @@ object VectorFunctions {
     ("graft_rolling_hash_16", classOf[RollingHash].getName,
       (children: Seq[Expression]) => RollingHash(children.head, 16)),
     ("graft_stem", classOf[PorterStem].getName,
-      (children: Seq[Expression]) => PorterStem(children.head)))
+      (children: Seq[Expression]) => PorterStem(children.head)),
+    ("graft_bpe_merge_pair", classOf[BpeMergePair].getName,
+      (children: Seq[Expression]) =>
+        BpeMergePair(children.head, children(1), children(2))))
 
   /** Idempotently register graft expressions in the session's function
     * registry, so `call_function` / SQL can resolve them. Works on any

@@ -44,24 +44,30 @@ object Bpe {
           transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
         }.as("toks"))
 
-  /** Adjacent pair counts over the token-array relation. */
+  /** Adjacent pair counts over the token-array relation. The pair list
+    * is `zip(toks[0..n-2], toks[1..n-1])` via `arrays_zip` over two
+    * `slice`s — regular collection expressions that stay inside
+    * whole-stage codegen, unlike the transform/filter HOF formulation
+    * (interpreted per row with per-element lambda evaluation).
+    */
   def pairCounts(words: DataFrame): DataFrame =
-    words.select(explode(bind(col("toks")) { t =>
-        filter(
-          transform(t, (_, i) =>
-            when(i < size(t) - 1,
-              struct(element_at(t, i + 1).as("a"), element_at(t, i + 2).as("b")))),
-          p => p.isNotNull)
-      }).as("p"))
+    words
+      .filter(size(col("toks")) > 1)
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), size(col("toks")) - 1).as("a"),
+        slice(col("toks"), lit(2), size(col("toks")) - 1).as("b"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("cnt"))
 
   /** Leftmost-non-overlapping merge of pair `(pa, pb)` in the token array
-    * `toks` — the shared per-row projection under [[mergeRound]] (argmax
-    * pair via 1-row broadcast columns) and [[encodeByPlan]] (literal pair
-    * per learned rule). `m(j)` marks a match at 1-based position j; a
-    * match merges iff the count of consecutive matches immediately before
-    * it is even (run parity); position i+1 is consumed by a merge at i.
+    * `toks`, as higher-order-function collection lambdas — the
+    * INDEPENDENT implementation twin of the codegen'd
+    * [[graft.functions.BpeMergePair]] (which [[mergeRound]] uses on the
+    * hot path), kept under [[encodeByPlan]] so the equivalence spec pins
+    * two genuinely different formulations against each other. `m(j)`
+    * marks a match at 1-based position j; a match merges iff the count of
+    * consecutive matches immediately before it is even (run parity);
+    * position i+1 is consumed by a merge at i.
     *
     * Guards matter under ANSI: `sequence(1, 0)` DESCENDS (1-char words
     * need the size>1 branch) and `element_at(_, 0)` THROWS, so the
@@ -93,15 +99,19 @@ object Bpe {
 
   /** Merge the argmax pair's leftmost non-overlapping occurrences in
     * every word — one per-row projection against the 1-row broadcast
-    * argmax.
+    * argmax, via the codegen'd [[graft.functions.BpeMergePair]] (the pair
+    * stays a broadcast COLUMN, never a driver literal, so the round is
+    * one lazy plan).
     */
   def mergeRound(words: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.register(words.sparkSession)
     val top = pairCounts(words)
       .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
       .select(col("a").as("pa"), col("b").as("pb"))
     words.crossJoin(broadcast(top))
       .select(col(words.columns.head), col("wpos"),
-        mergePairExpr(col("toks"), col("pa"), col("pb")).as("toks"))
+        call_function("graft_bpe_merge_pair",
+          col("toks"), col("pa"), col("pb")).as("toks"))
   }
 
   /** A merge table is VALID when every rule's operands are single

@@ -80,7 +80,8 @@ class FunctionsSpec extends SparkTestBase {
     // register() and GraftExtensions iterate VectorFunctions.allFunctions,
     // so checking the list checks both deployment paths
     val names = VectorFunctions.allFunctions.map(_._1)
-    assert(names === Seq("graft_dot", "graft_cosine", "graft_rolling_hash_16", "graft_stem"))
+    assert(names === Seq("graft_dot", "graft_cosine", "graft_rolling_hash_16",
+      "graft_stem", "graft_bpe_merge_pair"))
     // applying the extensions must not throw (injection is deferred)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
