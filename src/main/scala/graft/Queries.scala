@@ -3189,6 +3189,31 @@ object Queries {
              |       CAST(count(*) AS BIGINT) AS n_sampled
              |FROM s GROUP BY l_returnflag""".stripMargin)),
 
+    // weight-proportional deterministic sampling (systematic over the
+    // integer cumulative-weight line, md5 order): exactly k=20 draws per
+    // source with inclusion counts ∝ token weight — the importance-
+    // sampling mixture knob. All-integer DIV arithmetic; the oracle
+    // replays the cumulative line with one window (ordering by the md5
+    // IS the Spark side's (bucket, md5) order since the bucket is the
+    // md5 prefix)
+    Q("q_sample_weighted",
+      (s, d) => graft.pipeline.Mix.weightedSample(
+          t(s, d)("documents").select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("w")),
+          "source", col("doc_id"), "w", k = 20)
+        .select(col("source"), col("doc_id"), col("w"), col("n_draws")),
+      Some("""WITH t AS (SELECT doc_id, source,
+             |            CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+             |            md5('mix:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+             |c AS (SELECT doc_id, source, w,
+             |        sum(w) OVER (PARTITION BY source ORDER BY h, doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |        sum(w) OVER (PARTITION BY source) AS tot FROM t)
+             |SELECT source, doc_id, w,
+             |  CAST((cum * 20) // tot - ((cum - w) * 20) // tot AS BIGINT) AS n_draws
+             |FROM c
+             |WHERE (cum * 20) // tot - ((cum - w) * 20) // tot >= 1""".stripMargin)),
+
     // ------------------------------------------------------ k-means / skyline
 
     // 2 Lloyd rounds of k = 4 over int8-quantized embeddings — integer

@@ -140,4 +140,54 @@ object Mix {
       .agg(any_value(col("n_total")).as("n_total"),
         any_value(col("rate")).as("rate"),
         count(lit(1)).as("n_sampled"))
+
+  /** Weight-PROPORTIONAL deterministic sampling: exactly `k` draws per
+    * stratum, row inclusion count ∝ its integer weight (token count,
+    * quality score) — the importance-sampling knob of a mixture recipe,
+    * RNG-free. Systematic sampling over the cumulative-weight line: rows
+    * are laid out in md5(seed:key) order, and `k` equally-spaced pointers
+    * sweep `[0, W)`; row i is drawn
+    * `⌊C_i·k/W⌋ − ⌊(C_i−w_i)·k/W⌋ ∈ {⌊w_i·k/W⌋, ⌈w_i·k/W⌉}` times, and
+    * the counts TELESCOPE to exactly k per stratum — an invariant the
+    * spec asserts, which no Bernoulli scheme has. All-integer arithmetic
+    * (`DIV`, never a double ratio) → bit-replayable in any engine;
+    * requires `W·k < 2⁶³`. Rows with `n_draws ≥ 2` are epoch-style
+    * repeats (heavy rows at small W), same semantics as [[upsample]].
+    *
+    * Scale shape: strata are LOW-cardinality, so a per-stratum window
+    * would sort whole strata in single tasks; instead the md5-prefix
+    * BUCKET carries the sort (the [[Ids.contiguous]] offset pattern):
+    * per-(stratum, bucket) running sums + a broadcast 256-rows-per-
+    * stratum offset table reconstruct the exact global cumulative line —
+    * ordering by (bucket, md5, key) IS ordering by (md5, key) because the
+    * bucket is the md5 prefix. One data shuffle (the bucket window) + one
+    * map-combined aggregate.
+    *
+    * Output: input rows with `n_draws ≥ 1` plus the `n_draws` column.
+    */
+  def weightedSample(df: DataFrame, stratumCol: String, key: Column,
+                     weightCol: String, k: Int, seed: String = "mix"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k=$k must be >= 1")
+    val keyed = df
+      .withColumn("__h", md5(concat(lit(seed + ":"), key.cast("string"))))
+      .withColumn("__b", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val offsets = keyed.groupBy(col(stratumCol), col("__b"))
+      .agg(sum(col(weightCol)).as("__bw"))
+      .withColumn("__off", coalesce(sum(col("__bw")).over(
+        Window.partitionBy(stratumCol).orderBy("__b")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__tot", sum(col("__bw")).over(
+        Window.partitionBy(stratumCol)))
+      .drop("__bw")
+    val wnd = Window.partitionBy(col(stratumCol), col("__b"))
+      .orderBy(col("__h"), key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed.join(broadcast(offsets), Seq(stratumCol, "__b"))
+      .withColumn("__cum", col("__off") + sum(col(weightCol)).over(wnd))
+      .withColumn("n_draws", expr(
+        s"(__cum * $k) DIV __tot - ((__cum - $weightCol) * $k) DIV __tot"))
+      .filter(col("n_draws") >= 1)
+      .drop("__h", "__b", "__off", "__tot", "__cum")
+  }
 }

@@ -49,4 +49,37 @@ class MixSpec extends SparkTestBase {
       .collect().map(keyOf).toSet
     assert(sampled === reshuffled)
   }
+
+  test("weightedSample: exactly k draws per stratum, counts within floor/ceil of k·w/W, repartition-invariant") {
+    val rnd = new scala.util.Random(11)
+    val wdf = (0L until 300L).map(i => (i, s"src${i % 3}", 1L + rnd.nextInt(50)))
+      .toDF("id", "source", "w")
+    val k = 17
+    val got = Mix.weightedSample(wdf, "source", $"id", "w", k).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("id"),
+        r.getAs[Long]("w"), r.getAs[Long]("n_draws")))
+    // telescoping invariant: Σ n_draws = k exactly, per stratum
+    val perStratum = got.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(perStratum === Map("src0" -> k.toLong, "src1" -> k.toLong, "src2" -> k.toLong))
+    // proportionality: every row's count is ⌊k·w/W⌋ or ⌈k·w/W⌉ (also for
+    // the 0-draw rows, trivially — only drawn rows are emitted)
+    val totals = wdf.groupBy("source").agg(sum("w").as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    got.foreach { case (s, _, w, n) =>
+      val exact = k.toDouble * w / totals(s)
+      assert(n >= math.floor(exact).toLong && n <= math.ceil(exact).toLong,
+        s"stratum $s weight $w: $n draws vs exact $exact")
+    }
+    // deterministic under reshuffling: identical (id, n_draws) multiset
+    val reshuffled = Mix.weightedSample(wdf.repartition(13), "source", $"id", "w", k)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_draws"))).toSet
+    assert(reshuffled === got.map(t => (t._2, t._4)).toSet)
+    // a heavy row in a light stratum is drawn multiple times (epoch repeats)
+    val heavy = (0L until 5L).map(i => (i, "only", if (i == 0L) 100L else 1L))
+      .toDF("id", "source", "w")
+    val h = Mix.weightedSample(heavy, "source", $"id", "w", 8).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_draws")).toMap
+    assert(h(0L) >= 7L) // 100/104 of the weight line → ≥ ⌊8·100/104⌋ draws
+    assert(h.values.sum === 8L)
+  }
 }
