@@ -126,6 +126,25 @@ object Queries {
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform($a, (x,i) -> x * $b[i]), (p,q) -> p + q)"
 
+  /** DuckDB replay of [[graft.pipeline.SimilarityPq]]'s encode step
+    * (m=8 subspaces, k=16 fixed codebook, 2²⁰ global scale): CTEs `sub`
+    * (per-vector subvectors), `cb` (codebook), `pq_best` (per-subspace
+    * argmin with the lowest-code tie-break). Shared by q_pq_codes and
+    * q_ann_pq.
+    */
+  private val pqEncodeCte: String =
+    """pq_q AS (SELECT vec_id, list_transform(embedding,
+      |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS q
+      |         FROM embeddings),
+      |ss AS (SELECT CAST(unnest(range(8)) AS INT) AS s),
+      |sub AS (SELECT vec_id, s, list_slice(q, s*8+1, s*8+8) AS sv FROM pq_q CROSS JOIN ss),
+      |cb AS (SELECT vec_id AS cid, s, sv AS cv FROM sub WHERE vec_id < 16),
+      |pq_d AS (SELECT sub.vec_id, sub.s, cb.cid,
+      |        CAST(list_sum(list_transform(sub.sv, (x,i) -> (x - cb.cv[i])*(x - cb.cv[i]))) AS BIGINT) AS d2
+      |      FROM sub JOIN cb ON sub.s = cb.s),
+      |pq_best AS (SELECT vec_id, s, cid, d2,
+      |         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn FROM pq_d)""".stripMargin
+
   /** DuckDB CTEs `de` (double-cast embeddings) and `bk` (per-table LSH
     * bucket keys `k0..k{T-1}`), replaying the SAME seeded hyperplanes as
     * [[graft.pipeline.SimilarityLsh]] as SQL literals (shortest-repr double
@@ -2933,6 +2952,45 @@ object Queries {
               |  SELECT q_id, n_id, qcos,
               |         row_number() OVER (PARTITION BY q_id ORDER BY qcos DESC, n_id) AS rank
               |  FROM scored)
+              |WHERE rank <= 5""".stripMargin)),
+
+    // product quantization ENCODE: each 64-dim vector → 8 sub-codes + its
+    // exact integer reconstruction error. Fixed codebook (subvectors of
+    // vec_id < 16), global 2^20 scale so L2 is comparable across vectors;
+    // argmin per subspace is a codegen'd graft_sqdist battery — map-side
+    // only, the corpus never shuffles. The oracle rebuilds codebook,
+    // assignment, and error from scratch in SQL.
+    Q("q_pq_codes",
+      (s, d) => graft.pipeline.SimilarityPq.encode(
+          t(s, d)("embeddings"), m = 8, k = 16)
+        .select(col("vec_id"), concat_ws(",", col("codes")).as("codes"), col("err")),
+      Some(s"""WITH $pqEncodeCte
+              |SELECT vec_id, string_agg(CAST(cid AS VARCHAR), ',' ORDER BY s) AS codes,
+              |       CAST(sum(d2) AS BIGINT) AS err
+              |FROM pq_best WHERE rn = 1 GROUP BY vec_id""".stripMargin)),
+
+    // PQ asymmetric-distance top-k (ADC): queries keep full precision,
+    // the corpus is scanned as CODES only (m bytes/vector — the 100 TB
+    // memory story); distance = Σ_s ‖q_s − cb_s[code_s]‖², an exact long.
+    // broadcast(queries) × code scan, no corpus shuffle
+    Q("q_ann_pq",
+      (s, d) => {
+        val emb = t(s, d)("embeddings")
+        graft.pipeline.SimilarityPq.adcTopK(emb, emb.filter(col("vec_id") < 10),
+          m = 8, k = 16, topK = 5)
+      },
+      Some(s"""WITH $pqEncodeCte,
+              |best AS (SELECT vec_id, s, cid FROM pq_best WHERE rn = 1),
+              |adc AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+              |          CAST(sum(list_sum(list_transform(q.sv, (x,i) -> (x - cb.cv[i])*(x - cb.cv[i])))) AS BIGINT) AS dist
+              |        FROM sub q
+              |        JOIN best b ON q.s = b.s AND q.vec_id < 10 AND q.vec_id <> b.vec_id
+              |        JOIN cb ON cb.cid = b.cid AND cb.s = b.s
+              |        GROUP BY 1, 2)
+              |SELECT q_id, n_id, dist, rank FROM (
+              |  SELECT q_id, n_id, dist,
+              |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS BIGINT) AS rank
+              |  FROM adc)
               |WHERE rank <= 5""".stripMargin)),
 
     // curriculum binning: per-doc length decile WITHOUT a global ntile

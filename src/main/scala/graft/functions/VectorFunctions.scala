@@ -129,6 +129,65 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance of two `array<long>` columns — the integer twin of
+  * [[DotProduct]], for math over quantized vectors ([[graft.pipeline
+  * .SimilarityPq]], [[graft.pipeline.KMeansCluster]]): with integer
+  * components every distance is an EXACT long (no fold-order concerns at
+  * all), so results are trivially engine-invariant. Codegen'd to a tight
+  * Java loop inside whole-stage codegen; the HOF formulation
+  * `aggregate(zip_with(...))` it replaces is interpreted per row.
+  * Null semantics identical to [[DotProduct]]: length mismatch or any
+  * null element → null. Caller owns overflow: |aᵢ−bᵢ|² summed over the
+  * array must stay under 2⁶³ (true for any 2²⁰-scaled unit vectors).
+  */
+case class IntSqDist(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sqdist"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (acc, d) = (ctx.freshName("acc"), ctx.freshName("d"))
+      val (i, n) = (ctx.freshName("i"), ctx.freshName("n"))
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Rabin-Karp rolling hashes of a string: one polynomial hash per
   * `window`-byte window, `h = (Σ bᵢ·Bᵏ⁻ⁱ) mod M` with B=257,
   * M=1e9+7, advanced in O(1) per position (subtract the leading byte's
@@ -229,6 +288,8 @@ object VectorFunctions {
       (children: Seq[Expression]) => DotProduct(children.head, children(1))),
     ("graft_cosine", classOf[CosineSim].getName,
       (children: Seq[Expression]) => CosineSim(children.head, children(1))),
+    ("graft_sqdist", classOf[IntSqDist].getName,
+      (children: Seq[Expression]) => IntSqDist(children.head, children(1))),
     // Text.rollingFingerprint's default window; other windows register
     // dynamically via registerRolling
     ("graft_rolling_hash_16", classOf[RollingHash].getName,
@@ -271,6 +332,11 @@ object VectorFunctions {
 
   /** Fused single-pass cosine; same registration requirement. */
   def cosine(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
+  /** Exact integer squared-L2 distance of two long-array columns; same
+    * registration requirement.
+    */
+  def sqDistL(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
 
   /** Porter stem of a lowercase word column; same registration requirement. */
   def stem(c: Column): Column = call_function("graft_stem", c)

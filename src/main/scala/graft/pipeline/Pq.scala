@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — the memory-compression leg of the ANN
+  * toolkit, complementing [[SimilarityLsh]] (candidate pruning by bucket)
+  * and [[SimilarityIvf]] (candidate pruning by cell). PQ attacks the OTHER
+  * 100 TB cost: the bytes a scan must read per vector. A d-dim float
+  * vector (4d bytes) is split into `m` subvectors; each subvector is
+  * replaced by the index of its nearest entry in a per-subspace codebook
+  * of `k` entries — `m` small ints (m bytes at k ≤ 256) per vector, a
+  * 4d/m ≈ 32× compression at d=64, m=8. Distances against a query are
+  * then computed per subspace against the CODEBOOK entry the code names
+  * (asymmetric distance computation, ADC): the corpus side of the scan
+  * reads codes only, never embeddings.
+  *
+  * Everything is exact integer math over globally-scaled vectors
+  * (`⌊x·2²⁰⌋` — floor of a double times a power of two is exact, so any
+  * engine replays it bit-for-bit): squared-L2 distances are exact longs
+  * ([[graft.functions.IntSqDist]], a codegen'd native expression),
+  * argmins tie-break to the lowest code, and the whole flow — encode,
+  * reconstruction error, ADC top-k — is oracle-hashable with zero
+  * tolerance. The codebook is FIXED (subvectors of the `k` lowest-id
+  * rows), the same honesty trade as [[SimilarityIvf]]'s fixed coarse
+  * quantizer: real PQ mechanics, deterministic assignment; a k-means-
+  * trained codebook (the [[KMeansCluster]] integer-Lloyd trick per
+  * subspace) is the production upgrade and changes no query shape.
+  *
+  * Scale shape: the codebook is m·k·(d/m) = k·d longs — a driver-side
+  * literal compiled into the plan (exactly what FAISS ships to every
+  * search node). Encode is a map-side projection (m argmins per row, no
+  * shuffle, no join). ADC search is broadcast(queries) × codes scan —
+  * no shuffle on the corpus side; the scan reads m bytes/vector. Compose
+  * with IVF cells to prune WHICH codes are scanned.
+  */
+object SimilarityPq {
+
+  /** Global quantization scale: 2²⁰. Unlike [[Embeddings.quantize]]'s
+    * per-vector max-abs scale (built for scale-cancelling cosine), a
+    * GLOBAL scale keeps L2 distances comparable ACROSS vectors — which is
+    * what PQ codebooks quantize. Components of unit-norm vectors stay
+    * ≤ 2²⁰, so an 8-dim subspace distance is ≤ 8·(2²¹)² < 2⁴⁶ — no
+    * overflow anywhere near 2⁶³.
+    */
+  val Scale = 1048576L
+
+  /** `(id, q: array<long>)` — the globally-scaled integer form. */
+  def quantized(vectors: DataFrame, id: String = "vec_id",
+                emb: String = "embedding"): DataFrame =
+    vectors.select(col(id),
+      transform(col(emb), x => floor(x.cast("double") * Scale).cast("long")).as("q"))
+
+  /** The fixed codebook: per subspace `s`, the `k` lowest-id rows'
+    * subvectors, code = rank in id order. Collected to the driver (k·d
+    * longs, like [[KMeansCluster]]'s centroid matrix) so encode/ADC
+    * compile it into the plan as literals. Returns `cb(s)(code) =
+    * Array[Long]` of length `dim/m`.
+    */
+  def codebook(vectors: DataFrame, m: Int, k: Int, id: String = "vec_id",
+               emb: String = "embedding"): IndexedSeq[IndexedSeq[Array[Long]]] = {
+    val rows = quantized(vectors, id, emb)
+      .filter(col(id) < k).orderBy(col(id))
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(rows.length == k, s"need ids 0..${k - 1} present, got ${rows.length}")
+    val dim = rows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val ds = dim / m
+    IndexedSeq.tabulate(m)(s => rows.toIndexedSeq.map(_.slice(s * ds, s * ds + ds)))
+  }
+
+  private def sqDistLit(sub: Column, cent: Array[Long]): Column =
+    graft.functions.VectorFunctions.sqDistL(sub, typedLit(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(cent)))
+
+  /** Argmin struct for subspace `s`: `(d, code)` of the nearest codebook
+    * entry — lexicographic `array_min` order IS the deterministic
+    * tie-break (lowest code wins equal distances).
+    */
+  private def bestExpr(q: Column, s: Int, ds: Int,
+                       cb: IndexedSeq[IndexedSeq[Array[Long]]]): Column =
+    array_min(array(cb(s).zipWithIndex.map { case (cent, c) =>
+      struct(sqDistLit(slice(q, s * ds + 1, ds), cent).as("d"),
+        lit(c).as("code"))
+    }: _*))
+
+  /** PQ-encode every vector: `(id, codes: array<int>, err: long)` where
+    * `err` is the exact reconstruction error `Σ_s ‖v_s − cb_s[code_s]‖²`
+    * — the quantity a codebook trainer minimizes, and the per-row quality
+    * signal for "is m big enough". Pure map-side projection.
+    */
+  def encode(vectors: DataFrame, m: Int, k: Int, id: String = "vec_id",
+             emb: String = "embedding"): DataFrame = {
+    val cb = codebook(vectors, m, k, id, emb)
+    encodeWith(quantized(vectors, id, emb), cb, id)
+  }
+
+  /** [[encode]] against a pre-collected codebook (shared by ADC so the
+    * codebook job runs once). `qv` must be the [[quantized]] relation.
+    */
+  def encodeWith(qv: DataFrame, cb: IndexedSeq[IndexedSeq[Array[Long]]],
+                 id: String = "vec_id"): DataFrame = {
+    val m = cb.length
+    val ds = cb.head.head.length
+    val withBest = (0 until m).foldLeft(qv) { (df, s) =>
+      df.withColumn(s"__b$s", bestExpr(col("q"), s, ds, cb))
+    }
+    withBest.select(col(id),
+      array((0 until m).map(s => col(s"__b$s").getField("code")): _*).as("codes"),
+      (0 until m).map(s => col(s"__b$s").getField("d")).reduce(_ + _).as("err"))
+  }
+
+  /** ADC top-k: exact integer PQ distance from each query to every
+    * corpus CODE vector, smallest `topK` per query (ties → lowest
+    * neighbor id). The query side keeps full precision (its scaled
+    * subvectors); the corpus side is codes only — `element_at` into the
+    * literal codebook recovers the centroid each code names. Queries are
+    * broadcast; the corpus never shuffles (the only exchange is the
+    * final sketch-sized top-k rank).
+    */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, m: Int, k: Int,
+              topK: Int, id: String = "vec_id",
+              emb: String = "embedding"): DataFrame = {
+    val cb = codebook(corpus, m, k, id, emb)
+    val ds = cb.head.head.length
+    val enc = encodeWith(quantized(corpus, id, emb), cb, id)
+      .select(col(id).as("n_id"), col("codes"))
+    val qs = quantized(queries, id, emb)
+      .select(col(id).as("q_id"), col("q").as("qq"))
+    val dist = (0 until m).map { s =>
+      val cent = element_at(
+        typedLit(cb(s).map(_.toIndexedSeq)),
+        element_at(col("codes"), s + 1) + 1)
+      graft.functions.VectorFunctions.sqDistL(slice(col("qq"), s * ds + 1, ds), cent)
+    }.reduce(_ + _)
+    broadcast(qs).join(enc, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), dist.as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+}
