@@ -2624,6 +2624,39 @@ object Queries {
              |    x -> CAST(x AS VARCHAR)), ',') AS postings
              |FROM tk GROUP BY term HAVING count(*) >= 5""".stripMargin)),
 
+    // bitmap index over a low-cardinality column: per value, the packed
+    // bitset of md5-ordered row positions (32 rows/long — bit 63 of a
+    // signed long is engine-divergent, so the top half stays unused).
+    // One bit_or hash agg over (value, word, long) partials; positions
+    // replay Ids.contiguous's md5 total order
+    Q("q_bitmap_index",
+      (s, d) => graft.pipeline.Index.bitmap(t(s, d)("documents"), "lang", "doc_id"),
+      Some("""WITH g AS (SELECT lang,
+             |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+             |       AS BIGINT) AS gid
+             |FROM documents)
+             |SELECT lang AS value, gid // 32 AS word,
+             |       bit_or(1::BIGINT << CAST(gid % 32 AS INT)) AS bits
+             |FROM g GROUP BY 1, 2""".stripMargin)),
+
+    // bitmap-AND cardinality: two indexes over DIFFERENT columns of the
+    // same table (same tieCol → same positions) answer every
+    // (lang, source) predicate-pair count via popcount(bits_a & bits_b) —
+    // without touching the table. The oracle counts the table DIRECTLY,
+    // so the row is a semantic check of the whole bitmap flow, not a
+    // replay of it
+    Q("q_bitmap_and",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        graft.pipeline.Index.bitmapIntersect(
+            graft.pipeline.Index.bitmap(docs, "lang", "doc_id"),
+            graft.pipeline.Index.bitmap(docs, "source", "doc_id"))
+          .select(col("value_a").as("lang"), col("value_b").as("source"),
+            col("n_rows"))
+      },
+      Some("""SELECT lang, source, count(*) AS n_rows
+             |FROM documents GROUP BY 1, 2""".stripMargin)),
+
     // one-scan per-column profile (null + exact distinct counts via a
     // single Expand) — the ingest health report; approx variant noted in
     // Profile.scala for advisory use at 100 TB

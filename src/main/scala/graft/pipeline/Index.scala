@@ -31,4 +31,46 @@ object Index {
             d => d.cast("string")),
           ",").as("postings"))
       .filter(col("df") >= minDf)
+
+  /** Bitmap index over a LOW-cardinality column — the OLAP-side complement
+    * of [[inverted]]: per distinct value, a bitset of the rows holding it,
+    * packed 64 rows per long. Positions come from [[Ids.contiguous]]
+    * (md5-ordered dense ids), so the SAME `tieCol` key gives the SAME
+    * position in every index built over the table — which is what makes
+    * cross-index bit operations ([[bitmapIntersect]]) meaningful, and what
+    * makes the whole structure a pure function of the data (retry /
+    * repartition / engine-invariant, hence oracle-hashable).
+    *
+    * Output: `(value, word, bits)` — one row per NON-ZERO 32-row word, a
+    * sparse layout (dense runs of absent values cost nothing, the roaring-
+    * bitmap observation). 32 rows per long, not 64: bit 63 of a SIGNED
+    * long is engine-divergent (`1 << 63` overflows in DuckDB where Spark
+    * wraps), so the top half stays unused and every engine agrees on
+    * every word. Plan: the id pass, then ONE `bit_or` hash aggregate;
+    * `bit_or`/`bit_and`/`bit_count` are map-side-combining integer aggs,
+    * so only (value, word, long) partials shuffle — the index is
+    * ~|values|·|rows|/32 longs regardless of row width.
+    */
+  def bitmap(df: DataFrame, valueCol: String, tieCol: String): DataFrame =
+    Ids.contiguous(df, tieCol)
+      .select(col(valueCol).as("value"),
+        expr("gid DIV 32").as("word"),
+        expr("shiftleft(1L, CAST(gid % 32 AS INT))").as("bit"))
+      .groupBy("value", "word")
+      .agg(bit_or(col("bit")).as("bits"))
+
+  /** Intersect two bitmap indexes (e.g. over different columns of the same
+    * table, built with the same `tieCol`): per (valueA, valueB), the count
+    * of rows holding BOTH — `Σ_word popcount(bitsA & bitsB)`, the classic
+    * bitmap-AND count that answers multi-predicate cardinality without
+    * touching the table. Equi-join on `word` (never a cross join of rows),
+    * then one hash agg; rows with an empty intersection are dropped.
+    */
+  def bitmapIntersect(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("value").as("value_a"), col("word"), col("bits").as("bits_a"))
+      .join(b.select(col("value").as("value_b"), col("word"), col("bits").as("bits_b")),
+        Seq("word"))
+      .groupBy("value_a", "value_b")
+      .agg(sum(bit_count(col("bits_a").bitwiseAND(col("bits_b"))).cast("long")).as("n_rows"))
+      .filter(col("n_rows") > 0L)
 }

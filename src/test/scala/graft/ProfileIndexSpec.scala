@@ -41,4 +41,36 @@ class ProfileIndexSpec extends SparkTestBase {
     assert(plan.contains("Expand"))
     assert("(?s)Scan|LocalTableScan".r.findAllIn(plan).size >= 1)
   }
+
+  test("bitmap: popcounts recover per-value counts; positions are repartition-invariant") {
+    val df = (0L until 100L).map(i => (i, s"v${i % 3}")).toDF("id", "cat")
+    val bm = Index.bitmap(df, "cat", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // total popcount per value == its row count; no bit above 31 is ever set
+    val pops = bm.groupBy(_._1).view
+      .mapValues(_.map(t => java.lang.Long.bitCount(t._3).toLong).sum).toMap
+    assert(pops === Map("v0" -> 34L, "v1" -> 33L, "v2" -> 33L))
+    assert(bm.forall { case (_, _, bits) => (bits >>> 32) === 0L })
+    // same words/bits under a different physical layout
+    val bm2 = Index.bitmap(df.repartition(7), "cat", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(bm2 === bm.toSet)
+    // disjoint values of one column never share a bit in any word
+    bm.groupBy(_._2).values.foreach { ws =>
+      val together = ws.map(_._3).reduce(_ | _)
+      assert(java.lang.Long.bitCount(together) ===
+        ws.map(t => java.lang.Long.bitCount(t._3)).sum)
+    }
+  }
+
+  test("bitmapIntersect: AND-popcount equals the direct two-column count") {
+    val df = (0L until 200L).map(i => (i, s"a${i % 4}", s"b${i % 5}"))
+      .toDF("id", "x", "y")
+    val got = Index.bitmapIntersect(
+        Index.bitmap(df, "x", "id"), Index.bitmap(df, "y", "id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = df.groupBy("x", "y").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === direct)
+  }
 }
