@@ -2657,6 +2657,31 @@ object Queries {
       Some("""SELECT lang, source, count(*) AS n_rows
              |FROM documents GROUP BY 1, 2""".stripMargin)),
 
+    // market-basket association rules: brand pairs within an order,
+    // support/confidence/lift from four exact integer counts and single
+    // IEEE divisions. The within-basket self-join keys on the HIGH-
+    // cardinality orderkey; item counts + basket total broadcast back
+    Q("q_assoc_rules",
+      (s, d) => graft.pipeline.Assoc.pairRules(
+        t(s, d)("lineitem").join(broadcast(t(s, d)("part")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey"), col("p_brand")),
+        "l_orderkey", "p_brand", minPairs = 50L),
+      Some("""WITH it AS (SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+             |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+             |tot AS (SELECT count(DISTINCT b) AS n_baskets FROM it),
+             |cnt AS (SELECT i, count(*) AS n_i FROM it GROUP BY i),
+             |pr AS (SELECT x.i AS item_a, y.i AS item_b, count(*) AS n_ab
+             |       FROM it x JOIN it y ON x.b = y.b AND x.i < y.i
+             |       GROUP BY 1, 2 HAVING count(*) >= 50)
+             |SELECT item_a, item_b, n_ab, a.n_i AS n_a, b.n_i AS n_b,
+             |  CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE) AS support,
+             |  CAST(n_ab AS DOUBLE) / CAST(a.n_i AS DOUBLE) AS conf_a_b,
+             |  CAST(n_ab AS DOUBLE) / CAST(b.n_i AS DOUBLE) AS conf_b_a,
+             |  CAST(n_ab * n_baskets AS DOUBLE) / CAST(a.n_i * b.n_i AS DOUBLE) AS lift
+             |FROM pr JOIN cnt a ON pr.item_a = a.i JOIN cnt b ON pr.item_b = b.i
+             |CROSS JOIN tot""".stripMargin)),
+
     // one-scan per-column profile (null + exact distinct counts via a
     // single Expand) — the ingest health report; approx variant noted in
     // Profile.scala for advisory use at 100 TB
