@@ -2354,6 +2354,26 @@ object Queries {
              |       ELSE 'changed' END AS change
              |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin)),
 
+    // incremental materialized-view refresh: fold a raw delta batch
+    // (event_id % 10 >= 8) into the stored per-type (n, total) state —
+    // count/sum are monoids, so merge(agg(base), agg(delta)) ≡ the full
+    // recompute the oracle runs; the identity is EXACT because the sum
+    // monoid is decimal, never raw doubles. Refresh cost ∝ delta, not base
+    Q("q_mv_refresh",
+      (s, d) => {
+        val ev = t(s, d)("events").select(col("event_type"),
+          col("value").cast("decimal(18,6)").as("v"), col("event_id"))
+        val view = ev.filter(col("event_id") % 10 < 8).groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+        val delta = ev.filter(col("event_id") % 10 >= 8)
+        graft.pipeline.Snapshot.refreshAgg(view, delta, "event_type", "v")
+          .select(col("event_type"), col("n"),
+            col("total").cast("double").as("total"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+             |FROM events GROUP BY 1""".stripMargin)),
+
     // benchmark decontamination: 3-gram shingle overlap between the
     // corpus (doc_id % 97 != 0) and a small "benchmark" split (% 97 == 0);
     // broadcast benchmark digests — the corpus side never shuffles

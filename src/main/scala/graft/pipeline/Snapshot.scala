@@ -96,4 +96,35 @@ object Snapshot {
     runs.withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Incremental refresh of a count/sum aggregate materialized view: fold
+    * a `delta` batch of RAW rows into the stored per-key `(n, total)`
+    * state WITHOUT rescanning the base table — the maintenance shape that
+    * keeps a 100 TB rollup fresh at per-batch cost. Works because count
+    * and sum are commutative monoids: `agg(base ∪ delta) =
+    * merge(agg(base), agg(delta))`, and the merge itself is one more
+    * hash aggregate over `|keys| + |delta keys|` rows, never data.
+    * (avg/stddev ride the same state as n/total/moment sums — see
+    * [[Stats]]; MIN/MAX also merge; DISTINCT does not — that's what the
+    * HLL register relation in [[Sketches]] is for.)
+    *
+    * `view` holds `(key, n, total)`; `delta` holds raw `(key, valueCol)`
+    * rows. Output: the refreshed `(key, n, total)` — identical, row for
+    * row, to recomputing the aggregate over the full input (spec + the
+    * q_mv_refresh oracle assert exactly that equivalence).
+    *
+    * The `total` monoid must be EXACT for the equivalence to be an
+    * identity rather than an approximation: sum longs or decimals, never
+    * raw doubles (a double sum's value depends on fold order, so merged
+    * vs. recomputed could differ in the last ulp). The catalog row sums
+    * `decimal(18,6)`-cast values, the catalog-wide money rule.
+    */
+  def refreshAgg(view: DataFrame, delta: DataFrame, key: String,
+                 valueCol: String): DataFrame = {
+    val deltaAgg = delta.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+    view.unionByName(deltaAgg)
+      .groupBy(col(key))
+      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+  }
 }

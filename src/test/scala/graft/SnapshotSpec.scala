@@ -98,4 +98,24 @@ class SnapshotSpec extends SparkTestBase {
     assert(out.toSeq === Seq(
       (1L, Some("A"), 10L), (2L, None, 10L), (3L, Some("A"), 30L)))
   }
+
+  test("refreshAgg: merged view is row-identical to a full recompute, including new and absent keys") {
+    val base = Seq(("a", 1L), ("a", 3L), ("b", 10L), ("c", 7L))
+      .toDF("k", "v").withColumn("v", $"v".cast("decimal(18,6)"))
+    // delta touches a, adds a brand-new key d, leaves b and c alone
+    val delta = Seq(("a", 5L), ("d", 2L), ("d", 4L))
+      .toDF("k", "v").withColumn("v", $"v".cast("decimal(18,6)"))
+    val view = base.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total"))
+    val refreshed = Snapshot.refreshAgg(view, delta, "k", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+    val full = base.unionByName(delta).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum($"v").as("total"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+    assert(refreshed === full)
+    assert(refreshed("d") === ((2L, 6.0)))  // delta-only key appears
+    assert(refreshed("b") === ((1L, 10.0))) // untouched key unchanged
+  }
 }
