@@ -2117,6 +2117,32 @@ object Queries {
              |          v -> v IS NOT NULL) AS cs
              |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))""".stripMargin)),
 
+    // content-defined chunking: cut after words whose md5 prefix ≡ 0
+    // mod 16 — boundaries follow CONTENT, so insertions re-synchronize
+    // and later chunk hashes survive (shift-robust sub-doc dedup; fixed
+    // windows/spans lose all alignment after one insertion). Shuffle-free
+    // per-row array exprs; dedup downstream shuffles digests only
+    Q("q_cdc_chunks",
+      (s, d) => graft.pipeline.Chunking.contentDefined(
+        t(s, d)("documents"), "doc_id", "text", mask = 16),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |cu AS (SELECT doc_id, ws,
+             |         list_prepend(CAST(0 AS BIGINT),
+             |           list_filter(
+             |             list_transform(ws, (x, i) ->
+             |               CASE WHEN CAST(concat('0x', substr(md5(x), 1, 4)) AS BIGINT) % 16 = 0
+             |                     AND i < len(ws) THEN CAST(i AS BIGINT) END),
+             |             p -> p IS NOT NULL)
+             |           || [CAST(len(ws) AS BIGINT)]) AS cuts
+             |       FROM w),
+             |b AS (SELECT doc_id, ws, unnest(cuts) AS a FROM cu),
+             |c AS (SELECT doc_id, ws, a, lead(a) OVER (PARTITION BY doc_id ORDER BY a) AS b FROM b)
+             |SELECT doc_id,
+             |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY a) - 1 AS BIGINT) AS chunk_idx,
+             |  CAST(b - a AS BIGINT) AS n_words,
+             |  md5(array_to_string(ws[a+1:b], ' ')) AS chunk_md5
+             |FROM c WHERE b IS NOT NULL""".stripMargin)),
+
     // concatenate-and-cut sequence packing: per-source doc order, 256-word
     // budget; pack_id = floor(preceding-words / budget). Window partitions
     // on the stratum (source), the shard unit a real pipeline packs within

@@ -64,4 +64,51 @@ object Chunking {
       .select(col(groupCol), col(idCol), col("n_tokens"),
         expr(s"(cum - n_tokens) div $budget").as("pack_id"))
   }
+
+  /** Content-defined chunking: cut after any word whose md5 prefix is
+    * ≡ 0 mod `mask` — boundaries are decided by CONTENT, not position, so
+    * an insertion near the head of a document shifts only the chunk it
+    * lands in; every later chunk re-synchronizes to the same cut words
+    * and keeps its hash (the storage-dedup / rsync boundary trick, and
+    * the property the spec asserts). Fixed windows ([[chunk]]) and fixed
+    * spans (`SpanDedup.spans`) lose ALL alignment after one insertion;
+    * this is the shift-robust sub-document dedup unit.
+    *
+    * Expected chunk length is `mask` words (geometric); a document with
+    * no boundary word is one chunk. Output per chunk: `(id, chunk_idx,
+    * n_words, chunk_md5)` — the hash, not the text (dedup consumes
+    * digests).
+    *
+    * Scale shape: pure per-row array expressions + one posexplode —
+    * shuffle-free, streams through the scan; downstream dedup shuffles
+    * 16-byte digests only.
+    */
+  def contentDefined(docs: DataFrame, idCol: String, textCol: String,
+                     mask: Int): DataFrame = {
+    require(mask >= 2, s"mask=$mask must be >= 2")
+    val chunks = docs.select(col(idCol),
+      Text.bindArray(Text.words(col(textCol))) { ws =>
+        // 1-based cut positions: after word i+1 iff its md5 prefix hits
+        // the mask and it isn't the last word (a trailing cut would make
+        // an empty chunk). bindArray again: cuts feed two slice lambdas.
+        Text.bindArray(concat(
+          array(lit(0L)),
+          filter(
+            transform(ws, (w, i) =>
+              when(conv(substring(md5(w), 1, 4), 16, 10).cast("long") % mask === 0
+                && i + 1 < size(ws), (i + 1).cast("long"))),
+            p => p.isNotNull),
+          array(size(ws).cast("long")))) { cuts =>
+          zip_with(
+            slice(cuts, lit(1), size(cuts) - 1),
+            slice(cuts, lit(2), size(cuts) - 1),
+            (a, b) => array_join(slice(ws, (a + 1).cast("int"), (b - a).cast("int")), " "))
+        }
+      }.as("chunks"))
+    chunks.select(col(idCol),
+      posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx").cast("long"),
+        size(split(col("chunk_text"), " ")).cast("long").as("n_words"),
+        md5(col("chunk_text")).as("chunk_md5"))
+  }
 }

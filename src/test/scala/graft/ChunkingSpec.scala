@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.Chunking
+import org.apache.spark.sql.functions.{col, md5}
 
 class ChunkingSpec extends SparkTestBase {
   import spark.implicits._
@@ -23,5 +24,45 @@ class ChunkingSpec extends SparkTestBase {
     val got = Chunking.pack(docs, "doc_id", "text", "source", budget = 5)
       .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
     assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 9L -> 0L))
+  }
+
+  test("contentDefined: chunks reassemble the document; chunk count and sizes are consistent") {
+    val rnd = new scala.util.Random(5)
+    val words = Vector.tabulate(400)(_ => s"w${rnd.nextInt(120)}")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val got = Chunking.contentDefined(docs, "doc_id", "text", mask = 8)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.map(_._2).sum === 400L)                 // word-preserving
+    assert(got.map(_._1).toSeq === got.indices.map(_.toLong)) // dense idx
+    assert(got.length > 10, s"mask=8 over 400 words should cut often, got ${got.length}")
+  }
+
+  test("contentDefined: a head insertion re-synchronizes — later chunk hashes survive") {
+    val rnd = new scala.util.Random(17)
+    val words = Vector.tabulate(300)(_ => s"t${rnd.nextInt(90)}")
+    val original = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val shifted = Seq((1L, ("INSERTED0 INSERTED1 INSERTED2 " + words.mkString(" ")))).toDF("doc_id", "text")
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      Chunking.contentDefined(df, "doc_id", "text", mask = 8)
+        .collect().map(_.getString(3)).toSet
+    val a = hashes(original); val b = hashes(shifted)
+    val survived = (a & b).size.toDouble / a.size
+    assert(survived >= 0.8,
+      s"CDC must keep most chunk hashes under a head insertion; survived=$survived")
+    // the fixed-window baseline loses (nearly) everything under the same shift
+    def fixedHashes(df: org.apache.spark.sql.DataFrame) =
+      Chunking.chunk(df, "doc_id", "text", window = 8, stride = 8)
+        .select(md5(col("chunk_text"))).collect().map(_.getString(0)).toSet
+    val fa = fixedHashes(original); val fb = fixedHashes(shifted)
+    assert((fa & fb).size.toDouble / fa.size <= 0.2)
+  }
+
+  test("contentDefined: boundary-free and single-word docs give one whole-doc chunk") {
+    val docs = Seq((1L, "only"), (2L, "a b")).toDF("doc_id", "text")
+    // mask so large no 4-hex-digit prefix can be ≡ 0 except pathologically
+    val got = Chunking.contentDefined(docs, "doc_id", "text", mask = 70000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSet === Set((1L, 0L, 1L), (2L, 0L, 2L)))
   }
 }
