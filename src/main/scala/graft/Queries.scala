@@ -3097,6 +3097,47 @@ object Queries {
               |  FROM adc)
               |WHERE rank <= 5""".stripMargin)),
 
+    // PQ with a TRAINED codebook: one integer-Lloyd round per subspace —
+    // assignment is the encode projection, the update one m·k·(ds+1)-cell
+    // hash agg; entries are truncating long means (Long `/` ≡ DuckDB `//`,
+    // no doubles anywhere) so the trained book replays bit-for-bit in the
+    // unrolled-round oracle. Same ADC search shape as q_ann_pq
+    Q("q_ann_pq_trained",
+      (s, d) => {
+        val emb = t(s, d)("embeddings")
+        val cb = graft.pipeline.SimilarityPq.trainCodebook(emb, m = 8, k = 16, iters = 1)
+        graft.pipeline.SimilarityPq.adcTopKWith(emb, emb.filter(col("vec_id") < 10),
+          cb, topK = 5)
+      },
+      Some(s"""WITH $pqEncodeCte,
+              |a0 AS (SELECT vec_id, s, cid FROM pq_best WHERE rn = 1),
+              |el AS (SELECT a0.s, a0.cid, generate_subscripts(sub.sv, 1) AS pos, unnest(sub.sv) AS v
+              |       FROM a0 JOIN sub ON a0.vec_id = sub.vec_id AND a0.s = sub.s),
+              |ms AS (SELECT s, cid, pos, CAST(sum(v) AS BIGINT) AS sm, count(*) AS cnt
+              |       FROM el GROUP BY 1, 2, 3),
+              |c1 AS (SELECT cb.s, cb.cid,
+              |         coalesce(t.cv, cb.cv) AS cv
+              |       FROM cb LEFT JOIN (SELECT s, cid, list(sm // cnt ORDER BY pos) AS cv
+              |                          FROM ms GROUP BY s, cid) t
+              |         ON cb.s = t.s AND cb.cid = t.cid),
+              |d1 AS (SELECT sub.vec_id, sub.s, c1.cid,
+              |        CAST(list_sum(list_transform(sub.sv, (x,i) -> (x - c1.cv[i])*(x - c1.cv[i]))) AS BIGINT) AS d2
+              |      FROM sub JOIN c1 ON sub.s = c1.s),
+              |b1 AS (SELECT vec_id, s, cid FROM (
+              |        SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn FROM d1)
+              |       WHERE rn = 1),
+              |adc AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+              |          CAST(sum(list_sum(list_transform(q.sv, (x,i) -> (x - c1.cv[i])*(x - c1.cv[i])))) AS BIGINT) AS dist
+              |        FROM sub q
+              |        JOIN b1 b ON q.s = b.s AND q.vec_id < 10 AND q.vec_id <> b.vec_id
+              |        JOIN c1 ON c1.cid = b.cid AND c1.s = b.s
+              |        GROUP BY 1, 2)
+              |SELECT q_id, n_id, dist, rank FROM (
+              |  SELECT q_id, n_id, dist,
+              |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS BIGINT) AS rank
+              |  FROM adc)
+              |WHERE rank <= 5""".stripMargin)),
+
     // curriculum binning: per-doc length decile WITHOUT a global ntile
     // sort — bin ids equi-join the broadcast cumulative histogram, bucket
     // is exact integer arithmetic ((10·before) div n)

@@ -122,8 +122,16 @@ object SimilarityPq {
     */
   def adcTopK(corpus: DataFrame, queries: DataFrame, m: Int, k: Int,
               topK: Int, id: String = "vec_id",
-              emb: String = "embedding"): DataFrame = {
-    val cb = codebook(corpus, m, k, id, emb)
+              emb: String = "embedding"): DataFrame =
+    adcTopKWith(corpus, queries, codebook(corpus, m, k, id, emb), topK, id, emb)
+
+  /** [[adcTopK]] against an explicit codebook (fixed or [[trainCodebook]]
+    * output).
+    */
+  def adcTopKWith(corpus: DataFrame, queries: DataFrame,
+                  cb: IndexedSeq[IndexedSeq[Array[Long]]], topK: Int,
+                  id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    val m = cb.length
     val ds = cb.head.head.length
     val enc = encodeWith(quantized(corpus, id, emb), cb, id)
       .select(col(id).as("n_id"), col("codes"))
@@ -140,5 +148,54 @@ object SimilarityPq {
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)).cast("long"))
       .filter(col("rank") <= topK)
+  }
+
+  /** Train the codebook: `iters` Lloyd rounds per subspace from the fixed
+    * seed — assignment is [[encodeWith]] (a map-side argmin projection),
+    * the update is ONE hash aggregate of (subspace, code) → count +
+    * per-dimension long sums, i.e. m·k·(ds+1) numbers on the shuffle
+    * regardless of corpus size. New entry = per-dim TRUNCATING integer
+    * division `Σ/n` (Long division ≡ DuckDB's `//` — no doubles, so the
+    * trained codebook is bit-replayable in SQL, the same trick as
+    * [[SimilarityIvf.refineCentroids]] but float-free). Codes no vector
+    * chose keep their previous entry. Like every k-means, the driver
+    * carries the k·d codebook between rounds — that's the algorithm, not
+    * a collect smell.
+    *
+    * Lloyd monotonicity survives the integer flooring up to ±ds/4 per
+    * entry (each dim is off by < 1 from the true mean), so total
+    * reconstruction error is non-increasing in practice; the spec asserts
+    * trained ≤ fixed on random data.
+    */
+  def trainCodebook(vectors: DataFrame, m: Int, k: Int, iters: Int = 1,
+                    id: String = "vec_id",
+                    emb: String = "embedding"): IndexedSeq[IndexedSeq[Array[Long]]] = {
+    require(iters >= 0, s"iters=$iters must be >= 0")
+    val qv = quantized(vectors, id, emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cb = codebook(vectors, m, k, id, emb)
+      val ds = cb.head.head.length
+      for (_ <- 1 to iters) {
+        // (s, code) → n + per-dim sums, one row per populated cell
+        val enc = encodeWith(qv, cb, id)
+        val stats = enc
+          .select(posexplode(col("codes")).as(Seq("s", "code")), col(id))
+          .join(qv, id)
+          .groupBy(col("s"), col("code"))
+          .agg(count(lit(1)).as("n"),
+            (0 until ds).map(j =>
+              sum(element_at(col("q"), col("s") * ds + j + 1)).as(s"s$j")): _*)
+          .collect()
+        val updated = stats.map { r =>
+          val n = r.getAs[Long]("n")
+          (r.getAs[Int]("s"), r.getAs[Int]("code")) ->
+            Array.tabulate(ds)(j => r.getAs[Long](s"s$j") / n)
+        }.toMap
+        cb = IndexedSeq.tabulate(m)(s =>
+          IndexedSeq.tabulate(k)(c => updated.getOrElse((s, c), cb(s)(c))))
+      }
+      cb
+    } finally qv.unpersist()
   }
 }

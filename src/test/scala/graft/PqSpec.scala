@@ -72,4 +72,27 @@ class PqSpec extends SparkTestBase {
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.3, s"PQ(m=4) recall@10 vs exact = $recall — codebook degenerated?")
   }
+
+  test("trainCodebook: one Lloyd round does not increase total reconstruction error") {
+    val df = randVecs(300, 16, seed = 31)
+    val m = 4; val k = 8
+    val fixed = SimilarityPq.codebook(df, m, k)
+    val trained = SimilarityPq.trainCodebook(df, m, k, iters = 1)
+    def totalErr(cb: IndexedSeq[IndexedSeq[Array[Long]]]): Long =
+      SimilarityPq.encodeWith(SimilarityPq.quantized(df), cb)
+        .agg(sum(col("err"))).collect().head.getLong(0)
+    val (e0, e1) = (totalErr(fixed), totalErr(trained))
+    assert(e1 <= e0, s"trained err $e1 should be <= fixed err $e0")
+    assert(e1 < e0, "on random data one round should strictly improve")
+    // entries stay valid subvector-sized arrays
+    assert(trained.length === m)
+    trained.foreach(sb => { assert(sb.length === k); sb.foreach(c => assert(c.length === 4)) })
+  }
+
+  test("trainCodebook: iters=0 returns the fixed seed codebook") {
+    val df = randVecs(50, 16, seed = 41)
+    val a = SimilarityPq.codebook(df, 4, 8)
+    val b = SimilarityPq.trainCodebook(df, 4, 8, iters = 0)
+    assert(a.flatten.map(_.toSeq) === b.flatten.map(_.toSeq))
+  }
 }
