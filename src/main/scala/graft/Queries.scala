@@ -3097,6 +3097,43 @@ object Queries {
               |  FROM adc)
               |WHERE rank <= 5""".stripMargin)),
 
+    // IVF-PQ: the two prunings composed (FAISS IndexIVFPQ) — the cosine
+    // coarse quantizer prunes WHICH vectors each query scans (cell
+    // equi-join), PQ codes shrink WHAT the scan reads (m bytes/vector).
+    // The oracle composes the q_ann_ivf assignment CTE with the PQ
+    // encode CTE and replays the exact-integer ADC ranking within cells
+    Q("q_ann_ivfpq",
+      (s, d) => {
+        val emb = t(s, d)("embeddings")
+        graft.pipeline.SimilarityPq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+          numCells = 16, m = 8, k = 16, topK = 5)
+      },
+      Some {
+        def cosSql(x: String, y: String) =
+          s"${dotSql(s"$x", s"$y")} / (sqrt(${dotSql(s"$x", s"$x")}) * sqrt(${dotSql(s"$y", s"$y")}))"
+        s"""WITH $pqEncodeCte,
+           |de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |cc AS (SELECT vec_id AS ccid, e AS ce FROM de WHERE vec_id < 16),
+           |asg AS (SELECT vec_id, ccid AS cell FROM (
+           |   SELECT de.vec_id, cc.ccid, row_number() OVER (PARTITION BY de.vec_id
+           |     ORDER BY ${cosSql("de.e", "cc.ce")} DESC, cc.ccid) AS rn
+           |   FROM de CROSS JOIN cc) WHERE rn = 1),
+           |best AS (SELECT vec_id, s, cid FROM pq_best WHERE rn = 1),
+           |adc AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+           |          CAST(sum(list_sum(list_transform(q.sv, (x,i) -> (x - cb.cv[i])*(x - cb.cv[i])))) AS BIGINT) AS dist
+           |        FROM sub q
+           |        JOIN asg qa ON qa.vec_id = q.vec_id AND q.vec_id < 10
+           |        JOIN asg na ON na.cell = qa.cell
+           |        JOIN best b ON b.vec_id = na.vec_id AND q.s = b.s AND q.vec_id <> b.vec_id
+           |        JOIN cb ON cb.cid = b.cid AND cb.s = b.s
+           |        GROUP BY 1, 2)
+           |SELECT q_id, n_id, dist, rank FROM (
+           |  SELECT q_id, n_id, dist,
+           |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS BIGINT) AS rank
+           |  FROM adc)
+           |WHERE rank <= 5""".stripMargin
+      }),
+
     // PQ with a TRAINED codebook: one integer-Lloyd round per subspace —
     // assignment is the encode projection, the update one m·k·(ds+1)-cell
     // hash agg; entries are truncating long means (Long `/` ≡ DuckDB `//`,

@@ -150,6 +150,45 @@ object SimilarityPq {
       .filter(col("rank") <= topK)
   }
 
+  /** IVF-PQ — the two prunings composed, the standard billion-scale ANN
+    * architecture (FAISS's IndexIVFPQ): the coarse quantizer
+    * ([[SimilarityIvf.assign]]) prunes WHICH vectors are scanned (cell
+    * equi-join = the inverted-list lookup), PQ shrinks WHAT the scan
+    * reads per survivor (m code bytes). Search cost ≈ corpus/numCells
+    * codes per query, vs all codes for plain ADC and all embeddings for
+    * brute force. Queries search their own cell (nprobe=1); distances,
+    * ranks, and ties are the exact-integer ADC contract of
+    * [[adcTopKWith]].
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, numCells: Int,
+                m: Int, k: Int, topK: Int, id: String = "vec_id",
+                emb: String = "embedding"): DataFrame = {
+    val assigned = SimilarityIvf.assign(
+        corpus.select(col(id).as("vec_id"), col(emb).as("embedding")), numCells)
+      .select(col("vec_id"), col("cell"))
+    val cb = codebook(corpus, m, k, id, emb)
+    val ds = cb.head.head.length
+    val enc = encodeWith(quantized(corpus, id, emb), cb, id)
+      .withColumnRenamed(id, "n_id")
+      .join(assigned.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+      .select(col("n_id"), col("cell"), col("codes"))
+    val qs = quantized(queries, id, emb)
+      .select(col(id).as("q_id"), col("q").as("qq"))
+      .join(assigned.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
+    val dist = (0 until m).map { s =>
+      val cent = element_at(
+        typedLit(cb(s).map(_.toIndexedSeq)),
+        element_at(col("codes"), s + 1) + 1)
+      graft.functions.VectorFunctions.sqDistL(slice(col("qq"), s * ds + 1, ds), cent)
+    }.reduce(_ + _)
+    broadcast(qs).join(enc, Seq("cell"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"), dist.as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** Train the codebook: `iters` Lloyd rounds per subspace from the fixed
     * seed — assignment is [[encodeWith]] (a map-side argmin projection),
     * the update is ONE hash aggregate of (subspace, code) → count +

@@ -89,6 +89,32 @@ class PqSpec extends SparkTestBase {
     trained.foreach(sb => { assert(sb.length === k); sb.foreach(c => assert(c.length === 4)) })
   }
 
+  test("ivfPqTopK: searches only the query's cell with plain-ADC distances") {
+    import graft.pipeline.SimilarityIvf
+    val df = randVecs(150, 16, seed = 37)
+    val queries = df.filter(col("vec_id") < 4)
+    val got = SimilarityPq.ivfPqTopK(df, queries, numCells = 8, m = 4, k = 8, topK = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"), r.getAs[Long]("dist")))
+    assert(got.nonEmpty)
+    val cellOf = SimilarityIvf.assign(df, 8).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    // every returned neighbor shares the query's cell
+    got.foreach { case (q, n, _) => assert(cellOf(q) === cellOf(n), s"($q,$n)") }
+    // distances agree with the unpruned ADC scan (same codebook)
+    val full = SimilarityPq.adcTopK(df, queries, m = 4, k = 8, topK = 150)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id")) -> r.getAs[Long]("dist")).toMap
+    got.foreach { case (q, n, dist) => assert(full((q, n)) === dist) }
+    // and the ranking is the within-cell restriction of the full ranking
+    // (full.toSeq first: collecting (d, n) pairs straight off the Map
+    // would rebuild a Map keyed by d and silently drop tied distances)
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val expected = full.toSeq
+        .collect { case ((`q`, n), d) if cellOf(n) == cellOf(q) => (d, n) }
+        .sorted.take(rows.length).map(_._2).toSet
+      assert(rows.map(_._2).toSet === expected, s"query $q")
+    }
+  }
+
   test("trainCodebook: iters=0 returns the fixed seed codebook") {
     val df = randVecs(50, 16, seed = 41)
     val a = SimilarityPq.codebook(df, 4, 8)
