@@ -76,12 +76,27 @@ class FunctionsSpec extends SparkTestBase {
     texts.zip(got).foreach { case (t, g) => assert(g === brute(t), s"text: '$t'") }
   }
 
+  test("graft_sqdist equals the zip_with/aggregate integer fold, with its null semantics") {
+    val df = Seq(
+      (Seq(1L, -2L, 3L), Seq(4L, 5L, -6L)),
+      (Seq(0L, 0L), Seq(0L, 0L))).toDF("a", "b")
+    val got = df.select(VectorFunctions.sqDistL($"a", $"b")).collect().map(_.getLong(0))
+    assert(got.toSeq === Seq(9L + 49L + 81L, 0L))
+    // length mismatch and null elements → null, like graft_dot
+    val bad = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+      .select(VectorFunctions.sqDistL($"a", $"b")).collect().head
+    assert(bad.isNullAt(0))
+    val withNull = Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L)))).toDF("a", "b")
+      .select(VectorFunctions.sqDistL($"a", $"b")).collect().head
+    assert(withNull.isNullAt(0))
+  }
+
   test("both registration paths share one function list, and it is complete") {
     // register() and GraftExtensions iterate VectorFunctions.allFunctions,
     // so checking the list checks both deployment paths
     val names = VectorFunctions.allFunctions.map(_._1)
-    assert(names === Seq("graft_dot", "graft_cosine", "graft_rolling_hash_16",
-      "graft_stem", "graft_bpe_merge_pair"))
+    assert(names === Seq("graft_dot", "graft_cosine", "graft_sqdist",
+      "graft_rolling_hash_16", "graft_stem", "graft_bpe_merge_pair"))
     // applying the extensions must not throw (injection is deferred)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }

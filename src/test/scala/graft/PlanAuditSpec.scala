@@ -23,8 +23,11 @@ class PlanAuditSpec extends SparkTestBase {
     "q_ann_quantized",                   // same shape, int8-quantized vectors
     "q_dedup_embedding",                 // declared all-pairs baseline
     "q_ann_ivf", "q_ann_ivf_probe", "q_ann_ivf_trained", // k-row centroid cross join
+    "q_ann_pq", "q_ann_pq_trained",      // broadcast(seed queries) ⨝ code scan (ADC)
+    "q_ann_ivfpq",                       // k-row centroid cross join; search is cell-equi
     "q_tfidf_top_terms", "q_bm25_top_terms", "q_token_rarity",
     "q_window_anomaly",                  // 1-row stats broadcast
+    "q_assoc_rules",                     // 1-row basket-total broadcast
     "q_sketch_hist_quantile",
     "q_hist_quantile_by_source",
     "q_winsorize_stats",                 // quantile list × bin-sized sketch
