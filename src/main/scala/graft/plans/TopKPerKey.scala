@@ -9,15 +9,21 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator custom plan: top-k rows per key, with PARTIAL pruning
-  * before the shuffle — the one thing a rank-window formulation cannot
-  * express. `Window.partitionBy(key).orderBy(...)` + `rank <= k` must
-  * shuffle and sort EVERY row of every key; this operator keeps a
-  * bounded per-key heap in each input partition, so at most
-  * k·|keys-per-partition| rows reach the exchange, then a second
-  * (post-shuffle) pass merges the per-partition survivors. On a 100 TB
-  * fact table with k = 10 this is the difference between shuffling the
-  * table and shuffling ~k rows per (key, partition) — the same
-  * partial/final split as hash aggregation, applied to top-k.
+  * before the shuffle via bounded per-key HEAPS. Spark ≥ 3.5 partially
+  * covers this pattern natively: `InferWindowGroupLimit` plants a
+  * Partial `WindowGroupLimit` under the exchange for
+  * `filter(row_number().over(...) <= k)`, so the shuffle volume is
+  * already ≤ k rows per (key, partition) there too. What the stock
+  * rewrite CANNOT drop is the sort: `WindowGroupLimit` requires sorted
+  * input, so every input partition is FULLY sorted (O(n log n) + a
+  * partition-sized sort buffer) before the limit, and the merged side is
+  * fully sorted again for the Final pass + Window. This operator keeps a
+  * bounded heap per key instead — O(n log k) per partition, memory
+  * bounded by k·|keys-per-partition| rows, no partition-wide sort buffer
+  * on either side of the exchange — the same partial/final split as hash
+  * aggregation, applied to top-k. On a 100 TB fact table the shuffle is
+  * the same as stock; the scan-side sort it deletes is the remaining
+  * cost that matters.
   *
   * The pieces, wired the way Spark wants whole operators delivered:
   * [[TopKPerKeyNode]] (logical, analysis-visible), [[TopKPerKeyStrategy]]
