@@ -650,6 +650,31 @@ object Queries {
               |SELECT id, landmark, CAST(min(d) AS BIGINT) AS distance
               |FROM r GROUP BY id, landmark""".stripMargin)),
 
+    // WEIGHTED shortest paths (min-plus Bellman-Ford): distance + w
+    // relaxation with integer edge weights — exact longs, so the bounded
+    // recursive CTE replays every round bit-for-bit; maxHops bounds path
+    // EDGE count (result exact once >= the true path's hop count)
+    Q("q_graph_sp_weighted",
+      (s, d) => {
+        val e = t(s, d)("events").select(
+          col("user_id").cast("string").as("src"),
+          ((col("event_id") % 150) + 1).cast("string").as("dst"),
+          ((col("event_id") % 7) + 1).cast("long").as("wgt"))
+        graft.graph.Graph(graft.graph.Graph.verticesOf(e), e)
+          .shortestPathsWeighted(Seq("1", "42"), "wgt", maxHops = 6)
+      },
+      Some("""WITH RECURSIVE ew AS (SELECT CAST(user_id AS VARCHAR) AS src,
+             |            CAST(event_id % 150 + 1 AS VARCHAR) AS dst,
+             |            CAST(event_id % 7 + 1 AS BIGINT) AS w FROM events),
+             |v AS (SELECT src AS id FROM ew UNION SELECT dst FROM ew),
+             |r AS (SELECT id, id AS landmark, CAST(0 AS BIGINT) AS d, 0 AS h
+             |      FROM v WHERE id IN ('1', '42')
+             |      UNION
+             |      SELECT ew.src, r.landmark, r.d + ew.w, r.h + 1
+             |      FROM ew JOIN r ON ew.dst = r.id WHERE r.h < 6)
+             |SELECT id, landmark, CAST(min(d) AS BIGINT) AS distance
+             |FROM r GROUP BY id, landmark""".stripMargin)),
+
     // fixed-point integer PageRank (see Graph.pageRank scaladoc): every
     // iteration is exact long arithmetic, so the oracle UNROLLS all 10
     // iterations as chained CTEs and matches bit-for-bit — impossible

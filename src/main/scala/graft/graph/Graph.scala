@@ -218,6 +218,38 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     dist
   }
 
+  /** WEIGHTED shortest paths to each landmark (min-plus / Bellman-Ford):
+    * [[shortestPaths]] with `distance + w` relaxation over an integer
+    * weight column instead of `+ 1`. Per round: the same edge equi-join +
+    * min-agg on vertex id, so each round shuffles `(id, landmark, long)`
+    * rows; distances stay exact longs → the oracle replays the rounds as
+    * a bounded recursive CTE bit-for-bit (a float-weight Dijkstra would
+    * be neither replayable nor shuffle-friendly — priority queues don't
+    * distribute; bounded-round Bellman-Ford is the standard BSP answer).
+    *
+    * `maxHops` bounds the EDGE COUNT of admissible paths, not the weight:
+    * the result is the minimum weight over paths of ≤ `maxHops` edges
+    * (exact shortest distance once `maxHops` ≥ the weighted-shortest
+    * path's hop count; parallel edges collapse to the cheapest
+    * automatically). Weights must be non-negative for the bound to be
+    * monotone in rounds.
+    */
+  def shortestPathsWeighted(landmarks: Seq[String], weightCol: String,
+                            maxHops: Int = 6): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col(weightCol).cast("long").as("__w"))
+    var dist = vertices.select(col("id"))
+      .filter(col("id").isin(landmarks: _*))
+      .select(col("id"), col("id").as("landmark"), lit(0L).as("distance"))
+    for (_ <- 1 to maxHops) {
+      val stepped = e.join(dist.withColumnRenamed("id", "did"), col("dst") === col("did"))
+        .select(col("src").as("id"), col("landmark"),
+          (col("distance") + col("__w")).as("distance"))
+      dist = dist.unionByName(stepped)
+        .groupBy("id", "landmark").agg(min("distance").as("distance"))
+    }
+    dist
+  }
+
   /** Label propagation (GraphFrames `labelPropagation` semantics made
     * DETERMINISTIC): synchronous rounds where every vertex adopts the most
     * frequent label among its neighbors (both directions, multigraph

@@ -184,4 +184,42 @@ class GraphAlgorithmsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(tc === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("shortestPathsWeighted: min-plus picks the cheaper longer path; parallel edges collapse") {
+    import spark.implicits._
+    // a→d direct costs 10; a→b→c→d costs 1+1+1 = 3; parallel a→d of 7
+    // also loses. Direction: distances are TO the landmark d.
+    val e = Seq(
+      ("a", "d", 10L), ("a", "d", 7L),
+      ("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L)).toDF("src", "dst", "wgt")
+    val g2 = Graph(Graph.verticesOf(e), e)
+    val got = g2.shortestPathsWeighted(Seq("d"), "wgt", maxHops = 6).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("d", "d") -> 0L, ("c", "d") -> 1L, ("b", "d") -> 2L, ("a", "d") -> 3L))
+    // with the hop budget too small for the cheap path, the direct
+    // (cheapest parallel) edge wins instead
+    val capped = g2.shortestPathsWeighted(Seq("d"), "wgt", maxHops = 1).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(capped(("a", "d")) === 7L)
+    // brute-force cross-check on a random DAG-ish graph
+    val rnd = new scala.util.Random(13)
+    val redges = (0 until 60).map { _ =>
+      val s = rnd.nextInt(12); val d = rnd.nextInt(12)
+      (s.toString, d.toString, 1L + rnd.nextInt(9))
+    }.toDF("src", "dst", "wgt")
+    val rg = Graph(Graph.verticesOf(redges), redges)
+    val rgot = rg.shortestPathsWeighted(Seq("0"), "wgt", maxHops = 5).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    // reference: DP over ≤5-hop paths in plain Scala
+    val es = redges.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    var dp = Map("0" -> 0L)
+    var best = dp
+    for (_ <- 1 to 5) {
+      val stepped = es.flatMap { case (s, d, w) => dp.get(d).map(v => s -> (v + w)) }
+      dp = (dp.toSeq ++ stepped).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      best = dp
+    }
+    assert(rgot === best)
+  }
 }
