@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   * Everything is exact integer math over globally-scaled vectors
   * (`⌊x·2²⁰⌋` — floor of a double times a power of two is exact, so any
   * engine replays it bit-for-bit): squared-L2 distances are exact longs
-  * ([[graft.functions.IntSqDist]], a codegen'd native expression),
-  * argmins tie-break to the lowest code, and the whole flow — encode,
+  * computed by the native PQ kernels ([[graft.functions.PqEncodeExpr]] /
+  * [[graft.functions.PqAdcDistExpr]] — the codebook rides inside the
+  * expression, so plan size is constant at any (m, k)), argmins
+  * tie-break to the lowest code, and the whole flow — encode,
   * reconstruction error, ADC top-k — is oracle-hashable with zero
   * tolerance. The codebook is FIXED (subvectors of the `k` lowest-id
   * rows), the same honesty trade as [[SimilarityIvf]]'s fixed coarse
@@ -71,20 +73,8 @@ object SimilarityPq {
     IndexedSeq.tabulate(m)(s => rows.toIndexedSeq.map(_.slice(s * ds, s * ds + ds)))
   }
 
-  private def sqDistLit(sub: Column, cent: Array[Long]): Column =
-    graft.functions.VectorFunctions.sqDistL(sub, typedLit(
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(cent)))
-
-  /** Argmin struct for subspace `s`: `(d, code)` of the nearest codebook
-    * entry — lexicographic `array_min` order IS the deterministic
-    * tie-break (lowest code wins equal distances).
-    */
-  private def bestExpr(q: Column, s: Int, ds: Int,
-                       cb: IndexedSeq[IndexedSeq[Array[Long]]]): Column =
-    array_min(array(cb(s).zipWithIndex.map { case (cent, c) =>
-      struct(sqDistLit(slice(q, s * ds + 1, ds), cent).as("d"),
-        lit(c).as("code"))
-    }: _*))
+  private def cbArr(cb: IndexedSeq[IndexedSeq[Array[Long]]]): Array[Array[Array[Long]]] =
+    cb.map(_.toArray).toArray
 
   /** PQ-encode every vector: `(id, codes: array<int>, err: long)` where
     * `err` is the exact reconstruction error `Σ_s ‖v_s − cb_s[code_s]‖²`
@@ -99,17 +89,26 @@ object SimilarityPq {
 
   /** [[encode]] against a pre-collected codebook (shared by ADC so the
     * codebook job runs once). `qv` must be the [[quantized]] relation.
+    * `keepQ` retains the scaled vector column alongside the codes — the
+    * trainer's update pass needs both, and keeping `q` in the projection
+    * beats re-joining the quantized relation (one scan, no exchange).
+    *
+    * The argmin battery is ONE native expression per row
+    * ([[graft.functions.PqEncodeExpr]] — codebook inside the expression,
+    * tie → lowest code): the equivalent composed form (m×k
+    * `graft_sqdist`-vs-literal structs under `array_min`) costs the
+    * optimizer a ~2000-node tree re-analyzed and re-codegen'd per
+    * distinct codebook, and stops being analyzable long before a
+    * production (m=16, k=256) book.
     */
   def encodeWith(qv: DataFrame, cb: IndexedSeq[IndexedSeq[Array[Long]]],
-                 id: String = "vec_id"): DataFrame = {
-    val m = cb.length
-    val ds = cb.head.head.length
-    val withBest = (0 until m).foldLeft(qv) { (df, s) =>
-      df.withColumn(s"__b$s", bestExpr(col("q"), s, ds, cb))
-    }
-    withBest.select(col(id),
-      array((0 until m).map(s => col(s"__b$s").getField("code")): _*).as("codes"),
-      (0 until m).map(s => col(s"__b$s").getField("d")).reduce(_ + _).as("err"))
+                 id: String = "vec_id", keepQ: Boolean = false): DataFrame = {
+    val (encName, _) = graft.functions.PqFunctions.register(qv.sparkSession, cbArr(cb))
+    val enc = qv.select(
+      col(id) +: (if (keepQ) Seq(col("q")) else Nil) :+
+        call_function(encName, col("q")).as("__e"): _*)
+    val base = Seq(col(id), col("__e.codes").as("codes"), col("__e.err").as("err"))
+    enc.select((if (keepQ) base :+ col("q") else base): _*)
   }
 
   /** ADC top-k: exact integer PQ distance from each query to every
@@ -131,20 +130,14 @@ object SimilarityPq {
   def adcTopKWith(corpus: DataFrame, queries: DataFrame,
                   cb: IndexedSeq[IndexedSeq[Array[Long]]], topK: Int,
                   id: String = "vec_id", emb: String = "embedding"): DataFrame = {
-    val m = cb.length
-    val ds = cb.head.head.length
+    val (_, adcName) = graft.functions.PqFunctions.register(corpus.sparkSession, cbArr(cb))
     val enc = encodeWith(quantized(corpus, id, emb), cb, id)
       .select(col(id).as("n_id"), col("codes"))
     val qs = quantized(queries, id, emb)
       .select(col(id).as("q_id"), col("q").as("qq"))
-    val dist = (0 until m).map { s =>
-      val cent = element_at(
-        typedLit(cb(s).map(_.toIndexedSeq)),
-        element_at(col("codes"), s + 1) + 1)
-      graft.functions.VectorFunctions.sqDistL(slice(col("qq"), s * ds + 1, ds), cent)
-    }.reduce(_ + _)
     broadcast(qs).join(enc, col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), dist.as("dist"))
+      .select(col("q_id"), col("n_id"),
+        call_function(adcName, col("qq"), col("codes")).as("dist"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)).cast("long"))
       .filter(col("rank") <= topK)
@@ -167,7 +160,7 @@ object SimilarityPq {
         corpus.select(col(id).as("vec_id"), col(emb).as("embedding")), numCells)
       .select(col("vec_id"), col("cell"))
     val cb = codebook(corpus, m, k, id, emb)
-    val ds = cb.head.head.length
+    val (_, adcName) = graft.functions.PqFunctions.register(corpus.sparkSession, cbArr(cb))
     val enc = encodeWith(quantized(corpus, id, emb), cb, id)
       .withColumnRenamed(id, "n_id")
       .join(assigned.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
@@ -175,15 +168,10 @@ object SimilarityPq {
     val qs = quantized(queries, id, emb)
       .select(col(id).as("q_id"), col("q").as("qq"))
       .join(assigned.withColumnRenamed("vec_id", "q_id"), Seq("q_id"))
-    val dist = (0 until m).map { s =>
-      val cent = element_at(
-        typedLit(cb(s).map(_.toIndexedSeq)),
-        element_at(col("codes"), s + 1) + 1)
-      graft.functions.VectorFunctions.sqDistL(slice(col("qq"), s * ds + 1, ds), cent)
-    }.reduce(_ + _)
     broadcast(qs).join(enc, Seq("cell"))
       .filter(col("q_id") =!= col("n_id"))
-      .select(col("q_id"), col("n_id"), dist.as("dist"))
+      .select(col("q_id"), col("n_id"),
+        call_function(adcName, col("qq"), col("codes")).as("dist"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("dist").asc, col("n_id").asc)).cast("long"))
       .filter(col("rank") <= topK)
@@ -216,11 +204,11 @@ object SimilarityPq {
       var cb = codebook(vectors, m, k, id, emb)
       val ds = cb.head.head.length
       for (_ <- 1 to iters) {
-        // (s, code) → n + per-dim sums, one row per populated cell
-        val enc = encodeWith(qv, cb, id)
-        val stats = enc
-          .select(posexplode(col("codes")).as(Seq("s", "code")), col(id))
-          .join(qv, id)
+        // (s, code) → n + per-dim sums, one row per populated cell;
+        // keepQ carries the vector through the encode projection so the
+        // update is agg-over-scan, never a self-join of the corpus
+        val stats = encodeWith(qv, cb, id, keepQ = true)
+          .select(posexplode(col("codes")).as(Seq("s", "code")), col("q"))
           .groupBy(col("s"), col("code"))
           .agg(count(lit(1)).as("n"),
             (0 until ds).map(j =>
