@@ -36,6 +36,11 @@ object Bench {
       SparkEntry.queries.filter(e => selected(e._1)).foreach { case (_, fn) =>
         try consume(fn(spark, warmDir)) catch { case _: Throwable => () }
       }
+      // warmup leaves its own persisted blocks (sf0.001 — small, but ~190
+      // cache entries); start the timed region clean
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // A failed query records -1, not its (near-zero) time-to-throw: xxhash64
     // rejects MapType columns unless legacy-enabled, and an analysis error
@@ -44,10 +49,23 @@ object Bench {
     // timed runs — single-shot timings carry ±2-3 s of JIT/GC noise that
     // otherwise dominates per-query comparisons across rounds.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    // Library entry points (LSH keys, BPE char-splits, triangle wedges, …)
+    // persist relations their lazily-returned results reference, so they
+    // cannot unpersist before the caller consumes — across ~190 queries the
+    // leftover blocks accumulate and tax late queries with GC/eviction
+    // churn. Dropping them between timed runs is harness hygiene (each
+    // query is an independent job in production), not query cost.
+    def dropLeftoverStorage(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-      catch { case _: Throwable => -1.0 }
+      val r = try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+              catch { case _: Throwable => -1.0 }
+      dropLeftoverStorage()
+      r
     }
     val results = SparkEntry.queries.filter(e => selected(e._1)).map { case (name, fn) =>
       val times = Seq.fill(reps)(timeOnce(fn)).filter(_ >= 0).sorted

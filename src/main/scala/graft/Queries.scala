@@ -699,6 +699,26 @@ object Queries {
            |SELECT id, CAST(rank AS BIGINT) AS rank FROM pr10""".stripMargin
       }),
 
+    // strongly connected components of the DIRECTED events graph. The
+    // Spark side runs the distributed trim+color+confirm peel
+    // (Graph.stronglyConnectedComponents); the oracle doesn't replay the
+    // algorithm — it checks the SPEC: component = min id over the mutual-
+    // reachability class, computed from a transitive closure that's only
+    // feasible because the oracle graph is small. Canonical min-member
+    // labeling makes the two independently-derived answers comparable.
+    Q("q_graph_scc",
+      (s, d) => Queries.eventsGraph(s, d).stronglyConnectedComponents(),
+      Some(s"""WITH RECURSIVE $eventsGraphCte,
+              |ne AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+              |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+              |r AS (SELECT src AS a, dst AS b FROM ne
+              |      UNION
+              |      SELECT r.a, ne.dst FROM r JOIN ne ON ne.src = r.b),
+              |m AS (SELECT r1.b AS id, r1.a AS other
+              |      FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a)
+              |SELECT v.id, least(v.id, coalesce(min(m.other), v.id)) AS component
+              |FROM v LEFT JOIN m ON m.id = v.id GROUP BY v.id""".stripMargin)),
+
     // GraphFrames-parity BFS: all minimum-length doc→doc paths through
     // the SYMMETRIZED doc-word graph (a bipartite "docs sharing vocabulary
     // chains" walk) — per-depth frontier equi-join + distinct, stops at
@@ -1761,6 +1781,38 @@ object Queries {
               |FROM ne q JOIN ne e ON q.vec_id <> e.vec_id
               |WHERE q.vec_id < 40 AND ${dotSql("q.ne", "e.ne")} >= 0.3""".stripMargin)),
 
+    // hybrid retrieval: dense cosine ranking ⊕ lexical shingle-overlap
+    // ranking fused by reciprocal-rank fusion (rank-only, so no score
+    // calibration; ranks are ints, 1/(k0+r) one IEEE divide, the 2-term
+    // sum a fixed tree → bit-replayable). Seeds fixed-count + broadcast
+    // on BOTH arms — the corpus never self-joins (see Hybrid scaladoc).
+    Q("q_hybrid_rrf",
+      (s, d) => graft.pipeline.Hybrid.rrfRetrieve(
+        t(s, d)("documents"), t(s, d)("embeddings"), numSeeds = 8, topK = 10),
+      Some(s"""WITH $normedSqlCte,
+              |$shingleSqlCte,
+              |dc AS (SELECT q.vec_id AS q_id, e.vec_id AS id, ${dotSql("q.ne", "e.ne")} AS cos
+              |       FROM ne q JOIN ne e ON q.vec_id <> e.vec_id WHERE q.vec_id < 8),
+              |dr AS (SELECT q_id, id, rd FROM (
+              |         SELECT q_id, id, CAST(row_number() OVER (
+              |           PARTITION BY q_id ORDER BY cos DESC, id) AS BIGINT) AS rd FROM dc)
+              |       WHERE rd <= 10),
+              |lx AS (SELECT a.id AS q_id, b.id AS id, count(*) AS overlap
+              |       FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id
+              |       WHERE a.id < 8 GROUP BY 1, 2),
+              |lr AS (SELECT q_id, id, rl FROM (
+              |         SELECT q_id, id, CAST(row_number() OVER (
+              |           PARTITION BY q_id ORDER BY overlap DESC, id) AS BIGINT) AS rl FROM lx)
+              |       WHERE rl <= 10),
+              |f AS (SELECT coalesce(dr.q_id, lr.q_id) AS q_id, coalesce(dr.id, lr.id) AS id,
+              |             coalesce(1.0 / (60.0 + CAST(rd AS DOUBLE)), 0.0)
+              |               + coalesce(1.0 / (60.0 + CAST(rl AS DOUBLE)), 0.0) AS rrf
+              |      FROM dr FULL OUTER JOIN lr ON dr.q_id = lr.q_id AND dr.id = lr.id)
+              |SELECT q_id, id, rrf, rank FROM (
+              |  SELECT q_id, id, rrf, CAST(row_number() OVER (
+              |    PARTITION BY q_id ORDER BY rrf DESC, id) AS BIGINT) AS rank FROM f)
+              |WHERE rank <= 10""".stripMargin)),
+
     Q("q_ann_topk",
       (s, d) => {
         val ne = normalizedVectors(t(s, d)("embeddings"))
@@ -2493,6 +2545,22 @@ object Queries {
              |SELECT doc_id, list_reduce(rs, (a, b) -> a + b) / CAST(len(rs) AS DOUBLE) AS rarity
              |FROM l""".stripMargin)),
 
+    // out-of-vocabulary rate vs the corpus top-64 token vocabulary (ties
+    // → lexicographic): counts exact ints, rate an integer ratio. The
+    // oracle's LIMIT replays Spark's TakeOrderedAndProject ordering
+    // because the (c DESC, term) sort key is total.
+    Q("q_oov_rate",
+      (s, d) => graft.pipeline.Relevance.oovRate(t(s, d)("documents"), "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |v AS (SELECT term FROM (SELECT term, count(*) AS c FROM w GROUP BY term)
+             |      ORDER BY c DESC, term LIMIT 64)
+             |SELECT w.doc_id,
+             |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov,
+             |       CAST(count(*) AS BIGINT) AS total,
+             |       CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / CAST(count(*) AS DOUBLE) AS oov_rate
+             |FROM w LEFT JOIN v ON w.term = v.term GROUP BY w.doc_id""".stripMargin)),
+
     Q("q_bm25_top_terms",
       (s, d) => graft.pipeline.Relevance.bm25TopTerms(t(s, d)("documents"), "doc_id", "text", 3),
       Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
@@ -2990,6 +3058,28 @@ object Queries {
            |SELECT id1, id2, CAST(levenshtein(p1, p2) AS BIGINT) AS dist
            |FROM p WHERE id2 IS NOT NULL AND levenshtein(p1, p2) <= 24""".stripMargin
       }),
+
+    // per-doc mean bigram probability under the corpus LM — the CCNet/C4
+    // perplexity-filter shape with a bit-replayable scoring rule (mean of
+    // exact ratios instead of libm-dependent log-perplexity); fold order
+    // pinned by sorting (Relevance.lmScore scaladoc)
+    Q("q_lm_score",
+      (s, d) => graft.pipeline.Relevance.lmScore(t(s, d)("documents"), "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_filter(
+             |         list_transform(ws, (x,i) -> CASE WHEN i <= len(ws)-1
+             |           THEN x || ' ' || ws[i+1] END), v -> v IS NOT NULL)) AS bg FROM w),
+             |sp AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+             |              string_split(bg, ' ')[2] AS w2 FROM bg),
+             |c AS (SELECT w1, w2, count(*) AS c FROM sp GROUP BY 1, 2),
+             |p AS (SELECT w1, w2,
+             |        CAST(c AS DOUBLE) / CAST(CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS DOUBLE) AS prob
+             |      FROM c),
+             |l AS (SELECT doc_id, list_sort(list(prob)) AS ps
+             |      FROM sp JOIN p USING (w1, w2) GROUP BY doc_id)
+             |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+             |       list_reduce(ps, (a, b) -> a + b) / CAST(len(ps) AS DOUBLE) AS lm_score
+             |FROM l""".stripMargin)),
 
     // bigram language-model training: conditional P(w2|w1) as an exact
     // integer ratio — two hash aggs + one window on the high-cardinality

@@ -75,6 +75,70 @@ object Relevance {
         size(col("rs")).cast("double")).as("rarity"))
   }
 
+  /** Per-document out-of-vocabulary rate against a corpus-derived fixed
+    * vocabulary: the `vocabSize` most frequent tokens (ties → the
+    * lexicographically smaller token, so the vocabulary itself is
+    * deterministic). The training-mix staple: a doc whose tokens mostly
+    * fall outside the tokenizer's vocabulary inflates sequence length and
+    * degrades loss — filter or reweight by this before mixing.
+    *
+    * Scale shape: one hash aggregate for token frequencies, a top-k via
+    * `orderBy().limit(k)` (TakeOrderedAndProject — per-partition partial
+    * top-k, only k rows reach the driver-side merge, never a global
+    * sort), then the k-row vocabulary BROADCASTs to a left join flagging
+    * each token instance, and one per-doc aggregate. `oov_rate` is a
+    * ratio of exact counts → bit-replayable double.
+    */
+  def oovRate(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", vocabSize: Int = 64): DataFrame = {
+    val w = docs.select(col(idCol), explode(Text.words(col(textCol))).as("term"))
+    val vocab = w.groupBy("term").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(vocabSize)
+      .select(col("term"), lit(1L).as("known"))
+    w.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(idCol).agg(
+        sum(when(col("known").isNull, 1L).otherwise(0L)).as("oov"),
+        count(lit(1)).as("total"))
+      .select(col(idCol), col("oov"), col("total"),
+        (col("oov").cast("double") / col("total").cast("double")).as("oov_rate"))
+  }
+
+  /** Per-document score under the corpus-trained bigram language model:
+    * the mean conditional probability `P(w2|w1)` over the document's
+    * bigram INSTANCES. The perplexity-filter shape (CCNet/C4 score docs
+    * under a reference LM and drop the tail) with a determinism-safe
+    * scoring rule: KenLM-style log-perplexity depends on libm `log`,
+    * while a mean of exact-integer-ratio probabilities is bit-replayable
+    * and ranks documents comparably for filtering (mean-prob is monotone
+    * enough for a threshold gate; it is NOT numerically perplexity).
+    *
+    * Docs with fewer than two tokens have no bigrams and are absent —
+    * callers treat absence as "unscorable", not score 0.
+    *
+    * Scale shape: one hash agg for bigram counts, one window on the
+    * high-cardinality `w1`, a shuffle join back to per-doc bigram
+    * instances (LM vocabulary² is too big to broadcast at corpus scale),
+    * then the per-doc sorted-array fold ([[tokenRarity]]'s float-sum
+    * determinism trick; array bounded by doc length).
+    */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .select(col(idCol), explode(Text.shingles(col(textCol), 2)).as("bg"))
+      .select(col(idCol), split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .withColumn("prob",
+        col("c").cast("double") /
+          sum(col("c")).over(Window.partitionBy(col("w1"))).cast("double"))
+      .select("w1", "w2", "prob")
+    bg.join(lm, Seq("w1", "w2"))
+      .groupBy(idCol).agg(sort_array(collect_list("prob")).as("ps"))
+      .select(col(idCol), size(col("ps")).cast("long").as("n_bigrams"),
+        (aggregate(col("ps"), lit(0.0), (a, x) => a + x) /
+          size(col("ps")).cast("double")).as("lm_score"))
+  }
+
   /** Top-k terms per document by BM25 with linear idf (see class doc):
     *
     *   idf = (N - df + 0.5) / (df + 0.5)

@@ -222,4 +222,56 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     }
     assert(rgot === best)
   }
+
+  test("scc: cycle is one component, pendants and one-way pairs are singletons") {
+    // fixture g: directed cycle a→b→c→a, pendant c→d, one-way e→f, isolated g
+    val got = g.stronglyConnectedComponents().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "a" -> "a", "b" -> "a", "c" -> "a", // the directed cycle
+      "d" -> "d", "e" -> "e", "f" -> "f", "g" -> "g"))
+  }
+
+  test("scc: two cycles joined by a bridge stay separate components") {
+    // coloring alone would paint {c,d} with a's color (a reaches them);
+    // the backward confirmation pass must split them into a second round
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c"))
+      .toDF("src", "dst")
+    val got = Graph(Graph.verticesOf(e), e).stronglyConnectedComponents()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c"))
+  }
+
+  test("scc: DAG chain trims to all singletons; self-loop is a singleton") {
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("x", "x")).toDF("src", "dst")
+    val got = Graph(Graph.verticesOf(e), e).stronglyConnectedComponents()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("a" -> "a", "b" -> "b", "c" -> "c", "d" -> "d", "x" -> "x"))
+  }
+
+  test("scc: matches brute-force mutual reachability on random graphs") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val n = 10
+      val es = (0 until 25).map { _ =>
+        (rnd.nextInt(n).toString, rnd.nextInt(n).toString)
+      }.distinct
+      val edf = es.toDF("src", "dst")
+      val got = Graph(Graph.verticesOf(edf), edf).stronglyConnectedComponents()
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // Floyd-Warshall reachability, then component = min of the mutual set
+      val vs = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val idx = vs.zipWithIndex.toMap
+      val reach = Array.fill(vs.size, vs.size)(false)
+      es.foreach { case (s, d) => reach(idx(s))(idx(d)) = true }
+      for (k <- vs.indices; i <- vs.indices; j <- vs.indices)
+        if (reach(i)(k) && reach(k)(j)) reach(i)(j) = true
+      val want = vs.map { v =>
+        val i = idx(v)
+        val mutual = vs.filter(u => reach(i)(idx(u)) && reach(idx(u))(i))
+        v -> (mutual :+ v).min
+      }.toMap
+      assert(got === want, s"trial $trial edges=$es")
+    }
+  }
 }

@@ -24,6 +24,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_dedup_embedding",                 // declared all-pairs baseline
     "q_ann_ivf", "q_ann_ivf_probe", "q_ann_ivf_trained", // k-row centroid cross join
     "q_ann_pq", "q_ann_pq_trained",      // broadcast(seed queries) ⨝ code scan (ADC)
+    "q_hybrid_rrf",                      // dense arm = broadcast(seeds) ⨝ corpus (q_ann_cosine shape)
     "q_ann_ivfpq",                       // k-row centroid cross join; search is cell-equi
     "q_tfidf_top_terms", "q_bm25_top_terms", "q_token_rarity",
     "q_window_anomaly",                  // 1-row stats broadcast

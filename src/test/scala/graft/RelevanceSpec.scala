@@ -1,0 +1,73 @@
+package graft
+
+import graft.pipeline.Relevance
+
+class RelevanceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("oovRate: top-k vocabulary by frequency with lexicographic ties, exact counts") {
+    // corpus frequencies: the=3, cat=2, dog=2, sat=1, ran=1, zz=1
+    // vocabSize=3 → vocab {the, cat, dog} (c desc, then term asc beats
+    // sat/ran/zz at c=1; cat < dog irrelevant, both in)
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "the dog ran"),
+      (3L, "the cat dog zz")).toDF("doc_id", "text")
+    val got = Relevance.oovRate(docs, "doc_id", "text", vocabSize = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(
+      1L -> ((1L, 3L, 1.0 / 3.0)),   // sat OOV
+      2L -> ((1L, 3L, 1.0 / 3.0)),   // ran OOV
+      3L -> ((1L, 4L, 0.25))))       // zz OOV
+  }
+
+  test("oovRate: duplicate token instances count individually; all-OOV doc is rate 1") {
+    val docs = Seq((1L, "a a a b"), (2L, "x y")).toDF("doc_id", "text")
+    // vocab size 1 → {a} (freq 3)
+    val got = Relevance.oovRate(docs, "doc_id", "text", vocabSize = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map(1L -> ((1L, 4L, 0.25)), 2L -> ((2L, 2L, 1.0))))
+  }
+
+  test("lmScore: mean bigram conditional probability, instances counted, short docs absent") {
+    // corpus bigrams: (a b) ×2 from docs 1,2; (b c) ×1; (a c) ×1
+    // P(b|a) = 2/3, P(c|a) = 1/3, P(c|b) = 1
+    val docs = Seq(
+      (1L, "a b c"),   // bigrams (a b), (b c) → mean( 2/3, 1 ) = 5/6
+      (2L, "a b"),     // (a b) → 2/3
+      (3L, "a c"),     // (a c) → 1/3
+      (4L, "x")).toDF("doc_id", "text") // no bigrams → absent
+    val got = Relevance.lmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L)._1 === 2L)
+    assert(math.abs(got(1L)._2 - (2.0 / 3.0 + 1.0) / 2.0) < 1e-15)
+    assert(got(2L) === ((1L, 2.0 / 3.0)))
+    assert(got(3L) === ((1L, 1.0 / 3.0)))
+  }
+
+  test("rrfRetrieve: fuses dense and lexical ranks; one-arm hits score one term") {
+    import graft.pipeline.Hybrid
+    // 4 entities: embeddings make 1 closest to 0; texts make 2 share
+    // shingles with 0 while 1 shares none
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val docs = Seq(
+      (0L, "the quick brown fox jumps"),
+      (1L, "zz yy xx ww vv"),
+      (2L, "the quick brown fox sleeps"),
+      (3L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val got = Hybrid.rrfRetrieve(docs, emb, numSeeds = 1, topK = 3, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    // dense ranks for q 0: 1 (cos~0.994), 2 (0.0), 3 (-1.0)
+    // lexical for q 0: only 2 shares shingles ("the quick brown", "quick brown fox")
+    val d1 = 1.0 / 61.0           // dense rank 1, no lexical
+    val d2 = 1.0 / 62.0 + 1.0 / 61.0 // dense rank 2 + lexical rank 1
+    val d3 = 1.0 / 63.0
+    assert(got.keySet === Set((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(got((0L, 2L)) === ((d2, 1L))) // fused winner
+    assert(got((0L, 1L)) === ((d1, 2L)))
+    assert(got((0L, 3L)) === ((d3, 3L)))
+  }
+}
