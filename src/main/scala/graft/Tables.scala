@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness testdata tables (TESTDATA.md): one parquet per
   * table under the per-scale-factor testdata dirs. Explicit-path parquet
@@ -17,25 +18,45 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * 4 rejects outright. Read it as a long (nanos) and convert to a
-    * microsecond timestamp — the data is micro-aligned, so `div 1000` is
-    * exact and matches what DuckDB (which reads the same column as a
-    * microsecond TIMESTAMP) sees.
+  /** The events table's `ts` column has shipped in two physical encodings
+    * across testdata generations: parquet TIMESTAMP(NANOS) (which Spark 4
+    * rejects unless read as a raw long) and plain `timestamp[us]` with no
+    * timezone (TIMESTAMP_NTZ under the default NTZ inference). Branch on
+    * the LOADED schema instead of assuming either: the long-typed nanos
+    * form gets the exact `div 1000` conversion, NTZ gets a cast to the
+    * session-TZ TIMESTAMP (exact under the UTC session the drivers set —
+    * and the type DuckDB-comparison hashes were green against in r1-r4),
+    * and a plain TIMESTAMP passes through untouched.
     *
-    * SESSION-WIDE SIDE EFFECT, by design: `nanosAsLong` is a SQL conf, not
-    * a per-read datasource option, and it is consulted again at execution
-    * time (scan planning captures the session's Hadoop conf lazily), so a
-    * set-then-restore around the lazy `read` would break the query it just
-    * configured. Consequence: after the first `Tables.events` call, any
-    * OTHER TIMESTAMP(NANOS) parquet read in the same session silently
-    * yields nanosecond longs instead of failing loudly — convert such
-    * columns explicitly, as done here. Same pattern (and same caveat) in
-    * [[graft.streaming.EventStream.read]].
+    * The `nanosAsLong` session conf is only set on the fallback path, when
+    * a normal read rejects the footer — so current-format data no longer
+    * pays the documented session-wide side effect (any later
+    * TIMESTAMP(NANOS) read silently yielding longs). Same logic in
+    * [[graft.streaming.EventStream.read]] via [[normalizeTs]].
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val path = s"$dir/events.parquet"
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case _: org.apache.spark.SparkException |
+             _: org.apache.spark.sql.AnalysisException =>
+          // footer carries TIMESTAMP(NANOS): re-read it as a raw long
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }
+    normalizeTs(raw)
+  }
+
+  /** Normalize an events-shaped frame's `ts` to session-TZ TIMESTAMP
+    * regardless of which physical encoding it was read as.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType =>
+      // nanos read as long; data is micro-aligned so `div 1000` is exact
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
   }
 }

@@ -23,20 +23,29 @@ object EventStream {
     StructField("props", StringType)))
 
   /** File-based stream source over a directory of event parquet files.
-    * The harness events parquet stores ts as TIMESTAMP(NANOS), which
-    * Spark 4 rejects — mirror [[graft.Tables.events]]: read nanos as a
-    * long and convert to an exact microsecond timestamp.
+    * `readStream` needs an explicit schema, and the harness events parquet
+    * has shipped `ts` as both TIMESTAMP(NANOS) and plain `timestamp[us]`
+    * across testdata generations — so probe the physical type with a batch
+    * footer read, stream with that type, then normalize to session-TZ
+    * TIMESTAMP via [[graft.Tables.normalizeTs]] (shared logic + rationale
+    * there). The `nanosAsLong` conf is only set when the footer probe
+    * rejects a NANOS column — current-format data avoids the documented
+    * session-wide side effect.
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
-    // session-wide conf side effect, shared with (and documented at)
-    // Tables.events: later TIMESTAMP(NANOS) reads in this session see longs
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val nanosSchema = StructType(eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch {
+        case _: org.apache.spark.SparkException |
+             _: org.apache.spark.sql.AnalysisException =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          LongType
+      }
+    val physSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = tsType)
       case f => f
     })
-    spark.readStream.schema(nanosSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(spark.readStream.schema(physSchema).parquet(dir))
   }
 
   /** Tumbling/sliding windowed counts + sums with a watermark for state
