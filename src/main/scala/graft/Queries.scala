@@ -1400,18 +1400,31 @@ object Queries {
              |FROM events GROUP BY event_type""".stripMargin)),
 
     // mergeable HLL sketch column (ingest-time per-shard sketches, unioned
-    // at query time — the no-rescan incremental-distinct pattern). NO SQL
-    // oracle BY NECESSITY: DuckDB's approx_count_distinct is a different
-    // HLL implementation with different estimates; mergeability and the
-    // error bound are spec-pinned instead (SketchesSpec), and the exact
-    // twin q_agg_distinct stays oracle-verified.
+    // at query time — the no-rescan incremental-distinct pattern). The raw
+    // estimate has no SQL oracle (DuckDB's HLL is a different
+    // implementation with different estimates), so the CHECKED output is
+    // the error-bound verdict: shard→union→estimate must land within ±15%
+    // of the exact distinct per group (datasketches HLL at default lgK is
+    // ~1.6% rse — 15% is ~9 sigma, deterministic-in-practice headroom).
+    // The oracle's all-true column makes a broken sketch path flip the
+    // boolean and fail the hash; the bit-exact estimate lifecycle is
+    // separately pinned by q_sketch_distinct_replay and SketchesSpec.
     Q("q_sketch_distinct",
-      (s, d) => graft.pipeline.Sketches.mergeEstimate(
-        graft.pipeline.Sketches.distinctSketch(
-          t(s, d)("events").withColumn("shard", pmod(col("event_id"), lit(8))),
-          Seq("event_type", "shard"), "user_id"),
-        Seq("event_type")),
-      None),
+      (s, d) => {
+        val est = graft.pipeline.Sketches.mergeEstimate(
+          graft.pipeline.Sketches.distinctSketch(
+            t(s, d)("events").withColumn("shard", pmod(col("event_id"), lit(8))),
+            Seq("event_type", "shard"), "user_id"),
+          Seq("event_type"))
+        val exact = t(s, d)("events").groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        est.join(exact, "event_type")
+          .select(col("event_type"),
+            (abs(col("approx_distinct") - col("exact_users")) <=
+              lit(0.15) * col("exact_users")).as("within_bound"))
+      },
+      Some("""SELECT event_type, CAST(1 AS BOOLEAN) AS within_bound
+             |FROM events GROUP BY event_type""".stripMargin)),
 
     // the oracle-REPLAYABLE HLL twin (md5 registers, see
     // Sketches.hllReplaySketch): the same shard→merge→estimate lifecycle
@@ -1692,8 +1705,13 @@ object Queries {
            |SELECT id1, id2, dist FROM u WHERE dist <= 3""".stripMargin
       }),
 
+    // exact n-gram Jaccard pairs ≥ 0.5 via the prefix-filtered path (the
+    // threshold routes ngramJaccardPairs through prefixFilteredPairs —
+    // no unfiltered shingle self-join reaches the catalog); the oracle
+    // stays the brute-force join, so this also re-proves the prefix
+    // bound's zero-false-negative claim on real data every round
     Q("q_dedup_ngram",
-      (s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), minShared = 2L),
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d)("documents"), minShared = 2L, minJaccard = 0.5),
       Some(s"""WITH $shingleSqlCte,
               |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
               |p AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
@@ -1701,7 +1719,8 @@ object Queries {
               |      GROUP BY 1, 2 HAVING count(*) >= 2)
               |SELECT id1, id2, shared,
               |       CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) AS jaccard
-              |FROM p JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id""".stripMargin)),
+              |FROM p JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+              |WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5""".stripMargin)),
 
     // pairs → CLUSTERS: connected components over the ngram near-dup pairs
     // (min-label propagation, driver-checked convergence). The oracle

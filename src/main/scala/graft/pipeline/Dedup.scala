@@ -129,12 +129,34 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
-  /** n-gram Jaccard near-dup pairs — count-based (shared-shingle self-join
-    * + set sizes), never materializing an array intersection. Ratio of
-    * exact ints → deterministic double.
+  /** n-gram Jaccard near-dup pairs. With a positive `minJaccard` this
+    * routes through [[prefixFilteredPairs]] (exact — zero false
+    * negatives by the pigeonhole bound, zero false positives by exact
+    * verification), so the 100 TB scale hole of share-ANY-shingle
+    * candidate generation (df² rows per hot shingle) never opens.
+    * `minJaccard = 0` falls back to the unfiltered baseline twin
+    * ([[ngramJaccardPairsNaive]]) — with no threshold there is nothing
+    * to prune, and the OUTPUT itself is the quadratic object; that form
+    * is the property-test oracle, not a catalog path.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        n: Int = 3, minShared: Long = 2L, minJaccard: Double = 0.0): DataFrame = {
+                        n: Int = 3, minShared: Long = 2L, minJaccard: Double = 0.0): DataFrame =
+    if (minJaccard > 0.0)
+      prefixFilteredPairs(docs, idCol, textCol, n, minJaccard)
+        .filter(col("shared") >= minShared)
+    else ngramJaccardPairsNaive(docs, idCol, textCol, n, minShared, minJaccard)
+
+  /** Unfiltered count-based shared-shingle self-join baseline (never
+    * materializes an array intersection; ratio of exact ints →
+    * deterministic double). TEST-ONLY at scale: every pair of docs
+    * sharing a hot shingle meets in the join (df² per shingle). Kept as
+    * the brute-force oracle the prefix-filtered path is property-tested
+    * against (DedupSpec), and as the `minJaccard = 0` fallback where no
+    * prefix bound exists.
+    */
+  private[graft] def ngramJaccardPairsNaive(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 3, minShared: Long = 2L, minJaccard: Double = 0.0): DataFrame = {
     val sh = docShingles(docs, idCol, textCol, n)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
     val shared = sh.as("a").hint("SHUFFLE_MERGE").join(sh.as("b").hint("SHUFFLE_MERGE"),
@@ -350,13 +372,71 @@ object Dedup {
     * those "subset document" pairs. Returns both directions (`c12`, `c21`)
     * for pairs where either exceeds the threshold.
     *
-    * Same count-based shared-shingle equi-join as [[ngramJaccardPairs]]
-    * (no array intersection on the shuffle); the same stop-shingle /
-    * prefix-filter guards apply if the corpus has hot shingles.
+    * Candidate generation is PREFIX-PROBE-FULL, the asymmetric member of
+    * the prefix-filter family ([[prefixFilteredPairs]] has the symmetric
+    * one): a qualifying pair has `shared ≥ c·min(|x|,|y|)`, so the
+    * SMALLER side's prefix of its `|m| − ⌈c·|m|⌉ + 1` rarest shingles
+    * must contain a shared shingle (pigeonhole on the global df order) —
+    * which by definition sits in the other side's FULL set. Joining
+    * prefixes against full sets (both directions at once via `id ≠ id`)
+    * therefore has exact recall; exact verification on the candidates
+    * restores precision. No symmetric prefix-prefix join exists for
+    * max-containment: a tiny doc fully contained in a huge one
+    * constrains only the tiny side's prefix.
+    *
+    * Why this survives 100 TB where the naive shared-shingle self-join
+    * dies: a stop-shingle with document frequency f costs f² in the
+    * naive join, but almost never makes any doc's PREFIX (highest df →
+    * sorts last), so here it costs ~0·f. Cost is Σ_sh df_prefix(sh) ·
+    * df_full(sh), with df_prefix concentrated on rare shingles — the
+    * same skew kill as `Similarity.bucketStats`'s `maxBucketSize` guard,
+    * but with zero recall loss. The prefix bound carries one extra
+    * shingle of slack (`+ 2` not `+ 1`) so a one-ULP double-`ceil`
+    * disagreement on non-dyadic thresholds (e.g. 0.6) can only ADD a
+    * candidate, never drop a true pair.
     */
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", n: Int = 3,
                        minContainment: Double = 0.8): DataFrame = {
+    // feeds the df count, the rank window, the probe join, and both
+    // sides of the verify join — materialize once
+    val sh = docShingles(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id")
+    val ranked = sh.join(dfreq, "sh")
+      .select(col("id"), col("sh"),
+        row_number().over(w.orderBy("df", "sh")).as("rnk"),
+        count(lit(1)).over(w).as("nsh"))
+    val pref = ranked
+      .filter(col("rnk") <= col("nsh") - ceil(lit(minContainment) * col("nsh")) + 2)
+      .select("id", "sh")
+    val cand = pref.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val shared = cand
+      .join(sh.as("x"), col("id1") === col("x.id"))
+      .join(sh.as("y"), col("id2") === col("y.id") && col("x.sh") === col("y.sh"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("s1"), col("id1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id2") === col("s2.id"))
+      .select(col("id1"), col("id2"), col("shared"),
+        (col("shared").cast("double") / col("s1.nsh").cast("double")).as("c12"),
+        (col("shared").cast("double") / col("s2.nsh").cast("double")).as("c21"))
+      .filter(greatest(col("c12"), col("c21")) >= minContainment)
+  }
+
+  /** Unfiltered all-pairs containment baseline — the property-test oracle
+    * for [[containmentPairs]]; same df² hot-shingle hole as
+    * [[ngramJaccardPairsNaive]], so test-only.
+    */
+  private[graft] def containmentPairsNaive(docs: DataFrame, idCol: String = "doc_id",
+                                           textCol: String = "text", n: Int = 3,
+                                           minContainment: Double = 0.8): DataFrame = {
     val sh = docShingles(docs, idCol, textCol, n)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
     val shared = sh.as("x").join(sh.as("y"),

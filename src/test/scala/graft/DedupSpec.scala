@@ -116,7 +116,7 @@ class DedupSpec extends SparkTestBase {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
         r.getAs[Long]("shared"), r.getAs[Double]("jaccard"))).toSet
-    val brute = key(Dedup.ngramJaccardPairs(corpus, minShared = 1L, minJaccard = 0.5))
+    val brute = key(Dedup.ngramJaccardPairsNaive(corpus, minShared = 1L, minJaccard = 0.5))
     val prefix = key(Dedup.prefixFilteredPairs(corpus, minJaccard = 0.5))
     assert(prefix === brute)            // exact: no false negatives OR positives
     assert(brute.exists(p => p._1 == 1L && p._2 == 2L && p._4 === 1.0))
@@ -135,9 +135,34 @@ class DedupSpec extends SparkTestBase {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Double]("jaccard"))).toSet
     for (t <- Seq(0.25, 0.5, 0.75)) {
-      val brute = key(Dedup.ngramJaccardPairs(corpus, minShared = 1L, minJaccard = t))
+      val brute = key(Dedup.ngramJaccardPairsNaive(corpus, minShared = 1L, minJaccard = t))
       val prefix = key(Dedup.prefixFilteredPairs(corpus, minJaccard = t))
       assert(prefix === brute, s"threshold $t")
+    }
+  }
+
+  test("containment prefix-probe-full equals the brute-force all-pairs join") {
+    // seeded random small-vocab docs plus planted subset docs: heavy
+    // shingle sharing, asymmetric sizes — the regime where a wrong
+    // prefix bound (or a min-side mixup) drops a true containment pair
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("red", "blue", "green", "cat", "dog", "runs", "fast", "slow")
+    val base = (1L to 15L).map { i =>
+      val words = Seq.fill(5 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      (i, words.mkString(" "))
+    }
+    // subsets of doc 1: high containment, low jaccard
+    val corpus = (base ++ Seq(
+      (16L, base.head._2.split(" ").take(4).mkString(" ")),
+      (17L, base.head._2 + " extra tail words beyond the original")))
+      .toDF("doc_id", "text")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"), r.getAs[Long]("shared"),
+        r.getAs[Double]("c12"), r.getAs[Double]("c21"))).toSet
+    for (c <- Seq(0.5, 0.6, 0.8, 0.9)) {
+      val brute = key(Dedup.containmentPairsNaive(corpus, minContainment = c))
+      val pref = key(Dedup.containmentPairs(corpus, minContainment = c))
+      assert(pref === brute, s"threshold $c")
     }
   }
 
