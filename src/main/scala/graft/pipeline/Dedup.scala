@@ -195,36 +195,50 @@ object Dedup {
   def prefixFilteredPairs(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", n: Int = 3,
                           minJaccard: Double = 0.5): DataFrame = {
-    // the (id, shingle) relation feeds FOUR consumers (df counts, the rank
-    // window, and both sides of the verify join) and its explode+distinct
-    // is the expensive part — materialize it once
     val sh = docShingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
     // doc size rides the SAME window partition as the rank — one exchange,
-    // no extra sizes join on the hot path
+    // no extra sizes join on the hot path. The RANKED relation (not the
+    // raw shingles) is the persisted hub: it feeds the prefix, the
+    // candidate probe, BOTH verify sides, and the sizes — so the df join
+    // + rank window run once, and everything downstream reads the cache.
+    // (sh itself has two consumers inside this one plan, both needing a
+    // hash exchange on `sh` — ReuseExchange dedupes them.)
     val ranked = sh.join(dfreq, "sh")
       .select(col("id"), col("sh"),
         row_number().over(w.orderBy("df", "sh")).as("rnk"),
         count(lit(1)).over(w).as("nsh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = ranked.select("id", "nsh").distinct()
     // prefix length n - ceil(t·n) + 1: t·n is an exact double for the
     // catalog's t (dyadic), ceil exact — both engines agree bit-for-bit
     val pref = ranked
       .filter(col("rnk") <= col("nsh") - ceil(lit(minJaccard) * col("nsh")) + 1)
-      .select("id", "sh", "nsh")
+      .select("id", "sh", "nsh", "rnk")
     // LENGTH filter (the family's second pruning rule): J(x,y) ≥ t forces
     // t·|x| ≤ |y| and t·|y| ≤ |x| — a free residual predicate on the
-    // candidate equi-join that prunes before the (expensive) verify
+    // candidate equi-join that prunes before the (expensive) verify.
+    // POSITION filter (PPJoin's third rule): at a shared token with ranks
+    // (p_a, p_b), every OTHER shared token of the pair's FIRST match sits
+    // after both ranks (same global order on both sides), so overlap ≤
+    // 1 + min(nsh_a − p_a, nsh_b − p_b); J ≥ t needs overlap ≥
+    // ⌈t/(1+t)·(nsh_a+nsh_b)⌉. Filtering every matching row with this
+    // bound is exact: a qualifying pair's first-match row always passes
+    // (later rows may drop — distinct only needs one). One unit of slack
+    // absorbs double-`ceil` rounding on the non-dyadic t/(1+t).
+    val alpha = ceil(lit(minJaccard / (1 + minJaccard)) *
+      (col("a.nsh") + col("b.nsh"))) - 1
     val cand = pref.as("a").join(pref.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id") &&
           lit(minJaccard) * col("a.nsh") <= col("b.nsh") &&
-          lit(minJaccard) * col("b.nsh") <= col("a.nsh"))
+          lit(minJaccard) * col("b.nsh") <= col("a.nsh") &&
+          lit(1) + least(col("a.nsh") - col("a.rnk"), col("b.nsh") - col("b.rnk")) >= alpha)
       .select(col("a.id").as("id1"), col("b.id").as("id2")).distinct()
     val shared = cand
-      .join(sh.as("x"), col("id1") === col("x.id"))
-      .join(sh.as("y"), col("id2") === col("y.id") && col("x.sh") === col("y.sh"))
+      .join(ranked.select("id", "sh").as("x"), col("id1") === col("x.id"))
+      .join(ranked.select("id", "sh").as("y"),
+        col("id2") === col("y.id") && col("x.sh") === col("y.sh"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.as("z1"), col("id1") === col("z1.id"))
@@ -299,8 +313,13 @@ object Dedup {
     * own component (see [[dedupByClusters]]).
     */
   def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id1").as("a"), col("id2").as("b"))
-      .union(pairs.select(col("id2").as("a"), col("id1").as("b")))
+    // persist the INPUT before the symmetrize-union: the two union
+    // branches project (a,b) and (b,a) — different subplans, so exchange
+    // reuse does NOT dedupe them, and an unpersisted `pairs` (e.g. the
+    // whole prefix-filtered similarity pipeline) would execute twice
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col("id1").as("a"), col("id2").as("b"))
+      .union(p.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // LINEAGE TRUNCATION, not just caching: each round references the
@@ -332,6 +351,7 @@ object Dedup {
       s"Dedup.components: labels still changing after $maxIter iterations — " +
         "raise maxIter (component diameter exceeds the cap)")
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id"), col("lbl").as("component"))
   }
 
@@ -398,28 +418,39 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", n: Int = 3,
                        minContainment: Double = 0.8): DataFrame = {
-    // feeds the df count, the rank window, the probe join, and both
-    // sides of the verify join — materialize once
     val sh = docShingles(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id")
+    // persisted hub, as in [[prefixFilteredPairs]]: the ranked relation
+    // feeds the prefix, the FULL probe side, both verify sides, and the
+    // sizes — df join + rank window run once
     val ranked = sh.join(dfreq, "sh")
       .select(col("id"), col("sh"),
         row_number().over(w.orderBy("df", "sh")).as("rnk"),
         count(lit(1)).over(w).as("nsh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pref = ranked
       .filter(col("rnk") <= col("nsh") - ceil(lit(minContainment) * col("nsh")) + 2)
-      .select("id", "sh")
-    val cand = pref.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id"))
+      .select("id", "sh", "nsh", "rnk")
+    // POSITION filter (the PPJoin rule, asymmetric form): at a shared
+    // shingle with full-order ranks (p_a, p_b), a pair's FIRST shared
+    // shingle has all other shared shingles after both ranks, so
+    // shared ≤ 1 + min(nsh_a − p_a, nsh_b − p_b); qualifying needs
+    // shared ≥ ⌈c·min(nsh_a, nsh_b)⌉. The first-match row of a
+    // qualifying pair always passes, so filtering every row is exact;
+    // one unit of slack absorbs double-`ceil` rounding on non-dyadic c.
+    val needed = ceil(lit(minContainment) * least(col("a.nsh"), col("b.nsh"))) - 1
+    val cand = pref.as("a").join(ranked.as("b"),
+        col("a.sh") === col("b.sh") && col("a.id") =!= col("b.id") &&
+          lit(1) + least(col("a.nsh") - col("a.rnk"), col("b.nsh") - col("b.rnk")) >= needed)
       .select(least(col("a.id"), col("b.id")).as("id1"),
         greatest(col("a.id"), col("b.id")).as("id2"))
       .distinct()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    val sizes = ranked.select("id", "nsh").distinct()
     val shared = cand
-      .join(sh.as("x"), col("id1") === col("x.id"))
-      .join(sh.as("y"), col("id2") === col("y.id") && col("x.sh") === col("y.sh"))
+      .join(ranked.select("id", "sh").as("x"), col("id1") === col("x.id"))
+      .join(ranked.select("id", "sh").as("y"),
+        col("id2") === col("y.id") && col("x.sh") === col("y.sh"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
     shared
       .join(sizes.as("s1"), col("id1") === col("s1.id"))
