@@ -3351,6 +3351,59 @@ object Queries {
               |WHERE GREATEST(CAST(shared AS DOUBLE) / CAST(z1.nsh AS DOUBLE),
               |               CAST(shared AS DOUBLE) / CAST(z2.nsh AS DOUBLE)) >= 0.6""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: k-means cells over the quantized
+    // embeddings, cosine pairs WITHIN a cell only — the pairing cost is
+    // bounded by cell size, never corpus². The oracle replays train (2
+    // integer-Lloyd rounds, as q_kmeans), the final assignment, and the
+    // exact-integer cosine² scoring bit-for-bit.
+    Q("q_dedup_semantic",
+      (s, d) => Dedup.semanticNearDups(
+        t(s, d)("embeddings"), k = 8, iters = 2, dim = 64, minCosine = 0.8),
+      Some {
+        def assign(src: String, cents: String, out: String) =
+          s"""$out AS (SELECT vec_id, qv, cluster FROM (
+             |  SELECT q.vec_id, q.qv, c.cluster,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      list_sum(list_transform(q.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+             |      c.cluster) AS rn
+             |  FROM $src q, $cents c) WHERE rn = 1)""".stripMargin
+        def update(asg: String, prev: String, out: String) =
+          s"""$out AS (SELECT p.cluster, coalesce(u.cv, p.cv) AS cv FROM $prev p
+             |  LEFT JOIN (SELECT cluster, list(cd ORDER BY i) AS cv FROM (
+             |      SELECT cluster, i,
+             |        CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cd
+             |      FROM (SELECT cluster, generate_subscripts(qv, 1) AS i, unnest(qv) AS v FROM $asg)
+             |      GROUP BY cluster, i)
+             |    GROUP BY cluster) u ON p.cluster = u.cluster)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           |           FROM embeddings),
+           |m AS (SELECT vec_id, ed, list_max(list_transform(ed, x -> abs(x))) AS maxabs FROM e),
+           |q AS (SELECT vec_id, list_transform(ed,
+           |        x -> CAST(floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END)
+           |               + 0.5) AS BIGINT)) AS qv
+           |      FROM m),
+           |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+           |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+           |${assign("q", "c0", "a1")},
+           |${update("a1", "c0", "c1")},
+           |${assign("q", "c1", "a2")},
+           |${update("a2", "c1", "c2")},
+           |${assign("q", "c2", "a3")},
+           |nn AS (SELECT vec_id, qv, cluster,
+           |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+           |       FROM a3),
+           |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cluster AS cell,
+           |        CAST(list_sum(list_transform(a.qv, (x, i) -> x * b.qv[i])) AS BIGINT) AS dot,
+           |        a.n2 AS n2a, b.n2 AS n2b
+           |      FROM nn a JOIN nn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+           |SELECT id1, id2, cell, dot,
+           |  CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) /
+           |    (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) AS cos_sq
+           |FROM p WHERE dot > 0
+           |  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) /
+           |    (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) >= 0.8 * 0.8""".stripMargin
+      }),
+
     // window frame breadth: first/nth/last value over the full per-key
     // frame, one row per key
     Q("q_window_bounds",

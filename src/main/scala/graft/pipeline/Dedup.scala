@@ -385,6 +385,43 @@ object Dedup {
     pairs.filter(col("cos") >= threshold)
   }
 
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, arXiv
+    * 2303.09540): k-means the embedding space into cells, then compare
+    * cosines ONLY within a cell — semantically-duplicate pairs land in
+    * the same cell with overwhelming probability, and the quadratic
+    * pairing is bounded by cell size (pick k ≈ n/1000 at 100 TB so each
+    * cell's self-join is a few-thousand-row task, never corpus²).
+    *
+    * Determinism contract, same as [[KMeansCluster]]: everything runs on
+    * the int8-quantized vectors, so the dot product and squared norms
+    * are exact longs and the emitted `cos_sq` = dot²/(|a|²·|b|²) is one
+    * double division of exact integers (dot ≤ 64·127² keeps every
+    * intermediate < 2⁵³) — the DuckDB oracle replays train, assign, and
+    * score bit-for-bit. Threshold compares against `minCosine²` with the
+    * positive-dot guard (cos² folds the sign away).
+    */
+  def semanticNearDups(vectors: DataFrame, k: Int = 8, iters: Int = 2,
+                       dim: Int = 64, minCosine: Double = 0.8,
+                       id: String = "vec_id",
+                       emb: String = "embedding"): DataFrame = {
+    val asg = KMeansCluster.assignCells(vectors, k, iters, dim, id, emb)
+      .withColumn("n2",
+        aggregate(transform(col("q"), x => x * x), lit(0L), (acc, v) => acc + v))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dot = aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    asg.as("a").join(asg.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),
+        col("a.cell").as("cell"), dot.as("dot"),
+        col("a.n2").as("n2a"), col("b.n2").as("n2b"))
+      .filter(col("dot") > 0)
+      .select(col("id1"), col("id2"), col("cell"), col("dot"),
+        (col("dot").cast("double") * col("dot").cast("double") /
+          (col("n2a").cast("double") * col("n2b").cast("double"))).as("cos_sq"))
+      .filter(col("cos_sq") >= lit(minCosine) * lit(minCosine))
+  }
+
   /** Shingle CONTAINMENT pairs: C(x→y) = |x∩y| / |x| — the asymmetric
     * near-dup measure Jaccard misses: a page whose content is wholly
     * embedded in a longer page (boilerplate wrap, quote-and-extend) has

@@ -58,38 +58,7 @@ object KMeansCluster {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     val q = quantized(df, id, emb).persist()
     try {
-      // seed centroids: k smallest ids, cluster = rank in id order.
-      // k rows — a driver collect of the same order as MLlib's init.
-      var cents: Seq[Array[Long]] = q.orderBy(col(id)).limit(k)
-        .select(col("q")).collect()
-        .map(_.getSeq[Long](0).toArray).toSeq
-
-      // one job per iteration: the assignment is a map-side projection
-      // folded INTO the update aggregate, and the aggregate's count IS the
-      // membership audit — no separate counting pass at the end
-      var counts: Map[Int, Long] = Map.empty
-      for (_ <- 1 to iters) {
-        val assigned = q.select(col("q"),
-          assignExpr(col("q"), cents).as("cluster"))
-        // d per-dim sums + count per cluster; floor(sum/n) via exact
-        // double division (sums < 2^53) — the oracle replays it verbatim
-        val sums = assigned.groupBy(col("cluster")).agg(
-          count(lit(1)).as("n"),
-          (0 until dim).map(i =>
-            sum(element_at(col("q"), i + 1)).as(s"s$i")): _*)
-        val rows = sums.collect()
-        counts = rows.map(r =>
-          r.getAs[Int]("cluster") -> r.getAs[Long]("n")).toMap
-        val updated = rows.map { r =>
-          val n = r.getAs[Long]("n").toDouble
-          (r.getAs[Int]("cluster"),
-            Array.tabulate(dim)(i =>
-              math.floor(r.getAs[Long](s"s$i").toDouble / n).toLong))
-        }.toMap
-        // empty clusters keep their previous centroid
-        cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
-      }
-
+      val (cents, counts) = train(q, k, iters, dim, id)
       // k-row result assembled from the final aggregate (sketch-sized,
       // like the CMS/HLL outputs); empty clusters emit no row
       val out = cents.zipWithIndex.collect {
@@ -98,5 +67,62 @@ object KMeansCluster {
       df.sparkSession.createDataFrame(out)
         .toDF("cluster", "n_vectors", "centroid")
     } finally q.unpersist()
+  }
+
+  /** The Lloyd loop shared by [[kMeans]] and [[assignCells]]: returns the
+    * centroids AFTER the final update plus the final-round membership
+    * counts. Driver traffic is k×(d+1) numbers per iteration — nothing
+    * corpus-sized.
+    */
+  private def train(q: DataFrame, k: Int, iters: Int, dim: Int,
+                    id: String): (Seq[Array[Long]], Map[Int, Long]) = {
+    // seed centroids: k smallest ids, cluster = rank in id order.
+    // k rows — a driver collect of the same order as MLlib's init.
+    var cents: Seq[Array[Long]] = q.orderBy(col(id)).limit(k)
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray).toSeq
+
+    // one job per iteration: the assignment is a map-side projection
+    // folded INTO the update aggregate, and the aggregate's count IS the
+    // membership audit — no separate counting pass at the end
+    var counts: Map[Int, Long] = Map.empty
+    for (_ <- 1 to iters) {
+      val assigned = q.select(col("q"),
+        assignExpr(col("q"), cents).as("cluster"))
+      // d per-dim sums + count per cluster; floor(sum/n) via exact
+      // double division (sums < 2^53) — the oracle replays it verbatim
+      val sums = assigned.groupBy(col("cluster")).agg(
+        count(lit(1)).as("n"),
+        (0 until dim).map(i =>
+          sum(element_at(col("q"), i + 1)).as(s"s$i")): _*)
+      val rows = sums.collect()
+      counts = rows.map(r =>
+        r.getAs[Int]("cluster") -> r.getAs[Long]("n")).toMap
+      val updated = rows.map { r =>
+        val n = r.getAs[Long]("n").toDouble
+        (r.getAs[Int]("cluster"),
+          Array.tabulate(dim)(i =>
+            math.floor(r.getAs[Long](s"s$i").toDouble / n).toLong))
+      }.toMap
+      // empty clusters keep their previous centroid
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i)))
+    }
+    (cents, counts)
+  }
+
+  /** Per-vector cell assignment against the TRAINED centroids (one more
+    * map-side broadcast argmin after the final Lloyd update) — the
+    * coarse-partition step of SemDeDup-style semantic dedup and IVF
+    * routing. Returns `(id, q, cell)`; the quantized relation stays
+    * persisted because the lazily-returned result reads it (the caller /
+    * harness drops leftover blocks, the library cannot unpersist first).
+    */
+  def assignCells(df: DataFrame, k: Int, iters: Int, dim: Int,
+                  id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val q = quantized(df, id, emb)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (cents, _) = train(q, k, iters, dim, id)
+    q.select(col(id), col("q"), assignExpr(col("q"), cents).as("cell"))
   }
 }

@@ -43,6 +43,37 @@ class KMeansSpec extends SparkTestBase {
     assert(!out.contains(1) && !out.contains(2))
   }
 
+  test("assignCells puts each vector in its nearest trained cell") {
+    val asg = KMeansCluster.assignCells(vecs, k = 2, iters = 2, dim = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    // the two tight groups separate; within-group cells agree
+    assert(asg(0L) === asg(1L))
+    assert(asg(2L) === asg(3L) && asg(3L) === asg(4L))
+    assert(asg(0L) !== asg(2L))
+  }
+
+  test("semanticNearDups finds planted near-identical pair within a cell only") {
+    val corpus = Seq(
+      (0L, Array(1.00f, 0.02f)),   // near-dup of 1
+      (1L, Array(0.99f, 0.01f)),
+      (2L, Array(0.02f, 1.00f)),   // near-dup of 3
+      (3L, Array(0.01f, 0.99f)),
+      (4L, Array(-0.90f, -0.44f))) // alone in direction — no pair
+      .toDF("vec_id", "embedding")
+    val pairs = graft.pipeline.Dedup.semanticNearDups(
+        corpus, k = 2, iters = 2, dim = 2, minCosine = 0.95)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // cos_sq is a ratio of exact ints — bounded by 1
+    graft.pipeline.Dedup.semanticNearDups(corpus, k = 2, iters = 2, dim = 2,
+      minCosine = 0.95).collect().foreach { r =>
+      val c = r.getAs[Double]("cos_sq")
+      assert(c >= 0.95 * 0.95 && c <= 1.0 + 1e-12)
+    }
+  }
+
   test("result is invariant under input repartitioning") {
     val a = KMeansCluster.kMeans(vecs, k = 2, iters = 2, dim = 2)
       .collect().map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n_vectors"),
