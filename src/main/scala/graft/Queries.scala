@@ -2170,6 +2170,37 @@ object Queries {
              |      FROM c)
              |WHERE rn = 1""".stripMargin)),
 
+    // hashed linear quality classifier (fastText-shaped inference): hashed
+    // unigram+bigram features probe a BROADCAST weight table map-side,
+    // one per-doc aggregate — the corpus never shuffles except by doc id.
+    // Weights are md5-derived stand-ins; a trained vector drops into the
+    // same (bucket, w) table with an unchanged plan.
+    Q("q_quality_classifier",
+      (s, d) => graft.pipeline.QualityClassifier.score(
+        t(s, d)("documents"), buckets = 4096, threshold = 0.0),
+      Some("""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |tok AS (
+             |  SELECT doc_id, unnest(ws) AS tok FROM w0
+             |  UNION ALL
+             |  SELECT doc_id, unnest(list_filter(
+             |    list_transform(ws, (x, i) -> CASE WHEN i <= len(ws) - 1
+             |      THEN x || ' ' || ws[i+1] END),
+             |    v -> v IS NOT NULL)) AS tok FROM w0),
+             |f AS (SELECT doc_id,
+             |        CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS bucket
+             |      FROM tok),
+             |wt AS (SELECT range AS bucket,
+             |         (CAST(concat('0x', substr(md5('w:' || CAST(range AS VARCHAR)), 1, 2))
+             |            AS BIGINT) % 16) - 8 AS w
+             |       FROM range(4096)),
+             |s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS w_sum,
+             |        count(*) AS n_features
+             |      FROM f JOIN wt USING (bucket) GROUP BY doc_id)
+             |SELECT doc_id, w_sum, n_features,
+             |  CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE) AS score,
+             |  CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE) >= 0.0 AS keep
+             |FROM s""".stripMargin)),
+
     // the full Gopher rule battery as one shuffle-free per-row verdict:
     // keep boolean + sorted fail-reason audit trail (what a corpus
     // pipeline logs for every dropped document)

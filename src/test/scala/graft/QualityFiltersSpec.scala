@@ -44,4 +44,32 @@ class QualityFiltersSpec extends SparkTestBase {
     val rs = got(2L)._2.split(",").toSeq
     assert(rs.contains("word_count") && rs === rs.sorted)
   }
+
+  test("quality classifier: md5-derived reference scores, repartition-invariant") {
+    import graft.pipeline.QualityClassifier
+    def bucket(tok: String, b: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % b
+    }
+    def weight(bk: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$bk".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(2), 16) % 16) - 8
+    }
+    val docs = Seq((1L, "hello world"), (2L, "one two three")).toDF("doc_id", "text")
+    val got = QualityClassifier.score(docs, buckets = 4096)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("w_sum"), r.getAs[Long]("n_features"), r.getAs[Double]("score"))))
+      .toMap
+    // doc 1 features: hello, world, "hello world" (unigrams + bigram)
+    val f1 = Seq("hello", "world", "hello world").map(t => weight(bucket(t, 4096)))
+    assert(got(1L) === ((f1.sum, 3L, f1.sum.toDouble / 3.0)))
+    val f2 = Seq("one", "two", "three", "one two", "two three").map(t => weight(bucket(t, 4096)))
+    assert(got(2L) === ((f2.sum, 5L, f2.sum.toDouble / 5.0)))
+    // distributed determinism: same verdicts under any partitioning
+    val a = QualityClassifier.score(docs, buckets = 4096).collect().toSet
+    val b = QualityClassifier.score(docs.repartition(7), buckets = 4096).collect().toSet
+    assert(a === b)
+  }
 }
