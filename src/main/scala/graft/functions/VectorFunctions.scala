@@ -188,6 +188,60 @@ case class IntSqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer dot product of two long-array columns — the quantized
+  * twin of [[DotProduct]] and the scoring core of semantic dedup /
+  * quantized cosine: with int8-quantized components the accumulator
+  * stays exact (|aᵢ·bᵢ| ≤ 127² summed over ≤ 2⁴⁴ elements fits a long),
+  * so downstream ratios are deterministic doubles. Codegen'd tight loop,
+  * no higher-order-function interpretation on the hot path.
+  * Length mismatch → null, null element → null.
+  */
+case class IntDot(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_doti"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val (i, n) = (ctx.freshName("i"), ctx.freshName("n"))
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IntDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Rabin-Karp rolling hashes of a string: one polynomial hash per
   * `window`-byte window, `h = (Σ bᵢ·Bᵏ⁻ⁱ) mod M` with B=257,
   * M=1e9+7, advanced in O(1) per position (subtract the leading byte's
@@ -290,6 +344,8 @@ object VectorFunctions {
       (children: Seq[Expression]) => CosineSim(children.head, children(1))),
     ("graft_sqdist", classOf[IntSqDist].getName,
       (children: Seq[Expression]) => IntSqDist(children.head, children(1))),
+    ("graft_doti", classOf[IntDot].getName,
+      (children: Seq[Expression]) => IntDot(children.head, children(1))),
     // Text.rollingFingerprint's default window; other windows register
     // dynamically via registerRolling
     ("graft_rolling_hash_16", classOf[RollingHash].getName,
@@ -337,6 +393,21 @@ object VectorFunctions {
     * registration requirement.
     */
   def sqDistL(a: Column, b: Column): Column = call_function("graft_sqdist", a, b)
+
+  /** Exact integer dot product of two long-array columns, registry-free
+    * (direct expression wrap) — safe in library code called before
+    * [[register]].
+    */
+  def dotL(a: Column, b: Column): Column =
+    org.apache.spark.sql.classic.GraftPlanBridge.column(
+      IntDot(org.apache.spark.sql.classic.GraftPlanBridge.expr(a),
+        org.apache.spark.sql.classic.GraftPlanBridge.expr(b)))
+
+  /** Registry-free exact integer squared-L2 distance (see [[dotL]]). */
+  def sqDistLExpr(a: Column, b: Column): Column =
+    org.apache.spark.sql.classic.GraftPlanBridge.column(
+      IntSqDist(org.apache.spark.sql.classic.GraftPlanBridge.expr(a),
+        org.apache.spark.sql.classic.GraftPlanBridge.expr(b)))
 
   /** Porter stem of a lowercase word column; same registration requirement. */
   def stem(c: Column): Column = call_function("graft_stem", c)

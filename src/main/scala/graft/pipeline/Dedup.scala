@@ -404,12 +404,12 @@ object Dedup {
                        dim: Int = 64, minCosine: Double = 0.8,
                        id: String = "vec_id",
                        emb: String = "embedding"): DataFrame = {
+    // codegen'd integer dot (graft_doti), not an interpreted HOF fold —
+    // the within-cell pairing evaluates it per candidate pair
     val asg = KMeansCluster.assignCells(vectors, k, iters, dim, id, emb)
-      .withColumn("n2",
-        aggregate(transform(col("q"), x => x * x), lit(0L), (acc, v) => acc + v))
+      .withColumn("n2", graft.functions.VectorFunctions.dotL(col("q"), col("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dot = aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
-      lit(0L), (acc, v) => acc + v)
+    val dot = graft.functions.VectorFunctions.dotL(col("a.q"), col("b.q"))
     asg.as("a").join(asg.as("b"),
         col("a.cell") === col("b.cell") && col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id1"), col(s"b.$id").as("id2"),

@@ -32,11 +32,13 @@ object KMeansCluster {
     Embeddings.quantize(df, id, emb)
       .select(col(id), transform(col("q"), _.cast("long")).as("q"))
 
-  /** Exact integer squared-L2 distance from `q` to a literal centroid. */
+  /** Exact integer squared-L2 distance from `q` to a literal centroid —
+    * the codegen'd [[graft.functions.IntSqDist]] (registry-free wrap), not
+    * an interpreted `aggregate(zip_with(...))` HOF: the assignment argmin
+    * evaluates this k times per vector, so it IS the Lloyd hot loop.
+    */
   private def sqDist(q: Column, cent: Array[Long]): Column =
-    aggregate(
-      zip_with(q, typedLit(cent), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.sqDistLExpr(q, typedLit(cent))
 
   /** Nearest-centroid id (ties → lowest id): argmin via `array_min` over
     * `(dist, cluster)` structs — lexicographic struct order IS the

@@ -22,4 +22,13 @@ object GraftPlanBridge {
   def expr(c: org.apache.spark.sql.Column)
   : org.apache.spark.sql.catalyst.expressions.Expression =
     ColumnNodeToExpressionConverter(c.node)
+
+  /** Catalyst Expression → Column (the inverse of [[expr]]): lets library
+    * code use a custom codegen expression without the session function
+    * registry — important for operators callable before / without
+    * `VectorFunctions.register`.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+  : org.apache.spark.sql.Column =
+    ExpressionUtils.column(e)
 }

@@ -91,11 +91,26 @@ class FunctionsSpec extends SparkTestBase {
     assert(withNull.isNullAt(0))
   }
 
+  test("graft_doti equals the zip_with/aggregate integer fold, with its null semantics") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((Seq(1L, -2L, 3L), Seq(4L, 5L, -6L))).toDF("a", "b")
+    val got = df.select(VectorFunctions.dotL($"a", $"b")).collect().head.getLong(0)
+    val hof = df.select(aggregate(zip_with($"a", $"b", (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)).collect().head.getLong(0)
+    assert(got === hof && got === (4L - 10L - 18L))
+    val bad = Seq((Seq(1L, 2L), Seq(1L))).toDF("a", "b")
+      .select(VectorFunctions.dotL($"a", $"b")).collect().head
+    assert(bad.isNullAt(0))
+    val withNull = Seq((Seq(Some(1L), None), Seq(Some(1L), Some(2L)))).toDF("a", "b")
+      .select(VectorFunctions.dotL($"a", $"b")).collect().head
+    assert(withNull.isNullAt(0))
+  }
+
   test("both registration paths share one function list, and it is complete") {
     // register() and GraftExtensions iterate VectorFunctions.allFunctions,
     // so checking the list checks both deployment paths
     val names = VectorFunctions.allFunctions.map(_._1)
-    assert(names === Seq("graft_dot", "graft_cosine", "graft_sqdist",
+    assert(names === Seq("graft_dot", "graft_cosine", "graft_sqdist", "graft_doti",
       "graft_rolling_hash_16", "graft_stem", "graft_bpe_merge_pair"))
     // applying the extensions must not throw (injection is deferred)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
