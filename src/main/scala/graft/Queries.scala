@@ -3435,6 +3435,68 @@ object Queries {
            |    (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) >= 0.8 * 0.8""".stripMargin
       }),
 
+    // the complete SemDeDup flow: semantic pairs → min-label connected
+    // components → one survivor (smallest id) per near-dup cluster + all
+    // unclustered vectors. The oracle recomputes components with a
+    // recursive reachability CTE over the replayed pair set — closed-form
+    // graph semantics checking the iterative Spark propagation, as
+    // q_dedup_survivors does for the ngram flow.
+    Q("q_dedup_semantic_survivors",
+      (s, d) => Dedup.dedupByClusters(
+          t(s, d)("embeddings"),
+          Dedup.semanticNearDups(t(s, d)("embeddings"),
+            k = 8, iters = 2, dim = 64, minCosine = 0.8)
+            .select("id1", "id2"),
+          idCol = "vec_id")
+        .select(col("vec_id")),
+      Some {
+        def assign(src: String, cents: String, out: String) =
+          s"""$out AS (SELECT vec_id, qv, cluster FROM (
+             |  SELECT q.vec_id, q.qv, c.cluster,
+             |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             |      list_sum(list_transform(q.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+             |      c.cluster) AS rn
+             |  FROM $src q, $cents c) WHERE rn = 1)""".stripMargin
+        def update(asg: String, prev: String, out: String) =
+          s"""$out AS (SELECT p.cluster, coalesce(u.cv, p.cv) AS cv FROM $prev p
+             |  LEFT JOIN (SELECT cluster, list(cd ORDER BY i) AS cv FROM (
+             |      SELECT cluster, i,
+             |        CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cd
+             |      FROM (SELECT cluster, generate_subscripts(qv, 1) AS i, unnest(qv) AS v FROM $asg)
+             |      GROUP BY cluster, i)
+             |    GROUP BY cluster) u ON p.cluster = u.cluster)""".stripMargin
+        s"""WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+           |           FROM embeddings),
+           |m AS (SELECT vec_id, ed, list_max(list_transform(ed, x -> abs(x))) AS maxabs FROM e),
+           |q AS (SELECT vec_id, list_transform(ed,
+           |        x -> CAST(floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END)
+           |               + 0.5) AS BIGINT)) AS qv
+           |      FROM m),
+           |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+           |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)),
+           |${assign("q", "c0", "a1")},
+           |${update("a1", "c0", "c1")},
+           |${assign("q", "c1", "a2")},
+           |${update("a2", "c1", "c2")},
+           |${assign("q", "c2", "a3")},
+           |nn AS (SELECT vec_id, qv, cluster,
+           |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+           |       FROM a3),
+           |dup AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+           |      FROM nn a JOIN nn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           |      WHERE CAST(list_sum(list_transform(a.qv, (x, i) -> x * b.qv[i])) AS BIGINT) > 0
+           |        AND CAST(list_sum(list_transform(a.qv, (x, i) -> x * b.qv[i])) AS DOUBLE)
+           |            * CAST(list_sum(list_transform(a.qv, (x, i) -> x * b.qv[i])) AS DOUBLE)
+           |            / (CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.8 * 0.8),
+           |ee AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
+           |r AS (SELECT a AS id, a AS lbl FROM ee
+           |      UNION
+           |      SELECT ee.a, r.lbl FROM ee JOIN r ON r.id = ee.b)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id NOT IN (
+           |  SELECT id FROM r GROUP BY id HAVING id <> min(lbl))""".stripMargin
+      }),
+
     // window frame breadth: first/nth/last value over the full per-key
     // frame, one row per key
     Q("q_window_bounds",
