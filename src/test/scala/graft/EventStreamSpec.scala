@@ -283,4 +283,32 @@ class EventStreamSpec extends SparkTestBase {
     assert(snap === Map(
       1L -> (("a", 1L)), 2L -> (("b3", 3L)), 3L -> (("c", 1L))))
   }
+
+  test("read probes the harness events file's physical ts encoding and streams it") {
+    // the REAL driver-generated file (currently timestamp[us]/NTZ; was
+    // TIMESTAMP(NANOS) in earlier generations) — the streaming twin of the
+    // TablesSpec guard for the schema-adaptive read
+    // the file stream source requires a DIRECTORY — stage the single
+    // harness file into one (copy, not symlink: globbing follows links
+    // inconsistently across Hadoop FS versions)
+    val dir = java.nio.file.Files.createTempDirectory("events_probe")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val df = EventStream.read(spark, dir.toString)
+    assert(df.isStreaming)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val q = EventStream.windowedAgg(df, windowLen = "1 hour")
+      .writeStream.format("memory").queryName("probe_agg")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("probe_agg").collect()
+    assert(rows.nonEmpty)
+    // sane event-time windows (a wrong unit conversion lands decades off)
+    val yr = rows.map(_.getAs[java.sql.Timestamp]("window_start"))
+      .map(_.toLocalDateTime.getYear)
+    assert(yr.forall(y => y >= 2000 && y <= 2100))
+  }
 }
