@@ -3585,6 +3585,29 @@ object Queries {
              |       CAST(n_kept AS DOUBLE) / CAST(n_spans AS DOUBLE) AS kept_frac
              |FROM a""".stripMargin)),
 
+    // C4-style WITHIN-document span dedup: keep the first occurrence of
+    // each 8-word span inside a page, reassemble in order — a map-only,
+    // completely shuffle-free cleaning pass (the spans live in one array
+    // per row)
+    Q("q_dedup_within_doc",
+      (s, d) => graft.pipeline.SpanDedup.dedupWithinDoc(
+        t(s, d)("documents"), "doc_id", "text", span = 8),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |c AS (SELECT doc_id,
+             |        list_filter(list_transform(ws, (x, i) -> CASE WHEN (i - 1) % 8 = 0
+             |          THEN array_to_string(ws[i:i+7], ' ') END),
+             |          v -> v IS NOT NULL) AS cs
+             |      FROM w),
+             |sp AS (SELECT doc_id, generate_subscripts(cs, 1) - 1 AS pos,
+             |         unnest(cs) AS span_text, len(cs) AS n
+             |       FROM c),
+             |f AS (SELECT doc_id, span_text, min(pos) AS first_pos, any_value(n) AS n
+             |      FROM sp GROUP BY doc_id, span_text)
+             |SELECT doc_id, string_agg(span_text, ' ' ORDER BY first_pos) AS clean_text,
+             |       CAST(any_value(n) AS BIGINT) AS n_spans,
+             |       CAST(any_value(n) - count(*) AS BIGINT) AS n_spans_dropped
+             |FROM f GROUP BY doc_id""".stripMargin)),
+
     // boilerplate spans: 3-word spans present in >= 2 distinct documents
     // (the nav-bar / cookie-banner strip list of a web pipeline)
     Q("q_boilerplate",

@@ -55,6 +55,36 @@ object SpanDedup {
           .as("kept_frac"))
   }
 
+  /** WITHIN-document span dedup — C4's "remove repeated lines inside the
+    * page", distinct from [[keepFirst]]'s cross-corpus pass: each
+    * document keeps only the FIRST occurrence of each of its spans, and
+    * the cleaned text is reassembled in original order. Returns
+    * `(id, clean_text, n_spans, n_spans_dropped)`.
+    *
+    * Scale shape: completely SHUFFLE-FREE — the span split and the
+    * keep-first fold are per-row expressions (a document's spans live in
+    * one array), so at 100 TB this is a map-only pass over the corpus.
+    * The fold is an interpreted higher-order function, but it runs once
+    * per document over ~doc_len/span elements (O(c²) `array_contains`
+    * with c spans — c is small by construction), unlike the per-pair hot
+    * loops that justified codegen expressions elsewhere.
+    */
+  def dedupWithinDoc(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", span: Int = 8): DataFrame = {
+    val ws = graft.pipeline.Text.words(col(textCol))
+    val nChunks = ceil(size(ws) / lit(span.toDouble)).cast("long")
+    val chunks = transform(sequence(lit(0L), nChunks - 1),
+      i => concat_ws(" ", slice(ws, (i * span + 1).cast("int"), lit(span))))
+    val deduped = aggregate(chunks,
+      array().cast("array<string>"),
+      (acc, x) => when(array_contains(acc, x), acc).otherwise(concat(acc, array(x))))
+    docs.select(col(idCol),
+        chunks.as("__c"), deduped.as("__d"))
+      .select(col(idCol), array_join(col("__d"), " ").as("clean_text"),
+        size(col("__c")).cast("long").as("n_spans"),
+        (size(col("__c")) - size(col("__d"))).cast("long").as("n_spans_dropped"))
+  }
+
   /** Boilerplate spans: span texts occurring in at least `minDocs`
     * DISTINCT documents (nav bars, cookie banners, license headers — the
     * lines a web pipeline strips before dedup). Returns

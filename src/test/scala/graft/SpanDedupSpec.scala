@@ -53,4 +53,23 @@ class SpanDedupSpec extends SparkTestBase {
         r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences")))
     assert(got.toSet === Set(("x y z", 3L, 4L)))
   }
+
+  test("dedupWithinDoc keeps first occurrence of each span, reassembles in order") {
+    import graft.pipeline.SpanDedup
+    // span=2: doc 1 repeats "a b" twice and "c d" once; doc 2 has no repeats
+    val docs = Seq(
+      (1L, "a b c d a b e f c d"),
+      (2L, "x y z w")).toDF("doc_id", "text")
+    val got = SpanDedup.dedupWithinDoc(docs, span = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("n_spans_dropped")))).toMap
+    assert(got(1L) === (("a b c d e f", 5L, 2L)))
+    assert(got(2L) === (("x y z w", 2L, 0L)))
+    // ragged tail: last span shorter than the width still round-trips
+    val ragged = Seq((3L, "p q r")).toDF("doc_id", "text")
+    val g3 = SpanDedup.dedupWithinDoc(ragged, span = 2).collect().head
+    assert(g3.getAs[String]("clean_text") === "p q r")
+    assert(g3.getAs[Long]("n_spans") === 2L)
+  }
 }
