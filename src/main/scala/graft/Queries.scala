@@ -3386,10 +3386,15 @@ object Queries {
     // embeddings, cosine pairs WITHIN a cell only — the pairing cost is
     // bounded by cell size, never corpus². The oracle replays train (2
     // integer-Lloyd rounds, as q_kmeans), the final assignment, and the
-    // exact-integer cosine² scoring bit-for-bit.
+    // exact-integer cosine² scoring bit-for-bit. minCosine = 0.35 here
+    // (not the API's 0.8 production default): the synthetic embeddings
+    // are near-isotropic — max pairwise cosine ≈ 0.51 at sf0.01 — so 0.8
+    // can never fire and would make this row a vacuous 0 = 0 pass; 0.35
+    // yields a stable ~100-pair set that actually exercises cell
+    // assignment and the cosine² scoring path driver-visibly.
     Q("q_dedup_semantic",
       (s, d) => Dedup.semanticNearDups(
-        t(s, d)("embeddings"), k = 8, iters = 2, dim = 64, minCosine = 0.8),
+        t(s, d)("embeddings"), k = 8, iters = 2, dim = 64, minCosine = 0.35),
       Some {
         def assign(src: String, cents: String, out: String) =
           s"""$out AS (SELECT vec_id, qv, cluster FROM (
@@ -3432,7 +3437,7 @@ object Queries {
            |    (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) AS cos_sq
            |FROM p WHERE dot > 0
            |  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) /
-           |    (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) >= 0.8 * 0.8""".stripMargin
+           |    (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) >= 0.35 * 0.35""".stripMargin
       }),
 
     // the complete SemDeDup flow: semantic pairs → min-label connected
@@ -3445,7 +3450,7 @@ object Queries {
       (s, d) => Dedup.dedupByClusters(
           t(s, d)("embeddings"),
           Dedup.semanticNearDups(t(s, d)("embeddings"),
-            k = 8, iters = 2, dim = 64, minCosine = 0.8)
+            k = 8, iters = 2, dim = 64, minCosine = 0.35)
             .select("id1", "id2"),
           idCol = "vec_id")
         .select(col("vec_id")),
@@ -3487,7 +3492,7 @@ object Queries {
            |      WHERE CAST(list_sum(list_transform(a.qv, (x, i) -> x * b.qv[i])) AS BIGINT) > 0
            |        AND CAST(list_sum(list_transform(a.qv, (x, i) -> x * b.qv[i])) AS DOUBLE)
            |            * CAST(list_sum(list_transform(a.qv, (x, i) -> x * b.qv[i])) AS DOUBLE)
-           |            / (CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.8 * 0.8),
+           |            / (CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE)) >= 0.35 * 0.35),
            |ee AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
            |r AS (SELECT a AS id, a AS lbl FROM ee
            |      UNION
