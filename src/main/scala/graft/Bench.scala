@@ -38,9 +38,7 @@ object Bench {
       }
       // warmup leaves its own persisted blocks (sf0.001 — small, but ~190
       // cache entries); start the timed region clean
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      GraftStorage.clear(spark)
     }
     // A failed query records -1, not its (near-zero) time-to-throw: xxhash64
     // rejects MapType columns unless legacy-enabled, and an analysis error
@@ -51,20 +49,17 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
     // Library entry points (LSH keys, BPE char-splits, triangle wedges, …)
     // persist relations their lazily-returned results reference, so they
-    // cannot unpersist before the caller consumes — across ~190 queries the
-    // leftover blocks accumulate and tax late queries with GC/eviction
-    // churn. Dropping them between timed runs is harness hygiene (each
-    // query is an independent job in production), not query cost.
-    def dropLeftoverStorage(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-    }
+    // cannot unpersist before the caller consumes. GraftStorage.clear is
+    // the library's owning-cleanup hook for exactly this: it releases
+    // every block graft pinned once the result has been consumed — each
+    // query is an independent job in production, so per-query release is
+    // the honest cost model, and across ~190 queries the blocks would
+    // otherwise accumulate and tax late queries with GC/eviction churn.
     def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       val r = try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
               catch { case _: Throwable => -1.0 }
-      dropLeftoverStorage()
+      GraftStorage.clear(spark)
       r
     }
     val results = SparkEntry.queries.filter(e => selected(e._1)).map { case (name, fn) =>

@@ -1,5 +1,6 @@
 package graft
 
+import graft.GraftStorage.Syntax
 import graft.graph.Graph
 import graft.ops.{AsOfJoin, HashtagGraph, JaccardGraph, Neighbours, Normalize, TextClean}
 import graft.pipeline.{Dedup, Multimodal, QualityFilters, Similarity, SimilarityIvf, Skew, Text}
@@ -4251,7 +4252,7 @@ object Queries {
           .select(col("event_type"), col("day"), col("c"),
             row_number().over(Window.partitionBy("event_type").orderBy("day"))
               .cast("long").as("t"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .persistTracked()
         ds.createOrReplaceTempView("events_rec_ds_v")
         s.sql("""WITH RECURSIVE rec AS (
                 |  SELECT event_type, day, t, c, c AS s

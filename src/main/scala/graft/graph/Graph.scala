@@ -1,5 +1,6 @@
 package graft.graph
 
+import graft.GraftStorage.Syntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -377,13 +378,13 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     val und = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // (vertex, neighbor) in both directions
     val nbr = und.union(und.select(col("b"), col("a"))).toDF("v", "n")
     val deg = nbr.groupBy(col("n").as("hub")).agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxDegree)
     val wedge = nbr.join(deg, nbr("n") === deg("hub")).select(col("v"), col("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val pairs = wedge.as("l")
       .join(wedge.as("r"), col("l.n") === col("r.n") && col("l.v") < col("r.v"))
       .groupBy(col("l.v").as("a"), col("r.v").as("b"))

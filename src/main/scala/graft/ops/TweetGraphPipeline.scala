@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.GraftStorage.Syntax
 import graft.graph.Graph
 import org.apache.spark.sql.DataFrame
 
@@ -29,7 +30,7 @@ object TweetGraphPipeline {
             onlyTagsFromNotRetweetedPosts: Boolean = false): TweetGraphs = {
     val rt = RetweetGraph(tweets)
     val (ht, tags) = HashtagGraph(tweets, onlyTagsFromNotRetweetedPosts)
-    val cachedTags = tags.cache()
+    val cachedTags = tags.persistTracked()
     val jc = JaccardGraph(cachedTags, jaccardThreshold)
 
     val v = rt.vertices.union(ht.vertices).union(jc.vertices).distinct()

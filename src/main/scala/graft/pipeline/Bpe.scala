@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.GraftStorage.Syntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -192,7 +193,7 @@ object Bpe {
     // projection in the main job) and re-deriving it re-scans the text
     // column — at 100 TB the scan, not the merge, is the round.
     var w = words(docs, id, text)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     for (_ <- 1 to rounds) w = mergeRound(w)
     pairCounts(w)
   }

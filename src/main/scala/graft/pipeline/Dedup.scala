@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.GraftStorage.Syntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -209,7 +210,7 @@ object Dedup {
       .select(col("id"), col("sh"),
         row_number().over(w.orderBy("df", "sh")).as("rnk"),
         count(lit(1)).over(w).as("nsh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // prefix length n - ceil(t·n) + 1: t·n is an exact double for the
     // catalog's t (dyadic), ceil exact — both engines agree bit-for-bit
     val pref = ranked
@@ -242,7 +243,7 @@ object Dedup {
     // along — no sizes joins.
     val sets = ranked.groupBy("id")
       .agg(collect_list(col("sh")).as("shs"), first(col("nsh")).as("nsh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     cand
       .join(sets.as("z1"), col("id1") === col("z1.id"))
       .join(sets.as("z2"), col("id2") === col("z2.id"))
@@ -323,11 +324,11 @@ object Dedup {
     // branches project (a,b) and (b,a) — different subplans, so exchange
     // reuse does NOT dedupe them, and an unpersisted `pairs` (e.g. the
     // whole prefix-filtered similarity pipeline) would execute twice
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = pairs.persistTracked()
     val edges = p.select(col("id1").as("a"), col("id2").as("b"))
       .union(p.select(col("id2").as("a"), col("id1").as("b")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // LINEAGE TRUNCATION, not just caching: each round references the
     // previous labels twice (neighbor-min join + the left join), so the
     // retained plan TREE triples per round — and Spark re-serializes the
@@ -414,7 +415,7 @@ object Dedup {
     // the within-cell pairing evaluates it per candidate pair
     val asg = KMeansCluster.assignCells(vectors, k, iters, dim, id, emb)
       .withColumn("n2", graft.functions.VectorFunctions.dotL(col("q"), col("q")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val dot = graft.functions.VectorFunctions.dotL(col("a.q"), col("b.q"))
     asg.as("a").join(asg.as("b"),
         col("a.cell") === col("b.cell") && col(s"a.$id") < col(s"b.$id"))
@@ -475,7 +476,7 @@ object Dedup {
       .select(col("id"), col("sh"),
         row_number().over(w.orderBy("df", "sh")).as("rnk"),
         count(lit(1)).over(w).as("nsh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val pref = ranked
       .filter(col("rnk") <= col("nsh") - ceil(lit(minContainment) * col("nsh")) + 2)
       .select("id", "sh", "nsh", "rnk")
@@ -506,7 +507,7 @@ object Dedup {
     // two sizes joins too.
     val sets = ranked.groupBy("id")
       .agg(collect_list(col("sh")).as("shs"), first(col("nsh")).as("nsh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     cand
       .join(sets.as("s1"), col("id1") === col("s1.id"))
       .join(sets.as("s2"), col("id2") === col("s2.id"))

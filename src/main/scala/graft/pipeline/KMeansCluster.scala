@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.GraftStorage.Syntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -123,7 +124,7 @@ object KMeansCluster {
                   id: String = "vec_id", emb: String = "embedding"): DataFrame = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     val q = quantized(df, id, emb)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val (cents, _) = train(q, k, iters, dim, id)
     q.select(col(id), col("q"), assignExpr(col("q"), cents).as("cell"))
   }

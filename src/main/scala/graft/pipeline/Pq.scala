@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.GraftStorage.Syntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -199,7 +200,7 @@ object SimilarityPq {
                     emb: String = "embedding"): IndexedSeq[IndexedSeq[Array[Long]]] = {
     require(iters >= 0, s"iters=$iters must be >= 0")
     val qv = quantized(vectors, id, emb)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     try {
       var cb = codebook(vectors, m, k, id, emb)
       val ds = cb.head.head.length

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.GraftStorage.Syntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -345,7 +346,7 @@ object SimilarityLsh {
     val n = vectors.count()
     val planes = planesFor(n, maxBucketSize)
     val keyed = bucketed(vectors, planes, numTables, dim, seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val droppedVecs = keyed.groupBy("tbl", "bucket").agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > maxBucketSize)
       .agg(coalesce(sum(col("bsz")), lit(0L))).head().getLong(0)

@@ -1,0 +1,59 @@
+package graft
+
+import graft.GraftStorage.Syntax
+import org.apache.spark.sql.functions._
+
+/** The owning-cleanup contract (round-6 verdict #4): library entry points
+  * persist hub relations their lazy results reference, so they cannot
+  * unpersist eagerly — GraftStorage tracks every such persist and
+  * `clear()` releases them once the caller has consumed the result. The
+  * catalog sweep here is the executable form of "no persisted blocks
+  * remain after consuming each catalog query" — it would have caught
+  * every leak ADVICE_r6 flagged (Dedup ranked hubs, LSH keys, BPE vocab,
+  * k-means assignments) without Bench's old manual cacheManager sweep.
+  */
+class GraftStorageSpec extends SparkTestBase {
+
+  test("persistTracked registers and clear releases blocks + cache entry") {
+    import spark.implicits._
+    val before = GraftStorage.trackedCount
+    val df = Seq(1, 2, 3).toDF("x").persistTracked()
+    assert(df.count() === 3)
+    assert(GraftStorage.trackedCount === before + 1)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    GraftStorage.clear(spark)
+    assert(GraftStorage.trackedCount === 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("clear releases iterative-loop local checkpoints too") {
+    import spark.implicits._
+    // localCheckpoint persists at the RDD level, bypassing the
+    // CacheManager — the sweep half of clear() must still release it
+    val ck = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    assert(ck.count() === 3)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    GraftStorage.clear(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("no catalog query leaves persisted blocks after consume + clear") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory)
+    val leakers = scala.collection.mutable.Map.empty[String, String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // consume like Bench does (full evaluation of every column), then
+      // invoke the owning-cleanup hook
+      try fn(spark, sfDir).agg(count(xxhash64(struct(col("*"))))).head()
+      catch { case e: Throwable => fail(s"$name failed to execute: $e") }
+      GraftStorage.clear(spark)
+      val rdds = spark.sparkContext.getPersistentRDDs
+      if (rdds.nonEmpty)
+        leakers += name -> rdds.values.map(_.name).mkString(",")
+      if (!spark.sharedState.cacheManager.isEmpty)
+        leakers += s"$name(cacheManager)" -> "untracked Dataset.persist"
+    }
+    assert(leakers.isEmpty, s"queries leaving persisted blocks: $leakers")
+  }
+}
