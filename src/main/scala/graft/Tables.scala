@@ -39,14 +39,26 @@ object Tables {
     val raw =
       try spark.read.parquet(path)
       catch {
-        case _: org.apache.spark.SparkException |
-             _: org.apache.spark.sql.AnalysisException =>
-          // footer carries TIMESTAMP(NANOS): re-read it as a raw long
+        // ONLY the NANOS footer rejection falls back — a missing file or
+        // corrupt footer must surface, not silently flip a session conf
+        case e: Throwable if isNanosRejection(e) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(path)
       }
     normalizeTs(raw)
   }
+
+  /** True iff the failure is Spark 4 rejecting a parquet TIMESTAMP(NANOS)
+    * column (`PARQUET_TYPE_ILLEGAL` / "Illegal Parquet type"), the one
+    * error class the `nanosAsLong` fallback is licensed to handle. Walks
+    * the cause chain: the scan wraps it in a SparkException layer.
+    */
+  private[graft] def isNanosRejection(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("PARQUET_TYPE_ILLEGAL") ||
+        (m.contains("Illegal Parquet type") && m.contains("NANOS"))
+    }
 
   /** Normalize an events-shaped frame's `ts` to session-TZ TIMESTAMP
     * regardless of which physical encoding it was read as.
@@ -56,6 +68,17 @@ object Tables {
       // nanos read as long; data is micro-aligned so `div 1000` is exact
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     case TimestampNTZType =>
+      // NTZ → TIMESTAMP reinterprets wall-clock in the SESSION timezone;
+      // the cast is exact (identity on the epoch value) only under UTC.
+      // The drivers set UTC, but a non-UTC session would silently shift
+      // every event timestamp vs the oracle — fail loudly instead.
+      val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+      val isUtc = java.time.ZoneId.of(tz).getRules
+        .getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0 &&
+        java.time.ZoneId.of(tz).getRules.isFixedOffset
+      require(isUtc, s"events NTZ->TIMESTAMP normalization requires a UTC " +
+        s"session (spark.sql.session.timeZone=$tz would shift timestamps); " +
+        "set spark.sql.session.timeZone=UTC")
       df.withColumn("ts", col("ts").cast(TimestampType))
     case _ => df
   }

@@ -344,6 +344,11 @@ object VectorFunctions {
       (children: Seq[Expression]) => CosineSim(children.head, children(1))),
     ("graft_sqdist", classOf[IntSqDist].getName,
       (children: Seq[Expression]) => IntSqDist(children.head, children(1))),
+    // CONTRACT (mirrored from IntDot scaladoc for SQL callers): exact only
+    // while Σ xᵢ·yᵢ fits a signed long — guaranteed under the int8
+    // quantization the library emits (|xᵢ|,|yᵢ| ≤ 127), NOT for arbitrary
+    // long arrays, where the accumulator wraps silently (no overflow check
+    // on the codegen hot path by design).
     ("graft_doti", classOf[IntDot].getName,
       (children: Seq[Expression]) => IntDot(children.head, children(1))),
     // Text.rollingFingerprint's default window; other windows register

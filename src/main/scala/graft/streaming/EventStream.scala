@@ -36,10 +36,23 @@ object EventStream {
     val tsType =
       try spark.read.parquet(dir).schema("ts").dataType
       catch {
-        case _: org.apache.spark.SparkException |
-             _: org.apache.spark.sql.AnalysisException =>
+        // three distinct probe outcomes, handled separately (conflating
+        // them set nanosAsLong session-wide on a merely-empty directory):
+        //  1. NANOS footer rejection → legacy long read, conf flip licensed
+        //  2. empty / not-yet-populated dir (normal for a file stream
+        //     before the first file lands) → assume the current testdata
+        //     encoding, timestamp[us]/NTZ; NO session conf side effect.
+        //     If NANOS files later arrive the scan fails loudly rather
+        //     than silently reading values 1000x off.
+        //  3. anything else (corrupt footer, permissions) → propagate
+        case e: Throwable if graft.Tables.isNanosRejection(e) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           LongType
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getMessage).exists(m =>
+              m.contains("UNABLE_TO_INFER_SCHEMA") ||
+                m.contains("PATH_NOT_FOUND") || m.contains("Path does not exist")) =>
+          TimestampNTZType
       }
     val physSchema = StructType(eventSchema.map {
       case f if f.name == "ts" => f.copy(dataType = tsType)

@@ -291,6 +291,8 @@ class EventStreamSpec extends SparkTestBase {
     // the file stream source requires a DIRECTORY — stage the single
     // harness file into one (copy, not symlink: globbing follows links
     // inconsistently across Hadoop FS versions)
+    // skip (not error) when driver-generated testdata is absent
+    assume(new java.io.File("/root/testdata/sf0.001/events.parquet").isFile)
     val dir = java.nio.file.Files.createTempDirectory("events_probe")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
@@ -310,5 +312,19 @@ class EventStreamSpec extends SparkTestBase {
     val yr = rows.map(_.getAs[java.sql.Timestamp]("window_start"))
       .map(_.toLocalDateTime.getYear)
     assert(yr.forall(y => y >= 2000 && y <= 2100))
+  }
+
+  test("read on an empty stream directory defaults to NTZ without touching the nanos conf") {
+    // an empty (not-yet-populated) directory is NORMAL for a file stream;
+    // the probe must neither fail nor flip the session-wide nanosAsLong
+    val dir = java.nio.file.Files.createTempDirectory("events_empty")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val df = EventStream.read(spark, dir.toString)
+    assert(df.isStreaming)
+    // NTZ assumed, then normalized to session-TZ TIMESTAMP
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(spark.conf.getOption(key) == before)
   }
 }

@@ -48,6 +48,60 @@ class TablesSpec extends SparkTestBase {
       ArrayType(FloatType, containsNull = true))
   }
 
+  test("every other column the catalog reads keeps its analyzed type") {
+    // one assertion per (table, column) the 198-query catalog touches —
+    // a silent regeneration with a changed physical type fails HERE
+    val expect: Seq[(String, String, DataType)] = Seq(
+      ("orders", "o_custkey", LongType),
+      ("orders", "o_orderstatus", StringType),
+      ("orders", "o_totalprice", DoubleType),
+      // timestamp[us] with isAdjustedToUTC=false → NTZ under Spark 4
+      // inference; the catalog's date arithmetic and the DuckDB oracle
+      // are hash-green against THIS type — a TZ-bearing regeneration
+      // would change grouping-boundary semantics, so pin NTZ
+      ("orders", "o_orderdate", TimestampNTZType),
+      ("orders", "o_orderpriority", StringType),
+      ("part", "p_partkey", LongType),
+      ("part", "p_name", StringType),
+      ("part", "p_brand", StringType),
+      ("part", "p_type", StringType),
+      ("part", "p_size", IntegerType),
+      ("part", "p_retailprice", DoubleType),
+      ("supplier", "s_suppkey", LongType),
+      ("supplier", "s_name", StringType),
+      ("supplier", "s_nationkey", IntegerType),
+      ("supplier", "s_acctbal", DoubleType),
+      ("nation", "n_nationkey", IntegerType),
+      ("nation", "n_name", StringType),
+      ("nation", "n_regionkey", IntegerType),
+      ("region", "r_regionkey", IntegerType),
+      ("region", "r_name", StringType),
+      ("customer", "c_name", StringType),
+      ("customer", "c_nationkey", IntegerType),
+      ("customer", "c_acctbal", DoubleType),
+      ("customer", "c_mktsegment", StringType),
+      ("documents", "lang", StringType),
+      ("documents", "source", StringType),
+      ("documents", "n_chars", LongType),
+      ("embeddings", "vec_id", LongType),
+      ("embeddings", "label", IntegerType))
+    for ((t, c, dt) <- expect)
+      assert(tbl(t).schema(c).dataType == dt,
+        s"$t.$c drifted: expected $dt, got ${tbl(t).schema(c).dataType}")
+  }
+
+  test("documents value domains the catalog branches on hold") {
+    // lang is a closed 5-language set (lang-id oracle + stratified mixes
+    // key on it); source is srcN (per-stratum sampling parses the suffix)
+    val langs = tbl("documents").select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs == Set("de", "en", "es", "fr", "zh"),
+      s"documents.lang domain drifted: $langs")
+    val badSrc = tbl("documents").select("source").distinct()
+      .filter(!col("source").rlike("^src[0-9]+$")).count()
+    assert(badSrc == 0L, "documents.source no longer matches src[0-9]+")
+  }
+
   test("normalizeTs covers both historical physical encodings") {
     import spark.implicits._
     // long-typed nanos (the r1-r4 TIMESTAMP(NANOS)-as-long form)
@@ -67,5 +121,40 @@ class TablesSpec extends SparkTestBase {
     // already-TIMESTAMP passes through untouched
     val tz = Seq((1L, new java.sql.Timestamp(1700000000123L))).toDF("event_id", "ts")
     assert(Tables.normalizeTs(tz).schema("ts").dataType == TimestampType)
+  }
+
+  test("normalizeTs refuses the NTZ cast under a non-UTC session") {
+    import spark.implicits._
+    val ntz = Seq((1L, 1700000000123456L)).toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us"))
+        .cast(TimestampNTZType).as("ts"))
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      val e = intercept[IllegalArgumentException](Tables.normalizeTs(ntz))
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set(key, saved)
+  }
+
+  test("isNanosRejection matches only the NANOS footer error class") {
+    def ex(msg: String) = new org.apache.spark.SparkException(msg)
+    assert(Tables.isNanosRejection(ex(
+      "[PARQUET_TYPE_ILLEGAL] Illegal Parquet type: INT64 (TIMESTAMP(NANOS,false)).")))
+    // wrapped one level down (scan-task wrapping)
+    assert(Tables.isNanosRejection(new RuntimeException("task failed", ex(
+      "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,true))"))))
+    assert(!Tables.isNanosRejection(ex("[PATH_NOT_FOUND] Path does not exist")))
+    assert(!Tables.isNanosRejection(ex("[UNABLE_TO_INFER_SCHEMA] ...")))
+    assert(!Tables.isNanosRejection(new RuntimeException(null: String)))
+  }
+
+  test("events: a missing file propagates instead of flipping nanosAsLong") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    intercept[Exception](
+      Tables.events(spark, "/tmp/does_not_exist_graft").limit(1).count())
+    assert(spark.conf.getOption(key) == before,
+      "a mere read failure must not set the session-wide nanos conf")
   }
 }
