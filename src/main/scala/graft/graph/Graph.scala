@@ -203,18 +203,24 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * (7.9 s vs 4.6 s at sf0.1) — it trades the reused exchange for
     * maxHops extra job/cache round-trips. Revisit only if rounds grow
     * past ~10, where optimizer time on the doubled logical subtree would
-    * start to bite.
+    * start to bite — so past [[Graph.LazyHopLimit]] hops the loop
+    * truncates lineage with an eager `localCheckpoint` every
+    * [[Graph.CheckpointEvery]] rounds (plan size stays bounded; the
+    * shallow fast path is untouched).
     */
   def shortestPaths(landmarks: Seq[String], maxHops: Int = 6): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     var dist = vertices.select(col("id"))
       .filter(col("id").isin(landmarks: _*))
       .select(col("id"), col("id").as("landmark"), lit(0L).as("distance"))
-    for (_ <- 1 to maxHops) {
+    val deep = maxHops > Graph.LazyHopLimit
+    for (hop <- 1 to maxHops) {
       val stepped = e.join(dist.withColumnRenamed("id", "did"), col("dst") === col("did"))
         .select(col("src").as("id"), col("landmark"), (col("distance") + 1L).as("distance"))
       dist = dist.unionByName(stepped)
         .groupBy("id", "landmark").agg(min("distance").as("distance"))
+      if (deep && hop % Graph.CheckpointEvery == 0 && hop < maxHops)
+        dist = dist.localCheckpoint(true)
     }
     dist
   }
@@ -241,12 +247,15 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     var dist = vertices.select(col("id"))
       .filter(col("id").isin(landmarks: _*))
       .select(col("id"), col("id").as("landmark"), lit(0L).as("distance"))
-    for (_ <- 1 to maxHops) {
+    val deep = maxHops > Graph.LazyHopLimit
+    for (hop <- 1 to maxHops) {
       val stepped = e.join(dist.withColumnRenamed("id", "did"), col("dst") === col("did"))
         .select(col("src").as("id"), col("landmark"),
           (col("distance") + col("__w")).as("distance"))
       dist = dist.unionByName(stepped)
         .groupBy("id", "landmark").agg(min("distance").as("distance"))
+      if (deep && hop % Graph.CheckpointEvery == 0 && hop < maxHops)
+        dist = dist.localCheckpoint(true)
     }
     dist
   }
@@ -595,6 +604,18 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
 }
 
 object Graph {
+  /** Past this many rounds, the lazy shortest-path loops (whose doubled
+    * logical subtree grows per round — see [[Graph.shortestPaths]]) switch
+    * to periodic eager lineage truncation.
+    */
+  val LazyHopLimit = 10
+
+  /** Truncation stride for deep loops: one eager `localCheckpoint` every
+    * this many rounds bounds optimizer input to a constant-size plan while
+    * amortizing the materialization cost.
+    */
+  val CheckpointEvery = 5
+
   /** Distinct endpoint ids of an edge set — the vertex-derivation idiom the
     * reference repeats at `RetweetTagsJaccardGraph.py:68-70,131-133,188-190`.
     */

@@ -223,6 +223,35 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(rgot === best)
   }
 
+  test("shortestPaths deep loop (maxHops > LazyHopLimit): checkpointed path matches brute force") {
+    import spark.implicits._
+    assert(Graph.LazyHopLimit < 12) // the test must actually take the deep branch
+    // chain 0→1→…→13 plus a shortcut 2→11: distances TO landmark "13"
+    val chain = (0 until 13).map(i => (i.toString, (i + 1).toString, 1L))
+    val e = (chain :+ (("2", "11", 1L))).toDF("src", "dst", "wgt")
+    val dg = Graph(Graph.verticesOf(e), e)
+    val got = dg.shortestPaths(Seq("13"), maxHops = 12).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    // brute force: BFS on the reversed adjacency in plain Scala
+    val rev = (chain :+ (("2", "11", 1L))).groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var frontier = Set("13"); var dist = Map("13" -> 0L)
+    for (hop <- 1L to 12L) {
+      frontier = frontier.flatMap(v => rev.getOrElse(v, Nil)).filterNot(dist.contains)
+      dist ++= frontier.map(_ -> hop)
+    }
+    assert(got === dist) // the 2→11 shortcut makes "0" reach in 5 hops, not 13
+    // and the weighted twin through the same deep branch agrees with min-plus DP
+    val wgot = dg.shortestPathsWeighted(Seq("13"), "wgt", maxHops = 12).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val es = (chain :+ (("2", "11", 1L)))
+    var dp = Map("13" -> 0L)
+    for (_ <- 1 to 12) {
+      val stepped = es.flatMap { case (s, d, w) => dp.get(d).map(v => s -> (v + w)) }
+      dp = (dp.toSeq ++ stepped).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    assert(wgot === dp)
+  }
+
   test("scc: cycle is one component, pendants and one-way pairs are singletons") {
     // fixture g: directed cycle a→b→c→a, pendant c→d, one-way e→f, isolated g
     val got = g.stronglyConnectedComponents().collect()
