@@ -2283,6 +2283,29 @@ object Queries {
              |   - len(string_split(text, ' '))) // 256 AS BIGINT) AS pack_id
              |FROM documents""".stripMargin)),
 
+    // length-bucketed batching audit: power-of-two bucket menu 16..2048,
+    // per bucket the doc count / token mass / padding waste a dynamic
+    // batcher reads before choosing boundaries; the bucket is an integer
+    // when-cascade (float log2 at a power boundary is not cross-engine)
+    Q("q_length_buckets",
+      (s, d) => graft.pipeline.Chunking.lengthBuckets(
+        t(s, d)("documents"), "doc_id", "text", minBucket = 16, maxBucket = 2048),
+      Some("""WITH d AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+             |           FROM documents),
+             |b AS (SELECT CASE WHEN n <= 16 THEN 16 WHEN n <= 32 THEN 32
+             |               WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+             |               WHEN n <= 256 THEN 256 WHEN n <= 512 THEN 512
+             |               WHEN n <= 1024 THEN 1024 ELSE 2048 END AS bucket,
+             |             least(n, 2048) AS tok
+             |      FROM d)
+             |SELECT CAST(bucket AS BIGINT) AS bucket,
+             |       CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(tok) AS BIGINT) AS sum_tokens,
+             |       CAST(bucket * count(*) AS BIGINT) AS padded_tokens,
+             |       CAST(bucket * count(*) - sum(tok) AS DOUBLE)
+             |         / CAST(bucket * count(*) AS DOUBLE) AS waste_frac
+             |FROM b GROUP BY bucket""".stripMargin)),
+
     // conversion funnel: each user's FIRST click, then the first purchase
     // within 12 h of it (null = no conversion) — the standard two-stage
     // funnel as one equi-join + range filter + min-agg, all keyed on the
@@ -2630,6 +2653,34 @@ object Queries {
              |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
              |      FROM sc)
              |WHERE rn <= 3""".stripMargin)),
+
+    // term co-occurrence lift (linear-ratio PMI over document-level
+    // counts): the df band is the quadratic-fanout guard — it drops the
+    // ubiquitous terms that would pair with everything, the same hot-key
+    // surgery as the PPJoin prefix filter. Thresholds are DYADIC corpus
+    // fractions (exact frac·N in a double, cross-engine bit-identical)
+    // so the one parameterization holds at every scale factor
+    Q("q_cooccur_lift",
+      (s, d) => graft.pipeline.Relevance.cooccurrenceLift(
+        t(s, d)("documents"), "doc_id", "text",
+        minDfFrac = 0.125, maxDfFrac = 0.78125, minPairFrac = 0.59375),
+      Some("""WITH w AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+             |           FROM documents),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+             |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM w CROSS JOIN n
+             |       GROUP BY term, n_docs
+             |       HAVING CAST(count(*) AS DOUBLE) >= 0.125 * CAST(n_docs AS DOUBLE)
+             |          AND CAST(count(*) AS DOUBLE) <= 0.78125 * CAST(n_docs AS DOUBLE)),
+             |k AS (SELECT w.doc_id, w.term FROM w JOIN df USING (term)),
+             |p AS (SELECT a.term AS term1, b.term AS term2, CAST(count(*) AS BIGINT) AS c_ab
+             |      FROM k a JOIN k b ON a.doc_id = b.doc_id AND a.term < b.term
+             |      GROUP BY 1, 2),
+             |pf AS (SELECT term1, term2, c_ab, n_docs FROM p CROSS JOIN n
+             |       WHERE CAST(c_ab AS DOUBLE) >= 0.59375 * CAST(n_docs AS DOUBLE))
+             |SELECT term1, term2, c_ab, d1.df AS c_a, d2.df AS c_b,
+             |       CAST(c_ab * n_docs AS DOUBLE) / CAST(d1.df * d2.df AS DOUBLE) AS lift
+             |FROM pf JOIN df d1 ON pf.term1 = d1.term
+             |        JOIN df d2 ON pf.term2 = d2.term""".stripMargin)),
 
     Q("q_fingerprint",
       (s, d) => t(s, d)("documents").select(col("doc_id"),
@@ -3629,6 +3680,29 @@ object Queries {
              |SELECT span_text, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
              |       CAST(count(*) AS BIGINT) AS n_occurrences
              |FROM sp GROUP BY span_text HAVING count(DISTINCT doc_id) >= 2""".stripMargin)),
+
+    // exact duplicated-substring audit (Lee et al. 2107.06499 relaxed to
+    // stride-aligned char-window anchors): any duplicated run of
+    // >= window+stride-1 chars shares an aligned 32-char anchor; only
+    // 16-byte digests ride the shuffle
+    Q("q_dedup_substrings",
+      (s, d) => graft.pipeline.SpanDedup.dupSubstrings(
+        t(s, d)("documents"), "doc_id", "text", window = 32, stride = 16),
+      Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+             |           FROM documents),
+             |win AS (SELECT doc_id,
+             |          unnest(list_transform(range(0, (n - 32) // 16 + 1),
+             |            i -> md5(substr(text, CAST(i * 16 AS INT) + 1, 32)))) AS digest
+             |        FROM d WHERE n >= 32),
+             |dup AS (SELECT digest FROM win GROUP BY digest
+             |        HAVING count(DISTINCT doc_id) > 1)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+             |       CAST(sum(CASE WHEN digest IN (SELECT digest FROM dup)
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows,
+             |       CAST(sum(CASE WHEN digest IN (SELECT digest FROM dup)
+             |                     THEN 1 ELSE 0 END) AS DOUBLE)
+             |         / CAST(count(*) AS DOUBLE) AS dup_frac
+             |FROM win GROUP BY doc_id""".stripMargin)),
 
     // --------------------------------------------- regression / time series
 

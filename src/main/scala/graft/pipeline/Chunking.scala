@@ -65,6 +65,41 @@ object Chunking {
         expr(s"(cum - n_tokens) div $budget").as("pack_id"))
   }
 
+  /** Length-bucketed batching audit: assign each document to the smallest
+    * bucket from a fixed power-of-two menu `minBucket, 2·minBucket, …,
+    * maxBucket` that fits its word count (longer documents clamp to
+    * `maxBucket` — the truncation bucket), and report per bucket the doc
+    * count, the real token mass, the padded mass (`bucket · n_docs`), and
+    * the padding waste fraction — the planning table a batching system
+    * reads before choosing bucket boundaries (dynamic batching à la
+    * fairseq/T5 groups by length for exactly this reason).
+    *
+    * The bucket is an explicit `when`-cascade over the fixed menu, NOT
+    * `2^ceil(log2 n)`: integer comparisons are bit-identical across
+    * engines, float `log2` at an exact power boundary is not. One
+    * map-side-combined aggregate on a ≤ `log2(max/min)+1`-value key;
+    * shuffle-free in every way that matters.
+    */
+  def lengthBuckets(docs: DataFrame, idCol: String, textCol: String,
+                    minBucket: Int = 16, maxBucket: Int = 2048): DataFrame = {
+    require(minBucket >= 1 && maxBucket >= minBucket,
+      s"need 1 <= minBucket <= maxBucket, got $minBucket/$maxBucket")
+    val menu = Iterator.iterate(minBucket.toLong)(_ * 2)
+      .takeWhile(_ < maxBucket).toSeq :+ maxBucket.toLong
+    val nTok = Text.nWords(col(textCol)).cast("long")
+    val bucket = menu.init.reverse.foldLeft(lit(maxBucket.toLong)) {
+      case (otherwise, b) => when(nTok <= b, lit(b)).otherwise(otherwise)
+    }
+    docs.select(bucket.as("bucket"),
+        least(nTok, lit(maxBucket.toLong)).as("__tok"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tok")).as("sum_tokens"))
+      .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+        (col("bucket") * col("n_docs")).as("padded_tokens"),
+        (((col("bucket") * col("n_docs")) - col("sum_tokens")).cast("double")
+          / (col("bucket") * col("n_docs")).cast("double")).as("waste_frac"))
+  }
+
   /** Content-defined chunking: cut after any word whose md5 prefix is
     * ≡ 0 mod `mask` — boundaries are decided by CONTENT, not position, so
     * an insertion near the head of a document shifts only the chunk it

@@ -165,4 +165,57 @@ object Relevance {
       })
     topK(scored, idCol, k)
   }
+
+  /** Term co-occurrence lift — the linear-ratio PMI (pointwise mutual
+    * information, Church & Hanks 1990) of term pairs sharing a document:
+    *
+    *   lift(a,b) = P(a,b) / (P(a)·P(b)) = (c_ab · N) / (c_a · c_b)
+    *
+    * over DOCUMENT-LEVEL occurrence counts (`c_x` = docs containing x,
+    * `c_ab` = docs containing both, N = corpus size). PMI is
+    * `log2(lift)` — monotone, so lift preserves every ranking while
+    * keeping the output an exact-integer ratio (see class doc for why
+    * `log` is banned). Pairs are returned for terms whose df lies in
+    * `[minDfFrac·N, maxDfFrac·N]` with `c_ab ≥ minPairFrac·N`,
+    * `term1 < term2` — FRACTIONS of the corpus, not absolute counts, so
+    * one parameterization holds across scale factors. Pass dyadic
+    * fractions (k/2^m): `frac · N` is then exact in a double and the
+    * band comparisons are bit-identical in every engine.
+    *
+    * Scale shape: the df band is the blowup guard — the per-doc pair
+    * fan-out is quadratic in the doc's DISTINCT kept terms, and
+    * `maxDfFrac` removes exactly the ubiquitous terms that would
+    * otherwise pair with everything (the same hot-key reasoning as the
+    * PPJoin prefix filter). Plan: distinct doc-term pairs (one
+    * digest-sized shuffle), df aggregate + band filter against the
+    * broadcast 1-row corpus count, doc-keyed self-join of the pruned
+    * table, pair-keyed count, then two joins back to the (small,
+    * banded) df table for `c_a`/`c_b`.
+    */
+  def cooccurrenceLift(docs: DataFrame, idCol: String, textCol: String,
+                       minDfFrac: Double, maxDfFrac: Double,
+                       minPairFrac: Double): DataFrame = {
+    val docTerms = docs
+      .select(col(idCol), explode(array_distinct(Text.words(col(textCol)))).as("term"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val df_ = docTerms.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df").cast("double") >= lit(minDfFrac) * col("n_docs").cast("double") &&
+        col("df").cast("double") <= lit(maxDfFrac) * col("n_docs").cast("double"))
+    val kept = docTerms.join(df_.select("term"), "term")
+    // prune on the pair threshold BEFORE the df lookups — the aggregate
+    // output is the big relation here, the banded df table the small one
+    val pairs = kept.select(col(idCol), col("term").as("term1"))
+      .join(kept.select(col(idCol), col("term").as("term2")), Seq(idCol))
+      .filter(col("term1") < col("term2"))
+      .groupBy("term1", "term2").agg(count(lit(1)).as("c_ab"))
+      .crossJoin(broadcast(n))
+      .filter(col("c_ab").cast("double") >= lit(minPairFrac) * col("n_docs").cast("double"))
+    pairs
+      .join(df_.select(col("term").as("term1"), col("df").as("c_a")), "term1")
+      .join(df_.select(col("term").as("term2"), col("df").as("c_b")), "term2")
+      .select(col("term1"), col("term2"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab") * col("n_docs")).cast("double")
+          / (col("c_a") * col("c_b")).cast("double")).as("lift"))
+  }
 }

@@ -85,6 +85,49 @@ object SpanDedup {
         (size(col("__c")) - size(col("__d"))).cast("long").as("n_spans_dropped"))
   }
 
+  /** Exact duplicated-substring detection via aligned character-window
+    * anchors — the distributed relaxation of the suffix-array substring
+    * dedup of "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., arXiv 2107.06499): any duplicated substring of length
+    * ≥ `window + stride − 1` chars must contain at least one stride-aligned
+    * `window`-char anchor occurring verbatim in both documents, so counting
+    * cross-document anchor collisions lower-bounds (and at stride ≤ window,
+    * tightly tracks) the duplicated-substring mass without ever building a
+    * corpus-wide suffix array. Returns the per-document audit
+    * `(id, n_windows, dup_windows, dup_frac)`; documents shorter than
+    * `window` chars have no anchors and are absent.
+    *
+    * Scale shape: the anchor rows are `(md5 digest, doc_id)` pairs — 32-byte
+    * keys, high-cardinality by construction — so the plan is one hash
+    * aggregate on the digest (distinct-doc count, map-side partials), one
+    * digest-keyed join back (same partitioning, exchange reused), and a
+    * final id-keyed aggregate. Documents never ride a shuffle; at 100 TB
+    * the shuffled volume is ~`chars/stride` digest rows.
+    */
+  def dupSubstrings(docs: DataFrame, idCol: String, textCol: String,
+                    window: Int, stride: Int): DataFrame = {
+    val n = length(col(textCol)).cast("long")
+    // Column./ on longs is DOUBLE division; floor restores the integer
+    // window count (operands are non-negative and < 2^53, so exact)
+    val nWin = floor((n - window) / stride) + 1L
+    val wins = docs.filter(n >= window)
+      .select(col(idCol),
+        explode(transform(sequence(lit(0L), nWin - 1),
+          i => md5(col(textCol).substr((i * stride + 1).cast("int"), lit(window))
+            .cast("binary")))).as("digest"))
+    val dup = wins.groupBy(col("digest"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("digest"), lit(1L).as("is_dup"))
+    wins.join(dup, Seq("digest"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("dup_windows"))
+      .select(col(idCol), col("n_windows"), col("dup_windows"),
+        (col("dup_windows").cast("double") / col("n_windows").cast("double"))
+          .as("dup_frac"))
+  }
+
   /** Boilerplate spans: span texts occurring in at least `minDocs`
     * DISTINCT documents (nav bars, cookie banners, license headers — the
     * lines a web pipeline strips before dedup). Returns

@@ -65,4 +65,22 @@ class ChunkingSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSet === Set((1L, 0L, 1L), (2L, 0L, 2L)))
   }
+
+  test("lengthBuckets: boundary word counts land in the fitting bucket; long docs clamp") {
+    def doc(id: Long, n: Int) = (id, Seq.fill(n)("w").mkString(" "))
+    // 16 fits the 16-bucket exactly; 17 spills to 32; 100 → 128; 5000 clamps
+    val docs = Seq(doc(1, 1), doc(2, 16), doc(3, 17), doc(4, 100), doc(5, 5000))
+      .toDF("doc_id", "text")
+    val got = Chunking.lengthBuckets(docs, "doc_id", "text",
+        minBucket = 16, maxBucket = 2048)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Double]("waste_frac")))).toMap
+    assert(got === Map(
+      16L -> ((2L, 17L, 32L, 15.0 / 32.0)),
+      32L -> ((1L, 17L, 32L, 15.0 / 32.0)),
+      128L -> ((1L, 100L, 128L, 28.0 / 128.0)),
+      // the 5000-word doc truncates to the 2048 cap: zero padding waste
+      2048L -> ((1L, 2048L, 2048L, 0.0))))
+  }
 }

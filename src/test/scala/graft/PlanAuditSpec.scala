@@ -35,7 +35,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_bloom_join",                      // 1-row packed-bitmap broadcast
     "q_mix_temperature",                 // 1-row Σ√cnt total broadcast
     "q_graph_modularity",                // 1-row edge-count m broadcast
-    "q_bpe_merge")                       // 1-row argmax-pair broadcast
+    "q_bpe_merge",                       // 1-row argmax-pair broadcast
+    "q_cooccur_lift")                    // 1-row corpus-count broadcast (×2)
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {

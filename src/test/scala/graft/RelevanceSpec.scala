@@ -70,4 +70,27 @@ class RelevanceSpec extends SparkTestBase {
     assert(got((0L, 1L)) === ((d1, 2L)))
     assert(got((0L, 3L)) === ((d3, 3L)))
   }
+  test("cooccurrenceLift: df band prunes hot/rare terms; lift is the exact integer ratio") {
+    import graft.pipeline.Relevance
+    // df over distinct doc-term pairs: a=4, b=4, c=4, x=1 (d6's repeats
+    // count once via array_distinct). Band [0.25N, 0.75N] = [1.5, 4.5]
+    // keeps a,b,c (df 4); drops x (df 1). minPairFrac 0.5 -> c_ab >= 3.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a c"),
+      (4L, "a b c"), (5L, "x"), (6L, "b b c c"))
+      .toDF("doc_id", "text")
+    val got = Relevance.cooccurrenceLift(docs, "doc_id", "text",
+        minDfFrac = 0.25, maxDfFrac = 0.75, minPairFrac = 0.5)
+      .collect().map(r => (r.getAs[String]("term1"), r.getAs[String]("term2")) ->
+        ((r.getAs[Long]("c_ab"), r.getAs[Long]("c_a"), r.getAs[Long]("c_b"),
+          r.getAs[Double]("lift")))).toMap
+    // pairs in >= 3 docs: (a,b) d1,d2,d4; (a,c) d1,d3,d4; (b,c) d1,d4,d6
+    val lift = (3.0 * 6.0) / (4.0 * 4.0)
+    assert(got === Map(
+      ("a", "b") -> ((3L, 4L, 4L, lift)),
+      ("a", "c") -> ((3L, 4L, 4L, lift)),
+      ("b", "c") -> ((3L, 4L, 4L, lift))))
+    // tighter minPairFrac empties the result rather than lowering the bar
+    assert(Relevance.cooccurrenceLift(docs, "doc_id", "text", 0.25, 0.75, 0.625).isEmpty)
+  }
 }

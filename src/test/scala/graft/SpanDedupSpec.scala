@@ -54,6 +54,42 @@ class SpanDedupSpec extends SparkTestBase {
     assert(got.toSet === Set(("x y z", 3L, 4L)))
   }
 
+  test("dupSubstrings: aligned-window anchors flag only cross-document repeats") {
+    val d = Seq(
+      (1L, "abcdefgh"), // windows "abcd" "cdef" "efgh"
+      (2L, "abcdxxxx"), // "abcd" shared with doc 1; "cdxx" "xxxx" unique
+      (3L, "zz"),       // shorter than the window → absent from output
+      (4L, "xyxyxy"))   // "xyxy" twice WITHIN one doc — not a cross-doc dup
+      .toDF("doc_id", "text")
+    val got = SpanDedup.dupSubstrings(d, "doc_id", "text", window = 4, stride = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("dup_windows"),
+          r.getAs[Double]("dup_frac")))).toMap
+    assert(got === Map(
+      1L -> ((3L, 1L, 1.0 / 3.0)),
+      2L -> ((3L, 1L, 1.0 / 3.0)),
+      4L -> ((2L, 0L, 0.0))))
+  }
+
+  test("dupSubstrings matches brute-force window comparison on random corpora") {
+    val rnd = new scala.util.Random(7)
+    // small alphabet forces genuine collisions
+    val corpus = (1L to 12L).map(i =>
+      (i, (0 until 10 + rnd.nextInt(30)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    val (window, stride) = (5, 2)
+    val got = SpanDedup.dupSubstrings(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", window, stride)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("dup_windows")))).toMap
+    val wins = corpus.flatMap { case (id, s) =>
+      (0 to (s.length - window) / stride).map(i => id -> s.substring(i * stride, i * stride + window))
+    }
+    val dupSet = wins.groupBy(_._2).filter(_._2.map(_._1).distinct.size > 1).keySet
+    val expect = wins.groupBy(_._1).view.mapValues(ws =>
+      (ws.size.toLong, ws.count(w => dupSet(w._2)).toLong)).toMap
+    assert(got === expect)
+  }
+
   test("dedupWithinDoc keeps first occurrence of each span, reassembles in order") {
     import graft.pipeline.SpanDedup
     // span=2: doc 1 repeats "a b" twice and "c d" once; doc 2 has no repeats
