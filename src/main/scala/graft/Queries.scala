@@ -2682,6 +2682,25 @@ object Queries {
              |FROM pf JOIN df d1 ON pf.term1 = d1.term
              |        JOIN df d2 ON pf.term2 = d2.term""".stripMargin)),
 
+    // vocabulary coverage curve at power-of-two probe ranks: fraction of
+    // corpus token occurrences covered by the top-k types — the vocab-
+    // size / OOV-cutoff planning table; the global window runs over the
+    // VOCABULARY relation (Heaps-law sublinear), never the corpus
+    Q("q_vocab_coverage",
+      (s, d) => graft.pipeline.Relevance.vocabCoverage(
+        t(s, d)("documents"), "text", probeRanks = Seq(1, 2, 4, 8, 16)),
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY term),
+             |r AS (SELECT CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS r,
+             |        CAST(sum(c) OVER (ORDER BY c DESC, term
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+             |      FROM tf),
+             |t AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+             |      FROM documents)
+             |SELECT r AS vocab_rank, cum AS covered_tokens, total_tokens,
+             |       CAST(cum AS DOUBLE) / CAST(total_tokens AS DOUBLE) AS coverage
+             |FROM r CROSS JOIN t WHERE r IN (1, 2, 4, 8, 16)""".stripMargin)),
+
     Q("q_fingerprint",
       (s, d) => t(s, d)("documents").select(col("doc_id"),
         Text.fingerprint(col("text")).as("fp")),
@@ -3703,6 +3722,28 @@ object Queries {
              |                     THEN 1 ELSE 0 END) AS DOUBLE)
              |         / CAST(count(*) AS DOUBLE) AS dup_frac
              |FROM win GROUP BY doc_id""".stripMargin)),
+
+    // cross-source content-overlap matrix at 3-word-span granularity:
+    // which sources re-scrape each other, counted in distinct shared
+    // span digests — only digests ride the shuffle, pair fan-out is
+    // bounded by sources² per span
+    Q("q_cross_source_overlap",
+      (s, d) => Dedup.crossSourceOverlap(
+        graft.pipeline.SpanDedup.spans(t(s, d)("documents"), "source", "text", span = 3)
+          .select(md5(col("span_text")).as("sp"), col("source")),
+        "sp", "source"),
+      Some("""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+             |sp AS (SELECT DISTINCT source, md5(s) AS k FROM (
+             |         SELECT source,
+             |           unnest(list_filter(list_transform(ws, (x, i) ->
+             |             CASE WHEN (i - 1) % 3 = 0
+             |               THEN array_to_string(ws[i:i+2], ' ') END),
+             |             v -> v IS NOT NULL)) AS s
+             |         FROM w))
+             |SELECT a.source AS source1, b.source AS source2,
+             |       CAST(count(*) AS BIGINT) AS n_shared
+             |FROM sp a JOIN sp b ON a.k = b.k AND a.source < b.source
+             |GROUP BY 1, 2""".stripMargin)),
 
     // --------------------------------------------- regression / time series
 

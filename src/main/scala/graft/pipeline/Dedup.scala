@@ -28,6 +28,45 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_cnt"))
 
+  /** Cross-source content-overlap matrix: for each unordered source
+    * pair, how many DISTINCT unit keys (text digests, span digests,
+    * shingles — whatever `keyCol` holds) occur in both — the
+    * corpus-audit table that tells you which crawls/snapshots re-scrape
+    * each other before you pay for global dedup (e.g. how much of a CC
+    * dump a curated set already contains).
+    *
+    * Plan: distinct (key, source) — one digest-sized shuffle — then
+    * `collect_set(source)` per key (bounded by the SOURCE COUNT, not
+    * corpus size), explode the within-set pairs, and count. At 100 TB
+    * nothing scales with the corpus except the first key-keyed
+    * aggregate; the pair fan-out is ≤ sources²/2 per key.
+    */
+  def crossSourceOverlap(units: DataFrame, keyCol: String,
+                         srcCol: String): DataFrame = {
+    val perKey = units
+      .select(col(keyCol).as("k"), col(srcCol).as("src")).distinct()
+      .groupBy("k").agg(sort_array(collect_set(col("src"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+    // i is the 0-based position in the sorted set; the inner slice takes
+    // everything after it → pairs emitted with source1 < source2, once
+    perKey
+      .select(explode(flatten(transform(col("srcs"), (a, i) =>
+        transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
+          struct(a.as("source1"), b.as("source2")))))).as("p"))
+      .groupBy(col("p.source1").as("source1"), col("p.source2").as("source2"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** [[crossSourceOverlap]] at WHOLE-DOCUMENT granularity: shared keys
+    * are md5 digests of the full text — "how many identical documents do
+    * these two sources both carry".
+    */
+  def crossSourceDups(docs: DataFrame, textCol: String = "text",
+                      srcCol: String = "source"): DataFrame =
+    crossSourceOverlap(
+      docs.select(md5(col(textCol)).as("digest"), col(srcCol)),
+      "digest", srcCol)
+
   /** Distinct (id, shingle) pairs. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), explode(Text.shingles(col(textCol), n)).as("sh")).distinct()

@@ -166,6 +166,38 @@ object Relevance {
     topK(scored, idCol, k)
   }
 
+  /** Vocabulary coverage curve: for each probe size k, the fraction of
+    * all corpus TOKEN OCCURRENCES covered by the k most frequent terms
+    * (frequency ties broken lexicographically) — the planning table for
+    * choosing a tokenizer vocab size or an OOV cutoff: "64 types cover
+    * 95% of tokens" is read straight off it. Returns
+    * `(vocab_rank, covered_tokens, total_tokens, coverage)` per probe.
+    *
+    * Scale note: the rank window is over the VOCABULARY (one row per
+    * distinct term — Heaps-law sublinear, millions at worst), never the
+    * corpus; the corpus-sized work is the one map-combined term-count
+    * aggregate. The single-partition sort on the vocab relation is the
+    * deliberate, documented exception to the no-global-window rule —
+    * same rationale as the k-row centroid collects.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    probeRanks: Seq[Int]): DataFrame = {
+    val tf = docs.select(explode(Text.words(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("term"))
+    val ranked = tf
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = docs.agg(sum(Text.nWords(col(textCol))).as("total_tokens"))
+    ranked.filter(col("r").isin(probeRanks.map(_.toLong): _*))
+      .crossJoin(broadcast(tot))
+      .select(col("r").as("vocab_rank"), col("cum").as("covered_tokens"),
+        col("total_tokens"),
+        (col("cum").cast("double") / col("total_tokens").cast("double"))
+          .as("coverage"))
+  }
+
   /** Term co-occurrence lift — the linear-ratio PMI (pointwise mutual
     * information, Church & Hanks 1990) of term pairs sharing a document:
     *

@@ -93,4 +93,21 @@ class RelevanceSpec extends SparkTestBase {
     // tighter minPairFrac empties the result rather than lowering the bar
     assert(Relevance.cooccurrenceLift(docs, "doc_id", "text", 0.25, 0.75, 0.625).isEmpty)
   }
+
+  test("vocabCoverage: cumulative token coverage at probe ranks, freq-desc lexicographic order") {
+    import graft.pipeline.Relevance
+    // token counts: b=5, a=4, c=2, d=1 (12 total); rank order b,a,c,d
+    val docs = Seq((1L, "b b b a a"), (2L, "b b a a c c d")).toDF("doc_id", "text")
+    val got = Relevance.vocabCoverage(docs, "text", probeRanks = Seq(1, 2, 4))
+      .collect().map(r => r.getAs[Long]("vocab_rank") ->
+        ((r.getAs[Long]("covered_tokens"), r.getAs[Long]("total_tokens"),
+          r.getAs[Double]("coverage")))).toMap
+    assert(got === Map(
+      1L -> ((5L, 12L, 5.0 / 12.0)),
+      2L -> ((9L, 12L, 9.0 / 12.0)),
+      4L -> ((12L, 12L, 1.0))))
+    // probe past the vocabulary is simply absent, not an error
+    assert(!Relevance.vocabCoverage(docs, "text", Seq(9)).collect()
+      .map(_.getAs[Long]("vocab_rank")).contains(9L))
+  }
 }

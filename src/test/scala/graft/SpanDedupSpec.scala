@@ -71,6 +71,24 @@ class SpanDedupSpec extends SparkTestBase {
       4L -> ((2L, 0L, 0.0))))
   }
 
+  test("crossSourceOverlap counts distinct shared keys once per unordered source pair") {
+    import graft.pipeline.Dedup
+    val units = Seq(
+      ("k1", "A"), ("k1", "B"), ("k1", "C"), // k1 shared by all three
+      ("k2", "A"), ("k2", "B"), ("k2", "B"), // duplicate (k2,B) row counts once
+      ("k3", "C"))                           // single-source key contributes nothing
+      .toDF("k", "src")
+    val got = Dedup.crossSourceOverlap(units, "k", "src").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("A", "B") -> 2L, ("A", "C") -> 1L, ("B", "C") -> 1L))
+    // whole-document wrapper: identical texts across sources
+    val docs = Seq((1L, "same text", "A"), (2L, "same text", "B"), (3L, "other", "A"))
+      .toDF("doc_id", "text", "source")
+    val dd = Dedup.crossSourceDups(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(dd === Map(("A", "B") -> 1L))
+  }
+
   test("dupSubstrings matches brute-force window comparison on random corpora") {
     val rnd = new scala.util.Random(7)
     // small alphabet forces genuine collisions
