@@ -4028,6 +4028,27 @@ object Queries {
              |      FROM documents)
              |GROUP BY 1, 2""".stripMargin)),
 
+    // token-budget corpus selection: the best-quality documents until the
+    // concatenated stream hits 16384 tokens — the data-selection step of a
+    // quality-pruned pretraining mix. The Spark side is the TWO-PHASE
+    // prefix sum (score range buckets + broadcast bucket offsets — no
+    // single-task global window); the oracle IS the one-window global
+    // cumsum the phases must equal bit for bit
+    Q("q_select_budget",
+      (s, d) => graft.pipeline.Mix.selectByBudget(
+        t(s, d)("documents"), "doc_id", "text",
+        score = Text.qualityScore(col("text")), budget = 16384L),
+      Some(s"""WITH q AS (SELECT doc_id, $qualitySql AS score,
+              |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              |          FROM documents),
+              |c AS (SELECT doc_id, score, n_tokens,
+              |        CAST(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+              |      FROM q)
+              |SELECT doc_id, score, n_tokens,
+              |       CAST(cum - n_tokens AS BIGINT) AS start_offset
+              |FROM c WHERE cum - n_tokens < 16384""".stripMargin)),
+
     // trailing-1-hour value sum per user — a RANGE window frame keyed on
     // event-time seconds (rows frames can't express "last hour"); exact
     // decimal sums as everywhere

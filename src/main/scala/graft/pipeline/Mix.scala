@@ -190,4 +190,48 @@ object Mix {
       .filter(col("n_draws") >= 1)
       .drop("__h", "__b", "__off", "__tot", "__cum")
   }
+
+  /** Token-budget corpus selection: walk documents in quality order
+    * (score desc, id asc — a total order) and keep every document whose
+    * START position in the concatenated token stream is inside `budget`
+    * — "the best N-token subset", the data-selection step behind
+    * quality-pruned pretraining mixes (the boundary document straddles
+    * the cut exactly as in [[Chunking.pack]]).
+    *
+    * The naive form is `sum(tokens) OVER (ORDER BY score DESC)` — a
+    * SINGLE-TASK global window. This is the two-phase prefix sum
+    * instead (same shape as [[Ids.contiguous]] / [[weightedSample]]):
+    * `score` must lie in [0, 1] and becomes one of `buckets` range
+    * buckets (bucket 0 = best); per-bucket windows cumulate in
+    * parallel, the bucket token totals prefix-sum in a buckets-row
+    * window, and the broadcast offsets make every row's GLOBAL stream
+    * position exact — bit-equal to the one-window answer, with no task
+    * ever sorting more than one bucket.
+    *
+    * Bucket balance follows the score distribution (floor((1−s)·B) is
+    * order-preserving, so correctness never depends on it); raise
+    * `buckets` if scores concentrate. Output:
+    * `(id, score, n_tokens, start_offset)` for selected documents.
+    */
+  def selectByBudget(docs: DataFrame, idCol: String, textCol: String,
+                     score: Column, budget: Long, buckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 1 && budget >= 0, s"buckets=$buckets budget=$budget")
+    val scored = docs.select(col(idCol), score.as("score"),
+        Text.nWords(col(textCol)).as("n_tokens"))
+      .withColumn("__b", least(lit(buckets - 1), greatest(lit(0),
+        floor((lit(1.0) - col("score")) * buckets).cast("int"))))
+    val offsets = scored.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__t"))
+      .withColumn("__off", coalesce(
+        sum(col("__t")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__t")
+    val w = Window.partitionBy(col("__b")).orderBy(col("score").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored.join(broadcast(offsets), Seq("__b"))
+      .withColumn("start_offset", col("__off") + sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("start_offset") < budget)
+      .select(col(idCol), col("score"), col("n_tokens"), col("start_offset"))
+  }
 }

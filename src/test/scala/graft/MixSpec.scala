@@ -82,4 +82,32 @@ class MixSpec extends SparkTestBase {
     assert(h(0L) >= 7L) // 100/104 of the weight line → ≥ ⌊8·100/104⌋ draws
     assert(h.values.sum === 8L)
   }
+test("selectByBudget: two-phase prefix sum equals the one-window global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    // randomized scores in [0,1] with deliberate ties; tokens 1..20
+    val rnd = new scala.util.Random(31)
+    val rows = (1L to 200L).map(i =>
+      (i, (rnd.nextInt(11) / 10.0), Seq.fill(1 + rnd.nextInt(19))("w").mkString(" ")))
+    val docs = rows.toDF("doc_id", "s", "text")
+    val budget = 600L
+    val got = Mix.selectByBudget(docs, "doc_id", "text", col("s"), budget, buckets = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Double]("score"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("start_offset")))).toMap
+    // the naive single-task global window it must equal bit for bit
+    val w = Window.orderBy(col("s").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs.select(col("doc_id"), col("s"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .filter(col("cum") - col("n") < budget)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Double]("s"), r.getAs[Long]("n"),
+          r.getAs[Long]("cum") - r.getAs[Long]("n")))).toMap
+    assert(got === naive)
+    // the boundary document straddles the cut; the next one is excluded
+    val starts = got.values.map(_._3)
+    assert(starts.max < budget)
+    assert(got.values.map(t => t._3 + t._2).max >= budget)
+  }
 }
