@@ -200,7 +200,47 @@ class DedupSpec extends SparkTestBase {
     val comp = Dedup.components(path).collect()
       .map(r => r.getAs[Long]("component")).toSet
     assert(comp === Set(1L)) // every vertex reaches min id 1
-    intercept[IllegalArgumentException](Dedup.components(path, maxIter = 2).collect())
+    // the cap lives on the DISTRIBUTED regime (the local union-find has no
+    // iterations to cap) — force it, on a path long enough that even the
+    // halved loop cannot finish in 2 rounds
+    val long = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+    intercept[IllegalArgumentException](
+      Dedup.components(long, maxIter = 2, localEdgeThreshold = 0L).collect())
+  }
+
+  test("components: local union-find and distributed halved loop agree") {
+    // two chains + a triangle + a singleton pair: exercises path
+    // compression, union-by-min across chains, and both regimes
+    val pairs = Seq(
+      (5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), // chain, min 1
+      (10L, 11L), (11L, 12L), (12L, 10L),     // triangle, min 10
+      (20L, 21L)).toDF("id1", "id2")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toSet
+    val local = rows(Dedup.components(pairs))
+    val dist = rows(Dedup.components(pairs, localEdgeThreshold = 0L))
+    assert(local === dist)
+    assert(local === Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("components: halved distributed loop converges on a deep chain well under the diameter cap") {
+    // diameter 63 — plain min-label needs 63 rounds and would blow
+    // maxIter=20; path halving must land it inside the default cap
+    val deep = (1L until 64L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val comp = Dedup.components(deep, localEdgeThreshold = 0L).collect()
+      .map(r => r.getAs[Long]("component")).toSet
+    assert(comp === Set(1L))
+  }
+
+  test("components: string ids use UTF8-binary order in both regimes") {
+    val pairs = Seq(("b", "a"), ("a", "c"), ("x", "y")).toDF("id1", "id2")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getString(1)).toSet
+    val local = rows(Dedup.components(pairs))
+    val dist = rows(Dedup.components(pairs, localEdgeThreshold = 0L))
+    assert(local === dist)
+    assert(local === Set("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
   }
 
   test("dedupByClusters: one survivor per cluster plus all singletons") {
