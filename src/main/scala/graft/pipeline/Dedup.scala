@@ -71,6 +71,57 @@ object Dedup {
   def docShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"), explode(Text.shingles(col(textCol), n)).as("sh")).distinct()
 
+  /** Per-doc DF-RANKED shingle-array hub, `(id, shs, nsh)` with `shs`
+    * sorted ascending by (document frequency, shingle) — the shared spine
+    * of the prefix-filter family ([[prefixFilteredPairs]],
+    * [[containmentPairs]]). One persisted row per DOC (not per shingle):
+    * ranks are a narrow posexplode away ([[explodeRanked]]), the verify
+    * arrays are the hub itself, and the per-doc sort happens in-task
+    * inside the aggregate instead of a window sort over the whole shingle
+    * relation — replacing {df join → window rank+count → persist 50×
+    * more rows → second groupBy for the arrays} with one aggregate.
+    * Struct sort order is lexicographic by field — (df, sh) — which is
+    * exactly the window's `orderBy("df", "sh")`, and (df, sh) is unique
+    * within a doc (shingles are distinct per doc), so ranks are
+    * deterministic.
+    */
+  private[graft] def docShingleSets(docs: DataFrame, idCol: String,
+                                    textCol: String, n: Int): DataFrame = {
+    val sh = docShingles(docs, idCol, textCol, n)
+    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "sh")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("sh")))).as("ranked"))
+      .select(col("id"),
+        transform(col("ranked"), _.getField("sh")).as("shs"),
+        size(col("ranked")).as("nsh"))
+      // `sorted` duplicates the shingles in plain UTF8-binary order for
+      // the verify kernel ([[graft.functions.SortedIntersectCount]]'s
+      // sortedness contract); `shs` keeps df-order for the ranks
+      .withColumn("sorted", sort_array(col("shs")))
+      .persistTracked()
+  }
+
+  /** `(id, sh, rnk, nsh)` shingle rows derived narrowly from the
+    * [[docShingleSets]] hub — rnk is the 1-based position in the df-sorted
+    * array, identical to the former `row_number` window.
+    */
+  private[graft] def explodeRanked(docsets: DataFrame): DataFrame =
+    docsets.select(col("id"), col("nsh"), posexplode(col("shs")))
+      .select(col("id"), col("col").as("sh"), (col("pos") + 1).as("rnk"), col("nsh"))
+
+  /** [[explodeRanked]] restricted to the first `prefLen` positions by
+    * slicing the array BEFORE the explode — identical rows to
+    * `explodeRanked(docsets).filter(rnk <= prefLen)` (slice keeps
+    * positions 1..prefLen and rnk is the position), at a fraction of the
+    * explode/exchange volume. `prefLen` may reference `nsh`; it is always
+    * ≥ 1 for thresholds < 1 (slice would reject a non-positive length).
+    */
+  private[graft] def explodePrefix(docsets: DataFrame, prefLen: Column): DataFrame =
+    docsets.select(col("id"), col("nsh"),
+        posexplode(slice(col("shs"), lit(1), prefLen)))
+      .select(col("id"), col("col").as("sh"), (col("pos") + 1).as("rnk"), col("nsh"))
+
   /** MinHash signatures: numHashes min-values per doc, where hash i of a
     * shingle is the first 60 bits of md5(i || '|' || shingle) as a LONG.
     * Columns `m0 .. m{H-1}`.
@@ -235,26 +286,20 @@ object Dedup {
   def prefixFilteredPairs(docs: DataFrame, idCol: String = "doc_id",
                           textCol: String = "text", n: Int = 3,
                           minJaccard: Double = 0.5): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n)
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
-    // doc size rides the SAME window partition as the rank — one exchange,
-    // no extra sizes join on the hot path. The RANKED relation (not the
-    // raw shingles) is the persisted hub: it feeds the prefix, the
-    // candidate probe, BOTH verify sides, and the sizes — so the df join
-    // + rank window run once, and everything downstream reads the cache.
-    // (sh itself has two consumers inside this one plan, both needing a
-    // hash exchange on `sh` — ReuseExchange dedupes them.)
-    val ranked = sh.join(dfreq, "sh")
-      .select(col("id"), col("sh"),
-        row_number().over(w.orderBy("df", "sh")).as("rnk"),
-        count(lit(1)).over(w).as("nsh"))
-      .persistTracked()
+    // Per-doc SORTED-ARRAY hub (see [[docShingleSets]]): one row per doc
+    // carrying its df-ranked shingle array. Ranks become a narrow
+    // posexplode; the verify arrays are the hub itself — no second
+    // groupBy, no 50×-bigger shingle-row persist.
+    val docsets = docShingleSets(docs, idCol, textCol, n)
+    val ranked = explodeRanked(docsets)
     // prefix length n - ceil(t·n) + 1: t·n is an exact double for the
     // catalog's t (dyadic), ceil exact — both engines agree bit-for-bit
-    val pref = ranked
-      .filter(col("rnk") <= col("nsh") - ceil(lit(minJaccard) * col("nsh")) + 1)
-      .select("id", "sh", "nsh", "rnk")
+    // slice BEFORE exploding: only the prefix positions leave the hub, so
+    // the a-side explode + exchange carries ~(1-t)·nsh rows per doc
+    // instead of nsh (same predicate as filtering ranked on rnk — slice
+    // keeps positions 1..prefLen and rnk IS the position)
+    val pref = explodePrefix(docsets,
+      (col("nsh") - ceil(lit(minJaccard) * col("nsh")) + 1).cast("int"))
     // LENGTH filter (the family's second pruning rule): J(x,y) ≥ t forces
     // t·|x| ≤ |y| and t·|y| ≤ |x| — a free residual predicate on the
     // candidate equi-join that prunes before the (expensive) verify.
@@ -277,17 +322,15 @@ object Dedup {
     // Verify via per-doc shingle arrays (see [[containmentPairs]] for the
     // measured rationale): |cand| rows carrying two arrays beat a
     // |cand| × avg(nsh) re-expansion through two shuffle joins + groupBy.
-    // The groupBy reuses ranked's id-partitioning; shingles are distinct
-    // per doc so size(array_intersect) IS the overlap, and nsh rides
-    // along — no sizes joins.
-    val sets = ranked.groupBy("id")
-      .agg(collect_list(col("sh")).as("shs"), first(col("nsh")).as("nsh"))
-      .persistTracked()
+    // Shingles are distinct per doc so size(array_intersect) IS the
+    // overlap, and nsh rides along — no sizes joins. The arrays are the
+    // persisted hub itself.
     cand
-      .join(sets.as("z1"), col("id1") === col("z1.id"))
-      .join(sets.as("z2"), col("id2") === col("z2.id"))
+      .join(docsets.as("z1"), col("id1") === col("z1.id"))
+      .join(docsets.as("z2"), col("id2") === col("z2.id"))
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("z1.shs"), col("z2.shs"))).cast("long").as("shared"),
+        graft.functions.VectorFunctions.sortedIntersectCount(
+          col("z1.sorted"), col("z2.sorted")).as("shared"),
         col("z1.nsh").as("nsh1"), col("z2.nsh").as("nsh2"))
       .select(col("id1"), col("id2"), col("shared"),
         (col("shared").cast("double") /
@@ -626,20 +669,14 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text", n: Int = 3,
                        minContainment: Double = 0.8): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n)
-    val dfreq = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("id")
-    // persisted hub, as in [[prefixFilteredPairs]]: the ranked relation
-    // feeds the prefix, the FULL probe side, both verify sides, and the
-    // sizes — df join + rank window run once
-    val ranked = sh.join(dfreq, "sh")
-      .select(col("id"), col("sh"),
-        row_number().over(w.orderBy("df", "sh")).as("rnk"),
-        count(lit(1)).over(w).as("nsh"))
-      .persistTracked()
-    val pref = ranked
-      .filter(col("rnk") <= col("nsh") - ceil(lit(minContainment) * col("nsh")) + 2)
-      .select("id", "sh", "nsh", "rnk")
+    // per-doc sorted-array hub shared with [[prefixFilteredPairs]] — one
+    // persisted row per doc feeds the prefix, the FULL probe side, and
+    // both verify arrays
+    val docsets = docShingleSets(docs, idCol, textCol, n)
+    val ranked = explodeRanked(docsets)
+    // slice BEFORE exploding (see [[prefixFilteredPairs]])
+    val pref = explodePrefix(docsets,
+      (col("nsh") - ceil(lit(minContainment) * col("nsh")) + 2).cast("int"))
     // POSITION filter (the PPJoin rule, asymmetric form): at a shared
     // shingle with full-order ranks (p_a, p_b), a pair's FIRST shared
     // shingle has all other shared shingles after both ranks, so
@@ -660,19 +697,16 @@ object Dedup {
     // rows: the expand-join intermediate is |cand| × avg(nsh) rows (two
     // shuffle joins + a groupBy over ~20M rows at sf0.1 — measured 4.3 s
     // of a 7 s plan), while the array verify moves |cand| rows carrying
-    // two arrays and intersects in-task (measured 1.3 s). The groupBy
-    // reuses ranked's id-partitioning (window exchange), shingles are
-    // distinct per doc, and `size(array_intersect)` is order-invariant —
+    // two arrays and intersects in-task (measured 1.3 s). Shingles are
+    // distinct per doc and `size(array_intersect)` is order-invariant —
     // so the count is exactly `shared` and nsh rides along, killing the
-    // two sizes joins too.
-    val sets = ranked.groupBy("id")
-      .agg(collect_list(col("sh")).as("shs"), first(col("nsh")).as("nsh"))
-      .persistTracked()
+    // two sizes joins too. The arrays are the persisted hub itself.
     cand
-      .join(sets.as("s1"), col("id1") === col("s1.id"))
-      .join(sets.as("s2"), col("id2") === col("s2.id"))
+      .join(docsets.as("s1"), col("id1") === col("s1.id"))
+      .join(docsets.as("s2"), col("id2") === col("s2.id"))
       .select(col("id1"), col("id2"),
-        size(array_intersect(col("s1.shs"), col("s2.shs"))).cast("long").as("shared"),
+        graft.functions.VectorFunctions.sortedIntersectCount(
+          col("s1.sorted"), col("s2.sorted")).as("shared"),
         col("s1.nsh").as("nsh1"), col("s2.nsh").as("nsh2"))
       .select(col("id1"), col("id2"), col("shared"),
         (col("shared").cast("double") / col("nsh1").cast("double")).as("c12"),

@@ -111,8 +111,36 @@ class FunctionsSpec extends SparkTestBase {
     // so checking the list checks both deployment paths
     val names = VectorFunctions.allFunctions.map(_._1)
     assert(names === Seq("graft_dot", "graft_cosine", "graft_sqdist", "graft_doti",
-      "graft_rolling_hash_16", "graft_stem", "graft_bpe_merge_pair"))
+      "graft_sorted_intersect_count", "graft_rolling_hash_16", "graft_stem",
+      "graft_bpe_merge_pair"))
     // applying the extensions must not throw (injection is deferred)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("sorted-intersect count equals size(array_intersect) on sorted distinct arrays") {
+    val rng = new scala.util.Random(11)
+    def randSet() = Seq.fill(rng.nextInt(60))(rng.nextInt(80).toString).distinct.sorted
+    val df = (0 until 200).map(_ => (randSet(), randSet())).toDF("a", "b")
+    val both = df.select(
+      VectorFunctions.sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // empties and null arrays
+    val edge = spark.sql(
+      "SELECT graft_sorted_intersect_count(array(), array('a')) AS e1, " +
+        "graft_sorted_intersect_count(cast(null as array<string>), array('a')) AS e2")
+      .collect().head
+    assert(edge.getLong(0) === 0L)
+    assert(edge.isNullAt(1))
+    // Scala strings sort by UTF-16 code units; the kernel compares UTF-8
+    // bytes. For the multi-byte range they agree except surrogates — pin a
+    // multi-byte case explicitly through sort_array (the producer contract)
+    val multi = Seq((Seq("z", "é", "a"), Seq("é", "a"))).toDF("a0", "b0")
+      .select(sort_array(col("a0")).as("a"), sort_array(col("b0")).as("b"))
+    val m = multi.select(
+      VectorFunctions.sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect().head
+    assert(m.getLong(0) === m.getLong(1))
   }
 }
