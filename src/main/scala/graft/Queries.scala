@@ -1670,6 +1670,43 @@ object Queries {
               |FROM shr JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
               |WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.2""".stripMargin)),
 
+    // LSH banding recall audit: measured (not S-curve-predicted) recall of
+    // each banding config against the exact Jaccard-≥0.5 truth set — the
+    // small-SF measurement to run before trusting a banding choice at
+    // 100 TB. recall = one IEEE divide of two exact longs.
+    Q("q_lsh_recall",
+      (s, d) => Dedup.lshRecallAudit(t(s, d)("documents")),
+      Some {
+        val sigCols = (0 until 8).map(i =>
+          s"min(CAST(concat('0x', substr(md5('$i|' || s), 1, 15)) AS BIGINT)) AS m$i")
+          .mkString(", ")
+        def bandCond(r: Int) = (0 until 8 / r).map { b =>
+          "(" + (0 until r).map(j => s"a.m${b * r + j} = b.m${b * r + j}").mkString(" AND ") + ")"
+        }.mkString(" OR ")
+        def candCte(r: Int) =
+          s"""cand$r AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+             |  FROM sigs a JOIN sigs b ON a.id < b.id AND (${bandCond(r)})),
+             |c$r AS (SELECT CAST(count(*) AS BIGINT) AS caught FROM truth t
+             |  JOIN cand$r c ON t.id1 = c.id1 AND t.id2 = c.id2)""".stripMargin
+        def row(r: Int) =
+          s"""SELECT ${8 / r} AS num_bands, $r AS rows_per_band, true_pairs, caught,
+             |  CASE WHEN true_pairs > 0
+             |    THEN CAST(caught AS DOUBLE) / CAST(true_pairs AS DOUBLE) END AS recall
+             |FROM c$r, tc""".stripMargin
+        s"""WITH $shingleSqlCte,
+           |sigs AS (SELECT id, $sigCols FROM sh GROUP BY id),
+           |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+           |p0 AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+           |       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+           |       GROUP BY 1, 2 HAVING count(*) >= 2),
+           |truth AS (SELECT id1, id2 FROM p0
+           |          JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+           |          WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5),
+           |tc AS (SELECT CAST(count(*) AS BIGINT) AS true_pairs FROM truth),
+           |${Seq(1, 2, 4, 8).map(candCte).mkString(",\n")}
+           |${Seq(1, 2, 4, 8).map(row).mkString("\nUNION ALL\n")}""".stripMargin
+      }),
+
     Q("q_dedup_simhash",
       (s, d) => Dedup.simhash(t(s, d)("documents")),
       Some {
@@ -1769,6 +1806,37 @@ object Queries {
               |SELECT doc_id FROM documents
               |WHERE doc_id NOT IN (
               |  SELECT id FROM r GROUP BY id HAVING id <> min(lbl))""".stripMargin)),
+
+    // survivor POLICY: keep the longest text per duplicate cluster (ties →
+    // min id), not the arbitrary min id — the policy real pipelines want.
+    // The oracle recomputes components via the reachability CTE, then
+    // replays the argmax as a window rank over (length DESC, id ASC).
+    Q("q_dedup_survivors_longest",
+      (s, d) => Dedup.dedupByClustersKeeping(
+          t(s, d)("documents"),
+          Dedup.ngramJaccardPairs(t(s, d)("documents"), minShared = 2L, minJaccard = 0.5)
+            .select("id1", "id2"),
+          length(col("text")).cast("long"))
+        .select(col("doc_id")),
+      Some(s"""WITH RECURSIVE $shingleSqlCte,
+              |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+              |p0 AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+              |       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              |       GROUP BY 1, 2 HAVING count(*) >= 2),
+              |dup AS (SELECT id1, id2 FROM p0
+              |        JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+              |        WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5),
+              |e AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
+              |r AS (SELECT a AS id, a AS lbl FROM e
+              |      UNION
+              |      SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b),
+              |comp AS (SELECT id, min(lbl) AS component FROM r GROUP BY id),
+              |rk AS (SELECT c.id,
+              |         row_number() OVER (PARTITION BY c.component
+              |           ORDER BY length(d.text) DESC, c.id ASC) AS rn
+              |       FROM comp c JOIN documents d ON c.id = d.doc_id)
+              |SELECT doc_id FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM rk WHERE rn > 1)""".stripMargin)),
 
     Q("q_dedup_embedding",
       (s, d) => {

@@ -578,6 +578,73 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** [[dedupByClusters]] with a SURVIVOR POLICY: keep the cluster member
+    * maximizing `score` (ties → smallest id) instead of the smallest id.
+    * Min-id survivorship is arbitrary; real pipelines keep the best
+    * member — the longest text, the highest quality score, the newest
+    * snapshot. `score` is evaluated against `docs`' columns.
+    *
+    * Plan: components (two-regime, see [[components]]) → attach scores
+    * (one equi-join on id) → per-component `row_number` ordered by
+    * (score DESC, id ASC) — the window partitions on component, and the
+    * clustered relation is pair-survivor-sized, not corpus-sized →
+    * anti-join the losers. Deterministic: the (score, id) order has no
+    * ties by construction.
+    */
+  def dedupByClustersKeeping(docs: DataFrame, pairs: DataFrame, score: Column,
+                             idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val scored = docs.select(col(idCol).as("id"), score.as("scr"))
+    val ranked = components(pairs, maxIter)
+      .join(scored, "id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("scr").desc, col("id").asc)))
+    val losers = ranked.filter(col("rn") > 1).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
+  /** LSH banding RECALL AUDIT: for each banding configuration, what
+    * fraction of the TRUE near-dup pairs (exact n-gram Jaccard ≥
+    * `minJaccard`) does MinHash banding surface as candidates? The
+    * measurement to run at a small SF before trusting a banding choice on
+    * the 100 TB corpus — the S-curve math gives expected recall per
+    * (bands, rows) but only against idealized uniform minhashes; this
+    * measures the real thing on real signatures.
+    *
+    * One row per config: `(num_bands, rows_per_band, true_pairs, caught,
+    * recall)` — recall is one IEEE divide of two exact longs (replayable).
+    * The signatures and the exact-truth pair set build ONCE (persisted);
+    * each config adds only its band equi-join + a semi-join against
+    * truth. Configs must divide `numHashes` ([[lshCandidates]] requires
+    * it).
+    */
+  def lshRecallAudit(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", n: Int = 3, numHashes: Int = 8,
+                     rowsPerBandConfigs: Seq[Int] = Seq(1, 2, 4, 8),
+                     minJaccard: Double = 0.5,
+                     minShared: Long = 2L): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
+      .persistTracked()
+    val truth = ngramJaccardPairs(docs, idCol, textCol, n, minShared, minJaccard)
+      .select("id1", "id2")
+      .persistTracked()
+    val perConfig = rowsPerBandConfigs.map { r =>
+      val caught = truth.join(lshCandidates(sigs, numHashes, r),
+        Seq("id1", "id2"), "left_semi")
+      caught.agg(count(lit(1)).as("caught"))
+        .select(lit(numHashes / r).as("num_bands"),
+          lit(r).as("rows_per_band"), col("caught"))
+    }
+    val truthCount = truth.agg(count(lit(1)).as("true_pairs"))
+    perConfig.reduce(_.unionByName(_))
+      .crossJoin(broadcast(truthCount))
+      .select(col("num_bands"), col("rows_per_band"), col("true_pairs"),
+        col("caught"),
+        when(col("true_pairs") > 0,
+          col("caught").cast("double") / col("true_pairs").cast("double"))
+          .as("recall"))
+  }
+
   /** Embedding-cosine near-dup pairs above a threshold. Small corpora pair
     * directly; at scale route through [[SimilarityLsh.candidatePairs]]
     * (`useLsh = true`) — candidate generation becomes bucketed equi-joins

@@ -258,4 +258,41 @@ class DedupSpec extends SparkTestBase {
     val corpus = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
     assert(Dedup.dedupByClusters(corpus, empty).count() === 2)
   }
+
+  test("dedupByClustersKeeping keeps the best-scoring member, ties to min id") {
+    val corpus = Seq(
+      (1L, "aa"), (2L, "bbbb"), (3L, "cc"),   // cluster {1,2,3}: 2 is longest
+      (4L, "dd"), (5L, "dd"),                 // cluster {4,5}: tie → min id 4
+      (6L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id1", "id2")
+    val kept = Dedup.dedupByClustersKeeping(corpus, pairs,
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(2L, 4L, 6L))
+  }
+
+  test("lshRecallAudit: 1 band of all hashes is strictly no more complete than 8 bands of 1") {
+    // near-identical docs (1,2) and (3,4); unrelated fillers. With 8
+    // one-hash bands a single matching minhash surfaces the pair; with 1
+    // eight-hash band every minhash must match — recall can only drop.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven eight"),
+      (5L, "completely different words entirely here now"),
+      (6L, "another unrelated document text body filler")).toDF("doc_id", "text")
+    val rows = Dedup.lshRecallAudit(docs, minJaccard = 0.3, minShared = 1L)
+      .collect()
+      .map(r => r.getAs[Int]("rows_per_band") ->
+        (r.getAs[Long]("true_pairs"), r.getAs[Long]("caught"))).toMap
+    assert(rows.keySet === Set(1, 2, 4, 8))
+    val truePairs = rows(1)._1
+    assert(truePairs > 0) // the planted near-dups are above threshold
+    assert(rows.values.forall(_._1 === truePairs)) // truth is config-independent
+    // monotone: more bands with fewer rows each can only catch MORE
+    assert(rows(1)._2 >= rows(2)._2)
+    assert(rows(2)._2 >= rows(4)._2)
+    assert(rows(4)._2 >= rows(8)._2)
+  }
 }

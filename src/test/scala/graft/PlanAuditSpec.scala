@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_graph_modularity",                // 1-row edge-count m broadcast
     "q_bpe_merge",                       // 1-row argmax-pair broadcast
     "q_cooccur_lift",                    // 1-row corpus-count broadcast (×2)
-    "q_vocab_coverage")                  // 1-row token-total broadcast
+    "q_vocab_coverage",                  // 1-row token-total broadcast
+    "q_lsh_recall")                      // 1-row truth-total broadcast
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {
