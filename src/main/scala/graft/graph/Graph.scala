@@ -486,9 +486,18 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * [[kCore]]. Rounds are data-bounded (each round removes every current
     * color root's SCC plus all trimmable tails); the cap fails LOUDLY
     * because an unconverged peel would silently mislabel remaining SCCs.
+    *
+    * TWO-REGIME like [[graft.pipeline.Dedup.components]]: at or below
+    * `localEdgeThreshold` remaining edges (measured, after the self-loop
+    * drop), ONE mapPartitions task runs iterative Tarjan and labels each
+    * SCC by its min member in UTF-8 binary order — exactly the canonical
+    * labels the peel converges to, without a job per propagation round.
+    * 2M edges is tens of MB in one task; above it the distributed peel
+    * runs unchanged. Spec-pinned: both regimes emit identical rows.
     */
   def stronglyConnectedComponents(maxRounds: Int = 10,
-                                  maxPropIter: Int = 25): DataFrame = {
+                                  maxPropIter: Int = 25,
+                                  localEdgeThreshold: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -503,6 +512,8 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
       .localCheckpoint(true)
     var remV = vertices.select(col("id").cast("string").as("id")).distinct()
       .localCheckpoint(true)
+    if (remE.count() <= localEdgeThreshold)
+      return Graph.localScc(remV, remE).localCheckpoint(true)
     var nV = remV.count()
     var round = 0
     while (nV > 0 && round < maxRounds) {
@@ -615,6 +626,102 @@ object Graph {
     * amortizing the materialization cost.
     */
   val CheckpointEvery = 5
+
+  /** Single-task iterative Tarjan — the below-threshold regime of
+    * [[Graph.stronglyConnectedComponents]]. Input: string-id vertex and
+    * (self-loop-free) edge relations; edges whose endpoints are outside
+    * the vertex set are ignored, matching the distributed peel's trim
+    * semi-joins. Labels each SCC by its minimum member in unsigned UTF-8
+    * byte order (Spark's UTF8_BINARY `min()` — the same canonical label
+    * the coloring peel converges to). Iterative DFS with an explicit
+    * frame stack: no recursion depth limit, O(V+E) total.
+    */
+  private[graph] def localScc(remV: DataFrame, remE: DataFrame): DataFrame = {
+    val cmp = graft.pipeline.Dedup.localIdCompare(
+      org.apache.spark.sql.types.StringType).get
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.StringType, nullable = false)
+      .add("component", org.apache.spark.sql.types.StringType, nullable = false)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    // vertices ride as (id, null) rows so ONE partition sees both relations
+    val tagged = remV.select(col("id").as("a"), lit(null).cast("string").as("b"))
+      .unionByName(remE.select(col("src").as("a"), col("dst").as("b")))
+    tagged.repartition(1).mapPartitions { it =>
+      val idx = new java.util.HashMap[String, Integer]()
+      val ids = new scala.collection.mutable.ArrayBuffer[String]()
+      val rawEdges = new scala.collection.mutable.ArrayBuffer[(String, String)]()
+      it.foreach { r =>
+        if (r.isNullAt(1)) {
+          val v = r.getString(0)
+          if (!idx.containsKey(v)) { idx.put(v, ids.length); ids += v }
+        } else rawEdges += ((r.getString(0), r.getString(1)))
+      }
+      val n = ids.length
+      val adjHead = Array.fill(n)(-1)
+      val adjNext = new Array[Int](rawEdges.length)
+      val adjTo = new Array[Int](rawEdges.length)
+      var m = 0
+      rawEdges.foreach { case (s, d) =>
+        val si = idx.get(s); val di = idx.get(d)
+        if (si != null && di != null) { // trim semantics: both ends known
+          adjTo(m) = di; adjNext(m) = adjHead(si); adjHead(si) = m; m += 1
+        }
+      }
+      val index = Array.fill(n)(-1)
+      val low = new Array[Int](n)
+      val onStk = new Array[Boolean](n)
+      val comp = Array.fill(n)(-1)
+      val sccStack = new java.util.ArrayDeque[Integer]()
+      val labels = new scala.collection.mutable.ArrayBuffer[String]()
+      var timer = 0
+      // explicit DFS frames: vertex + cursor into its adjacency list
+      val fv = new scala.collection.mutable.ArrayBuffer[Int]()
+      val fe = new scala.collection.mutable.ArrayBuffer[Int]()
+      def pushFrame(v: Int): Unit = {
+        index(v) = timer; low(v) = timer; timer += 1
+        sccStack.push(v); onStk(v) = true
+        fv += v; fe += adjHead(v)
+      }
+      var root = 0
+      while (root < n) {
+        if (index(root) == -1) {
+          pushFrame(root)
+          while (fv.nonEmpty) {
+            val v = fv(fv.length - 1)
+            val e = fe(fe.length - 1)
+            if (e != -1) {
+              fe(fe.length - 1) = adjNext(e)
+              val w = adjTo(e)
+              if (index(w) == -1) pushFrame(w)
+              else if (onStk(w) && index(w) < low(v)) low(v) = index(w)
+            } else {
+              fv.remove(fv.length - 1); fe.remove(fe.length - 1)
+              if (fv.nonEmpty) {
+                val p = fv(fv.length - 1)
+                if (low(v) < low(p)) low(p) = low(v)
+              }
+              if (low(v) == index(v)) {
+                // pop the SCC; label = min member id (UTF-8 byte order)
+                val members = new scala.collection.mutable.ArrayBuffer[Int]()
+                var w = -1
+                while (w != v) {
+                  w = sccStack.pop(); onStk(w) = false; members += w
+                }
+                var lbl = ids(members(0))
+                members.foreach { u => if (cmp(ids(u), lbl) < 0) lbl = ids(u) }
+                val li = labels.length; labels += lbl
+                members.foreach(u => comp(u) = li)
+              }
+            }
+          }
+        }
+        root += 1
+      }
+      (0 until n).iterator.map(i =>
+        org.apache.spark.sql.Row(ids(i), labels(comp(i))))
+    }
+  }
 
   /** Distinct endpoint ids of an edge set — the vertex-derivation idiom the
     * reference repeats at `RetweetTagsJaccardGraph.py:68-70,131-133,188-190`.

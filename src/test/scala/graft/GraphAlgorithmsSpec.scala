@@ -266,9 +266,15 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     // the backward confirmation pass must split them into a second round
     val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "c"))
       .toDF("src", "dst")
-    val got = Graph(Graph.verticesOf(e), e).stronglyConnectedComponents()
+    val want = Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c")
+    val g2 = Graph(Graph.verticesOf(e), e)
+    val got = g2.stronglyConnectedComponents()
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "c", "d" -> "c"))
+    assert(got === want)
+    // forced DISTRIBUTED regime must agree (localEdgeThreshold = 0)
+    val dist = g2.stronglyConnectedComponents(localEdgeThreshold = 0L)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(dist === want)
   }
 
   test("scc: DAG chain trims to all singletons; self-loop is a singleton") {
@@ -286,8 +292,14 @@ class GraphAlgorithmsSpec extends SparkTestBase {
         (rnd.nextInt(n).toString, rnd.nextInt(n).toString)
       }.distinct
       val edf = es.toDF("src", "dst")
-      val got = Graph(Graph.verticesOf(edf), edf).stronglyConnectedComponents()
+      val gT = Graph(Graph.verticesOf(edf), edf)
+      val got = gT.stronglyConnectedComponents()
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      // both regimes against the same spec: local Tarjan (default
+      // threshold) above; forced distributed peel here
+      val gotDist = gT.stronglyConnectedComponents(localEdgeThreshold = 0L)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(gotDist === got, s"trial $trial regimes disagree edges=$es")
       // Floyd-Warshall reachability, then component = min of the mutual set
       val vs = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
       val idx = vs.zipWithIndex.toMap
