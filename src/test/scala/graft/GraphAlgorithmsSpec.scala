@@ -97,6 +97,30 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(got("g") === 150000000L) // isolated vertex: base mass only
   }
 
+  test("hits: matches an independent in-test max-rescaled replay") {
+    val edgeList = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d", "e" -> "f")
+    val verts = (edgeList.flatMap(e => Seq(e._1, e._2)) :+ "g").distinct
+    val S = 1000000L
+    var hub = verts.map(_ -> S).toMap
+    var auth = verts.map(_ -> S).toMap
+    for (_ <- 1 to 5) {
+      val ra = edgeList.groupBy(_._2).view.mapValues(_.map(e => hub(e._1)).sum).toMap
+      val ma = ra.values.max
+      val a2 = ra.view.mapValues(v => v * S / ma).toMap
+      val rh = edgeList.groupBy(_._1).view.mapValues(_.map(e => a2.getOrElse(e._2, 0L)).sum).toMap
+      val mh = rh.values.max
+      hub = verts.map(v => v -> rh.get(v).map(x => x * S / mh).getOrElse(0L)).toMap
+      auth = verts.map(v => v -> a2.getOrElse(v, 0L)).toMap
+    }
+    val got = g.hits(5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === verts.map(v => v -> (hub(v), auth(v))).toMap)
+    // structural sanity: c is the strongest hub in the triangle (it points
+    // at both a and d); isolated g scores zero on both axes
+    assert(got("g") === (0L, 0L))
+    assert(got("c")._1 === 1000000L) // max-rescale puts the top hub at S
+  }
+
   test("personalizedPageRank: matches an in-test replay; off-component ranks zero") {
     import org.apache.spark.sql.functions.lit
     val edgeList = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d", "e" -> "f")
