@@ -38,7 +38,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_bpe_merge",                       // 1-row argmax-pair broadcast
     "q_cooccur_lift",                    // 1-row corpus-count broadcast (×2)
     "q_vocab_coverage",                  // 1-row token-total broadcast
-    "q_lsh_recall")                      // 1-row truth-total broadcast
+    "q_lsh_recall",                      // 1-row truth-total broadcast
+    "q_graph_hits")                      // 1-row half-step max broadcast (×2/iter)
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {
