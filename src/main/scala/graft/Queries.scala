@@ -77,6 +77,38 @@ object Queries {
       |                      v -> v IS NOT NULL)) AS s
       |             FROM w))""".stripMargin
 
+  /** DuckDB replay of [[graft.pipeline.Importance.dsirWeights]] up to the
+    * per-doc sum relation `s` (target = `lang = 'en'`, 4096 buckets):
+    * hashed unigram+bigram features, per-bucket target/raw counts,
+    * dense cross-multiplied integer weight table, per-doc instance sum.
+    */
+  private val dsirScoredSqlCte =
+    """w0 AS (SELECT doc_id, lang = 'en' AS is_target,
+      |              string_split(text, ' ') AS ws FROM documents),
+      |tok AS (
+      |  SELECT doc_id, is_target, unnest(ws) AS tok FROM w0
+      |  UNION ALL
+      |  SELECT doc_id, is_target, unnest(list_filter(
+      |    list_transform(ws, (x, i) -> CASE WHEN i <= len(ws) - 1
+      |      THEN x || ' ' || ws[i+1] END),
+      |    v -> v IS NOT NULL)) AS tok FROM w0),
+      |f AS (SELECT doc_id, is_target,
+      |        CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS bucket
+      |      FROM tok),
+      |c AS (SELECT bucket,
+      |        CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+      |        CAST(sum(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+      |      FROM f GROUP BY bucket),
+      |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS tt,
+      |               CAST(sum(c_r) AS BIGINT) AS tr FROM c),
+      |wt AS (SELECT r.range AS bucket,
+      |         (coalesce(c.c_t, 0) + 1) * (tot.tr + 4096)
+      |           - (coalesce(c.c_r, 0) + 1) * (tot.tt + 4096) AS w
+      |       FROM range(4096) r LEFT JOIN c ON r.range = c.bucket CROSS JOIN tot),
+      |s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS w_sum,
+      |        count(*) AS n_features
+      |      FROM f JOIN wt USING (bucket) GROUP BY doc_id)""".stripMargin
+
   /** The fixed merge table for `q_bpe_encode` — valid rank order (each
     * compound operand is formed by an earlier rule; see
     * [[graft.pipeline.Bpe.validateMerges]]).
@@ -4147,6 +4179,33 @@ object Queries {
               |SELECT doc_id, score, n_tokens,
               |       CAST(cum - n_tokens AS BIGINT) AS start_offset
               |FROM c WHERE cum - n_tokens < 16384""".stripMargin)),
+
+    // DSIR-shaped importance weighting (Xie et al. 2302.03169): score
+    // every doc by the exact-integer cross-multiplied likelihood gap of
+    // its hashed unigram+bigram features under target (lang='en') vs raw
+    // models — the data-selection step between quality filtering and
+    // mixing. Models are buckets-row broadcasts; the corpus shuffles
+    // only by doc id.
+    Q("q_dsir_weights",
+      (s, d) => graft.pipeline.Importance.dsirWeights(
+        t(s, d)("documents"), targetPred = col("lang") === "en", buckets = 4096),
+      Some(s"""WITH $dsirScoredSqlCte
+              |SELECT doc_id, w_sum, n_features,
+              |  CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE) AS score
+              |FROM s""".stripMargin)),
+
+    // the deterministic RESAMPLE step: top-64 docs by mean importance
+    // (ties → min id) — rank replaces the draw so both engines agree
+    Q("q_dsir_select",
+      (s, d) => graft.pipeline.Importance.dsirSelect(
+        t(s, d)("documents"), targetPred = col("lang") === "en", k = 64, buckets = 4096),
+      Some(s"""WITH $dsirScoredSqlCte,
+              |sc AS (SELECT doc_id, w_sum, n_features,
+              |         CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE) AS score
+              |       FROM s)
+              |SELECT doc_id, w_sum, n_features, score,
+              |       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+              |FROM sc QUALIFY rk <= 64""".stripMargin)),
 
     // trailing-1-hour value sum per user — a RANGE window frame keyed on
     // event-time seconds (rows frames can't express "last hour"); exact

@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_cooccur_lift",                    // 1-row corpus-count broadcast (×2)
     "q_vocab_coverage",                  // 1-row token-total broadcast
     "q_lsh_recall",                      // 1-row truth-total broadcast
-    "q_graph_hits")                      // 1-row half-step max broadcast (×2/iter)
+    "q_graph_hits",                      // 1-row half-step max broadcast (×2/iter)
+    "q_dsir_weights", "q_dsir_select")   // 1-row model-totals broadcast
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {
