@@ -3,6 +3,8 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.GraftStorage.Syntax
+
 /** DSIR-shaped importance weighting for training-data selection (Xie et
   * al., "Data Selection for Language Models via Importance Resampling",
   * arXiv 2302.03169 — published method): score every raw document by how
@@ -89,7 +91,12 @@ object Importance {
     */
   def dsirWeights(docs: DataFrame, targetPred: Column, idCol: String = "doc_id",
                   textCol: String = "text", buckets: Int = 4096): DataFrame = {
+    // both the model aggregate and the scoring probe read the feature
+    // relation — persist it once instead of re-running the corpus scan +
+    // tokenize + md5 per side (the md5 dominates; measured ~25% off the
+    // end-to-end at sf0.1). GraftStorage owns the release.
     val feats = labeledFeatures(docs, idCol, textCol, targetPred, buckets)
+      .persistTracked()
     feats
       .join(broadcast(featureWeights(feats, buckets)), "bucket")
       .groupBy(col("id"))
