@@ -109,6 +109,22 @@ object Queries {
       |        count(*) AS n_features
       |      FROM f JOIN wt USING (bucket) GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB replay of [[graft.pipeline.Pca.qRows]]: the int8-quantized
+    * element relation `er(vec_id, dim, v)` over `embeddings` (dim
+    * 0-based, v exact BIGINT) — the [[q_embed_quantize]] oracle's
+    * quantization followed by a positional unnest.
+    */
+  private val pcaErSqlCte =
+    """e0 AS (SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      |m0 AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS maxabs FROM e0),
+      |sc AS (SELECT vec_id, e,
+      |         CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END AS scale FROM m0),
+      |qz AS (SELECT vec_id,
+      |         list_transform(e, x -> CAST(floor(x * scale + 0.5) AS BIGINT)) AS q FROM sc),
+      |er AS (SELECT vec_id, r.range AS dim, q[CAST(r.range + 1 AS INT)] AS v
+      |       FROM qz CROSS JOIN range(64) r)""".stripMargin
+
   /** The fixed merge table for `q_bpe_encode` — valid rank order (each
     * compound operand is formed by an earlier rule; see
     * [[graft.pipeline.Bpe.validateMerges]]).
@@ -3256,6 +3272,44 @@ object Queries {
              |  array_to_string(list_transform(e,
              |    x -> CAST(CAST(floor(x * scale + 0.5) AS BIGINT) AS VARCHAR)), ',') AS qvec
              |FROM sc""".stripMargin)),
+
+    // embedding-space health check: per-dimension integer moments over
+    // the quantized vectors — dead dims (var_num=0) and variance skew
+    // before committing to an ANN index or PQ subspace split
+    Q("q_embed_dim_stats",
+      (s, d) => graft.pipeline.Pca.dimStats(t(s, d)("embeddings")),
+      Some(s"""WITH $pcaErSqlCte
+              |SELECT dim, count(*) AS n, CAST(sum(v) AS BIGINT) AS s,
+              |       CAST(sum(v * v) AS BIGINT) AS ss,
+              |       count(*) * CAST(sum(v * v) AS BIGINT)
+              |         - CAST(sum(v) AS BIGINT) * CAST(sum(v) AS BIGINT) AS var_num
+              |FROM er GROUP BY dim""".stripMargin)),
+
+    // top principal direction by 3 fixed-point power steps over the
+    // max-rescaled integer covariance (anisotropy check) — the oracle
+    // unrolls covariance build + every iteration in pure SQL
+    Q("q_embed_pca",
+      (s, d) => graft.pipeline.Pca.topComponent(t(s, d)("embeddings"), iters = 3),
+      Some {
+        val iterCtes = (1 to 3).map { k =>
+          s"""y$k AS (SELECT c.i AS dim, CAST(sum(c.c * x.x) AS BIGINT) AS y
+             |       FROM cov c JOIN x${k - 1} x ON c.j = x.dim GROUP BY 1),
+             |m$k AS (SELECT max(abs(y)) AS m FROM y$k),
+             |x$k AS (SELECT dim, (y * 127) // m AS x FROM y$k CROSS JOIN m$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH $pcaErSqlCte,
+           |sums AS (SELECT dim, CAST(sum(v) AS BIGINT) AS s, count(*) AS n
+           |         FROM er GROUP BY dim),
+           |pr AS (SELECT a.dim AS i, b.dim AS j, CAST(sum(a.v * b.v) AS BIGINT) AS p
+           |       FROM er a JOIN er b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+           |cov0 AS (SELECT i, j, si.n * p - si.s * sj.s AS c
+           |         FROM pr JOIN sums si ON pr.i = si.dim JOIN sums sj ON pr.j = sj.dim),
+           |cm AS (SELECT max(abs(c)) AS mc FROM cov0),
+           |cov AS (SELECT i, j, (c * 1000000) // mc AS c FROM cov0 CROSS JOIN cm),
+           |x0 AS (SELECT DISTINCT i AS dim, CAST(127 AS BIGINT) AS x FROM cov),
+           |$iterCtes
+           |SELECT dim, x FROM x3""".stripMargin
+      }),
 
     // SCD2 dimension build from the event change log: collapse consecutive
     // equal event_type runs per user into [valid_from, valid_to) validity
