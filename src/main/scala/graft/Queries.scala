@@ -125,6 +125,43 @@ object Queries {
       |er AS (SELECT vec_id, r.range AS dim, q[CAST(r.range + 1 AS INT)] AS v
       |       FROM qz CROSS JOIN range(64) r)""".stripMargin
 
+  /** DuckDB replay of [[graft.pipeline.KMeansCluster.assignCells]] with
+    * `iters = 2`: quantize → c0 seed centroids (first k by vec_id) → two
+    * integer-Lloyd rounds → final assignment relation `a3(vec_id, qv,
+    * cluster)` — the q_kmeans / q_dedup_semantic oracle chain, factored.
+    */
+  private def kmeansAssignSqlCtes(k: Int): String = {
+    def assign(src: String, cents: String, out: String) =
+      s"""$out AS (SELECT vec_id, qv, cluster FROM (
+         |  SELECT q.vec_id, q.qv, c.cluster,
+         |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |      list_sum(list_transform(q.qv, (x, i) -> (x - c.cv[i]) * (x - c.cv[i]))),
+         |      c.cluster) AS rn
+         |  FROM $src q, $cents c) WHERE rn = 1)""".stripMargin
+    def update(asg: String, prev: String, out: String) =
+      s"""$out AS (SELECT p.cluster, coalesce(u.cv, p.cv) AS cv FROM $prev p
+         |  LEFT JOIN (SELECT cluster, list(cd ORDER BY i) AS cv FROM (
+         |      SELECT cluster, i,
+         |        CAST(floor(CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cd
+         |      FROM (SELECT cluster, generate_subscripts(qv, 1) AS i, unnest(qv) AS v FROM $asg)
+         |      GROUP BY cluster, i)
+         |    GROUP BY cluster) u ON p.cluster = u.cluster)""".stripMargin
+    s"""e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+       |           FROM embeddings),
+       |m AS (SELECT vec_id, ed, list_max(list_transform(ed, x -> abs(x))) AS maxabs FROM e),
+       |q AS (SELECT vec_id, list_transform(ed,
+       |        x -> CAST(floor(x * (CASE WHEN maxabs > 0 THEN 127.0 / maxabs ELSE 0.0 END)
+       |               + 0.5) AS BIGINT)) AS qv
+       |      FROM m),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
+       |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
+       |${assign("q", "c0", "a1")},
+       |${update("a1", "c0", "c1")},
+       |${assign("q", "c1", "a2")},
+       |${update("a2", "c1", "c2")},
+       |${assign("q", "c2", "a3")}""".stripMargin
+  }
+
   /** The fixed merge table for `q_bpe_encode` — valid rank order (each
     * compound operand is formed by an earlier rule; see
     * [[graft.pipeline.Bpe.validateMerges]]).
@@ -3336,6 +3373,26 @@ object Queries {
              |  lead(vf) OVER wr IS NULL AS is_current
              |FROM g WINDOW wr AS (PARTITION BY user_id ORDER BY version)""".stripMargin)),
 
+    // per-source corpus data card: docs, token mass, exact-dup rate,
+    // language Gini impurity (entropy minus the libm log), mean length —
+    // the release-table summary; every number a ratio of exact ints
+    Q("q_corpus_card",
+      (s, d) => graft.pipeline.Profile.corpusCard(t(s, d)("documents")),
+      Some("""WITH b AS (SELECT source, count(*) AS n_docs,
+             |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             |         count(DISTINCT md5(text)) AS n_distinct
+             |       FROM documents GROUP BY source),
+             |l AS (SELECT source, CAST(sum(nl * nl) AS BIGINT) AS sum_sq FROM (
+             |        SELECT source, lang, count(*) AS nl
+             |        FROM documents GROUP BY source, lang)
+             |      GROUP BY source)
+             |SELECT source, n_docs, n_tokens, n_distinct,
+             |  CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS dup_rate,
+             |  CAST(n_docs * n_docs - sum_sq AS DOUBLE)
+             |    / CAST(n_docs * n_docs AS DOUBLE) AS lang_gini,
+             |  CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_words
+             |FROM b JOIN l USING (source)""".stripMargin)),
+
     // key-skew diagnostic: count-of-counts histogram for a join key — the
     // pre-shuffle health check; two hash aggs, sketch-sized output
     Q("q_key_skew",
@@ -4105,6 +4162,25 @@ object Queries {
            |  array_to_string(list_transform(c2.cv, x -> CAST(x AS VARCHAR)), ',') AS centroid
            |FROM f JOIN c2 ON f.cluster = c2.cluster""".stripMargin
       }),
+
+    // cluster-balanced diversity sampling: first 16 vectors per k-means
+    // cell in deterministic md5 order — caps any one semantic cluster's
+    // share of a selection budget; per-cell ranks run salted (cells are
+    // few and hot). The oracle replays Lloyd training + assignment and
+    // a plain per-cell window (rank-equivalent to the salted two-stage)
+    Q("q_sample_diverse",
+      (s, d) => graft.pipeline.Mix.diversitySample(
+          graft.pipeline.KMeansCluster.assignCells(
+            t(s, d)("embeddings"), k = 8, iters = 2, dim = 64),
+          "vec_id", "cell", m = 16)
+        .select(col("cell"), col("vec_id"), col("rank")),
+      Some(s"""WITH ${kmeansAssignSqlCtes(8)}
+              |SELECT cell, vec_id, rank FROM (
+              |  SELECT cluster AS cell, vec_id,
+              |    CAST(row_number() OVER (PARTITION BY cluster
+              |      ORDER BY md5('div:' || CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rank
+              |  FROM a3)
+              |WHERE rank <= 16""".stripMargin)),
 
     // 2-D skyline of part (cheapest price vs largest size): dedup to best
     // size per price, then the two-stage running-max frontier scan. The

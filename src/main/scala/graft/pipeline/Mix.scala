@@ -234,4 +234,21 @@ object Mix {
       .filter(col("start_offset") < budget)
       .select(col(idCol), col("score"), col("n_tokens"), col("start_offset"))
   }
+
+  /** Cluster-balanced ("diversity") sampling: the first `m` rows per
+    * cell in deterministic md5 order — the cap that keeps a dominant
+    * semantic cluster from swallowing a selection budget (the
+    * cluster-balanced step of published diverse-selection recipes, run
+    * over [[KMeansCluster.assignCells]] output or any partition
+    * column). The per-cell order is `(md5(seed:id), id)` — a
+    * reproducible uniform draw, the [[hashPct]] stance — and the
+    * per-cell rank comes from [[Skew.saltedTopK]] (cells are few and
+    * hot; a plain window over a cell would sort a whole cell in one
+    * task at 100×). Returns the input columns plus `rank` (1-based
+    * within cell).
+    */
+  def diversitySample(assigned: DataFrame, idCol: String, cellCol: String,
+                      m: Int, seed: String = "div"): DataFrame =
+    Skew.saltedTopK(assigned, col(cellCol), col(idCol), m,
+      Seq(md5(concat(lit(seed + ":"), col(idCol).cast("string"))), col(idCol)))
 }

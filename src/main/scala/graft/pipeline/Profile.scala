@@ -86,4 +86,38 @@ object Profile {
       .groupBy(col(group))
       .agg(count(lit(1)).as("n_rows"),
         sum(col("h")).cast("string").as("checksum"))
+
+  /** Per-source corpus "data card" — the one-table summary a dataset
+    * release ships (docs, token mass, exact-dup rate, language
+    * concentration): `(source, n_docs, n_tokens, n_distinct, dup_rate,
+    * lang_gini, mean_words)`. `dup_rate = 1 − distinct md5(text)/n`;
+    * `lang_gini = 1 − Σ_l (n_l/n)²` — Gini impurity as the
+    * language-diversity number because it is a RATIO OF EXACT INTEGER
+    * SUMS (`(n² − Σ n_l²)/n²`, one IEEE divide), where Shannon entropy
+    * would drag libm `log` into the hash contract.
+    *
+    * Two aggregates keyed on `source` (+ one pre-aggregate on
+    * `(source, lang)`) and a source-keyed join of sketch-sized relations
+    * — the corpus shuffles twice by a low-cardinality key with map-side
+    * partial aggregation doing the heavy lifting.
+    */
+  def corpusCard(docs: DataFrame, sourceCol: String = "source",
+                 langCol: String = "lang", idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val base = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), " "))).cast("long").as("n_tokens"),
+        countDistinct(md5(col(textCol))).as("n_distinct"))
+    val langSq = docs.groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("nl"))
+      .groupBy(col(sourceCol))
+      .agg(sum(col("nl") * col("nl")).as("sum_sq"))
+    base.join(langSq, Seq(sourceCol))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"), col("n_distinct"),
+        ((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"),
+        ((col("n_docs") * col("n_docs") - col("sum_sq")).cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")).as("lang_gini"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double")).as("mean_words"))
+  }
 }

@@ -110,4 +110,27 @@ test("selectByBudget: two-phase prefix sum equals the one-window global cumsum")
     assert(starts.max < budget)
     assert(got.values.map(t => t._3 + t._2).max >= budget)
   }
+
+  test("diversitySample: caps each cell at m, equals the unsalted per-cell md5 rank") {
+    import org.apache.spark.sql.expressions.Window
+    // cell 0 has 30 members, cell 1 has 4, cell 2 has 1 — only the hot
+    // cell gets capped
+    val assigned = (0 until 35).map { i =>
+      (i.toLong, if (i < 30) 0L else if (i < 34) 1L else 2L)
+    }.toDF("vec_id", "cell")
+    val got = Mix.diversitySample(assigned, "vec_id", "cell", m = 5)
+      .select("cell", "vec_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byCell = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(byCell === Map(0L -> 5, 1L -> 4, 2L -> 1))
+    // identical rows to the plain (unsalted) per-cell window rank
+    val naive = assigned.withColumn("rank",
+        row_number().over(Window.partitionBy(col("cell")).orderBy(
+          md5(concat(lit("div:"), col("vec_id").cast("string"))), col("vec_id")))
+          .cast("long"))
+      .filter(col("rank") <= 5)
+      .collect().map(r => (r.getAs[Long]("cell"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank"))).toSet
+    assert(got === naive)
+  }
 }
