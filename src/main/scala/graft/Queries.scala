@@ -3373,6 +3373,30 @@ object Queries {
              |  lead(vf) OVER wr IS NULL AS is_current
              |FROM g WINDOW wr AS (PARTITION BY user_id ORDER BY version)""".stripMargin)),
 
+    // the custom DataSource V2 connector end-to-end: filters pushed INTO
+    // the source (id bounds clamp generated partitions; grp IN-list
+    // applied in the reader loop) + pruned columns; rows are a pure
+    // function of id so DuckDB replays the whole "table" from range().
+    // SynthSourceSpec asserts the pushdown against the physical scan.
+    Q("q_synth_source",
+      (s, d) => s.read.format("graft.sources.SynthSource")
+        .option("rows", "2000").option("numPartitions", "8").load()
+        .filter(col("grp").isin(3L, 7L, 11L) && col("id") >= 100L && col("id") < 1500L)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"),
+          // raw 60-bit v sums overflow a BIGINT over ~8 rows — fold each
+          // value mod a prime first (the table-checksum trick)
+          sum(pmod(col("v"), lit(1000000007L))).as("sum_v"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id")),
+      Some("""WITH t AS (SELECT r.range AS id, r.range % 20 AS grp,
+             |         CAST(concat('0x', substr(md5(CAST(r.range AS VARCHAR)), 1, 15))
+             |           AS BIGINT) AS v
+             |       FROM range(2000) r)
+             |SELECT grp, count(*) AS n, CAST(sum(v % 1000000007) AS BIGINT) AS sum_v,
+             |       min(id) AS min_id, max(id) AS max_id
+             |FROM t WHERE grp IN (3, 7, 11) AND id >= 100 AND id < 1500
+             |GROUP BY grp""".stripMargin)),
+
     // per-source corpus data card: docs, token mass, exact-dup rate,
     // language Gini impurity (entropy minus the libm log), mean length —
     // the release-table summary; every number a ratio of exact ints

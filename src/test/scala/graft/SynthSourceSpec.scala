@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.{SynthScan, SynthSource}
+
+/** The custom DataSource V2 connector ([[graft.sources.SynthSource]]):
+  * generation correctness, filter pushdown (including partition-range
+  * clamping), and column pruning — each asserted against the actual
+  * physical scan, not just result values.
+  */
+class SynthSourceSpec extends SparkTestBase {
+
+  private def read(rows: Int) = spark.read
+    .format("graft.sources.SynthSource")
+    .option("rows", rows.toString).option("numPartitions", "3").load()
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] =
+    p +: (p.children ++ p.subqueries).flatMap {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+      case c => collectAll(c)
+    }
+
+  private def synthScan(df: org.apache.spark.sql.DataFrame): SynthScan =
+    collectAll(df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).collect { case b: BatchScanExec => b.scan }
+      .collectFirst { case s: SynthScan => s }
+      .getOrElse(fail("no SynthScan in plan"))
+
+  test("generates id / id%20 / md5-prefix rows exactly") {
+    val got = read(50).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.length === 50)
+    got.foreach { case (id, grp, v) =>
+      assert(grp === id % 20)
+      assert(v === SynthSource.mdPrefix(id))
+    }
+  }
+
+  test("comparison and IN filters are pushed; others stay residual") {
+    val df = read(200).filter(col("grp").isin(3L, 7L) && col("id") >= 20L)
+    val scan = synthScan(df)
+    assert(scan.pushed.length === 2, scan.description())
+    // results match a Spark-side filter over the unfiltered read
+    val expect = read(200).collect()
+      .filter(r => Set(3L, 7L).contains(r.getLong(1)) && r.getLong(0) >= 20L)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      === expect)
+    // a non-pushable predicate is NOT claimed by the source
+    val residual = read(200).filter(col("v") % 2 === 0)
+    assert(synthScan(residual).pushed.isEmpty)
+    assert(residual.count() > 0)
+  }
+
+  test("id bounds clamp the generated partitions (partition pruning analogue)") {
+    val df = read(300).filter(col("id") >= 290L)
+    val scan = synthScan(df)
+    val parts = scan.planInputPartitions()
+      .map(_.asInstanceOf[graft.sources.SynthRange])
+    // the clamp re-splits ONLY the surviving [290, 300) range — no
+    // planned partition may touch the 290 pruned ids
+    assert(parts.nonEmpty && parts.forall(p => p.lo >= 290L && p.hi <= 300L),
+      parts.mkString(","))
+    assert(parts.map(p => p.hi - p.lo).sum === 10L)
+    assert(df.count() === 10L)
+    // a contradictory bound plans zero partitions, zero tasks
+    assert(synthScan(read(300).filter(col("id") >= 300L))
+      .planInputPartitions().isEmpty)
+  }
+
+  test("column pruning reaches the reader (v not computed when unused)") {
+    val df = read(100).select("id", "grp")
+    assert(synthScan(df).readSchema().fieldNames.toSeq === Seq("id", "grp"))
+    assert(df.count() === 100L)
+  }
+}
