@@ -125,6 +125,48 @@ object Queries {
       |er AS (SELECT vec_id, r.range AS dim, q[CAST(r.range + 1 AS INT)] AS v
       |       FROM qz CROSS JOIN range(64) r)""".stripMargin
 
+  /** DuckDB Gopher-rule predicates over a split-words column `ws` —
+    * [[graft.pipeline.QualityFilters.GopherRules]]' oracle twins, shared
+    * by the filter row and the calibration audit.
+    */
+  private def gopherRuleSql(name: String): String = name match {
+    case "word_count" => "NOT (len(ws) BETWEEN 25 AND 80)"
+    case "mean_word_len" =>
+      """NOT (CAST(list_reduce(list_transform(ws, x -> length(x)), (a,b) -> a + b) AS DOUBLE)
+        |     / CAST(len(ws) AS DOUBLE) BETWEEN 4.0 AND 4.6)""".stripMargin
+    case "dup_words" =>
+      "CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) > 0.55"
+    case "stopword" => s"len(list_filter(ws, x -> x IN (${sqlList(AllStopwords)}))) < 2"
+    case other => throw new IllegalArgumentException(s"unknown gopher rule $other")
+  }
+
+  private def gopherKeepSql: String =
+    s"NOT (${QualityFilters.GopherRules.map(r => s"(${gopherRuleSql(r.name)})").mkString(" OR ")})"
+
+  /** DuckDB replay of [[graft.pipeline.QualityClassifier.score]] up to
+    * the per-doc sum relation `s` (4096 buckets): hashed unigram+bigram
+    * features, md5-derived weight table, per-doc instance sum.
+    */
+  private val classifierScoreSqlCte =
+    """w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(ws) AS tok FROM w0
+      |  UNION ALL
+      |  SELECT doc_id, unnest(list_filter(
+      |    list_transform(ws, (x, i) -> CASE WHEN i <= len(ws) - 1
+      |      THEN x || ' ' || ws[i+1] END),
+      |    v -> v IS NOT NULL)) AS tok FROM w0),
+      |f AS (SELECT doc_id,
+      |        CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS bucket
+      |      FROM tok),
+      |wt AS (SELECT range AS bucket,
+      |         (CAST(concat('0x', substr(md5('w:' || CAST(range AS VARCHAR)), 1, 2))
+      |            AS BIGINT) % 16) - 8 AS w
+      |       FROM range(4096)),
+      |s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS w_sum,
+      |        count(*) AS n_features
+      |      FROM f JOIN wt USING (bucket) GROUP BY doc_id)""".stripMargin
+
   /** DuckDB replay of [[graft.pipeline.KMeansCluster.assignCells]] with
     * `iters = 2`: quantize → c0 seed centroids (first k by vec_id) → two
     * integer-Lloyd rounds → final assignment relation `a3(vec_id, qv,
@@ -2363,28 +2405,63 @@ object Queries {
     Q("q_quality_classifier",
       (s, d) => graft.pipeline.QualityClassifier.score(
         t(s, d)("documents"), buckets = 4096, threshold = 0.0),
-      Some("""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-             |tok AS (
-             |  SELECT doc_id, unnest(ws) AS tok FROM w0
-             |  UNION ALL
-             |  SELECT doc_id, unnest(list_filter(
-             |    list_transform(ws, (x, i) -> CASE WHEN i <= len(ws) - 1
-             |      THEN x || ' ' || ws[i+1] END),
-             |    v -> v IS NOT NULL)) AS tok FROM w0),
-             |f AS (SELECT doc_id,
-             |        CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 4096 AS bucket
-             |      FROM tok),
-             |wt AS (SELECT range AS bucket,
-             |         (CAST(concat('0x', substr(md5('w:' || CAST(range AS VARCHAR)), 1, 2))
-             |            AS BIGINT) % 16) - 8 AS w
-             |       FROM range(4096)),
-             |s AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS w_sum,
-             |        count(*) AS n_features
-             |      FROM f JOIN wt USING (bucket) GROUP BY doc_id)
-             |SELECT doc_id, w_sum, n_features,
-             |  CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE) AS score,
-             |  CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE) >= 0.0 AS keep
-             |FROM s""".stripMargin)),
+      Some(s"""WITH $classifierScoreSqlCte
+              |SELECT doc_id, w_sum, n_features,
+              |  CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE) AS score,
+              |  CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE) >= 0.0 AS keep
+              |FROM s""".stripMargin)),
+
+    // classifier CALIBRATION audit: decile-bucket the classifier score
+    // (histogram deciles, no global ntile sort) × the Gopher rule
+    // verdict — the lift table that tells you whether a cheap learned
+    // score agrees with the expensive rule battery before trusting a
+    // threshold at 100 TB
+    Q("q_quality_deciles",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        val scored = graft.pipeline.QualityClassifier
+          .score(docs, buckets = 4096, threshold = 0.0)
+          .select(col("doc_id"), col("score"))
+        val gold = docs.select(col("doc_id"),
+          QualityFilters.keep(col("text")).as("gopher_keep"))
+        // histBucketize reads its input twice (histogram + probe) — persist
+        // so the classifier featurization + rule battery run once per scan
+        graft.pipeline.Sketches
+          .histBucketize(scored.join(gold, "doc_id").persistTracked(),
+            "score", -8.0, 8.0, 64)
+          .groupBy(col("bucket").as("decile"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("gopher_keep"), 1L).otherwise(0L)).as("n_keep"),
+            min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+          .withColumn("keep_rate",
+            col("n_keep").cast("double") / col("n_docs").cast("double"))
+      },
+      Some(s"""WITH $classifierScoreSqlCte,
+              |sc AS (SELECT doc_id,
+              |         CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE) AS score
+              |       FROM s),
+              |g AS (SELECT doc_id, $gopherKeepSql AS gopher_keep
+              |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+              |j AS (SELECT sc.doc_id, sc.score, g.gopher_keep
+              |      FROM sc JOIN g USING (doc_id)),
+              |h AS (SELECT LEAST(63, GREATEST(0,
+              |         CAST(floor((score - (-8.0)) / 16.0 * 64) AS INTEGER))) AS bin,
+              |         count(*) AS cnt
+              |       FROM j GROUP BY 1),
+              |c AS (SELECT bin,
+              |        CAST(coalesce(sum(cnt) OVER (ORDER BY bin
+              |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef,
+              |        CAST(sum(cnt) OVER () AS BIGINT) AS n
+              |      FROM h),
+              |b AS (SELECT j.*, LEAST(63, GREATEST(0,
+              |        CAST(floor((score - (-8.0)) / 16.0 * 64) AS INTEGER))) AS bin
+              |      FROM j)
+              |SELECT (10 * c.bef) // c.n AS decile, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+              |  min(score) AS min_score, max(score) AS max_score,
+              |  CAST(sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS keep_rate
+              |FROM b JOIN c USING (bin) GROUP BY 1""".stripMargin)),
 
     // the full Gopher rule battery as one shuffle-free per-row verdict:
     // keep boolean + sorted fail-reason audit trail (what a corpus
@@ -2394,18 +2471,11 @@ object Queries {
         QualityFilters.keep(col("text")).as("keep"),
         QualityFilters.failReasons(col("text")).as("reasons")),
       Some {
-        val f = Map(
-          "word_count" -> "NOT (len(ws) BETWEEN 25 AND 80)",
-          "mean_word_len" ->
-            """NOT (CAST(list_reduce(list_transform(ws, x -> length(x)), (a,b) -> a + b) AS DOUBLE)
-              |     / CAST(len(ws) AS DOUBLE) BETWEEN 4.0 AND 4.6)""".stripMargin,
-          "dup_words" ->
-            "CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) > 0.55",
-          "stopword" -> s"len(list_filter(ws, x -> x IN (${sqlList(AllStopwords)}))) < 2")
         val reasonCases = QualityFilters.GopherRules
-          .map(r => s"CASE WHEN ${f(r.name)} THEN '${r.name}' END").mkString(",\n      ")
+          .map(r => s"CASE WHEN ${gopherRuleSql(r.name)} THEN '${r.name}' END")
+          .mkString(",\n      ")
         s"""SELECT doc_id,
-           |  NOT (${QualityFilters.GopherRules.map(r => s"(${f(r.name)})").mkString(" OR ")}) AS keep,
+           |  $gopherKeepSql AS keep,
            |  coalesce(array_to_string(list_sort(list_filter(
            |    [$reasonCases],
            |    v -> v IS NOT NULL)), ','), '') AS reasons
