@@ -42,7 +42,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Usage: `spark.read.format("graft.sources.SynthSource")
   *   .option("rows", n).load()`.
   */
-class SynthSource extends TableProvider {
+class SynthSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  // service-loader registration (META-INF/services) → `.format("graft-synth")`
+  override def shortName(): String = "graft-synth"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     SynthSource.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],

@@ -14,8 +14,9 @@ import graft.sources.{SynthScan, SynthSource}
   */
 class SynthSourceSpec extends SparkTestBase {
 
+  // the service-loader short name — exercises the DataSourceRegister path
   private def read(rows: Int) = spark.read
-    .format("graft.sources.SynthSource")
+    .format("graft-synth")
     .option("rows", rows.toString).option("numPartitions", "3").load()
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
