@@ -36,12 +36,25 @@ object Pca {
 
   /** Quantized element relation `(vid, dim, v)` — dim 0-based, v ∈
     * [-127, 127] exact longs.
+    *
+    * Deliberately NOT [[Embeddings.quantize]] + explode: higher-order
+    * `transform` lambdas are interpreted (outside whole-stage codegen),
+    * and projection collapse inlines the scale expression into the
+    * lambda body, making the quantize chain O(d²) interpreted work per
+    * row when it feeds a generator (measured 1.8 s vs 0.11 s at sf0.1).
+    * Here only `maxabs` is a (per-row, O(d)) lambda; the explode emits
+    * raw doubles and the quantization itself is a scalar codegen'd
+    * expression per exploded row — same float ops, identical values.
     */
-  private[graft] def qRows(df: DataFrame, id: String, emb: String): DataFrame =
-    Embeddings.quantize(df, id, emb)
-      .select(col(id).as("vid"), posexplode(col("q")))
+  private[graft] def qRows(df: DataFrame, id: String, emb: String): DataFrame = {
+    val e = transform(col(emb), x => x.cast("double"))
+    df.select(col(id).as("vid"),
+        array_max(transform(e, x => abs(x))).as("maxabs"), posexplode(e))
       .select(col("vid"), col("pos").cast("long").as("dim"),
-        col("col").cast("long").as("v"))
+        when(col("maxabs") > 0d,
+          floor(col("col") * (lit(127.0) / col("maxabs")) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("v"))
+  }
 
   /** Per-dimension integer moments: `(dim, n, s, ss, var_num)` with
     * `var_num = n·ss − s²` (= n² times the variance — exact; compare
@@ -57,9 +70,8 @@ object Pca {
       .select(col("dim"), col("n"), col("s"), col("ss"),
         (col("n") * col("ss") - col("s") * col("s")).as("var_num"))
 
-  /** The n-scaled covariance as a `(i, j, c)` relation (d² rows),
-    * `c = n·Σ_v q_i q_j − S_i S_j`, rescaled to max|c| = 10⁶ so the
-    * power-step bounds don't grow with n.
+  /** The distributed halves of the covariance build — per-dim sums and
+    * upper-triangle gram products, both d²-bounded aggregates.
     *
     * The gram products come from a per-row DOUBLE UNNEST over the upper
     * triangle (explode dim i, then the array's tail slice from i) — the
@@ -67,11 +79,16 @@ object Pca {
     * aggregated d²-bounded shuffle. The element self-JOIN alternative
     * re-shuffles n·d rows twice and was measured ~2× slower at sf0.1;
     * at cluster scale it also hashes the full element relation where
-    * this needs nothing but the scan.
+    * this needs nothing but the scan. The quantized ARRAYS are
+    * persisted: the (interpreted-lambda) quantize chain runs once at
+    * materialization, and both passes explode a plain cached column —
+    * without the persist, projection collapse inlines the quantize HOFs
+    * into each generator input (the [[qRows]] scaladoc pathology).
     */
-  private[graft] def scaledCovariance(df: DataFrame, id: String, emb: String): DataFrame = {
+  private[graft] def covParts(df: DataFrame, id: String, emb: String): (DataFrame, DataFrame) = {
     val q = Embeddings.quantize(df, id, emb)
       .select(transform(col("q"), x => x.cast("long")).as("q"))
+      .persistTracked()
     val sums = q.select(posexplode(col("q")))
       .groupBy(col("pos").cast("long").as("dim"))
       .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
@@ -82,17 +99,7 @@ object Pca {
       .select(col("i"), (col("i") + col("pos")).as("j"),
         (col("vi") * col("col")).as("vp"))
       .groupBy(col("i"), col("j")).agg(sum(col("vp")).as("p"))
-    val prods = upper.unionByName(
-      upper.filter(col("i") =!= col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("p")))
-    val raw = prods
-      .join(sums.select(col("dim").as("i"), col("s").as("si"), col("n")), Seq("i"))
-      .join(sums.select(col("dim").as("j"), col("s").as("sj")), Seq("j"))
-      .select(col("i"), col("j"),
-        (col("n") * col("p") - col("si") * col("sj")).as("c"))
-    val cmax = raw.agg(max(abs(col("c"))).as("mc"))
-    raw.crossJoin(broadcast(cmax))
-      .select(col("i"), col("j"), expr("(c * 1000000L) div mc").as("c"))
+    (sums, upper)
   }
 
   /** Top principal direction after `iters` fixed-point power steps:
@@ -103,21 +110,35 @@ object Pca {
     * max-abs with truncating division (Java `/` ≡ Spark `div` ≡
     * DuckDB `//` on negatives).
     *
-    * The d²-row covariance is COLLECTED and iterated on the driver —
-    * the [[Pq]]-codebook / [[KMeansCluster]]-centroid pattern: the
-    * collect is bounded by dim² (kilobytes), never by the corpus, and
+    * The two d²-bounded aggregates ([[covParts]]) are COLLECTED and the
+    * covariance assembled + iterated on the driver — the
+    * [[Pq]]-codebook / [[KMeansCluster]]-centroid pattern: both
+    * collects are bounded by dim² (kilobytes), never by the corpus, and
     * a d×d eigensolve is exactly the kind of model-sized math a real
-    * pipeline runs driver-side after the distributed aggregation. A
-    * cluster-side join loop was measured 2.5× slower end-to-end at
-    * sf0.1 purely on per-iteration job-scheduling overhead.
+    * pipeline runs driver-side after the distributed aggregation.
+    * Assembly = `c = n·p − s_i·s_j`, then a max-abs rescale of C to 10⁶
+    * (power-step bounds become n-independent; truncating division) —
+    * the same pure integer arithmetic the oracle replays in SQL. A
+    * cluster-side join loop for the assembly + iterations was measured
+    * ~3× slower end-to-end at sf0.1 purely on the extra broadcast
+    * exchanges' job-scheduling overhead.
     */
   def topComponent(df: DataFrame, id: String = "vec_id",
                    emb: String = "embedding", iters: Int = 3): DataFrame = {
     val spark = df.sparkSession
-    val cov = scaledCovariance(df, id, emb).collect()
-    val d = cov.iterator.map(_.getLong(0)).max.toInt + 1
+    val (sumsDf, upperDf) = covParts(df, id, emb)
+    val sums = sumsDf.collect()
+      .map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    val d = sums.keysIterator.max + 1
     val m = Array.ofDim[Long](d, d)
-    cov.foreach(r => m(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+    upperDf.collect().foreach { r =>
+      val (i, j, p) = (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2))
+      val c = sums(i)._2 * p - sums(i)._1 * sums(j)._1
+      m(i)(j) = c
+      m(j)(i) = c
+    }
+    val mc = m.iterator.flatten.map(math.abs).max
+    for (i <- 0 until d; j <- 0 until d) m(i)(j) = m(i)(j) * 1000000L / mc
     var x = Array.fill(d)(127L)
     for (_ <- 1 to iters) {
       val y = Array.tabulate(d)(i => (0 until d).iterator.map(j => m(i)(j) * x(j)).sum)
