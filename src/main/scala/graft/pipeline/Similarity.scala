@@ -258,20 +258,30 @@ object SimilarityLsh {
     * null dot product would silently map EVERY vector to the all-zeros
     * bucket and the candidate join degenerates to a near-cross-join.
     */
-  def bucketKey(emb: Column, planes: Seq[Array[Double]]): Column = {
+  def bucketKey(emb: Column, planes: Seq[Array[Double]]): Column =
+    // let-bind the double cast (Text.bindArray): referencing the cast
+    // directly from every plane's dot would re-run the interpreted
+    // transform lambda once PER PLANE per row after projection collapse
+    // (the Pca.qRows pathology — O(planes·dim) interpreted evals/row)
+    Text.bindArray(transform(emb, _.cast("double")))(e => rawBucketKey(e, planes))
+
+  /** [[bucketKey]] over an ALREADY-double embedding column (a let-bound
+    * lambda variable or a pre-cast projection).
+    */
+  private def rawBucketKey(e: Column, planes: Seq[Array[Double]]): Column = {
     val dim = planes.headOption.map(_.length).getOrElse(0)
     // explicit isNull branch first: without it a null embedding falls into
     // the dim-mismatch raise_error whose message itself concats size(null)
     // — the job dies with a null-garbled error instead of a clear one
-    val dimOk = when(emb.isNull,
+    val dimOk = when(e.isNull,
         raise_error(lit("SimilarityLsh: null embedding (filter or impute nulls before bucketing)")))
-      .when(size(emb) === dim, lit(""))
+      .when(size(e) === dim, lit(""))
       .otherwise(raise_error(concat(
-        lit(s"SimilarityLsh: embedding dim "), size(emb).cast("string"),
+        lit(s"SimilarityLsh: embedding dim "), size(e).cast("string"),
         lit(s" != hyperplane dim $dim"))))
     val bits = planes.map { p =>
       val planeLit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(p.map(lit)): _*)
-      when(Similarity.dot(transform(emb, _.cast("double")), planeLit) >= 0, lit("1"))
+      when(Similarity.dot(e, planeLit) >= 0, lit("1"))
         .otherwise(lit("0"))
     }
     concat(dimOk +: bits: _*)
@@ -299,10 +309,14 @@ object SimilarityLsh {
     */
   private def bucketed(vectors: DataFrame, numPlanes: Int, numTables: Int,
                        dim: Int, seed: Long): DataFrame = {
-    val tableKeys = (0 until numTables).map { t =>
-      bucketKey(col("embedding"), hyperplanes(numPlanes, dim, seed + 1000L * t))
+    // ONE let-bound cast shared by all numTables × numPlanes dots — per
+    // row the interpreted cast lambda runs once, not 64× (see bucketKey)
+    val keys = Text.bindArray(transform(col("embedding"), _.cast("double"))) { e =>
+      array((0 until numTables).map { t =>
+        rawBucketKey(e, hyperplanes(numPlanes, dim, seed + 1000L * t))
+      }: _*)
     }
-    vectors.select(col("vec_id"), posexplode(array(tableKeys: _*)))
+    vectors.select(col("vec_id"), posexplode(keys))
       .toDF("vec_id", "tbl", "bucket")
   }
 
