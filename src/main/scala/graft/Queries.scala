@@ -323,10 +323,19 @@ object Queries {
 
   /** Spark twin of [[normedSqlCte]]: (vec_id, ne) with unit-norm doubles. */
   private def normalizedVectors(emb: DataFrame): DataFrame = {
+    // the cast array and the norm scalar are LET-BOUND (Text.bindArray)
+    // instead of chained projections: an alias referenced from inside a
+    // HOF lambda can be inlined by projection collapse and re-evaluated
+    // per ELEMENT (the Pca.qRows pathology — bites hard when the result
+    // feeds a generator). Binding makes the once-per-row contract
+    // structural rather than optimizer-dependent; identical values.
     val dbl = transform(col("embedding"), x => x.cast("double"))
-    emb.select(col("vec_id"), dbl.as("d"))
-      .withColumn("nv", sqrt(graft.functions.VectorFunctions.dot(col("d"), col("d"))))
-      .select(col("vec_id"), transform(col("d"), x => x / col("nv")).as("ne"))
+    val ne = Text.bindArray(dbl) { d =>
+      Text.bindArray(array(sqrt(graft.functions.VectorFunctions.dot(d, d)))) { nva =>
+        transform(d, x => x / element_at(nva, lit(1)))
+      }
+    }
+    emb.select(col("vec_id"), ne.as("ne"))
   }
 
   private def preNormCos(a: Column, b: Column): Column =

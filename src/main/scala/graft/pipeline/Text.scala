@@ -24,7 +24,7 @@ object Text {
     * `element_at(split(text), i)`) re-evaluates the split PER ELEMENT —
     * O(W²) characters per document on the shingle path.
     */
-  private[pipeline] def bindArray(a: Column)(f: Column => Column): Column =
+  private[graft] def bindArray(a: Column)(f: Column => Column): Column =
     element_at(transform(array(a), f), 1)
 
   /** n-word shingles, e.g. "a b c d" with n=3 → ["a b c", "b c d"].
