@@ -2325,6 +2325,41 @@ object Queries {
              | AND len(dw) >= len(w) - 1 AND len(dw) <= len(w) + 1
              |WHERE levenshtein(w, dw) <= 1""".stripMargin)),
 
+    // entity RESOLUTION end-to-end: the fuzzy-match pairs become edges,
+    // connected components assign one canonical id per surface-form
+    // cluster (min member) — the merge step after blocking+verify; the
+    // oracle recomputes components with the reachability CTE (the
+    // q_dedup_clusters pattern over string ids)
+    Q("q_er_clusters",
+      (s, d) => {
+        val vocab = t(s, d)("documents")
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) > 3).distinct()
+        val dirty = vocab.select(
+          concat(substring(col("w"), 1, 1), substring(col("w"), 3, 100)).as("dw")).distinct()
+        val pairs = vocab.join(dirty,
+            substring(col("w"), 1, 1) === substring(col("dw"), 1, 1) &&
+              length(col("dw")) >= length(col("w")) - 1 &&
+              length(col("dw")) <= length(col("w")) + 1)
+          .filter(levenshtein(col("w"), col("dw")) <= 1 && col("w") =!= col("dw"))
+          .select(col("w").as("id1"), col("dw").as("id2"))
+        Dedup.components(pairs)
+      },
+      Some("""WITH RECURSIVE vocab AS (SELECT DISTINCT w FROM (
+             |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w FROM documents)
+             |  WHERE len(w) > 3),
+             |dirty AS (SELECT DISTINCT substring(w, 1, 1) || substring(w, 3, 100) AS dw FROM vocab),
+             |p AS (SELECT w AS id1, dw AS id2
+             |      FROM vocab JOIN dirty
+             |        ON substring(w, 1, 1) = substring(dw, 1, 1)
+             |       AND len(dw) >= len(w) - 1 AND len(dw) <= len(w) + 1
+             |      WHERE levenshtein(w, dw) <= 1 AND w <> dw),
+             |e AS (SELECT id1 AS a, id2 AS b FROM p UNION SELECT id2, id1 FROM p),
+             |r AS (SELECT a AS id, a AS lbl FROM e
+             |      UNION
+             |      SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b)
+             |SELECT id, min(lbl) AS component FROM r GROUP BY id""".stripMargin)),
+
     // levenshtein parity: both engines implement the classic integer DP —
     // distance from each doc's prefix to its vowel-stripped form (a cheap
     // per-row "how much would normalization change this" signal)

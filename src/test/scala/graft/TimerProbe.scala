@@ -63,6 +63,19 @@ object TimerProbe {
       .select(col("i"), (col("i") + col("pos")).as("j"), (col("vi") * col("col")).as("vp"))
       .groupBy("i", "j").agg(sum("vp").as("p"))
     time("B: cached upper products")(upperB)
+    // shingle-explode paths (the dedup family's front door)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    time("docs scan")(docs)
+    time("words explode")(docs.select(col("doc_id"),
+      explode(graft.pipeline.Text.words(col("text"))).as("w")))
+    time("shingles explode")(docs.select(col("doc_id"),
+      explode(graft.pipeline.Text.shingles(col("text"), 3)).as("sh")))
+    val wsCached = docs.select(col("doc_id"),
+      graft.pipeline.Text.shingles(col("text"), 3).as("shs")).persist()
+    wsCached.count()
+    time("shingles cached explode")(wsCached.select(col("doc_id"),
+      explode(col("shs")).as("sh")))
+    wsCached.unpersist()
     spark.stop()
   }
 }
