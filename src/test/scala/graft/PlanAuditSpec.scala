@@ -105,4 +105,56 @@ class PlanAuditSpec extends SparkTestBase {
     val emb = ann.find(_._1 == "embeddings").get
     assert(!emb._2.contains("label"), s"embeddings scan reads ${emb._2}")
   }
+
+  /** Queries whose plans legitimately contain an UNPARTITIONED window —
+    * each one runs over a relation bounded by something other than the
+    * corpus (sketch bins, vocabulary, survivors, per-doc weights at
+    * demo scale), documented here so a future edit that moves a global
+    * window onto a corpus-sized relation fails this test instead of
+    * becoming a single-task sort at 100×.
+    */
+  private val globalWindowWhitelist = Set(
+    "q_skyline",            // merge rank over bucket-local frontier SURVIVORS
+    "q_vocab_coverage",     // rank over the vocabulary relation (Heaps-sublinear)
+    "q_select_budget",      // offsets window over the 64-bucket histogram
+    "q_quantile_buckets", "q_hist_quantile_by_source", "q_winsorize_stats",
+    "q_sketch_hist_quantile", // cumulative windows over bin-sized sketches
+    "q_quality_deciles",    // same histBucketize bin-sized cumulative window
+    "q_dsir_select",        // rank over per-doc weights — demo-scale top-k;
+                            // corpus-scale selection documented to use
+                            // Mix.selectByBudget's two-phase prefix sum
+    "q_bpe_merge", "q_bpe_pairs", "q_bpe_encode", // argmax/rank over the pair
+                            // vocabulary (≤ |vocab|², sketch-sized)
+    "q_sql_recursive",      // row_number over the per-key day ROLLUP (30 rows/key)
+    "q_kmeans", "q_dedup_semantic", "q_dedup_semantic_survivors",
+    "q_sample_diverse", "q_ann_ivf_trained", "q_ann_ivfpq", "q_ann_pq_trained",
+                            // k-row seed-centroid pick (ORDER BY vec_id LIMIT k
+                            // plans as a bounded global sort at demo scale;
+                            // production seeds documented as literals)
+    "q_global_ids", "q_bitmap_index", "q_bitmap_and", // Ids.contiguous: the
+                            // window runs over PER-PARTITION COUNTS (one row
+                            // per partition), never rows
+    "q_chisq")              // totals window over the ≤ R·C contingency cells
+
+  test("no catalog query plans a global window over an unbounded relation") {
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(sfDir).isDirectory)
+    val offenders = scala.collection.mutable.Map.empty[String, Int]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan
+      val globals = collectAll(plan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      if (globals.nonEmpty && !globalWindowWhitelist.contains(name))
+        offenders += name -> globals.size
+    }
+    assert(offenders.isEmpty,
+      s"global (unpartitioned) windows outside the documented set: $offenders")
+  }
 }
