@@ -111,17 +111,20 @@ object Importance {
     * hash-based sampling; a Gumbel draw would need engine-matched RNG).
     * Output is the selected slice of the per-doc weight table.
     *
-    * The rank is a single global window — fine for k-row outputs; a
-    * whole-corpus selection at scale should use
-    * [[Mix.selectByBudget]]'s two-phase prefix-sum shape instead.
+    * `orderBy().limit(k)` plans as TakeOrderedAndProject — per-partition
+    * partial top-k, k rows to the merge, NO global sort of the weight
+    * table — and the rank window then runs over only the k survivors
+    * (the [[Relevance.oovRate]] vocabulary-pick shape). A whole-corpus
+    * budgeted selection should use [[Mix.selectByBudget]]'s two-phase
+    * prefix-sum instead of a large k here.
     */
   def dsirSelect(docs: DataFrame, targetPred: Column, k: Int,
                  idCol: String = "doc_id", textCol: String = "text",
                  buckets: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     dsirWeights(docs, targetPred, idCol, textCol, buckets)
+      .orderBy(col("score").desc, col(idCol)).limit(k)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("score").desc, col(idCol))).cast("long"))
-      .filter(col("rk") <= k)
   }
 }

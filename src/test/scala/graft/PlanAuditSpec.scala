@@ -120,9 +120,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_quantile_buckets", "q_hist_quantile_by_source", "q_winsorize_stats",
     "q_sketch_hist_quantile", // cumulative windows over bin-sized sketches
     "q_quality_deciles",    // same histBucketize bin-sized cumulative window
-    "q_dsir_select",        // rank over per-doc weights — demo-scale top-k;
-                            // corpus-scale selection documented to use
-                            // Mix.selectByBudget's two-phase prefix sum
+    "q_dsir_select",        // rank over the k TakeOrderedAndProject survivors
     "q_bpe_merge", "q_bpe_pairs", "q_bpe_encode", // argmax/rank over the pair
                             // vocabulary (≤ |vocab|², sketch-sized)
     "q_sql_recursive",      // row_number over the per-key day ROLLUP (30 rows/key)
