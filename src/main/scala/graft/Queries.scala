@@ -529,21 +529,26 @@ object Queries {
       }),
 
     // deterministic descriptive statistics (mean/stddev/corr from exact
-    // decimal sufficient statistics — built-in stddev/corr are
-    // partition-order-dependent in the last ulps; see pipeline/Stats)
+    // integer-unit sufficient statistics — built-in stddev/corr are
+    // partition-order-dependent in the last ulps, and fractional-scale
+    // decimal→double casts double-round in DuckDB; see pipeline/Stats)
     Q("q_stats_moments",
       (s, d) => graft.pipeline.Stats.moments(
         t(s, d)("lineitem"), "l_returnflag", "l_quantity", "l_extendedprice"),
-      Some("""WITH a AS (SELECT l_returnflag, count(*) AS n,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy,
-             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
-             |  FROM lineitem GROUP BY l_returnflag)
+      Some("""WITH u AS (SELECT l_returnflag,
+             |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS xu,
+             |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS yu
+             |  FROM lineitem),
+             |a AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CAST(xu AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+             |  CAST(sum(CAST(yu AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+             |  CAST(sum(CAST(xu AS DECIMAL(19,0)) * CAST(xu AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+             |  CAST(sum(CAST(yu AS DECIMAL(19,0)) * CAST(yu AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+             |  CAST(sum(CAST(xu AS DECIMAL(19,0)) * CAST(yu AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+             |  FROM u GROUP BY l_returnflag)
              |SELECT l_returnflag, n,
-             |  sx / CAST(n AS DOUBLE) AS mean_x,
-             |  sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) / CAST(n AS DOUBLE) AS stddev_x,
+             |  (sx / CAST(n AS DOUBLE)) / 100.0 AS mean_x,
+             |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) / CAST(n AS DOUBLE)) / 100.0 AS stddev_x,
              |  (CAST(n AS DOUBLE) * sxy - sx * sy)
              |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
              |           * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_xy
