@@ -87,4 +87,37 @@ class StatsRegressionSpec extends SparkTestBase {
     // tiny stratum: budget·(1/(√300+1))/1 >> 1 → capped
     assert(rates.get("tiny").forall(_ == 1.0))
   }
+
+  test("moments matches the naive formulas on 2-decimal data") {
+    val xs = Seq(1.25, 2.50, 3.75, 4.00, 5.10)
+    val ys = Seq(2.00, 4.10, 5.90, 8.30, 9.75)
+    val df = xs.zip(ys).map { case (x, y) => ("g", x, y) }.toDF("grp", "x", "y")
+    val r = Stats.moments(df, "grp", "x", "y").collect().head
+    val n = xs.size.toDouble
+    val mean = xs.sum / n
+    val sd = math.sqrt(xs.map(v => (v - mean) * (v - mean)).sum / n)
+    val my = ys.sum / n
+    val cov = xs.zip(ys).map { case (x, y) => (x - mean) * (y - my) }.sum
+    val corr = cov / math.sqrt(
+      xs.map(v => (v - mean) * (v - mean)).sum * ys.map(v => (v - my) * (v - my)).sum)
+    assert(r.getAs[Long]("n") === 5L)
+    assert(math.abs(r.getAs[Double]("mean_x") - mean) < 1e-12)
+    assert(math.abs(r.getAs[Double]("stddev_x") - sd) < 1e-12)
+    assert(math.abs(r.getAs[Double]("corr_xy") - corr) < 1e-12)
+  }
+
+  test("moments is bit-identical across partition layouts") {
+    // the determinism contract: exact integer-unit sums + a fixed IEEE
+    // finish tree ⇒ the doubles cannot depend on partition order
+    val df = (0 until 500).map { i =>
+      (s"g${i % 3}", (i * 7919 % 1000) / 100.0, (i * 104729 % 10000) / 100.0)
+    }.toDF("grp", "x", "y")
+    def run(parts: Int) = Stats.moments(df.repartition(parts), "grp", "x", "y")
+      .collect().map(r => (r.getAs[String]("grp"),
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("mean_x")),
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("stddev_x")),
+        java.lang.Double.doubleToRawLongBits(r.getAs[Double]("corr_xy"))))
+      .sortBy(_._1).toSeq
+    assert(run(1) === run(7))
+  }
 }
