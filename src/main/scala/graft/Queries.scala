@@ -329,7 +329,7 @@ object Queries {
     // per ELEMENT (the Pca.qRows pathology — bites hard when the result
     // feeds a generator). Binding makes the once-per-row contract
     // structural rather than optimizer-dependent; identical values.
-    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val dbl = col("embedding").cast("array<double>")
     val ne = Text.bindArray(dbl) { d =>
       Text.bindArray(array(sqrt(graft.functions.VectorFunctions.dot(d, d)))) { nva =>
         transform(d, x => x / element_at(nva, lit(1)))

@@ -242,23 +242,35 @@ case class IntDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Intersection COUNT of two string arrays that are both SORTED ascending
-  * in binary UTF-8 order with distinct elements — a two-pointer merge walk
-  * instead of `size(array_intersect(a, b))`'s per-row hash-set build.
-  * Semantically identical on inputs meeting the contract (sortedness never
-  * changes a set intersection's cardinality); the caller owns the
-  * contract — [[graft.pipeline.Dedup.docShingleSets]]'s `sorted` column is
-  * produced by `sort_array`, which is exactly this ordering. On the
+/** Intersection COUNT of two arrays that are both SORTED ascending with
+  * distinct elements — a two-pointer merge walk instead of
+  * `size(array_intersect(a, b))`'s per-row hash-set build. Accepts
+  * `array<string>` (binary UTF-8 order) or `array<bigint>` (numeric
+  * order — the hashed-shingle spine); mixed or other element types cast
+  * to the string form. Semantically identical to `array_intersect` on
+  * inputs meeting the contract (sortedness never changes a set
+  * intersection's cardinality); the caller owns the contract —
+  * [[graft.pipeline.Dedup.docShingleSets]]'s `sorted` column is produced
+  * by `sort_array`, which is exactly these orderings. On the
   * prefix-filter verify stage (171k candidate pairs × ~52-element arrays
-  * at sf0.1) the merge walk does ~100 UTF8String compares per pair with
-  * zero allocation, vs two hash-set builds + ~52 probes; measured ~2.5 s
-  * → ~0.3 s. Null array → null; null ELEMENT cannot occur under the
-  * contract (shingles are non-null) but would simply never compare equal.
+  * at sf0.1) the merge walk does ~100 compares per pair with zero
+  * allocation, vs two hash-set builds + ~52 probes; measured ~2.5 s
+  * → ~0.3 s for strings, and the long form replaces each UTF8String
+  * compare with one branch on two register-width loads. Null array →
+  * null; null ELEMENT cannot occur under the contract (shingles are
+  * non-null) but would simply never compare equal.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes {
 
-  override def inputTypes = Seq(ArrayType(StringType), ArrayType(StringType))
+  private def longMode: Boolean = Seq(left, right).forall(_.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  })
+
+  override def inputTypes =
+    if (longMode) Seq(ArrayType(LongType), ArrayType(LongType))
+    else Seq(ArrayType(StringType), ArrayType(StringType))
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_sorted_intersect_count"
 
@@ -267,11 +279,14 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements()
     val ny = y.numElements()
+    val longs = longMode
     var i = 0
     var j = 0
     var c = 0L
     while (i < nx && j < ny) {
-      val cv = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+      val cv =
+        if (longs) java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        else x.getUTF8String(i).compareTo(y.getUTF8String(j))
       if (cv == 0) { c += 1; i += 1; j += 1 }
       else if (cv < 0) i += 1
       else j += 1
@@ -287,12 +302,15 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       val nx = ctx.freshName("nx")
       val ny = ctx.freshName("ny")
       val cv = ctx.freshName("cv")
+      val cmp =
+        if (longMode) s"Long.compare($a.getLong($i), $b.getLong($j))"
+        else s"$a.getUTF8String($i).compareTo($b.getUTF8String($j))"
       s"""
          |final int $nx = $a.numElements();
          |final int $ny = $b.numElements();
          |int $i = 0; int $j = 0; long $c = 0L;
          |while ($i < $nx && $j < $ny) {
-         |  final int $cv = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  final int $cv = $cmp;
          |  if ($cv == 0) { $c++; $i++; $j++; }
          |  else if ($cv < 0) { $i++; } else { $j++; }
          |}

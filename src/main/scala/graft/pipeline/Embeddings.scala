@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object Embeddings {
 
-  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+  // codegen'd array Cast, not an interpreted transform lambda (see
+  // Similarity.toDouble): identical element-wise float → double widening
+  private def toDouble(a: Column): Column = a.cast("array<double>")
 
   /** Symmetric max-abs int8 quantization: per vector,
     * `scale = 127 / max|x_i|` and `q_i = floor(x_i·scale + 0.5)` ∈

@@ -33,7 +33,7 @@ object Hybrid {
                   numSeeds: Int = 8, topK: Int = 10, n: Int = 3, k0: Int = 60,
                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // dense arm: unit-normalized doubles, seeds broadcast, cosine = dot
-    val dbl = transform(col("embedding"), x => x.cast("double"))
+    val dbl = col("embedding").cast("array<double>")
     val ne = embeddings.select(col("vec_id"), dbl.as("d"))
       .withColumn("nv", sqrt(graft.functions.VectorFunctions.dot(col("d"), col("d"))))
       .select(col("vec_id"), transform(col("d"), x => x / col("nv")).as("ne"))

@@ -47,7 +47,7 @@ object Pca {
     * expression per exploded row — same float ops, identical values.
     */
   private[graft] def qRows(df: DataFrame, id: String, emb: String): DataFrame = {
-    val e = transform(col(emb), x => x.cast("double"))
+    val e = col(emb).cast("array<double>")
     df.select(col(id).as("vid"),
         array_max(transform(e, x => abs(x))).as("maxabs"), posexplode(e))
       .select(col("vid"), col("pos").cast("long").as("dim"),

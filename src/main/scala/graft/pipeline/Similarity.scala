@@ -28,7 +28,13 @@ object Similarity {
     */
   def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.dot(a, b)
 
-  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+  // a native array Cast, NOT `transform(a, _.cast("double"))`: Cast is
+  // codegen'd end-to-end (castArray), while a HOF transform drops the
+  // whole consuming expression tree to interpreted eval — on pair-level
+  // hot paths (LSH verify cosine over 10⁵-10⁶ candidate rows) the
+  // interpreted lambda was the dominant term. Identical values: float →
+  // double widening element-wise, nulls preserved.
+  private def toDouble(a: Column): Column = a.cast("array<double>")
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -260,10 +266,11 @@ object SimilarityLsh {
     */
   def bucketKey(emb: Column, planes: Seq[Array[Double]]): Column =
     // let-bind the double cast (Text.bindArray): referencing the cast
-    // directly from every plane's dot would re-run the interpreted
-    // transform lambda once PER PLANE per row after projection collapse
-    // (the Pca.qRows pathology — O(planes·dim) interpreted evals/row)
-    Text.bindArray(transform(emb, _.cast("double")))(e => rawBucketKey(e, planes))
+    // directly from every plane's dot would re-run it once PER PLANE per
+    // row after projection collapse (the Pca.qRows pathology — O(planes·
+    // dim) evals/row). The cast itself is the codegen'd array Cast, not
+    // an interpreted transform lambda (see [[Similarity.toDouble]]).
+    Text.bindArray(emb.cast("array<double>"))(e => rawBucketKey(e, planes))
 
   /** [[bucketKey]] over an ALREADY-double embedding column (a let-bound
     * lambda variable or a pre-cast projection).
@@ -311,7 +318,7 @@ object SimilarityLsh {
                        dim: Int, seed: Long): DataFrame = {
     // ONE let-bound cast shared by all numTables × numPlanes dots — per
     // row the interpreted cast lambda runs once, not 64× (see bucketKey)
-    val keys = Text.bindArray(transform(col("embedding"), _.cast("double"))) { e =>
+    val keys = Text.bindArray(col("embedding").cast("array<double>")) { e =>
       array((0 until numTables).map { t =>
         rawBucketKey(e, hyperplanes(numPlanes, dim, seed + 1000L * t))
       }: _*)
