@@ -155,8 +155,15 @@ object Dedup {
     * (DuckDB: `CAST(concat('0x', substr(md5(..), 1, 15)) AS BIGINT)`).
     */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
-                        n: Int = 3, numHashes: Int = 8): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, n)
+                        n: Int = 3, numHashes: Int = 8): DataFrame =
+    minhashSignaturesFrom(docShingles(docs, idCol, textCol, n), numHashes)
+
+  /** [[minhashSignatures]] over an already-built `(id, sh)` shingle
+    * relation — lets composed flows ([[verifiedNearDups]]) build the
+    * shingle explode ONCE and share it between the signature aggregate
+    * and the exact-verify hub instead of re-scanning the corpus.
+    */
+  private[graft] def minhashSignaturesFrom(sh: DataFrame, numHashes: Int): DataFrame = {
     val aggs = (0 until numHashes).map(i =>
       min(conv(substring(md5(concat(lit(s"$i|"), col("sh"))), 1, 15), 16, 10)
         .cast("long")).as(s"m$i"))
@@ -176,8 +183,16 @@ object Dedup {
       s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes — " +
         "a remainder would silently drop the trailing minhashes from banding")
     val numBands = numHashes / rowsPerBand
+    // band key = STRUCT of the band's minhashes, not a "|"-joined string:
+    // struct equality is the same predicate as pairwise column equality
+    // (exact — no separator ambiguity, no hash), and the band self-join
+    // shuffles rowsPerBand×8-byte fixed-width values instead of building
+    // and moving ~40-char strings per (doc, band) row
+    // field names aliased positionally (k0..k{r-1}) — array() requires
+    // every band struct to have the identical type, field names included
     val bandKeys = (0 until numBands).map { b =>
-      concat_ws("|", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+      struct((0 until rowsPerBand).map(r =>
+        col(s"m${b * rowsPerBand + r}").as(s"k$r")): _*)
     }
     val keyed = signatures.select(col("id"), posexplode(array(bandKeys: _*)))
       .toDF("id", "band", "band_key")
@@ -388,20 +403,32 @@ object Dedup {
   def verifiedNearDups(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                        n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
                        minJaccard: Double = 0.5): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(docs, idCol, textCol, n, numHashes),
+    // ONE shingle explode shared by the signature aggregate and the
+    // verify hub (persisted — the two consumers are different subtrees,
+    // so exchange reuse alone would execute the explode twice)
+    val sh = docShingles(docs, idCol, textCol, n).persistTracked()
+    val cands = lshCandidates(minhashSignaturesFrom(sh, numHashes),
       numHashes, rowsPerBand)
-    val sh = docShingles(docs, idCol, textCol, n)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("nsh"))
-    val shared = cands
-      .join(sh.as("a"), col("id1") === col("a.id"))
-      .join(sh.as("b"), col("id2") === col("b.id") && col("a.sh") === col("b.sh"))
-      .groupBy("id1", "id2").agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.as("z1"), col("id1") === col("z1.id"))
-      .join(sizes.as("z2"), col("id2") === col("z2.id"))
+    // Verify via per-doc HASHED sorted arrays (the [[containmentPairs]]
+    // shape, measured there): |cand| rows carrying two long arrays +
+    // an in-task merge-walk beat the |cand| × avg(nsh) expand-join +
+    // groupBy + two sizes joins. xxhash64 collision bound as in
+    // [[docShingleSets]]; the string-side brute-force oracle re-proves
+    // the no-collision outcome every round.
+    val hub = sh.select(col("id"), xxhash64(col("sh")).as("h"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("h"))).as("sorted"), count(lit(1)).as("nsh"))
+      .persistTracked()
+    cands
+      .join(hub.as("z1"), col("id1") === col("z1.id"))
+      .join(hub.as("z2"), col("id2") === col("z2.id"))
+      .select(col("id1"), col("id2"),
+        graft.functions.VectorFunctions.sortedIntersectCount(
+          col("z1.sorted"), col("z2.sorted")).as("shared"),
+        col("z1.nsh").as("nsh1"), col("z2.nsh").as("nsh2"))
       .select(col("id1"), col("id2"), col("shared"),
         (col("shared").cast("double") /
-          (col("z1.nsh") + col("z2.nsh") - col("shared")).cast("double")).as("jaccard"))
+          (col("nsh1") + col("nsh2") - col("shared")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
