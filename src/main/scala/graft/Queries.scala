@@ -1804,6 +1804,51 @@ object Queries {
               |  (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3) OR
               |  (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))""".stripMargin)),
 
+    // INCREMENTAL LSH: candidates touching the ingest delta only, from
+    // one equi-join of the delta's band keys against the stored index +
+    // appended delta rows — per-batch cost ∝ |delta|, never re-banding
+    // the corpus. The proportional `doc_id % 10` split keeps the delta a
+    // fixed fraction at every SF. The oracle replays full-corpus banding
+    // and restricts to pairs with a delta member — equal by construction
+    // since a doc's signature depends only on its own shingles.
+    Q("q_dedup_lsh_incremental",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        val oldIdx = Dedup.bandKeyIndex(
+          Dedup.minhashSignatures(docs.filter(col("doc_id") % 10 < 8)))
+        val deltaIdx = Dedup.bandKeyIndex(
+          Dedup.minhashSignatures(docs.filter(col("doc_id") % 10 >= 8)))
+          .persistTracked()
+        Dedup.incrementalLshCandidates(oldIdx.unionByName(deltaIdx), deltaIdx)
+      },
+      Some(s"""WITH $shingleSqlCte,
+              |sigs AS (SELECT id, ${(0 until 8).map(i => s"min(CAST(concat('0x', substr(md5('$i|' || s), 1, 15)) AS BIGINT)) AS m$i").mkString(", ")}
+              |         FROM sh GROUP BY id)
+              |SELECT DISTINCT a.id AS id1, b.id AS id2
+              |FROM sigs a JOIN sigs b ON a.id < b.id AND (
+              |  (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3) OR
+              |  (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))
+              |WHERE a.id % 10 >= 8 OR b.id % 10 >= 8""".stripMargin)),
+
+    // minhash MERGEABILITY, driver-checked: signatures computed over an
+    // arbitrary partition of the shingle relation (here: shingle-length
+    // parity — engine-neutral) merge by element-wise min into EXACTLY the
+    // direct full-corpus signatures, so the oracle is the direct-path SQL
+    // — the same sketch contract the HLL rows pin for registers. This is
+    // the per-shard/map-side-partial shape a 100 TB signature job uses.
+    Q("q_dedup_minhash_merge",
+      (s, d) => {
+        val sh = Dedup.docShingles(t(s, d)("documents"), "doc_id", "text", 3)
+          .persistTracked()
+        Dedup.mergeSignatures(
+          Dedup.minhashSignaturesFrom(sh.filter(length(col("sh")) % 2 === 0), 8)
+            .unionByName(
+              Dedup.minhashSignaturesFrom(sh.filter(length(col("sh")) % 2 === 1), 8)))
+      },
+      Some(s"""WITH $shingleSqlCte
+              |SELECT id, ${(0 until 8).map(i => s"min(CAST(concat('0x', substr(md5('$i|' || s), 1, 15)) AS BIGINT)) AS m$i").mkString(", ")}
+              |FROM sh GROUP BY id""".stripMargin)),
+
     // minhash AGREEMENT estimate on the LSH candidates — the cheap
     // pre-verification score (8 long compares per pair vs re-touching
     // every shingle); integer-ratio double, oracle-exact

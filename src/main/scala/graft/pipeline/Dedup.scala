@@ -179,13 +179,31 @@ object Dedup {
     * exchange).
     */
   def lshCandidates(signatures: DataFrame, numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val keyed = bandKeyIndex(signatures, numHashes, rowsPerBand)
+    keyed.as("a").hint("SHUFFLE_MERGE").join(keyed.as("b").hint("SHUFFLE_MERGE"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** The LSH band INDEX relation, `(id, band, band_key)` — the persistable
+    * half of [[lshCandidates]]. Build it once over the corpus, store it
+    * (bucketed by `(band, band_key)` in production), and append each
+    * ingest delta's rows; [[incrementalLshCandidates]] then prices
+    * near-dup detection per delta without re-touching corpus text — the
+    * daily-ingest shape at 100 TB, where re-banding the whole corpus per
+    * batch is the cost that kills naive designs.
+    */
+  def bandKeyIndex(signatures: DataFrame, numHashes: Int = 8,
+                   rowsPerBand: Int = 2): DataFrame = {
     require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
       s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes — " +
         "a remainder would silently drop the trailing minhashes from banding")
     val numBands = numHashes / rowsPerBand
     // band key = STRUCT of the band's minhashes, not a "|"-joined string:
     // struct equality is the same predicate as pairwise column equality
-    // (exact — no separator ambiguity, no hash), and the band self-join
+    // (exact — no separator ambiguity, no hash), and the band join
     // shuffles rowsPerBand×8-byte fixed-width values instead of building
     // and moving ~40-char strings per (doc, band) row
     // field names aliased positionally (k0..k{r-1}) — array() requires
@@ -194,13 +212,41 @@ object Dedup {
       struct((0 until rowsPerBand).map(r =>
         col(s"m${b * rowsPerBand + r}").as(s"k$r")): _*)
     }
-    val keyed = signatures.select(col("id"), posexplode(array(bandKeys: _*)))
+    signatures.select(col("id"), posexplode(array(bandKeys: _*)))
       .toDF("id", "band", "band_key")
-    keyed.as("a").hint("SHUFFLE_MERGE").join(keyed.as("b").hint("SHUFFLE_MERGE"),
-        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+  }
+
+  /** INCREMENTAL LSH candidates: near-dup candidate pairs touching an
+    * ingest delta, from one equi-join of the delta's band-key rows
+    * against the full index (stored corpus index + the delta's rows
+    * appended). Cost is |delta keys| × bucket occupancy — independent of
+    * corpus size — and old↔old pairs never re-surface; delta↔delta pairs
+    * do (the delta's rows are in `index`), normalized to `id1 < id2` once.
+    * Same candidate semantics as [[lshCandidates]] restricted to pairs
+    * with at least one delta member: signatures depend only on each doc's
+    * own shingles, so per-batch signatures equal full-corpus signatures
+    * row for row.
+    */
+  def incrementalLshCandidates(index: DataFrame, deltaIndex: DataFrame): DataFrame =
+    deltaIndex.as("d").join(index.as("c"),
+        col("d.band") === col("c.band") && col("d.band_key") === col("c.band_key") &&
+          col("d.id") =!= col("c.id"))
+      .select(least(col("d.id"), col("c.id")).as("id1"),
+        greatest(col("d.id"), col("c.id")).as("id2"))
       .distinct()
+
+  /** Merge per-partition MinHash signatures by element-wise min — the
+    * MERGEABILITY that makes MinHash a sketch: signatures computed over
+    * any partition of a doc's shingle set (shards, ingest batches,
+    * map-side partials) combine associatively into exactly the
+    * full-corpus signature, the same contract [[Sketches.hllReplayMerge]]
+    * gives HLL registers. At 100 TB this is the difference between one
+    * global shuffle of every shingle and per-shard signature jobs merged
+    * by a tiny per-doc aggregate.
+    */
+  def mergeSignatures(sigParts: DataFrame, numHashes: Int = 8): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(col(s"m$i")).as(s"m$i"))
+    sigParts.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** SimHash fingerprint (default 16 bits for oracle-verifiability; bump

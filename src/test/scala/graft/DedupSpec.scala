@@ -68,6 +68,37 @@ class DedupSpec extends SparkTestBase {
     assert(!fine.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("incremental LSH candidates equal full candidates restricted to delta pairs") {
+    // delta = docs 3,4; full-corpus truth restricted to pairs touching it
+    val isDelta = (id: Long) => id >= 3L
+    val sigsAll = Dedup.minhashSignatures(docs)
+    val truth = Dedup.lshCandidates(sigsAll, rowsPerBand = 1).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+      .filter(p => isDelta(p._1) || isDelta(p._2)).toSet
+    val oldIdx = Dedup.bandKeyIndex(
+      Dedup.minhashSignatures(docs.filter(col("doc_id") < 3)), rowsPerBand = 1)
+    val deltaIdx = Dedup.bandKeyIndex(
+      Dedup.minhashSignatures(docs.filter(col("doc_id") >= 3)), rowsPerBand = 1)
+    val inc = Dedup.incrementalLshCandidates(oldIdx.unionByName(deltaIdx), deltaIdx)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(inc === truth)
+    // and no old↔old pair leaks in: (1,2) is a full candidate but not incremental
+    assert(Dedup.lshCandidates(sigsAll, rowsPerBand = 1).collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+      .contains((1L, 2L)) && !inc.contains((1L, 2L)))
+  }
+
+  test("merged per-partition signatures equal direct signatures exactly") {
+    val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
+    val merged = Dedup.mergeSignatures(
+        Dedup.minhashSignaturesFrom(sh.filter(length(col("sh")) % 2 === 0), 8)
+          .unionByName(
+            Dedup.minhashSignaturesFrom(sh.filter(length(col("sh")) % 2 === 1), 8)))
+      .collect().map(r => r.toSeq).toSet
+    val direct = Dedup.minhashSignatures(docs).collect().map(r => r.toSeq).toSet
+    assert(merged === direct)
+  }
+
   test("simhash: hamming(near-dup) < hamming(unrelated)") {
     val fps = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
