@@ -1813,13 +1813,13 @@ object Queries {
     // since a doc's signature depends only on its own shingles.
     Q("q_dedup_lsh_incremental",
       (s, d) => {
-        val docs = t(s, d)("documents")
-        val oldIdx = Dedup.bandKeyIndex(
-          Dedup.minhashSignatures(docs.filter(col("doc_id") % 10 < 8)))
-        val deltaIdx = Dedup.bandKeyIndex(
-          Dedup.minhashSignatures(docs.filter(col("doc_id") % 10 >= 8)))
-          .persistTracked()
-        Dedup.incrementalLshCandidates(oldIdx.unionByName(deltaIdx), deltaIdx)
+        // the stored-index shape: ONE band-key index (in production read
+        // from its table, here built once and persisted), the delta a
+        // FILTER on it — per-doc signatures are independent, so filtering
+        // the built index row-for-row equals building per-batch indexes
+        val idx = Dedup.bandKeyIndex(
+          Dedup.minhashSignatures(t(s, d)("documents"))).persistTracked()
+        Dedup.incrementalLshCandidates(idx, idx.filter(col("id") % 10 >= 8))
       },
       Some(s"""WITH $shingleSqlCte,
               |sigs AS (SELECT id, ${(0 until 8).map(i => s"min(CAST(concat('0x', substr(md5('$i|' || s), 1, 15)) AS BIGINT)) AS m$i").mkString(", ")}
