@@ -143,4 +143,21 @@ class FunctionsSpec extends SparkTestBase {
       size(array_intersect(col("a"), col("b"))).cast("long").as("ref")).collect().head
     assert(m.getLong(0) === m.getLong(1))
   }
+
+  test("sorted-intersect count: long-array mode agrees with array_intersect, incl. negatives") {
+    val rng = new scala.util.Random(12)
+    // xxhash64 outputs span the full signed range — negatives included
+    def randSet() = Seq.fill(rng.nextInt(60))(rng.nextLong() % 50).distinct.sorted
+    val df = (0 until 200).map(_ => (randSet(), randSet())).toDF("a", "b")
+    val both = df.select(
+      VectorFunctions.sortedIntersectCount(col("a"), col("b")).as("fast"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // the SQL-registered form resolves the long mode too
+    val viaSql = spark.sql(
+      "SELECT graft_sorted_intersect_count(array(-3L, 1L, 9L), array(-3L, 2L, 9L)) AS c")
+      .collect().head
+    assert(viaSql.getLong(0) === 2L)
+  }
 }
