@@ -4308,6 +4308,25 @@ object Queries {
              |FROM c
              |WHERE (cum * 20) // tot - ((cum - w) * 20) // tot >= 1""".stripMargin)),
 
+    // PRIORITY SAMPLING (Duffield–Lund–Thorup): fixed-k weighted sample
+    // per language via priority = w·2²⁴/(m+1) — one IEEE divide of exact
+    // integers (correctly rounded → engine-identical; pow/ln priorities
+    // are not), top-k on the partial-heap TopKPerKey operator, never a
+    // full per-stratum window sort. The oracle replays the priority and
+    // the (priority DESC, id) rank in plain SQL.
+    Q("q_sample_priority",
+      (s, d) => graft.pipeline.Mix.prioritySample(
+          t(s, d)("documents").select(col("doc_id"), col("lang"), col("n_chars")),
+          "lang", col("doc_id"), col("n_chars"), k = 20)
+        .select(col("lang"), col("doc_id"), col("n_chars"), col("priority")),
+      Some("""WITH pr AS (SELECT doc_id, lang, n_chars,
+             |  (CAST(n_chars AS DOUBLE) * 16777216.0) /
+             |  CAST(CAST(concat('0x', substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 1 AS DOUBLE) AS priority
+             |  FROM documents),
+             |rk AS (SELECT *, row_number() OVER (PARTITION BY lang
+             |         ORDER BY priority DESC, doc_id) AS rn FROM pr)
+             |SELECT lang, doc_id, n_chars, priority FROM rk WHERE rn <= 20""".stripMargin)),
+
     // ------------------------------------------------------ k-means / skyline
 
     // 2 Lloyd rounds of k = 4 over int8-quantized embeddings — integer

@@ -191,6 +191,39 @@ object Mix {
       .drop("__h", "__b", "__off", "__tot", "__cum")
   }
 
+  /** PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM'07): a fixed-size-k
+    * weighted-without-replacement sample per stratum — each row gets
+    * priority `q = w / u` with `u` uniform in (0, 1], keep the k highest
+    * per stratum. High-weight rows are near-certainly kept, low-weight
+    * rows survive proportionally — the subsample you want when weights
+    * are token counts or quality mass and [[weightedSample]]'s
+    * with-replacement draws are the wrong contract.
+    *
+    * Determinism: `u = (m + 1) / 2²⁴` with `m` the first 24 md5 bits of
+    * the seeded key (the [[hashUniform]] stream; `+ 1` keeps u > 0), so
+    * `q = (w·2²⁴) / (m + 1)` is ONE IEEE divide of two exact-in-double
+    * integers — correctly rounded, hence bit-identical in any engine.
+    * (`pow`/`ln` priority forms are NOT replayable — the same last-ulp
+    * hazard that pins [[temperatureSampled]] to α = 0.5.) Requires
+    * integer weights with `w·2²⁴ < 2⁵³`, i.e. `w < 2²⁹ ≈ 5·10⁸`.
+    *
+    * Scale shape: the per-stratum top-k runs on [[graft.plans.TopKPerKey]]
+    * — per-partition bounded heaps, then a final k-merge per stratum —
+    * never a full window sort of a 100 TB stratum. (priority DESC, key
+    * ASC) is a total order, so the selected set is unique.
+    */
+  def prioritySample(df: DataFrame, stratumCol: String, key: Column,
+                     weight: Column, k: Int, seed: String = "prio"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val m = conv(substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+    val q = (weight.cast("double") * lit(16777216.0)) / (m + 1).cast("double")
+    graft.plans.TopKPerKey(
+      df.withColumn("priority", q),
+      Seq(stratumCol),
+      Seq(col("priority").desc, key.asc), k)
+  }
+
   /** Token-budget corpus selection: walk documents in quality order
     * (score desc, id asc — a total order) and keep every document whose
     * START position in the concatenated token stream is inside `budget`

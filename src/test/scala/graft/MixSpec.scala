@@ -50,6 +50,32 @@ class MixSpec extends SparkTestBase {
     assert(sampled === reshuffled)
   }
 
+  test("prioritySample: exactly k per stratum, equals the window-rank formulation, weight-monotone") {
+    val weighted = (0L until 400L).map(i => (i, s"src${i % 4}", 1L + i % 97))
+      .toDF("id", "source", "w")
+    val k = 10
+    val got = Mix.prioritySample(weighted, "source", $"id", $"w", k)
+    val counts = got.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.toSet === Set(k.toLong))
+    // the custom-operator result equals the plain window-rank top-k
+    import org.apache.spark.sql.expressions.Window
+    val m = conv(substring(md5(concat(lit("prio:"), $"id".cast("string"))), 1, 6), 16, 10)
+      .cast("long")
+    val q = ($"w".cast("double") * lit(16777216.0)) / (m + 1).cast("double")
+    val ref = weighted.withColumn("priority", q)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy($"priority".desc, $"id".asc)))
+      .filter($"rn" <= k).select("id").collect().map(_.getLong(0)).toSet
+    assert(got.select("id").collect().map(_.getLong(0)).toSet === ref)
+    // weight-monotone: giant-weight rows are (near-)certainly selected
+    val spiked = weighted.withColumn("w",
+      when($"id" < 4, lit(100000000L)).otherwise($"w"))
+    val sel = Mix.prioritySample(spiked, "source", $"id", $"w", k)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((0L until 4L).forall(sel.contains))
+  }
+
   test("weightedSample: exactly k draws per stratum, counts within floor/ceil of k·w/W, repartition-invariant") {
     val rnd = new scala.util.Random(11)
     val wdf = (0L until 300L).map(i => (i, s"src${i % 3}", 1L + rnd.nextInt(50)))
