@@ -1960,6 +1960,34 @@ object Queries {
            |SELECT id1, id2, dist FROM u WHERE dist <= 3""".stripMargin
       }),
 
+    // the SIZED simhash configuration (the sfx1 parameter-cliff answer,
+    // SCALE.md): 32-bit fingerprints → maxDist+1 = 4 blocks of 8 bits →
+    // 256 block values, so block buckets shrink 16× vs the 16-bit entry
+    // and candidate volume returns to n × occupancy. Production scales
+    // `bits` with the corpus exactly like q_ann_lsh_scaled scales planes;
+    // the oracle replays the 32-bit votes, blocks, and hamming verify.
+    Q("q_dedup_simhash_scaled",
+      (s, d) => Dedup.simhashPairs(t(s, d)("documents"), maxDist = 3, bits = 32)
+        .select(col("id1"), col("id2"), col("dist").cast("long").as("dist")),
+      Some {
+        val votes = (0 until 32).map(j =>
+          s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+        val fp = (0 until 32).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        val branches = (0 until 4).map { p =>
+          s"""SELECT a.id AS id1, b.id AS id2,
+             |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+             |FROM f a JOIN f b
+             |  ON (a.simhash >> ${8 * p}) & 255 = (b.simhash >> ${8 * p}) & 255
+             | AND a.id < b.id""".stripMargin
+        }.mkString("\nUNION\n")
+        s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w FROM documents),
+           |v AS (SELECT id, CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS v FROM tok),
+           |s AS (SELECT id, $votes FROM v GROUP BY id),
+           |f AS (SELECT id, CAST($fp AS BIGINT) AS simhash FROM s),
+           |u AS ($branches)
+           |SELECT id1, id2, dist FROM u WHERE dist <= 3""".stripMargin
+      }),
+
     // exact n-gram Jaccard pairs ≥ 0.5 via the prefix-filtered path (the
     // threshold routes ngramJaccardPairs through prefixFilteredPairs —
     // no unfiltered shingle self-join reaches the catalog); the oracle

@@ -256,9 +256,14 @@ object Dedup {
     */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
               bits: Int = 16): DataFrame = {
+    // per-word hash width follows `bits` (4 hex chars per 16 bits) — a
+    // fixed-width hash narrower than the fingerprint would silently vote
+    // the upper bits to constant 0; ≤ 60 keeps conv() inside a long
+    require(bits % 4 == 0 && bits >= 4 && bits <= 60,
+      s"bits=$bits must be a multiple of 4 in [4, 60]")
     val tok = docs.select(col(idCol).as("id"),
       explode(Text.words(col(textCol))).as("w"))
-      .withColumn("v", conv(substring(md5(col("w")), 1, 4), 16, 10).cast("long"))
+      .withColumn("v", conv(substring(md5(col("w")), 1, bits / 4), 16, 10).cast("long"))
     val votes = (0 until bits).map(j =>
       sum(when(shiftright(col("v"), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"s$j"))
     val voted = tok.groupBy("id").agg(votes.head, votes.tail: _*)
