@@ -172,7 +172,15 @@ object Queries {
     * integer-Lloyd rounds → final assignment relation `a3(vec_id, qv,
     * cluster)` — the q_kmeans / q_dedup_semantic oracle chain, factored.
     */
-  private def kmeansAssignSqlCtes(k: Int): String = {
+  private def kmeansAssignSqlCtes(k: Int): String =
+    kmeansAssignSqlCtes(k.toString)
+
+  /** [[kmeansAssignSqlCtes]] with the seed-centroid count as a SQL
+    * expression (e.g. a `greatest(1, count // cell)` subquery) — the
+    * self-sizing variant's oracle derives k from the data like the Spark
+    * side does.
+    */
+  private def kmeansAssignSqlCtes(limitSql: String): String = {
     def assign(src: String, cents: String, out: String) =
       s"""$out AS (SELECT vec_id, qv, cluster FROM (
          |  SELECT q.vec_id, q.qv, c.cluster,
@@ -196,7 +204,7 @@ object Queries {
        |               + 0.5) AS BIGINT)) AS qv
        |      FROM m),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, qv AS cv
-       |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $k)),
+       |       FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT $limitSql)),
        |${assign("q", "c0", "a1")},
        |${update("a1", "c0", "c1")},
        |${assign("q", "c1", "a2")},
@@ -3954,6 +3962,32 @@ object Queries {
            |${assign("q", "c1", "a2")},
            |${update("a2", "c1", "c2")},
            |${assign("q", "c2", "a3")},
+           |nn AS (SELECT vec_id, qv, cluster,
+           |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+           |       FROM a3),
+           |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.cluster AS cell,
+           |        CAST(list_sum(list_transform(a.qv, (x, i) -> x * b.qv[i])) AS BIGINT) AS dot,
+           |        a.n2 AS n2a, b.n2 AS n2b
+           |      FROM nn a JOIN nn b ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+           |SELECT id1, id2, cell, dot,
+           |  CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) /
+           |    (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) AS cos_sq
+           |FROM p WHERE dot > 0
+           |  AND CAST(dot AS DOUBLE) * CAST(dot AS DOUBLE) /
+           |    (CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE)) >= 0.35 * 0.35""".stripMargin
+      }),
+
+    // the SELF-SIZING SemDeDup entry (the sfx1 k-cliff answer, SCALE.md):
+    // k = max(1, n / 64) from one count job, so the expected cell stays
+    // 64 and pair volume stays linear in n — the fixed-k=8 entry measured
+    // n²/k growth (5× for 10× data). The oracle derives the same k with a
+    // dynamic LIMIT subquery and replays the full integer-Lloyd chain.
+    Q("q_dedup_semantic_auto",
+      (s, d) => Dedup.semanticNearDupsAuto(
+        t(s, d)("embeddings"), targetCellSize = 64, iters = 2, dim = 64,
+        minCosine = 0.35),
+      Some {
+        s"""WITH ${kmeansAssignSqlCtes("greatest(1, (SELECT count(*) // 64 FROM embeddings))")},
            |nn AS (SELECT vec_id, qv, cluster,
            |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
            |       FROM a3),

@@ -822,6 +822,30 @@ object Dedup {
       .filter(col("cos_sq") >= lit(minCosine) * lit(minCosine))
   }
 
+  /** [[semanticNearDups]] with `k` DERIVED from the live corpus count —
+    * `k = max(1, n / targetCellSize)` — so the expected cell stays
+    * `targetCellSize` and within-cell pair volume stays `n·cellSize/2`
+    * (LINEAR in n) as the corpus grows. This is the SemDeDup sizing rule
+    * the fixed-k entry can't honor (k pinned → cells grow with n → n²/k
+    * pairs; measured 5× for 10× data in SCALE.md's sfx1 experiment), and
+    * the same self-sizing philosophy as
+    * [[graft.pipeline.SimilarityLsh.candidatePairsAuto]] — one count job
+    * prices the parameters. Note the broadcast-argmin assignment carries
+    * k×d literals; past k ≈ 10³ swap the assignment for an IVF-style
+    * join against a centroid RELATION (documented revisit, same cells).
+    */
+  def semanticNearDupsAuto(vectors: DataFrame, targetCellSize: Long = 64,
+                           iters: Int = 2, dim: Int = 64,
+                           minCosine: Double = 0.8, id: String = "vec_id",
+                           emb: String = "embedding"): DataFrame = {
+    require(targetCellSize >= 1, s"targetCellSize=$targetCellSize must be >= 1")
+    val n = vectors.count()
+    val k = math.max(1L, n / targetCellSize).toInt
+    org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+      .info(s"semanticNearDupsAuto: corpus=$n targetCellSize=$targetCellSize k=$k")
+    semanticNearDups(vectors, k, iters, dim, minCosine, id, emb)
+  }
+
   /** Shingle CONTAINMENT pairs: C(x→y) = |x∩y| / |x| — the asymmetric
     * near-dup measure Jaccard misses: a page whose content is wholly
     * embedded in a longer page (boilerplate wrap, quote-and-extend) has
