@@ -1,0 +1,98 @@
+package graft
+
+import graft.pipeline.Dedup
+import graft.streaming.{StatefulOps, StreamingDedup}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // the DedupSpec planted corpus: 1≡2 exact dup, 3 near-dup of 1, 4 unrelated
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+  private val corpus = Seq(
+    (1L, base),
+    (2L, base),
+    (3L, base.replace("lazy", "sleepy")),
+    (4L, "completely different content with nothing shared at all here whatsoever today"))
+
+  private def withRocksDb[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    StatefulOps.withRocksDbStateStore(spark)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("per-row streaming signatures band identically to the batch aggregate") {
+    val docs = corpus.toDF("doc_id", "text")
+    val streamKeys = StreamingDedup.bandKeyRows(docs, rowsPerBand = 1).collect()
+      .map(r => (r.band_key, r.doc_id)).toSet
+    val batchKeys = Dedup.bandKeyIndex(Dedup.minhashSignatures(docs), rowsPerBand = 1)
+      .collect()
+      .map(r => (s"${r.getInt(1)}|${r.getStruct(2).getLong(0)}", r.getLong(0))).toSet
+    assert(streamKeys === batchKeys)
+  }
+
+  test("streaming candidates across micro-batches equal batch LSH candidates") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingDedup.candidates(mem.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("sdedup")
+        .outputMode("append").start()
+      try {
+        mem.addData(corpus(0), corpus(1))
+        q.processAllAvailable()
+        val afterB1 = spark.table("sdedup").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(afterB1 === Set((1L, 2L))) // the exact dup, found immediately
+        mem.addData(corpus(2), corpus(3))
+        q.processAllAvailable()
+        val streamed = spark.table("sdedup").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val batch = Dedup.lshCandidates(
+            Dedup.minhashSignatures(corpus.toDF("doc_id", "text")))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(streamed === batch)
+      } finally q.stop()
+    }
+  }
+
+  test("re-delivered documents are idempotent; the bucket cap stops pair emission") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingDedup.candidates(mem.toDF().toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName("sdedup_dup")
+        .outputMode("append").start()
+      try {
+        mem.addData(corpus(0), corpus(1))
+        q.processAllAvailable()
+        val afterB1 = spark.table("sdedup_dup").count()
+        mem.addData(corpus(0)) // replayed doc 1 — already a member everywhere
+        q.processAllAvailable()
+        val rows = spark.table("sdedup_dup").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(rows.toSet === Set((1L, 2L)))
+        assert(rows.length.toLong === afterB1) // no growth on replay
+      } finally q.stop()
+    }
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingDedup.candidates(mem.toDF().toDF("doc_id", "text"),
+          maxBucketSize = 1)
+        .writeStream.format("memory").queryName("sdedup_cap")
+        .outputMode("append").start()
+      try {
+        mem.addData(corpus(0), corpus(1), corpus(2), corpus(3))
+        q.processAllAvailable()
+        // every bucket holds one member; nothing can pair
+        assert(spark.table("sdedup_cap").isEmpty)
+      } finally q.stop()
+    }
+  }
+}
