@@ -2036,6 +2036,34 @@ object Queries {
               |      SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b)
               |SELECT id, min(lbl) AS component FROM r GROUP BY id""".stripMargin)),
 
+    // clusters → the SIZE HISTOGRAM a pipeline owner reads before
+    // trusting a dedup pass: how many duplicate clusters of each size
+    // (pairs-only vs deep transitive chains behave very differently
+    // downstream). Two tiny aggregates on the cluster relation.
+    Q("q_dedup_cluster_sizes",
+      (s, d) => Dedup.components(
+          Dedup.ngramJaccardPairs(t(s, d)("documents"), minShared = 2L, minJaccard = 0.5)
+            .select("id1", "id2"))
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters")),
+      Some(s"""WITH RECURSIVE $shingleSqlCte,
+              |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+              |p0 AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+              |       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              |       GROUP BY 1, 2 HAVING count(*) >= 2),
+              |dup AS (SELECT id1, id2 FROM p0
+              |        JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+              |        WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5),
+              |e AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
+              |r AS (SELECT a AS id, a AS lbl FROM e
+              |      UNION
+              |      SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b),
+              |comp AS (SELECT id, min(lbl) AS component FROM r GROUP BY id),
+              |cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+              |SELECT cluster_size, count(*) AS n_clusters
+              |FROM cs GROUP BY cluster_size""".stripMargin)),
+
     // clusters → SURVIVORS: one doc (smallest id) per duplicate cluster +
     // all unclustered docs — the actual corpus-shrinking step
     Q("q_dedup_survivors",
