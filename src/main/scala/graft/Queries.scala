@@ -4246,6 +4246,95 @@ object Queries {
              |         / CAST(count(*) AS DOUBLE) AS dup_frac
              |FROM win GROUP BY doc_id""".stripMargin)),
 
+    // the CUT LIST of substring dedup (Lee et al. 2107.06499): maximal
+    // runs of consecutive duplicated 32-char anchors, as disjoint char
+    // intervals per doc — the oracle replays the island detection
+    // (i − row_number) independently over its own window relation
+    Q("q_dedup_runs",
+      (s, d) => graft.pipeline.SpanDedup.dupRuns(
+        t(s, d)("documents"), "doc_id", "text", window = 32, stride = 16),
+      Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+             |           FROM documents),
+             |win AS (SELECT doc_id, i,
+             |          md5(substr(text, CAST(i * 16 AS INT) + 1, 32)) AS digest
+             |        FROM (SELECT doc_id, text,
+             |                unnest(range(0, (n - 32) // 16 + 1)) AS i
+             |              FROM d WHERE n >= 32)),
+             |dup AS (SELECT digest FROM win GROUP BY digest
+             |        HAVING count(DISTINCT doc_id) > 1),
+             |m AS (SELECT doc_id, i FROM win
+             |      WHERE digest IN (SELECT digest FROM dup)),
+             |r AS (SELECT doc_id, i,
+             |        i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rk
+             |      FROM m)
+             |SELECT doc_id, min(i) * 16 AS run_start, max(i) * 16 + 32 AS run_end,
+             |       CAST(count(*) AS BIGINT) AS n_windows
+             |FROM r GROUP BY doc_id, rk""".stripMargin)),
+
+    // the cut list's BUDGET view: per-doc chars removed/kept if the runs
+    // are cut — runs are disjoint (stride ≤ window ⇒ a missing anchor
+    // separates intervals), so the char sums are exact
+    Q("q_dedup_run_stats",
+      (s, d) => graft.pipeline.SpanDedup.dupRunStats(
+        t(s, d)("documents"), "doc_id", "text", window = 32, stride = 16),
+      Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+             |           FROM documents),
+             |win AS (SELECT doc_id, i,
+             |          md5(substr(text, CAST(i * 16 AS INT) + 1, 32)) AS digest
+             |        FROM (SELECT doc_id, text,
+             |                unnest(range(0, (n - 32) // 16 + 1)) AS i
+             |              FROM d WHERE n >= 32)),
+             |dup AS (SELECT digest FROM win GROUP BY digest
+             |        HAVING count(DISTINCT doc_id) > 1),
+             |m AS (SELECT doc_id, i FROM win
+             |      WHERE digest IN (SELECT digest FROM dup)),
+             |r AS (SELECT doc_id, i,
+             |        i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rk
+             |      FROM m),
+             |runs AS (SELECT doc_id, min(i) * 16 AS run_start,
+             |           max(i) * 16 + 32 AS run_end
+             |         FROM r GROUP BY doc_id, rk),
+             |cuts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_runs,
+             |           CAST(sum(run_end - run_start) AS BIGINT) AS cut_chars
+             |         FROM runs GROUP BY doc_id)
+             |SELECT d.doc_id, d.n AS n_chars,
+             |       coalesce(c.n_runs, 0) AS n_runs,
+             |       coalesce(c.cut_chars, 0) AS cut_chars,
+             |       d.n - coalesce(c.cut_chars, 0) AS kept_chars
+             |FROM d LEFT JOIN cuts c ON d.doc_id = c.doc_id""".stripMargin)),
+
+    // positional decontamination (the GPT-3 13-gram pass, n = 3 at this
+    // corpus' doc length): maximal tainted TOKEN spans per corpus doc —
+    // same-length intervals merge on a lag-gap flag + running sum, and
+    // the oracle replays the merge independently over its own gram rows
+    Q("q_decontam_spans",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        graft.pipeline.Contamination.taintedSpans(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+             |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+             |      FROM (SELECT doc_id, ws,
+             |              unnest(range(1, len(ws) - 1)) AS i FROM w)),
+             |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+             |tainted AS (SELECT doc_id, p FROM g
+             |            WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM bench)),
+             |flagged AS (SELECT doc_id, p,
+             |              CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 3
+             |                   THEN 1 ELSE 0 END AS gap
+             |            FROM tainted),
+             |runs AS (SELECT doc_id, p,
+             |           sum(gap) OVER (PARTITION BY doc_id ORDER BY p
+             |             ROWS UNBOUNDED PRECEDING) AS run
+             |         FROM flagged)
+             |SELECT doc_id, min(p) AS tok_start, max(p) + 3 AS tok_end,
+             |       CAST(count(*) AS BIGINT) AS n_grams
+             |FROM runs GROUP BY doc_id, run""".stripMargin)),
+
     // cross-source content-overlap matrix at 3-word-span granularity:
     // which sources re-scrape each other, counted in distinct shared
     // span digests — only digests ride the shuffle, pair fan-out is

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Benchmark-contamination detection: find training documents that share
@@ -30,5 +31,45 @@ object Contamination {
     hashed(corpus, "doc_id")
       .join(broadcast(hashed(benchmark, "bench_id")), "h")
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Positional decontamination cut list: the maximal TOKEN spans of each
+    * corpus document covered by at least one n-gram that also occurs in
+    * the benchmark set — what a GPT-3-style 13-gram decontamination pass
+    * actually removes (the span, not just the doc flag [[overlaps]]
+    * gives). An n-gram at token position `p` (0-based) taints tokens
+    * `[p, p+n)`; two tainted grams merge when their spans overlap or
+    * touch (`p₂ − p₁ ≤ n` under the sort) — the classic interval merge,
+    * here a lag-gap flag + running sum because every interval has the
+    * same length. Returns `(doc_id, tok_start, tok_end, n_grams)`,
+    * `tok_end` exclusive; spans in one document are disjoint.
+    *
+    * Scale shape: the benchmark gram set is eval-sized → broadcast; the
+    * corpus side streams map-side through the semi join (no corpus
+    * shuffle), and only the TAINTED positions — bounded by benchmark
+    * coverage, not corpus size — reach the per-document window. All
+    * integers → hash-exact across engines.
+    */
+  def taintedSpans(corpus: DataFrame, benchmark: DataFrame,
+                   idCol: String, textCol: String, n: Int): DataFrame = {
+    // positions survive the shingle null-filter unchanged: only TRAILING
+    // entries are null (i > |ws| − n), so element k is the gram at token k
+    val grams = corpus.select(col(idCol),
+      posexplode(transform(Text.shingles(col(textCol), n), s => md5(s))))
+      .select(col(idCol), col("pos").cast("long").as("p"), col("col").as("h"))
+    val bench = benchmark
+      .select(explode(array_distinct(
+        transform(Text.shingles(col(textCol), n), s => md5(s)))).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    grams.join(broadcast(bench), Seq("h"), "left_semi")
+      .withColumn("gap", when(
+        col("p") - lag(col("p"), 1).over(w) > n, 1L).otherwise(0L))
+      .withColumn("run", sum(col("gap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("run"))
+      .agg(min(col("p")).as("tok_start"),
+        (max(col("p")) + n).as("tok_end"), count(lit(1)).as("n_grams"))
+      .select(col(idCol), col("tok_start"), col("tok_end"), col("n_grams"))
   }
 }

@@ -128,6 +128,69 @@ object SpanDedup {
           .as("dup_frac"))
   }
 
+  /** Maximal duplicated RUNS — the cut list an exact substring-dedup pass
+    * applies (Lee et al. 2107.06499 report the repeated intervals, not
+    * just a per-doc fraction; [[dupSubstrings]] gives the fraction, this
+    * gives the intervals). A window at anchor `i` covers chars
+    * `[i·stride, i·stride + window)`; consecutive duplicated anchors
+    * coalesce into one maximal run `(doc_id, run_start, run_end,
+    * n_windows)` with `run_end` exclusive. Runs in one document are
+    * disjoint by construction (a missing anchor between runs separates
+    * their char intervals by ≥ 0 with stride ≤ window), so
+    * `Σ (run_end − run_start)` is the exact duplicated-char volume —
+    * see [[dupRunStats]].
+    *
+    * Scale shape: the anchor relation is `(digest, doc_id, i)` triples —
+    * documents never ride a shuffle. One digest-keyed aggregate finds
+    * shared anchors, one digest-keyed LEFT SEMI join marks them (same
+    * partitioning, exchange reused), then the island detection is a
+    * per-document window (`i − row_number` over anchors ordered by `i`)
+    * + one (doc, runkey) aggregate — both keyed on the high-cardinality
+    * doc id. All-integer arithmetic → hash-exact across engines.
+    */
+  def dupRuns(docs: DataFrame, idCol: String, textCol: String,
+              window: Int, stride: Int): DataFrame = {
+    val n = length(col(textCol)).cast("long")
+    val nWin = floor((n - window) / stride) + 1L
+    val wins = docs.filter(n >= window)
+      .select(col(idCol), posexplode(transform(sequence(lit(0L), nWin - 1),
+        i => md5(col(textCol).substr((i * stride + 1).cast("int"), lit(window))
+          .cast("binary")))))
+      .select(col(idCol), col("pos").cast("long").as("i"), col("col").as("digest"))
+    val dup = wins.groupBy(col("digest"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") > 1)
+      .select(col("digest"))
+    wins.join(dup, Seq("digest"), "left_semi")
+      .withColumn("rk", col("i") - row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("i"))))
+      .groupBy(col(idCol), col("rk"))
+      .agg(min(col("i")).as("i0"), max(col("i")).as("i1"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), (col("i0") * stride).as("run_start"),
+        (col("i1") * stride + window).as("run_end"), col("n_windows"))
+  }
+
+  /** Per-document budget view of [[dupRuns]]: how many chars the cut list
+    * removes and keeps — `(doc_id, n_chars, n_runs, cut_chars,
+    * kept_chars)`, one row per document (docs with no duplicated run
+    * report zero cuts). The number a pipeline owner multiplies by the
+    * corpus size before committing to a substring-dedup pass.
+    */
+  def dupRunStats(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    val cuts = dupRuns(docs, idCol, textCol, window, stride)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_runs"),
+        sum(col("run_end") - col("run_start")).as("cut_chars"))
+    docs.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
+      .join(cuts, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"),
+        (col("n_chars") - coalesce(col("cut_chars"), lit(0L))).as("kept_chars"))
+  }
+
   /** Boilerplate spans: span texts occurring in at least `minDocs`
     * DISTINCT documents (nav bars, cookie banners, license headers — the
     * lines a web pipeline strips before dedup). Returns

@@ -71,6 +71,66 @@ class SpanDedupSpec extends SparkTestBase {
       4L -> ((2L, 0L, 0.0))))
   }
 
+  test("dupRuns coalesces consecutive duplicated anchors into maximal char intervals") {
+    val d = Seq(
+      (1L, "abcdefghij"), // windows at 0,2,4,6: abcd cdef efgh ghij
+      (2L, "abcdefxxxx"), // shares abcd(0) and cdef(2) with doc 1 → one run
+      (3L, "ghijzzzzzz")) // shares ghij(0) with doc 1 → isolated run
+      .toDF("doc_id", "text")
+    val got = SpanDedup.dupRuns(d, "doc_id", "text", window = 4, stride = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("run_start"),
+        r.getAs[Long]("run_end"), r.getAs[Long]("n_windows"))).toSet
+    assert(got === Set(
+      (1L, 0L, 6L, 2L),   // abcd+cdef merge: chars [0,6)
+      (1L, 6L, 10L, 1L),  // ghij alone: [6,10) — gap at efgh keeps it separate
+      (2L, 0L, 6L, 2L),
+      (3L, 0L, 4L, 1L)))
+  }
+
+  test("dupRunStats: runs are disjoint so cut/kept char sums are exact") {
+    val d = Seq(
+      (1L, "abcdefghij"),
+      (2L, "abcdefxxxx"),
+      (3L, "ghijzzzzzz"),
+      (4L, "qq"))         // shorter than window → zero windows, zero cuts
+      .toDF("doc_id", "text")
+    val got = SpanDedup.dupRunStats(d, "doc_id", "text", window = 4, stride = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("cut_chars"), r.getAs[Long]("kept_chars")))).toMap
+    assert(got === Map(
+      1L -> ((10L, 2L, 10L, 0L)),  // [0,6) + [6,10) — whole doc duplicated
+      2L -> ((10L, 1L, 6L, 4L)),
+      3L -> ((10L, 1L, 4L, 6L)),
+      4L -> ((2L, 0L, 0L, 2L))))
+  }
+
+  test("dupRuns matches brute-force interval coalescing on random corpora") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (1L to 12L).map(i =>
+      (i, (0 until 10 + rnd.nextInt(30)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    val (window, stride) = (5, 2)
+    val got = SpanDedup.dupRuns(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", window, stride)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("run_start"),
+        r.getAs[Long]("run_end"), r.getAs[Long]("n_windows"))).toSet
+    val wins = corpus.flatMap { case (id, s) =>
+      (0 to (s.length - window) / stride)
+        .map(i => (id, i, s.substring(i * stride, i * stride + window)))
+    }
+    val dupSet = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size > 1).keySet
+    val expect = wins.filter(w => dupSet(w._3)).groupBy(_._1).toSeq.flatMap {
+      case (id, ws) =>
+        // split sorted anchor indices into consecutive islands
+        ws.map(_._2).sorted.foldLeft(List.empty[List[Int]]) {
+          case (acc @ (h :: t), i) if h.head == i - 1 => (i :: h) :: t
+          case (acc, i) => List(i) :: acc
+        }.map(run => (id, run.min.toLong * stride,
+          run.max.toLong * stride + window, run.size.toLong))
+    }.toSet
+    assert(got === expect)
+  }
+
   test("crossSourceOverlap counts distinct shared keys once per unordered source pair") {
     import graft.pipeline.Dedup
     val units = Seq(
