@@ -4272,8 +4272,9 @@ object Queries {
              |FROM r GROUP BY doc_id, rk""".stripMargin)),
 
     // the cut list's BUDGET view: per-doc chars removed/kept if the runs
-    // are cut — runs are disjoint (stride ≤ window ⇒ a missing anchor
-    // separates intervals), so the char sums are exact
+    // are cut. The Spark side measures the runs' interval UNION (gap
+    // complement); at THIS config (window = 2·stride) runs are exactly
+    // disjoint, so the oracle's simpler Σ(run_end − run_start) agrees
     Q("q_dedup_run_stats",
       (s, d) => graft.pipeline.SpanDedup.dupRunStats(
         t(s, d)("documents"), "doc_id", "text", window = 32, stride = 16),
@@ -4302,6 +4303,51 @@ object Queries {
              |       coalesce(c.cut_chars, 0) AS cut_chars,
              |       d.n - coalesce(c.cut_chars, 0) AS kept_chars
              |FROM d LEFT JOIN cuts c ON d.doc_id = c.doc_id""".stripMargin)),
+
+    // APPLYING the cut list: clean text = ordered concat of the gaps
+    // between runs. The whole-doc-duplicated regime (zero gaps → empty
+    // string, NOT the original) is the row's sharpest edge; the oracle
+    // rebuilds the string independently via string_agg ORDER BY gap start
+    Q("q_dedup_runs_cut",
+      (s, d) => graft.pipeline.SpanDedup.cutRuns(
+        t(s, d)("documents"), "doc_id", "text", window = 32, stride = 16),
+      Some("""WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+             |           FROM documents),
+             |win AS MATERIALIZED (
+             |  SELECT doc_id, i, md5(substr(text, CAST(i * 16 AS INT) + 1, 32)) AS digest
+             |  FROM (SELECT doc_id, text, unnest(range(0, (n - 32) // 16 + 1)) AS i
+             |        FROM d WHERE n >= 32)),
+             |dup AS (SELECT digest FROM win GROUP BY digest
+             |        HAVING count(DISTINCT doc_id) > 1),
+             |m AS (SELECT doc_id, i FROM win
+             |      WHERE digest IN (SELECT digest FROM dup)),
+             |r AS (SELECT doc_id, i,
+             |        i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rk
+             |      FROM m),
+             |runs AS MATERIALIZED (
+             |  SELECT doc_id, min(i) * 16 AS run_start, max(i) * 16 + 32 AS run_end
+             |  FROM r GROUP BY doc_id, rk),
+             |mid AS (SELECT doc_id,
+             |          coalesce(lag(run_end) OVER (PARTITION BY doc_id
+             |            ORDER BY run_start), 0) AS gs,
+             |          run_start AS ge
+             |        FROM runs),
+             |tl AS (SELECT r.doc_id, max(r.run_end) AS gs,
+             |         CAST(count(*) AS BIGINT) AS n_runs, any_value(d.n) AS ge
+             |       FROM runs r JOIN d ON r.doc_id = d.doc_id GROUP BY r.doc_id),
+             |gaps AS (SELECT doc_id, gs, ge FROM mid
+             |         UNION ALL SELECT doc_id, gs, ge FROM tl),
+             |reb AS (SELECT g.doc_id,
+             |          string_agg(substr(d.text, CAST(g.gs AS INT) + 1,
+             |            CAST(g.ge - g.gs AS INT)), '' ORDER BY g.gs) AS clean_text
+             |        FROM gaps g JOIN d ON g.doc_id = d.doc_id
+             |        WHERE g.ge > g.gs GROUP BY g.doc_id)
+             |SELECT d.doc_id,
+             |       CASE WHEN tl.n_runs IS NULL THEN d.text
+             |            ELSE coalesce(reb.clean_text, '') END AS clean_text,
+             |       coalesce(tl.n_runs, 0) AS n_runs
+             |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id
+             |       LEFT JOIN tl ON d.doc_id = tl.doc_id""".stripMargin)),
 
     // positional decontamination (the GPT-3 13-gram pass, n = 3 at this
     // corpus' doc length): maximal tainted TOKEN spans per corpus doc —
@@ -4334,6 +4380,46 @@ object Queries {
              |SELECT doc_id, min(p) AS tok_start, max(p) + 3 AS tok_end,
              |       CAST(count(*) AS BIGINT) AS n_grams
              |FROM runs GROUP BY doc_id, run""".stripMargin)),
+
+    // the decontamination BUDGET: tainted-token volume per corpus doc —
+    // the number an eval owner reads before deciding between doc-drop
+    // and span-cut policies
+    Q("q_decontam_budget",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        graft.pipeline.Contamination.taintedBudget(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          "doc_id", "text", n = 3)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS p,
+             |        md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+             |      FROM (SELECT doc_id, ws,
+             |              unnest(range(1, len(ws) - 1)) AS i FROM w)),
+             |bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 97 = 0),
+             |tainted AS (SELECT doc_id, p FROM g
+             |            WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM bench)),
+             |flagged AS (SELECT doc_id, p,
+             |              CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 3
+             |                   THEN 1 ELSE 0 END AS gap
+             |            FROM tainted),
+             |rn AS (SELECT doc_id, p,
+             |         sum(gap) OVER (PARTITION BY doc_id ORDER BY p
+             |           ROWS UNBOUNDED PRECEDING) AS run
+             |       FROM flagged),
+             |spans AS (SELECT doc_id, min(p) AS tok_start, max(p) + 3 AS tok_end
+             |          FROM rn GROUP BY doc_id, run),
+             |cuts AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             |           CAST(sum(tok_end - tok_start) AS BIGINT) AS tainted_tokens
+             |         FROM spans GROUP BY doc_id)
+             |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+             |       coalesce(c.n_spans, 0) AS n_spans,
+             |       coalesce(c.tainted_tokens, 0) AS tainted_tokens,
+             |       CAST(coalesce(c.tainted_tokens, 0) AS DOUBLE)
+             |         / CAST(len(w.ws) AS DOUBLE) AS tainted_frac
+             |FROM w LEFT JOIN cuts c ON w.doc_id = c.doc_id
+             |WHERE w.doc_id % 97 <> 0""".stripMargin)),
 
     // cross-source content-overlap matrix at 3-word-span granularity:
     // which sources re-scrape each other, counted in distinct shared

@@ -72,4 +72,26 @@ object Contamination {
         (max(col("p")) + n).as("tok_end"), count(lit(1)).as("n_grams"))
       .select(col(idCol), col("tok_start"), col("tok_end"), col("n_grams"))
   }
+
+  /** Per-document decontamination BUDGET: how many tokens the
+    * [[taintedSpans]] cut list removes — `(doc_id, n_tokens, n_spans,
+    * tainted_tokens, tainted_frac)`, one row per corpus document (clean
+    * docs report zeros). Spans are disjoint, so the token sum is exact;
+    * the fraction is one IEEE divide of two exact longs (replayable).
+    */
+  def taintedBudget(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int): DataFrame = {
+    val cuts = taintedSpans(corpus, benchmark, idCol, textCol, n)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("tok_end") - col("tok_start")).as("tainted_tokens"))
+    corpus.select(col(idCol),
+        size(Text.words(col(textCol))).cast("long").as("n_tokens"))
+      .join(cuts, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tainted_tokens"), lit(0L)).as("tainted_tokens"),
+        (coalesce(col("tainted_tokens"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("tainted_frac"))
+  }
 }

@@ -134,11 +134,15 @@ object SpanDedup {
     * gives the intervals). A window at anchor `i` covers chars
     * `[i·stride, i·stride + window)`; consecutive duplicated anchors
     * coalesce into one maximal run `(doc_id, run_start, run_end,
-    * n_windows)` with `run_end` exclusive. Runs in one document are
-    * disjoint by construction (a missing anchor between runs separates
-    * their char intervals by ≥ 0 with stride ≤ window), so
-    * `Σ (run_end − run_start)` is the exact duplicated-char volume —
-    * see [[dupRunStats]].
+    * n_windows)` with `run_end` exclusive. Runs are emitted in ANCHOR
+    * space: a run's interval never nests inside another's (both
+    * endpoints strictly increase down the sorted runs), but two runs'
+    * CHAR intervals overlap when `window > 2·stride` (islands one
+    * missing anchor apart sit `2·stride` chars apart). Downstream
+    * consumers ([[dupRunStats]], [[cutRuns]]) are union-aware — they
+    * measure and cut the interval UNION, never summing raw lengths —
+    * so any (window, stride) is safe; with `window ≤ 2·stride` the
+    * runs are exactly disjoint.
     *
     * Scale shape: the anchor relation is `(digest, doc_id, i)` triples —
     * documents never ride a shuffle. One digest-keyed aggregate finds
@@ -171,24 +175,91 @@ object SpanDedup {
         (col("i1") * stride + window).as("run_end"), col("n_windows"))
   }
 
+  /** The KEPT intervals between a document's runs: `(id, gs, ge)` with
+    * `[gs, ge)` the maximal char spans NOT covered by any run — `[0, s₁)`,
+    * `[max(e…), s₂)` …, `[e_k, n)`, empty/negative gaps dropped. Correct
+    * for overlapping (window > 2·stride) runs because [[dupRuns]] output
+    * is never nested: both endpoints strictly increase down the sorted
+    * runs, so `lag(run_end)` IS the prefix max and a clipped-away gap
+    * means the previous run already covers this one's start.
+    */
+  private def runGaps(runs: DataFrame, base: DataFrame, idCol: String): DataFrame = {
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("run_start"))
+    val mid = runs.select(col(idCol),
+      coalesce(lag(col("run_end"), 1).over(wDoc), lit(0L)).as("gs"),
+      col("run_start").as("ge"))
+    val tailGap = runs.groupBy(col(idCol)).agg(max(col("run_end")).as("gs"))
+      .join(base, Seq(idCol))
+      .select(col(idCol), col("gs"), col("n").as("ge"))
+    mid.union(tailGap).filter(col("ge") > col("gs"))
+  }
+
   /** Per-document budget view of [[dupRuns]]: how many chars the cut list
     * removes and keeps — `(doc_id, n_chars, n_runs, cut_chars,
     * kept_chars)`, one row per document (docs with no duplicated run
-    * report zero cuts). The number a pipeline owner multiplies by the
-    * corpus size before committing to a substring-dedup pass.
+    * report zero cuts). The char volumes measure the interval UNION via
+    * the gap complement ([[runGaps]]), so overlapping runs never double
+    * count. The number a pipeline owner multiplies by the corpus size
+    * before committing to a substring-dedup pass.
     */
   def dupRunStats(docs: DataFrame, idCol: String, textCol: String,
                   window: Int, stride: Int): DataFrame = {
-    val cuts = dupRuns(docs, idCol, textCol, window, stride)
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_runs"),
-        sum(col("run_end") - col("run_start")).as("cut_chars"))
-    docs.select(col(idCol), length(col(textCol)).cast("long").as("n_chars"))
-      .join(cuts, Seq(idCol), "left")
-      .select(col(idCol), col("n_chars"),
+    val runs = dupRuns(docs, idCol, textCol, window, stride)
+    val base = docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("n"))
+    val kept = runGaps(runs, base, idCol)
+      .groupBy(col(idCol)).agg(sum(col("ge") - col("gs")).as("kept"))
+    val nRuns = runs.groupBy(col(idCol)).agg(count(lit(1)).as("n_runs"))
+    base.join(nRuns, Seq(idCol), "left").join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n").as("n_chars"),
         coalesce(col("n_runs"), lit(0L)).as("n_runs"),
-        coalesce(col("cut_chars"), lit(0L)).as("cut_chars"),
-        (col("n_chars") - coalesce(col("cut_chars"), lit(0L))).as("kept_chars"))
+        // no runs → kept is the whole doc (the gap relation has no row);
+        // runs covering everything → kept 0
+        when(col("n_runs").isNull, lit(0L))
+          .otherwise(col("n") - coalesce(col("kept"), lit(0L))).as("cut_chars"),
+        when(col("n_runs").isNull, col("n"))
+          .otherwise(coalesce(col("kept"), lit(0L))).as("kept_chars"))
+  }
+
+  /** APPLY the [[dupRuns]] cut list: rebuild each document's text with
+    * the duplicated runs removed — `(doc_id, clean_text, n_runs)`, every
+    * input document present (no runs → text unchanged). The kept text is
+    * the ordered concatenation of the GAPS between runs ([[runGaps]]) —
+    * the complement of the runs' interval union, so overlapping
+    * (window > 2·stride) runs cut correctly too.
+    *
+    * Plan: the runs relation (pair-survivor-sized, not corpus-sized)
+    * gets a per-doc lag window to emit gap intervals, one equi-join back
+    * to the documents for the substring slices, and one per-doc
+    * aggregate that sorts the (gap_start, segment) structs and joins the
+    * segments — order restored by the sort key, not by any partition
+    * order, so the rebuilt string is deterministic under any layout.
+    * Char offsets fit ints because a JVM String already bounds a single
+    * document below 2³¹ chars.
+    */
+  def cutRuns(docs: DataFrame, idCol: String, textCol: String,
+              window: Int, stride: Int): DataFrame = {
+    val runs = dupRuns(docs, idCol, textCol, window, stride)
+    val base = docs.select(col(idCol), col(textCol).as("t"),
+      length(col(textCol)).cast("long").as("n"))
+    val tl = runs.groupBy(col(idCol)).agg(count(lit(1)).as("n_runs"))
+    val rebuilt = runGaps(runs, base, idCol)
+      .join(base, Seq(idCol))
+      .select(col(idCol), struct(col("gs"),
+        col("t").substr((col("gs") + 1).cast("int"),
+          (col("ge") - col("gs")).cast("int")).as("seg")).as("g"))
+      .groupBy(col(idCol))
+      .agg(array_join(transform(array_sort(collect_list(col("g"))),
+        x => x.getField("seg")), "").as("clean_text"))
+    base.join(rebuilt, Seq(idCol), "left")
+      .join(tl.select(col(idCol), col("n_runs")), Seq(idCol), "left")
+      // three regimes: no runs → original text; runs with gaps → rebuilt;
+      // runs covering the WHOLE doc → every gap is empty, the rebuilt row
+      // is absent, and the clean text is "" (not the original!)
+      .select(col(idCol),
+        when(col("n_runs").isNull, col("t"))
+          .otherwise(coalesce(col("clean_text"), lit(""))).as("clean_text"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"))
   }
 
   /** Boilerplate spans: span texts occurring in at least `minDocs`

@@ -43,6 +43,17 @@ class ContaminationSpec extends SparkTestBase {
     assert(got === Set((0L, 3L, 1L), (7L, 10L, 1L)))
   }
 
+  test("taintedBudget reports exact tainted-token volume per doc, zeros for clean") {
+    val got = Contamination.taintedBudget(corpus, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_spans"),
+          r.getAs[Long]("tainted_tokens"), r.getAs[Double]("tainted_frac")))).toMap
+    assert(got === Map(
+      1L -> ((6L, 1L, 6L, 1.0)),       // one merged span [0,6) covers all
+      2L -> ((5L, 0L, 0L, 0.0)),       // clean doc still present
+      3L -> ((7L, 1L, 3L, 3.0 / 7.0))))
+  }
+
   test("taintedSpans matches brute-force interval merging on random corpora") {
     val rnd = new scala.util.Random(13)
     def randDoc() =

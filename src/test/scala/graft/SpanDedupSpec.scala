@@ -131,6 +131,79 @@ class SpanDedupSpec extends SparkTestBase {
     assert(got === expect)
   }
 
+  test("cutRuns rebuilds text from gaps; whole-doc dup yields empty, not original") {
+    // window=4, stride=2 → anchors i=0..3 at chars 2i. Anchor texts:
+    //   doc1 "abcdefghij": abcd cdef efgh ghij
+    //   doc2 "abcdefXXXX": abcd cdef efXX XXXX
+    //   doc3 "ZZghijZZZZ": ZZgh ghij ijZZ ZZZZ
+    //   doc5 "XXghijXXXX": XXgh ghij ijXX XXXX
+    // cross-doc dups: abcd,cdef {1,2}; ghij {1,3,5}; XXXX {2,5}
+    val d = Seq(
+      (1L, "abcdefghij"), // dup anchors i=0,1,3 → runs [0,6),[6,10): all cut
+      (2L, "abcdefXXXX"), // dup anchors i=0,1,3 → all cut
+      (3L, "ZZghijZZZZ"), // dup anchor i=1 → run [2,6): keeps "ZZ"+"ZZZZ"
+      (4L, "qq"),         // shorter than window → unchanged
+      (5L, "XXghijXXXX")) // dup anchors i=1,3 → runs [2,6),[6,10): keeps "XX"
+      .toDF("doc_id", "text")
+    val got = SpanDedup.cutRuns(d, "doc_id", "text", window = 4, stride = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_runs")))).toMap
+    assert(got === Map(
+      1L -> (("", 2L)),
+      2L -> (("", 2L)),
+      3L -> (("ZZZZZZ", 1L)),
+      4L -> (("qq", 0L)),
+      5L -> (("XX", 2L))))
+  }
+
+  test("cutRuns matches brute-force gap reconstruction on random corpora") {
+    val rnd = new scala.util.Random(17)
+    val corpus = (1L to 12L).map(i =>
+      (i, (0 until 10 + rnd.nextInt(30)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString))
+    val (window, stride) = (5, 2)
+    val got = SpanDedup.cutRuns(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", window, stride)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("clean_text"), r.getAs[Long]("n_runs")))).toMap
+    val wins = corpus.flatMap { case (id, s) =>
+      (0 to (s.length - window) / stride)
+        .map(i => (id, i, s.substring(i * stride, i * stride + window)))
+    }
+    val dupSet = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size > 1).keySet
+    val runsByDoc = wins.filter(w => dupSet(w._3)).groupBy(_._1).view.mapValues { ws =>
+      ws.map(_._2).sorted.foldLeft(List.empty[List[Int]]) {
+        case (acc @ (h :: t), i) if h.head == i - 1 => (i :: h) :: t
+        case (acc, i) => List(i) :: acc
+      }.map(run => (run.min * stride, run.max * stride + window))
+    }.toMap
+    // window=5 > 2·stride=4 → runs may OVERLAP in char space; the brute
+    // force cuts the interval UNION (cursor = max(cursor, run end))
+    val expect = corpus.map { case (id, s) =>
+      val runs = runsByDoc.getOrElse(id, Nil).sortBy(_._1)
+      val kept = new StringBuilder
+      var cursor = 0
+      runs.foreach { case (rs, re) =>
+        if (rs > cursor) kept ++= s.substring(cursor, rs)
+        cursor = math.max(cursor, re)
+      }
+      kept ++= s.substring(cursor)
+      id -> ((kept.toString, runs.size.toLong))
+    }.toMap
+    assert(got === expect)
+    // dupRunStats measures the same union: kept_chars == |clean_text|
+    val stats = SpanDedup.dupRunStats(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", window, stride)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chars"), r.getAs[Long]("n_runs"),
+          r.getAs[Long]("cut_chars"), r.getAs[Long]("kept_chars")))).toMap
+    val statsExpect = corpus.map { case (id, s) =>
+      val (clean, nRuns) = expect(id)
+      id -> ((s.length.toLong, nRuns,
+        (s.length - clean.length).toLong, clean.length.toLong))
+    }.toMap
+    assert(stats === statsExpect)
+  }
+
   test("crossSourceOverlap counts distinct shared keys once per unordered source pair") {
     import graft.pipeline.Dedup
     val units = Seq(
