@@ -1454,6 +1454,101 @@ object Queries {
              |  AND o_orderdate < TIMESTAMP '1997-01-01'
              |GROUP BY n_name""".stripMargin)),
 
+    // TPC-H Q17 shape: correlated scalar subquery (per-part average
+    // quantity threshold), decorrelated Spark-side into one per-part
+    // aggregate + equi-join — the rewrite Spark's optimizer applies to
+    // the subquery form, declared directly. Deterministic: l_quantity is
+    // integer-valued (pinned in TablesSpec), so sum/avg are exact in FP
+    // under any order; the price sum is decimal-exact; 0.2·avg and the
+    // final /7.0 are single IEEE ops
+    Q("q_tpch_q17",
+      (s, d) => {
+        val p = t(s, d)("part").filter(col("p_brand") === "Brand#23")
+          .select("p_partkey")
+        // restricting lineitem to the brand's parts FIRST leaves every
+        // per-part average unchanged (the avg groups by partkey)
+        val li = t(s, d)("lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val av = li.groupBy(col("l_partkey").as("ap"))
+          .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_q"))
+        li.join(av, col("l_partkey") === col("ap"))
+          .filter(col("l_quantity") < lit(0.2) * col("avg_q"))
+          .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+              .cast("double") / lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("n_small"))
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |         / 7.0 AS avg_yearly,
+             |       count(*) AS n_small
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE p.p_brand = 'Brand#23'
+             |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+             |                      FROM lineitem l2
+             |                      WHERE l2.l_partkey = p.p_partkey)""".stripMargin)),
+
+    // TPC-H Q18 shape: large-volume orders — HAVING over a fact-sized
+    // aggregate, then joined back to the dimensional context. The big
+    // relation carries its sum along instead of re-aggregating after the
+    // join (equivalent, one shuffle fewer); top-100 by (o_totalprice
+    // DESC, o_orderkey) — the key tiebreak makes the limit deterministic
+    Q("q_tpch_q18",
+      (s, d) => {
+        val big = t(s, d)("lineitem").groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+          .filter(col("total_qty") > 250L)
+        t(s, d)("orders")
+          .join(big, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d)("customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_totalprice"), col("total_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      Some("""WITH big AS (
+             |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+             |  FROM lineitem GROUP BY 1 HAVING CAST(sum(l_quantity) AS BIGINT) > 250)
+             |SELECT c_name, c_custkey, o_orderkey,
+             |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+             |       o_totalprice, total_qty
+             |FROM orders JOIN big ON o_orderkey = l_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+
+    // TPC-H Q20 shape (no partsupp table in the corpus — the stocking
+    // relation is DERIVED from lineitem): suppliers who shipped more
+    // than half of some part's 1997 volume — nested aggregate + ratio
+    // filter + semi-join into the supplier dim. Integer-valued quantity
+    // sums → 0.5·tq exact, comparison deterministic
+    Q("q_tpch_q20",
+      (s, d) => {
+        val li97 = t(s, d)("lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity")).as("q"))
+        val pt = li97.groupBy(col("l_partkey").as("pp"))
+          .agg(sum(col("q")).as("tq"))
+        val hot = li97.join(pt, col("l_partkey") === col("pp"))
+          .filter(col("q") > lit(0.5) * col("tq"))
+          .select(col("l_suppkey")).distinct()
+        t(s, d)("supplier")
+          .join(hot, col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"))
+      },
+      Some("""WITH ps AS (
+             |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1998-01-01'
+             |  GROUP BY 1, 2),
+             |pt AS (SELECT l_partkey, sum(q) AS tq FROM ps GROUP BY 1)
+             |SELECT s_suppkey, s_name FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l_suppkey FROM ps JOIN pt USING (l_partkey)
+             |  WHERE q > 0.5 * tq)""".stripMargin)),
+
     Q("q_window_hourly",
       (s, d) => EventStream.windowedAgg(t(s, d)("events"), "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
