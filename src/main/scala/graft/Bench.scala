@@ -55,15 +55,22 @@ object Bench {
     // query is an independent job in production, so per-query release is
     // the honest cost model, and across ~190 queries the blocks would
     // otherwise accumulate and tax late queries with GC/eviction churn.
-    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
+    def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       val r = try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-              catch { case _: Throwable => -1.0 }
+              catch { case e: Throwable =>
+                // -1 in the JSON, but the WHY goes to stderr — a silent -1
+                // cost a debugging session (launcher-dependent add-opens
+                // failure looked identical to a plan regression)
+                System.err.println(s"[bench] $name failed: " +
+                  String.valueOf(e.getMessage).take(300))
+                -1.0
+              }
       GraftStorage.clear(spark)
       r
     }
     val results = SparkEntry.queries.filter(e => selected(e._1)).map { case (name, fn) =>
-      val times = Seq.fill(reps)(timeOnce(fn)).filter(_ >= 0).sorted
+      val times = Seq.fill(reps)(timeOnce(name, fn)).filter(_ >= 0).sorted
       name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

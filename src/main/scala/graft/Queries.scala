@@ -5238,26 +5238,36 @@ object Queries {
     // `ds` CTE would re-scan and re-aggregate the events table ~30× (8.5 s
     // at sf0.1 → 1 s); at 100 TB, materialize-the-invariant-loop-input is
     // the difference between O(depth) scans and one.
+    //
+    // The recursion state carries only strings and longs — `day` is
+    // date_format'ed BEFORE entering the loop. UnionLoopExec collects each
+    // level to the driver (executeAndCacheAndCount), and decoding a
+    // DateType there needs sun.util.calendar (JDK-17-encapsulated; only
+    // reachable under spark-submit/sbt's --add-opens flags) — a plain
+    // `java -cp` launcher would throw EXPRESSION_DECODING_FAILED on any
+    // date in the loop state. Dates stay usable everywhere OUTSIDE a
+    // recursion; inside one, pre-format to string/epoch.
     Q("q_sql_recursive",
       (s, d) => {
         val ds = t(s, d)("events")
           .groupBy(col("event_type"), col("ts").cast("date").as("day"))
           .agg(count(lit(1)).as("c"))
-          .select(col("event_type"), col("day"), col("c"),
+          .select(col("event_type"),
+            date_format(col("day"), "yyyy-MM-dd").as("day"), col("c"),
             row_number().over(Window.partitionBy("event_type").orderBy("day"))
               .cast("long").as("t"))
+          .repartition(1)
           .persistTracked()
         ds.createOrReplaceTempView("events_rec_ds_v")
         s.sql("""WITH RECURSIVE rec AS (
                 |  SELECT event_type, day, t, c, c AS s
                 |  FROM events_rec_ds_v WHERE t = 1
                 |  UNION ALL
-                |  SELECT /*+ BROADCAST(ds) */
+                |  SELECT /*+ BROADCAST(rec) */
                 |         ds.event_type, ds.day, ds.t, ds.c, rec.s DIV 2 + ds.c AS s
                 |  FROM rec JOIN events_rec_ds_v ds ON ds.event_type = rec.event_type
                 |                  AND ds.t = rec.t + 1)
-                |SELECT event_type, date_format(day, 'yyyy-MM-dd') AS day,
-                |       t, c, s
+                |SELECT event_type, day, t, c, s
                 |FROM rec""".stripMargin)
       },
       Some("""WITH RECURSIVE ds AS (
