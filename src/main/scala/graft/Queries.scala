@@ -1549,6 +1549,217 @@ object Queries {
              |  SELECT l_suppkey FROM ps JOIN pt USING (l_partkey)
              |  WHERE q > 0.5 * tq)""".stripMargin)),
 
+    // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    // join (the filter on the null-supplying side pushed below the join,
+    // identical semantics for left outer), then TWO stacked aggregations:
+    // per-customer count, then count-of-counts. The second agg is ~50
+    // rows at any scale
+    Q("q_tpch_q13",
+      (s, d) => {
+        val ord = t(s, d)("orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_custkey", "o_orderkey")
+        t(s, d)("customer").select("c_custkey")
+          .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+      },
+      Some("""WITH co AS (
+             |  SELECT c_custkey, count(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders
+             |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             |  GROUP BY 1)
+             |SELECT c_count, count(*) AS custdist FROM co GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q14 shape: promo revenue share — conditional aggregation
+    // (CASE inside sum) over a date-pruned fact⨝dim join. Both the promo
+    // and total sums are exact decimals; the percentage is ONE double
+    // division at the end, bit-identical cross-engine
+    Q("q_tpch_q14",
+      (s, d) => {
+        val rev = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        t(s, d)("lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+          .select("l_partkey", "l_extendedprice", "l_discount")
+          .join(t(s, d)("part").select("p_partkey", "p_type"),
+            col("l_partkey") === col("p_partkey"))
+          .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(rev).cast("double")).as("promo_share"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+             |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |  AS promo_share,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)),
+
+    // TPC-H Q15 shape: top-revenue supplier — the revenue "view" is built
+    // once, its scalar max comes back as a 1-row broadcast (NOT a window
+    // over the whole relation, NOT a second fact scan), and the equality
+    // filter is on exact decimals so rounding can't diverge cross-engine.
+    // Returns every supplier at the max (TPC-H tie semantics)
+    Q("q_tpch_q15",
+      (s, d) => {
+        val rev = t(s, d)("lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+            col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("total_rev"))
+        val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+        rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+          .join(t(s, d)("supplier"), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_rev").cast("double").as("total_revenue"))
+      },
+      Some("""WITH rev AS (
+             |  SELECT l_suppkey,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+             |  FROM lineitem
+             |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             |    AND l_shipdate < TIMESTAMP '1997-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+             |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin)),
+
+    // TPC-H Q19 shape: disjunctive join predicate — OR of three
+    // brand/size/quantity conjunctions sharing one equi-key. Declared as
+    // a single join condition; Catalyst extracts p_partkey = l_partkey as
+    // the hash-join key and keeps the disjunction as the join filter
+    // (never a nested loop)
+    Q("q_tpch_q19",
+      (s, d) => {
+        val li = t(s, d)("lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        val pt = t(s, d)("part").select("p_partkey", "p_brand", "p_size")
+        val clause = (col("p_brand") === "Brand#12" &&
+            col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" &&
+            col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" &&
+            col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+        li.join(pt, col("l_partkey") === col("p_partkey") && clause)
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |  AS revenue,
+             |  count(*) AS n_items
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             |        AND l_quantity BETWEEN 1 AND 11)
+             |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             |        AND l_quantity BETWEEN 10 AND 20)
+             |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H Q21 shape: suppliers who kept orders waiting — the classic
+    // double correlated EXISTS / NOT EXISTS, decorrelated here into ONE
+    // per-order aggregate instead of two extra fact joins: over finished
+    // orders count distinct suppliers (ns) and distinct LATE suppliers
+    // (nls; late = shipped >90 days after order date — this corpus has
+    // no l_commitdate/l_receiptdate); a late lineitem qualifies iff
+    // ns > 1 (another supplier exists) and nls = 1 (no OTHER supplier is
+    // late — the one late supplier is its own). One fact shuffle
+    // replaces the EXISTS semi-join + NOT-EXISTS anti-join; the oracle
+    // keeps the textbook correlated form to pin the equivalence
+    Q("q_tpch_q21",
+      (s, d) => {
+        val l = t(s, d)("lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(t(s, d)("orders")
+              .filter(col("o_orderstatus") === "F")
+              .select("o_orderkey", "o_orderdate"),
+            col("l_orderkey") === col("o_orderkey"))
+          .withColumn("late",
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        val perOrder = l.groupBy(col("l_orderkey").as("ok"))
+          .agg(countDistinct(col("l_suppkey")).as("ns"),
+            countDistinct(when(col("late"), col("l_suppkey"))).as("nls"))
+        l.filter(col("late"))
+          .join(perOrder, col("l_orderkey") === col("ok"))
+          .filter(col("ns") > 1 && col("nls") === 1)
+          .join(t(s, d)("supplier").select("s_suppkey", "s_name"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+      },
+      Some("""WITH l AS (
+             |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE o_orderstatus = 'F')
+             |SELECT s_suppkey, s_name, count(*) AS numwait
+             |FROM supplier, l l1
+             |WHERE s_suppkey = l1.l_suppkey
+             |  AND l1.l_shipdate > l1.o_orderdate + INTERVAL 90 DAY
+             |  AND EXISTS (SELECT 1 FROM l l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM l l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 90 DAY)
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // TPC-H Q22 shape: dormant rich customers — an UNCORRELATED scalar
+    // aggregate gate plus a NOT EXISTS anti-join. The global
+    // positive-balance average is never materialized as a rounded value:
+    // `bal > sum/cnt` is compared as `bal·cnt > sum` in exact decimals
+    // (1-row broadcast), so no cross-engine average rounding can flip a
+    // boundary customer. Dormancy = no order on/after 2001-01-01 (no
+    // phone prefixes in this corpus; nation keys stand in for country
+    // codes)
+    Q("q_tpch_q22",
+      (s, d) => {
+        val cust = t(s, d)("customer")
+          .filter(col("c_nationkey").isin(1, 3, 5, 7, 9))
+          .select(col("c_custkey"), col("c_nationkey"),
+            col("c_acctbal").cast("decimal(18,2)").as("bal"))
+        val gate = t(s, d)("customer").filter(col("c_acctbal") > 0)
+          .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_pos"),
+            count(lit(1)).as("cnt_pos"))
+        val recent = t(s, d)("orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("2001-01-01")))
+          .select("o_custkey")
+        cust.join(broadcast(gate),
+            col("bal") * col("cnt_pos") > col("sum_pos"))
+          .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+          .agg(count(lit(1)).as("numcust"),
+            sum(col("bal")).cast("double").as("totacctbal"))
+      },
+      Some("""WITH gate AS (
+             |  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos,
+             |         count(*) AS cnt_pos
+             |  FROM customer WHERE c_acctbal > 0)
+             |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+             |  count(*) AS numcust,
+             |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+             |FROM customer, gate
+             |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+             |  AND CAST(c_acctbal AS DECIMAL(18,2)) * cnt_pos > sum_pos
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |    WHERE o_custkey = c_custkey
+             |      AND o_orderdate >= TIMESTAMP '2001-01-01')
+             |GROUP BY 1""".stripMargin)),
+
     Q("q_window_hourly",
       (s, d) => EventStream.windowedAgg(t(s, d)("events"), "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
