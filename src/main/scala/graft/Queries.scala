@@ -4465,6 +4465,115 @@ object Queries {
              |  least(greatest((L * (fno + 1)) // 4, (L * fno) // 4 + 1), L) - (L * fno) // 4 AS frame_bytes
              |FROM d, k WHERE L > 0""".stripMargin)),
 
+    // 64-bit perceptual hash per media blob (dHash family — near-equal
+    // content → near-equal hash), emitted as its four 16-bit pigeonhole
+    // blocks: BIGINT-safe cross-engine (a full 64-bit hash can't round-trip
+    // DuckDB's signed BIGINT when bit 63 is set) and the blocks ARE the
+    // q_phash_pairs join keys. Stub codec for the oracle (65 byte-window
+    // integer means, all-integer); the real image/audio dHashes ride the
+    // same seam and are spec-pinned in MultimodalSpec
+    Q("q_phash",
+      (s, d) => Multimodal.perceptualHash(
+          Multimodal.fromDocuments(t(s, d)("documents")))
+        .select(col("media_id") +:
+          (0 until 4).map(k => shiftright(col("phash"), 16 * k)
+            .bitwiseAND(lit(0xFFFFL)).as(s"b$k")): _*),
+      Some("""WITH w AS MATERIALIZED (
+             |  SELECT doc_id, k.range AS k,
+             |    (CAST(strlen(text) AS BIGINT) * k.range) // 65 AS f,
+             |    (CAST(strlen(text) AS BIGINT) * (k.range + 1)) // 65 AS t,
+             |    text
+             |  FROM documents, range(65) k),
+             |m AS MATERIALIZED (
+             |  SELECT doc_id, k,
+             |    CASE WHEN t > f THEN
+             |      CAST(list_sum(list_transform(
+             |        string_split(substr(text, CAST(f AS INT) + 1, CAST(t - f AS INT)), ''),
+             |        c -> ascii(c))) AS BIGINT) // (t - f)
+             |    ELSE 0 END AS mean
+             |  FROM w),
+             |b AS MATERIALIZED (
+             |  SELECT a.doc_id, a.k AS j,
+             |    CASE WHEN a.mean > n.mean THEN 1 ELSE 0 END AS bit
+             |  FROM m a JOIN m n ON a.doc_id = n.doc_id AND n.k = a.k + 1
+             |  WHERE a.k < 64)
+             |SELECT doc_id AS media_id,
+             |  CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b0,
+             |  CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b1,
+             |  CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b2,
+             |  CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b3
+             |FROM b GROUP BY doc_id""".stripMargin)),
+
+    // perceptual near-dup pairs within 3 Hamming bits — the image/audio
+    // twin of SimHash dedup on the same COMPLETE pigeonhole blocking
+    // (Dedup.hammingPairs; 4 blocks × 16 bits, ONE self-equi-join).
+    // The corpus texts are all distinct with min pairwise stub-phash
+    // distance 12, so the base table alone would pass VACUOUSLY (the
+    // r6 q_dedup_semantic lesson); a re-encode twin of every doc (last
+    // char replaced — only the final byte window moves, dist ≤ 1) is
+    // planted so the row proves the blocking + distance path on 500
+    // real pairs. Oracle replays the blocks and the 4-arm candidate
+    // union
+    Q("q_phash_pairs",
+      (s, d) => {
+        val base = t(s, d)("documents").select(col("doc_id"), col("text"))
+        val edited = base.select((col("doc_id") + 100000).as("doc_id"),
+          concat(expr("substring(text, 1, length(text) - 1)"), lit("!")).as("text"))
+        Multimodal.phashPairs(
+            Multimodal.fromDocuments(base.unionByName(edited)), maxDist = 3)
+          .select(col("id1"), col("id2"), col("dist").cast("long").as("dist"))
+      },
+      Some("""WITH src AS MATERIALIZED (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 100000,
+             |         substr(text, 1, CAST(strlen(text) AS INT) - 1) || '!' FROM documents),
+             |w AS MATERIALIZED (
+             |  SELECT doc_id, k.range AS k,
+             |    (CAST(strlen(text) AS BIGINT) * k.range) // 65 AS f,
+             |    (CAST(strlen(text) AS BIGINT) * (k.range + 1)) // 65 AS t,
+             |    text
+             |  FROM src, range(65) k),
+             |m AS MATERIALIZED (
+             |  SELECT doc_id, k,
+             |    CASE WHEN t > f THEN
+             |      CAST(list_sum(list_transform(
+             |        string_split(substr(text, CAST(f AS INT) + 1, CAST(t - f AS INT)), ''),
+             |        c -> ascii(c))) AS BIGINT) // (t - f)
+             |    ELSE 0 END AS mean
+             |  FROM w),
+             |b AS MATERIALIZED (
+             |  SELECT a.doc_id, a.k AS j,
+             |    CASE WHEN a.mean > n.mean THEN 1 ELSE 0 END AS bit
+             |  FROM m a JOIN m n ON a.doc_id = n.doc_id AND n.k = a.k + 1
+             |  WHERE a.k < 64),
+             |ph AS MATERIALIZED (
+             |  SELECT doc_id AS media_id,
+             |    CAST(sum(CASE WHEN j // 16 = 0 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b0,
+             |    CAST(sum(CASE WHEN j // 16 = 1 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b1,
+             |    CAST(sum(CASE WHEN j // 16 = 2 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b2,
+             |    CAST(sum(CASE WHEN j // 16 = 3 THEN bit * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b3
+             |  FROM b GROUP BY doc_id),
+             |cand AS MATERIALIZED (
+             |  SELECT a.media_id AS id1, x.media_id AS id2
+             |  FROM ph a JOIN ph x ON a.b0 = x.b0 AND a.media_id < x.media_id
+             |  UNION
+             |  SELECT a.media_id, x.media_id
+             |  FROM ph a JOIN ph x ON a.b1 = x.b1 AND a.media_id < x.media_id
+             |  UNION
+             |  SELECT a.media_id, x.media_id
+             |  FROM ph a JOIN ph x ON a.b2 = x.b2 AND a.media_id < x.media_id
+             |  UNION
+             |  SELECT a.media_id, x.media_id
+             |  FROM ph a JOIN ph x ON a.b3 = x.b3 AND a.media_id < x.media_id)
+             |SELECT id1, id2, dist FROM (
+             |  SELECT c.id1, c.id2,
+             |    CAST(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+             |       + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) AS BIGINT) AS dist
+             |  FROM cand c JOIN ph x ON x.media_id = c.id1
+             |              JOIN ph y ON y.media_id = c.id2)
+             |WHERE dist <= 3""".stripMargin)),
+
     // ------------------------------------------- span-level dedup (r4 cont.)
 
     // FineWeb/RefinedWeb-style "line dedup" one level below the document:

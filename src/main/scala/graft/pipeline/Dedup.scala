@@ -286,23 +286,38 @@ object Dedup {
     * relative to `bits` means tiny blocks and near-cartesian candidates —
     * keep maxDist ≪ bits.
     */
-  def simhashPairs(docs: DataFrame, maxDist: Int = 3, bits: Int = 16): DataFrame = {
-    val fp = simhash(docs, bits = bits)
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3, bits: Int = 16): DataFrame =
+    hammingPairs(simhash(docs, bits = bits), "id", "simhash", bits, maxDist)
+
+  /** Fingerprint-agnostic form of the pigeonhole pair join: `(id, fp)` in,
+    * `(id1, id2, dist ≤ maxDist)` out, for ANY ≤64-bit Hamming-space
+    * fingerprint — text SimHash ([[simhashPairs]]) and perceptual media
+    * hashes ([[Multimodal.phashPairs]]) share this one implementation.
+    * Completeness argument and cost trade-off as above: maxDist+1 blocks
+    * guarantee a full-block match for every pair within maxDist; blocks
+    * are one posexplode + ONE self-equi-join with a reused exchange.
+    */
+  def hammingPairs(fp: DataFrame, idCol: String, fpCol: String,
+                   bits: Int, maxDist: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits=$bits must be in [1, 64]")
     val parts = math.min(maxDist + 1, bits)
     val base = bits / parts
     val rem = bits % parts
     val widths = Seq.tabulate(parts)(p => if (p < rem) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _).init
     val keys = offsets.zip(widths).map { case (off, w) =>
-      shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+      // w = 64 would shift the mask to 0; the full-word block is the raw value
+      if (w == 64) shiftright(col(fpCol), off)
+      else shiftright(col(fpCol), off).bitwiseAND(lit((1L << w) - 1))
     }
-    val keyed = fp.select(col("id"), col("simhash"), posexplode(array(keys: _*)))
-      .toDF("id", "simhash", "part", "key")
+    val keyed = fp.select(col(idCol).as("id"), col(fpCol).as("fp"),
+        posexplode(array(keys: _*)))
+      .toDF("id", "fp", "part", "key")
     keyed.as("a").hint("SHUFFLE_MERGE").join(keyed.as("b").hint("SHUFFLE_MERGE"),
         col("a.part") === col("b.part") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
-        hammingDist(col("a.simhash"), col("b.simhash")).as("dist"))
+        hammingDist(col("a.fp"), col("b.fp")).as("dist"))
       .distinct()
       .filter(col("dist") <= maxDist)
   }

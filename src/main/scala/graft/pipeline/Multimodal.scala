@@ -46,6 +46,13 @@ object Multimodal {
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
     /** "resize": deterministic re-encoding of the payload. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** bytes → 64-bit perceptual fingerprint (dHash family): near-equal
+      * CONTENT → near-equal hash in Hamming distance, so re-encodes and
+      * small edits land within a few bits while the raw payload bytes
+      * differ completely. The cross-modality contract [[phashPairs]]
+      * blocks on.
+      */
+    def phash64(bytes: Array[Byte]): Long
   }
 
   /** STUB codec — no real media libraries in this container. Features are
@@ -71,6 +78,29 @@ object Multimodal {
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
       val target = math.max(1, math.min(bytes.length, w * h))
       java.util.Arrays.copyOfRange(bytes, 0, target)
+    }
+
+    /** dHash over 65 byte windows: window k is bytes[⌊Lk/65⌋, ⌊L(k+1)/65⌋),
+      * its "pixel" the integer MEAN byte value (exact long division; empty
+      * window → 0), bit k set iff mean(k) > mean(k+1). All-integer → the
+      * DuckDB oracle replays it exactly; same-bytes → same-hash, and a
+      * localized edit only perturbs the one or two windows it touches.
+      */
+    def phash64(bytes: Array[Byte]): Long = {
+      val m = new Array[Long](65)
+      val L = bytes.length
+      var k = 0
+      while (k < 65) {
+        val from = (L.toLong * k / 65).toInt
+        val to = (L.toLong * (k + 1) / 65).toInt
+        var s = 0L; var i = from
+        while (i < to) { s += bytes(i) & 0xff; i += 1 }
+        m(k) = if (to > from) s / (to - from) else 0L
+        k += 1
+      }
+      var h = 0L; var j = 0
+      while (j < 64) { if (m(j) > m(j + 1)) h |= 1L << j; j += 1 }
+      h
     }
   }
 
@@ -203,6 +233,40 @@ object Multimodal {
       }
     }
 
+    /** The standard image dHash: nearest-neighbor downsample to a 9×8
+      * integer-luminance grid (same BT.601 weights as [[features]], same
+      * explicit pixel loop — no Java2D interpolation variance), bit
+      * y·8+x set iff lum(x,y) > lum(x+1,y). Pixel-identical images hash
+      * identically regardless of container format (PNG vs BMP of the
+      * same raster agree); small edits flip only the grid cells they
+      * darken/brighten. Undecodable → [[StubCodec]] fallback, same
+      * contract as every other method here.
+      */
+    def phash64(bytes: Array[Byte]): Long = decode(bytes) match {
+      case Some(img) =>
+        val (sw, sh) = (img.getWidth, img.getHeight)
+        val lum = Array.ofDim[Int](8, 9)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 9) {
+            val rgb = img.getRGB(x * sw / 9, y * sh / 8)
+            lum(y)(x) = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        var h = 0L
+        var j = 0
+        while (j < 64) {
+          if (lum(j / 8)(j % 8) > lum(j / 8)(j % 8 + 1)) h |= 1L << j
+          j += 1
+        }
+        h
+      case None => StubCodec.phash64(bytes)
+    }
+
     /** Nearest-neighbor resample to exactly w×h, re-encoded as PNG. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = decode(bytes) match {
       case Some(img) =>
@@ -311,6 +375,44 @@ object Multimodal {
         encodeWav(Array.tabulate(w)(i => s(i * s.length / w)), f)
       case _ => StubCodec.resize(bytes, w, h)
     }
+
+    /** Audio dHash over the energy envelope: 65 equal-duration segments,
+      * bit k set iff segment k's mean energy exceeds segment k+1's. The
+      * comparison is the exact integer cross-multiply
+      * `sq(k)·n(k+1) > sq(k+1)·n(k)` (sums of squares are exact longs;
+      * Math.multiplyHigh keeps the 128-bit product exact), so the hash is
+      * invariant under re-containerization of the same PCM and robust to
+      * amplitude-preserving edits outside the touched segments.
+      */
+    def phash64(bytes: Array[Byte]): Long = decode(bytes) match {
+      case Some((s, _)) if s.length >= 65 =>
+        val sq = new Array[Long](65)
+        val cnt = new Array[Long](65)
+        var k = 0
+        while (k < 65) {
+          val from = s.length.toLong * k / 65
+          val to = s.length.toLong * (k + 1) / 65
+          var acc = 0L; var i = from.toInt
+          while (i < to) { acc += s(i).toLong * s(i); i += 1 }
+          sq(k) = acc; cnt(k) = to - from
+          k += 1
+        }
+        // a·d > c·b on 128 bits without BigInt: compare high halves, then
+        // low halves unsigned
+        def gt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+          val hi1 = Math.multiplyHigh(a, d); val lo1 = a * d
+          val hi2 = Math.multiplyHigh(c, b); val lo2 = c * b
+          hi1 > hi2 || (hi1 == hi2 && java.lang.Long.compareUnsigned(lo1, lo2) > 0)
+        }
+        var h = 0L
+        var j = 0
+        while (j < 64) {
+          if (gt(sq(j), cnt(j), sq(j + 1), cnt(j + 1))) h |= 1L << j
+          j += 1
+        }
+        h
+      case _ => StubCodec.phash64(bytes)
+    }
   }
 
   /** Wrap a text table as a media table (testdata has no binary column;
@@ -358,4 +460,31 @@ object Multimodal {
       .withColumn("meta", col("meta")
         .withField("width", lit(w)).withField("height", lit(h)))
   }
+
+  /** Partition-parallel 64-bit perceptual hashes ([[MediaCodec.phash64]]):
+    * `(media_id, phash)` — the 100 TB media-dedup key. Same mapPartitions
+    * shape as [[extractFeatures]]: one codec per partition, rows streamed,
+    * 8 output bytes per blob however large the payload.
+    */
+  def perceptualHash(media: DataFrame,
+                     codec: MediaCodec = StubCodec): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("phash", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    media.select(col("media_id"), col("media")).mapPartitions { rows =>
+      rows.map(r => Row(r.getLong(0), codec.phash64(r.getAs[Array[Byte]](1))))
+    }(enc)
+  }
+
+  /** Perceptual near-dup pairs within `maxDist` Hamming bits — the image/
+    * audio twin of SimHash text dedup, and the same COMPLETE pigeonhole
+    * blocking ([[Dedup.hammingPairs]]): after the 8-byte hashes exist the
+    * payloads never move again; candidates come from maxDist+1 block-key
+    * equi-joins, never an all-pairs comparison.
+    */
+  def phashPairs(media: DataFrame, maxDist: Int = 3,
+                 codec: MediaCodec = StubCodec): DataFrame =
+    Dedup.hammingPairs(perceptualHash(media, codec), "media_id", "phash",
+      bits = 64, maxDist = maxDist)
 }

@@ -326,4 +326,25 @@ class DedupSpec extends SparkTestBase {
     assert(rows(2)._2 >= rows(4)._2)
     assert(rows(4)._2 >= rows(8)._2)
   }
+
+  test("hammingPairs: complete vs brute force over random 64-bit fingerprints") {
+    // deterministic LCG-seeded fingerprints incl. planted near-pairs
+    val rnd = new scala.util.Random(42)
+    val base = (1L to 40L).map(i => i -> rnd.nextLong())
+    val planted = base.take(8).map { case (i, f) =>
+      // flip up to 5 bits → guaranteed pairs at dist <= 5
+      (i + 100L, f ^ (1L to (i % 5 + 1)).map(b => 1L << rnd.nextInt(64)).reduce(_ | _))
+    }
+    val all = base ++ planted
+    val fpDf = all.toDF("id", "fp")
+    for (maxDist <- Seq(0, 3, 5)) {
+      val got = Dedup.hammingPairs(fpDf, "id", "fp", bits = 64, maxDist = maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (i, fi) <- all; (j, fj) <- all if i < j
+        d = java.lang.Long.bitCount(fi ^ fj) if d <= maxDist
+      } yield (i, j, d)).toSet
+      assert(got === want, s"maxDist=$maxDist")
+    }
+  }
 }

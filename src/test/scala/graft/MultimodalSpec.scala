@@ -215,4 +215,82 @@ class MultimodalSpec extends SparkTestBase {
       codec = Multimodal.WavCodec).collect()
     assert(feats.head.getAs[Seq[Double]]("features")(0) > 0.4)
   }
+
+  // ---------------------------------------------------- perceptual hashes
+
+  test("StubCodec.phash64: deterministic; a last-byte edit moves <= 1 bit") {
+    val a = ("x" * 130).getBytes("UTF-8")
+    assert(Multimodal.StubCodec.phash64(a) === Multimodal.StubCodec.phash64(a.clone()))
+    val b = a.clone(); b(b.length - 1) = '!'
+    val d = java.lang.Long.bitCount(
+      Multimodal.StubCodec.phash64(a) ^ Multimodal.StubCodec.phash64(b))
+    assert(d <= 1) // only the final byte window's mean moved
+    assert(Multimodal.StubCodec.phash64(Array.emptyByteArray) === 0L)
+  }
+
+  /** 18×16 PNG with a horizontal sawtooth so the 9×8 dHash grid has
+    * non-trivial left/right comparisons in every row.
+    */
+  private def testGradientImage(): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(18, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 18) {
+      val v = (x * 29 + y * 5) % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    img
+  }
+
+  test("ImageIoCodec.phash64: container-invariant (PNG vs BMP of one raster)") {
+    val img = testGradientImage()
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val png = enc("png"); val bmp = enc("bmp")
+    assert(!java.util.Arrays.equals(png, bmp)) // payload bytes differ...
+    assert(Multimodal.ImageIoCodec.phash64(png) ===
+      Multimodal.ImageIoCodec.phash64(bmp))    // ...perceptual hash agrees
+    assert(Multimodal.ImageIoCodec.phash64(png) !==
+      Multimodal.StubCodec.phash64(png))       // and the real path ran
+  }
+
+  test("ImageIoCodec.phash64: a localized edit moves few bits, not the hash") {
+    val img = testGradientImage()
+    def pngOf(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", bos)
+      bos.toByteArray
+    }
+    val h1 = Multimodal.ImageIoCodec.phash64(pngOf(img))
+    // blank one grid-cell-sized region (2×2 px ≈ one 9×8 cell)
+    for (y <- 0 until 2; x <- 0 until 2) img.setRGB(x, y, 0xffffff)
+    val h2 = Multimodal.ImageIoCodec.phash64(pngOf(img))
+    val d = java.lang.Long.bitCount(h1 ^ h2)
+    assert(d > 0 && d <= 8, s"dist $d") // touched cells only
+  }
+
+  test("WavCodec.phash64: PCM-invariant re-encode agrees; junk falls back to stub") {
+    val wav = testWav()
+    val h = Multimodal.WavCodec.phash64(wav)
+    // identity "resize" re-encodes the same 800 samples into a fresh container
+    val reenc = Multimodal.WavCodec.resize(wav, 800, 0)
+    assert(Multimodal.WavCodec.phash64(reenc) === h)
+    assert(h !== Multimodal.StubCodec.phash64(wav)) // real path ran
+    val junk = "not audio".getBytes("UTF-8")
+    assert(Multimodal.WavCodec.phash64(junk) === Multimodal.StubCodec.phash64(junk))
+  }
+
+  test("phashPairs: planted re-encode twin found, unrelated docs not") {
+    val docs = Seq(
+      (1L, "a" * 80 + "b" * 50),
+      (2L, "a" * 80 + "b" * 49 + "!"),  // last char differs → last window only
+      // natural text → ~random bits (a constant string would hash ~0 and
+      // collide with docs 1/2 at dist 1; checked offline: dist 31 here)
+      (3L, "the quick brown fox jumps over the lazy dog " * 3)).toDF("doc_id", "text")
+    val pairs = Multimodal.phashPairs(Multimodal.fromDocuments(docs), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
