@@ -3272,6 +3272,43 @@ object Queries {
              |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // incremental maintenance of an aggregate-over-JOIN view
+    // (Snapshot.refreshJoinAgg): lineitem⨝orders revenue per priority
+    // where BOTH sides receive insert deltas (modulo splits on unrelated
+    // keys so all three delta quadrants ΔA⨝B, A⨝ΔB, ΔA⨝ΔB are
+    // populated); the Spark side refreshes the stored view through the
+    // disjoint delta decomposition ΔA⨝(B∪ΔB) ∪ A⨝ΔB — the base tables
+    // are never re-joined against each other — while the oracle
+    // recomputes from scratch, so the hash match IS the IVM-correctness
+    // proof. Exact decimal sums keep merge ≡ recompute an identity
+    Q("q_mv_join_refresh",
+      (s, d) => {
+        val li = t(s, d)("lineitem").select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .as("rev"),
+          col("l_partkey"))
+        val ord = t(s, d)("orders")
+          .select("o_orderkey", "o_orderpriority", "o_custkey")
+        val aBase = li.filter(col("l_partkey") % 5 =!= 0).drop("l_partkey")
+        val aDelta = li.filter(col("l_partkey") % 5 === 0).drop("l_partkey")
+        val bBase = ord.filter(col("o_custkey") % 4 =!= 0).drop("o_custkey")
+        val bDelta = ord.filter(col("o_custkey") % 4 === 0).drop("o_custkey")
+        val view = aBase.join(bBase, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("rev")).as("total"))
+        graft.pipeline.Snapshot.refreshJoinAgg(view, aBase, aDelta, bBase, bDelta,
+            "l_orderkey", "o_orderkey", "o_orderpriority", "rev")
+          .select(col("o_orderpriority"), col("n"),
+            col("total").cast("double").as("total"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             |    AS total
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY 1""".stripMargin)),
+
     // benchmark decontamination: 3-gram shingle overlap between the
     // corpus (doc_id % 97 != 0) and a small "benchmark" split (% 97 == 0);
     // broadcast benchmark digests — the corpus side never shuffles

@@ -127,4 +127,37 @@ object Snapshot {
       .groupBy(col(key))
       .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
   }
+
+  /** Incremental refresh of an aggregate-over-JOIN materialized view —
+    * the two-table extension of [[refreshAgg]]. For V = γ(A ⨝ B) and
+    * insert-only deltas on either side, the new joined rows decompose
+    * disjointly as
+    *
+    *   Δ(A ⨝ B) = ΔA ⨝ (B ∪ ΔB)  ∪  A ⨝ ΔB
+    *
+    * (the ΔA⨝ΔB quadrant rides the first arm), so the refresh is
+    * `merge(V, γ(Δ-arms))` and NEITHER base table is re-joined against
+    * the other: per-batch cost is two delta-sided joins + a keys-sized
+    * merge, the shape that keeps a 100 TB join rollup fresh. When the
+    * deltas are batch-sized Spark broadcasts them into the base scans —
+    * the base side never shuffles; with date/bucket layout the base
+    * probes additionally partition-prune to the delta's key range.
+    * Same monoid contract as [[refreshAgg]]: exact sums (longs/decimals)
+    * or the identity with full recompute becomes fold-order-approximate.
+    *
+    * `aCols`/`bCols` name the join keys: `a(aCol) = b(bCol)`.
+    */
+  def refreshJoinAgg(view: DataFrame, aBase: DataFrame, aDelta: DataFrame,
+                     bBase: DataFrame, bDelta: DataFrame,
+                     aCol: String, bCol: String,
+                     groupKey: String, valueCol: String): DataFrame = {
+    val bFull = bBase.unionByName(bDelta)
+    val deltaRows = aDelta.join(bFull, col(aCol) === col(bCol))
+      .unionByName(aBase.join(bDelta, col(aCol) === col(bCol)))
+    val deltaAgg = deltaRows.groupBy(col(groupKey))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+    view.unionByName(deltaAgg)
+      .groupBy(col(groupKey))
+      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+  }
 }

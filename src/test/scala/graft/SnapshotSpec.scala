@@ -118,4 +118,28 @@ class SnapshotSpec extends SparkTestBase {
     assert(refreshed("d") === ((2L, 6.0)))  // delta-only key appears
     assert(refreshed("b") === ((1L, 10.0))) // untouched key unchanged
   }
+
+  test("refreshJoinAgg: delta decomposition is row-identical to re-joining the full tables") {
+    // fact (id, grp, v) ⨝ dim (id, grp source) — deltas on BOTH sides,
+    // chosen so every quadrant contributes: ΔA⨝B (fact 4), A⨝ΔB (fact 2
+    // joins dim delta 20), ΔA⨝ΔB (fact 5 ⨝ dim 20)
+    val aBase = Seq((10L, 1L), (10L, 3L), (20L, 7L))
+      .toDF("a_id", "v").withColumn("v", $"v".cast("decimal(18,6)"))
+    val aDelta = Seq((10L, 5L), (20L, 11L))
+      .toDF("a_id", "v").withColumn("v", $"v".cast("decimal(18,6)"))
+    val bBase = Seq((10L, "x")).toDF("b_id", "grp")
+    val bDelta = Seq((20L, "y")).toDF("b_id", "grp")
+    val view = aBase.join(bBase, $"a_id" === $"b_id")
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum($"v").as("total"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+    val refreshed = m(Snapshot.refreshJoinAgg(view, aBase, aDelta, bBase, bDelta,
+      "a_id", "b_id", "grp", "v"))
+    val full = m(aBase.unionByName(aDelta)
+      .join(bBase.unionByName(bDelta), $"a_id" === $"b_id")
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum($"v").as("total")))
+    assert(refreshed === full)
+    assert(refreshed("x") === ((3L, 9.0)))  // base view + ΔA⨝B arm
+    assert(refreshed("y") === ((2L, 18.0))) // A⨝ΔB + ΔA⨝ΔB arms
+  }
 }
