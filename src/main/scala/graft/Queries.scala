@@ -1945,6 +1945,88 @@ object Queries {
              |  0.709 * 64 * 64 * 33554432.0 / CAST(s_scaled AS DOUBLE) AS approx_distinct
              |FROM e""".stripMargin)),
 
+    // KMV (bottom-k) distinct sketch per source over word 3-gram shingles
+    // (Sketches.kmvSketch): k smallest distinct 60-bit md5 hashes via
+    // bounded per-partition TreeSets — only k-sized partials shuffle, the
+    // shingle relation never sorts. The estimator is exact-integer ranks
+    // + ONE IEEE divide, so unlike the DataSketches HLL row the oracle
+    // replays the ESTIMATE itself (rank ≤ k in SQL), not just a bound
+    Q("q_sketch_kmv",
+      (s, d) => {
+        val sh = t(s, d)("documents").select(col("source"),
+          explode(graft.pipeline.Text.shingles(col("text"), 3)).as("s3"))
+        graft.pipeline.Sketches.kmvEstimate(
+          graft.pipeline.Sketches.kmvSketch(sh, "source", "s3", k = 64),
+          "source", k = 64)
+      },
+      Some("""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT source,
+             |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hv
+             |       FROM (SELECT source,
+             |               unnest(list_filter(
+             |                 list_transform(ws, (x,i) -> CASE WHEN i <= len(ws)-2
+             |                   THEN x || ' ' || ws[i+1] || ' ' || ws[i+2] END),
+             |                 v -> v IS NOT NULL)) AS s
+             |             FROM w)),
+             |r AS (SELECT source, hv,
+             |        row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+             |      FROM sh),
+             |sk AS (SELECT source, count(*) AS n, max(hv) AS hk
+             |       FROM r WHERE rk <= 64 GROUP BY 1)
+             |SELECT source, CAST(n AS BIGINT) AS n_sketch,
+             |  CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+             |       ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(hk AS DOUBLE)
+             |  END AS est_distinct
+             |FROM sk""".stripMargin)),
+
+    // pairwise source-overlap estimates off the STORED KMV sketches — the
+    // sketch twin of q_cross_source_overlap's exact audit: union sketch =
+    // k smallest of the merged arrays (k-min is closed under union, the
+    // set-operation HLL registers don't give), Jaccard = shared-in-both /
+    // union-sketch size, intersection ≈ J·D̂(union). The pair join is the
+    // 20-row sketch relation against itself — groups², never data
+    Q("q_sketch_kmv_pairs",
+      (s, d) => {
+        val sh = t(s, d)("documents").select(col("source"),
+          explode(graft.pipeline.Text.shingles(col("text"), 3)).as("s3"))
+        graft.pipeline.Sketches.kmvPairEstimates(
+          graft.pipeline.Sketches.kmvSketch(sh, "source", "s3", k = 64),
+          "source", k = 64)
+      },
+      Some("""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT source,
+             |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hv
+             |       FROM (SELECT source,
+             |               unnest(list_filter(
+             |                 list_transform(ws, (x,i) -> CASE WHEN i <= len(ws)-2
+             |                   THEN x || ' ' || ws[i+1] || ' ' || ws[i+2] END),
+             |                 v -> v IS NOT NULL)) AS s
+             |             FROM w)),
+             |r AS (SELECT source, hv,
+             |        row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+             |      FROM sh),
+             |skv AS MATERIALIZED (SELECT source, hv FROM r WHERE rk <= 64),
+             |pairs AS (SELECT a.source AS ga, b.source AS gb
+             |          FROM (SELECT DISTINCT source FROM skv) a
+             |          JOIN (SELECT DISTINCT source FROM skv) b ON a.source < b.source),
+             |pu AS (SELECT p.ga, p.gb, s.hv,
+             |         bool_or(s.source = p.ga) AS ina,
+             |         bool_or(s.source = p.gb) AS inb
+             |       FROM pairs p JOIN skv s ON s.source IN (p.ga, p.gb)
+             |       GROUP BY 1, 2, 3),
+             |pur AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rk
+             |        FROM pu),
+             |puk AS (SELECT ga, gb, count(*) AS nu, max(hv) AS hku,
+             |          sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS m
+             |        FROM pur WHERE rk <= 64 GROUP BY 1, 2)
+             |SELECT ga, gb, CAST(nu AS BIGINT) AS n_union, CAST(m AS BIGINT) AS n_shared,
+             |  CAST(m AS DOUBLE) / CAST(nu AS DOUBLE) AS jaccard_est,
+             |  (CAST(m AS DOUBLE) / CAST(nu AS DOUBLE)) *
+             |  (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+             |        ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(hku AS DOUBLE)
+             |   END) AS intersection_est
+             |FROM puk""".stripMargin)),
+
     // Count-Min Sketch over document words — the mergeable FREQUENCY twin
     // of the HLL distinct sketch, and unlike it fully oracle-replayable:
     // md5-derived bucket hashing makes the d×w cell relation deterministic

@@ -250,4 +250,100 @@ object Sketches {
       .withColumn("r", col("r").cast("long"))
       .join(sketch, Seq("r", "bucket"), "left")
       .groupBy(itemCol).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  // ------------------------------------------------------------- KMV
+
+  /** 2^60 as an exact double — the KMV hash-space size. The estimator's
+    * numerator (k-1)·2^60 stays exactly representable for any k < 2^53,
+    * so cross-engine the only rounding is the final IEEE divide.
+    */
+  private val KmvSpace: Double = math.pow(2, 60)
+
+  /** K-minimum-values (bottom-k) distinct sketch per group: the k
+    * SMALLEST distinct 60-bit md5 hashes of `keyCol`, sorted ascending.
+    * Unlike HLL this sketch supports exact-replayable SET OPERATIONS —
+    * the k-min of a union of sketches is the union's sketch, membership
+    * of a hash is exact — so Jaccard/intersection between shards come
+    * straight off the stored arrays ([[kmvPairEstimates]]), the question
+    * the HLL register twin can't answer without inclusion-exclusion
+    * error stacking.
+    *
+    * Scale shape: one narrow pass; each partition keeps a bounded
+    * dedup-ing TreeSet per group (the DataSketches KMV update loop), and
+    * only k-sized partial arrays shuffle — `merge(partials) ≡ sketch
+    * (union)` because k-min-of-distinct is a commutative idempotent
+    * monoid (asserted in SketchesSpec under repartitioning). The raw
+    * relation never sorts and never moves.
+    *
+    * `keyCol` must be a string column (md5's input; callers cast).
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, keyCol: String,
+                k: Int): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val hashed = df.select(col(groupCol).cast("string").as("g"),
+      conv(substring(md5(col(keyCol)), 1, 15), 16, 10).cast("long").as("hv"))
+    val outSchema = StructType(Seq(
+      StructField("g", StringType),
+      StructField("part_ks", ArrayType(LongType))))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val partials = hashed.mapPartitions { rows =>
+      val heaps = scala.collection.mutable.Map
+        .empty[String, java.util.TreeSet[java.lang.Long]]
+      rows.foreach { r =>
+        val ts = heaps.getOrElseUpdate(r.getString(0),
+          new java.util.TreeSet[java.lang.Long]())
+        ts.add(r.getLong(1))          // TreeSet dedups inside the bound
+        if (ts.size > k) { ts.pollLast(); () } // evict the largest
+      }
+      heaps.iterator.map { case (g, ts) =>
+        Row(g, ts.toArray(Array.empty[java.lang.Long]).map(_.longValue).toSeq)
+      }
+    }(enc)
+    partials.groupBy(col("g"))
+      .agg(slice(array_sort(array_distinct(flatten(collect_list(col("part_ks"))))),
+        1, k).as("ks"))
+      .select(col("g").as(groupCol), col("ks"))
+  }
+
+  /** Distinct estimate from a KMV sketch: exact `|ks|` while the sketch
+    * is under-full (it IS the distinct hash set), else the classic
+    * unbiased (k-1)/U_(k) with U the k-th min normalized to [0,1) —
+    * exact-integer numerator, ONE IEEE divide, bit-identical in any
+    * engine that can rank hashes.
+    */
+  def kmvEstimate(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val n = size(col("ks")).cast("long")
+    sketch.select(col(groupCol), n.as("n_sketch"),
+      when(n < k, n.cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(KmvSpace) /
+          element_at(col("ks"), k).cast("double")).as("est_distinct"))
+  }
+
+  /** Pairwise overlap estimates between all group sketches: for each
+    * unordered pair, the union sketch is the k smallest of the merged
+    * arrays, Ĵ = |hashes in BOTH sketches among them| / |union sketch|
+    * (exact Jaccard when the union is under-full), and the intersection
+    * estimate is Ĵ·D̂(union). The join is sketch-relation × sketch-
+    * relation — groups², never data — and every number is integer ranks
+    * + the two documented IEEE ops, so DuckDB replays it exactly.
+    */
+  def kmvPairEstimates(sketch: DataFrame, groupCol: String,
+                       k: Int): DataFrame = {
+    val a = sketch.select(col(groupCol).as("ga"), col("ks").as("ksa"))
+    val b = sketch.select(col(groupCol).as("gb"), col("ks").as("ksb"))
+    val unionK = slice(array_sort(array_distinct(concat(col("ksa"), col("ksb")))), 1, k)
+    val nu = size(unionK)
+    val matches = size(array_intersect(unionK,
+      array_intersect(col("ksa"), col("ksb"))))
+    val jacc = matches.cast("double") / nu.cast("double")
+    val estU = when(nu < k, nu.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(KmvSpace) /
+        array_max(unionK).cast("double")) // sorted ascending → max = k-th min
+    a.join(b, col("ga") < col("gb"))
+      .select(col("ga"), col("gb"),
+        nu.cast("long").as("n_union"), matches.cast("long").as("n_shared"),
+        jacc.as("jaccard_est"), (jacc * estU).as("intersection_est"))
+  }
 }

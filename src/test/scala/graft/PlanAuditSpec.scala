@@ -41,8 +41,10 @@ class PlanAuditSpec extends SparkTestBase {
     "q_lsh_recall",                      // 1-row truth-total broadcast
     "q_graph_hits",                      // 1-row half-step max broadcast (×2/iter)
     "q_dsir_weights", "q_dsir_select",   // 1-row model-totals broadcast
-    "q_tpch_q22")                        // 1-row balance-gate broadcast
+    "q_tpch_q22",                        // 1-row balance-gate broadcast
                                          // (bal·cnt > sum exact-decimal compare)
+    "q_sketch_kmv_pairs")                // sketch relation × itself (groups²,
+                                         // k-sized arrays — never data-sized)
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {

@@ -178,4 +178,52 @@ class SketchesSpec extends SparkTestBase {
       .collect()(0).getLong(1)
     assert(absent >= 0 && absent <= 500)
   }
+
+  // ------------------------------------------------------------- KMV
+
+  private def kmvCorpus(nPerGroup: Int) =
+    (1 to nPerGroup).flatMap(i => Seq(("a", s"key$i"), ("b", s"key${i + nPerGroup / 2}")))
+      .toDF("g", "k") // groups a and b overlap on half their keys
+
+  test("KMV: sketch is partitioning-invariant (k-min of distinct is a monoid)") {
+    val df = kmvCorpus(500)
+    def ks(parts: Int) = Sketches.kmvSketch(df.repartition(parts), "g", "k", k = 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val one = ks(1)
+    assert(one === ks(7))
+    assert(one("a").length === 32 && one("a") === one("a").sorted)
+    // duplicates of a key never occupy extra slots
+    val dup = Sketches.kmvSketch(df.unionAll(df), "g", "k", k = 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(dup === one)
+  }
+
+  test("KMV: under-full sketch estimates exactly; full sketch within 3 sigma") {
+    val small = Seq.tabulate(10)(i => ("a", s"v$i")).toDF("g", "k")
+    val exactEst = Sketches.kmvEstimate(
+      Sketches.kmvSketch(small, "g", "k", k = 64), "g", k = 64).collect()(0)
+    assert(exactEst.getLong(1) === 10L && exactEst.getDouble(2) === 10.0)
+    // 750 distinct keys in group a, k=64 → stderr ≈ D/√(k-2) ≈ 9.5%
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvSketch(kmvCorpus(750), "g", "k", k = 64), "g", k = 64)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(math.abs(est("a") - 750.0) < 750.0 * 0.30, s"est ${est("a")}")
+  }
+
+  test("KMV pair estimates: identical groups give Jaccard 1; overlap tracked") {
+    val df = kmvCorpus(600)
+    val same = df.union(df.filter($"g" === "a").withColumn("g", lit("c")))
+    val pairs = Sketches.kmvPairEstimates(
+        Sketches.kmvSketch(same, "g", "k", k = 64), "g", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val (acShared, acJacc, _) = pairs(("a", "c"))
+    assert(acShared === 64L && acJacc === 1.0) // identical key sets
+    // a/b overlap half their keys: true J = 1/3 → estimate in (0.1, 0.6)
+    val abJacc = pairs(("a", "b"))._2
+    assert(abJacc > 0.1 && abJacc < 0.6, s"J(a,b)=$abJacc")
+    // intersection estimate within a loose band of the true 300
+    val abInter = pairs(("a", "b"))._3
+    assert(abInter > 100 && abInter < 650, s"inter(a,b)=$abInter")
+  }
 }
