@@ -908,6 +908,66 @@ object Queries {
     // chains" walk) — per-depth frontier equi-join + distinct, stops at
     // the first depth that reaches the target; oracle replays it as a
     // recursive CTE with the same simple-path guard
+    // deterministic DeepWalk-style walks over the word graph: every
+    // "random" draw is md5(walk ++ step) mod degree over the dst-sorted
+    // adjacency (Graph.deterministicWalks) — repartition/retry-invariant
+    // and exactly replayable, which rand()-driven walks cannot be in a
+    // distributed retry model. The oracle unrolls the 4 steps against
+    // the same ranked adjacency
+    Q("q_graph_walks",
+      (s, d) => {
+        val fw = t(s, d)("documents").filter(col("doc_id") < 12)
+          .select(col("doc_id").cast("string").as("src"),
+            explode(array_distinct(
+              filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0))).as("dst"))
+        val sym = fw.unionByName(fw.select(col("dst").as("src"), col("src").as("dst")))
+          .withColumn("w", lit(1.0)).withColumn("type", lit("B"))
+        Graph(Graph.verticesOf(sym), sym).deterministicWalks(4)
+          .select(col("walk_id"), concat_ws("->", col("path")).as("path"),
+            col("hops"))
+      },
+      Some("""WITH fw AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src, w AS dst FROM (
+             |   SELECT doc_id, unnest(list_filter(
+             |     string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS w
+             |   FROM documents WHERE doc_id < 12)),
+             |e AS (SELECT src, dst FROM fw UNION ALL SELECT dst, src FROM fw),
+             |a AS MATERIALIZED (
+             |  SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM e GROUP BY src),
+             |s0 AS (SELECT DISTINCT src AS walk_id, src AS cur, [src] AS path FROM e),
+             |s1 AS (SELECT walk_id,
+             |         CASE WHEN nbrs IS NULL THEN cur
+             |              ELSE nbrs[CAST(h % len(nbrs) AS INT) + 1] END AS cur,
+             |         CASE WHEN nbrs IS NULL THEN path
+             |              ELSE list_append(path, nbrs[CAST(h % len(nbrs) AS INT) + 1]) END AS path
+             |       FROM (SELECT s0.*, a.nbrs,
+             |               CAST(concat('0x', substr(md5(walk_id || '|1'), 1, 15)) AS BIGINT) AS h
+             |             FROM s0 LEFT JOIN a ON s0.cur = a.src)),
+             |s2 AS (SELECT walk_id,
+             |         CASE WHEN nbrs IS NULL THEN cur
+             |              ELSE nbrs[CAST(h % len(nbrs) AS INT) + 1] END AS cur,
+             |         CASE WHEN nbrs IS NULL THEN path
+             |              ELSE list_append(path, nbrs[CAST(h % len(nbrs) AS INT) + 1]) END AS path
+             |       FROM (SELECT s1.*, a.nbrs,
+             |               CAST(concat('0x', substr(md5(walk_id || '|2'), 1, 15)) AS BIGINT) AS h
+             |             FROM s1 LEFT JOIN a ON s1.cur = a.src)),
+             |s3 AS (SELECT walk_id,
+             |         CASE WHEN nbrs IS NULL THEN cur
+             |              ELSE nbrs[CAST(h % len(nbrs) AS INT) + 1] END AS cur,
+             |         CASE WHEN nbrs IS NULL THEN path
+             |              ELSE list_append(path, nbrs[CAST(h % len(nbrs) AS INT) + 1]) END AS path
+             |       FROM (SELECT s2.*, a.nbrs,
+             |               CAST(concat('0x', substr(md5(walk_id || '|3'), 1, 15)) AS BIGINT) AS h
+             |             FROM s2 LEFT JOIN a ON s2.cur = a.src)),
+             |s4 AS (SELECT walk_id,
+             |         CASE WHEN nbrs IS NULL THEN path
+             |              ELSE list_append(path, nbrs[CAST(h % len(nbrs) AS INT) + 1]) END AS path
+             |       FROM (SELECT s3.*, a.nbrs,
+             |               CAST(concat('0x', substr(md5(walk_id || '|4'), 1, 15)) AS BIGINT) AS h
+             |             FROM s3 LEFT JOIN a ON s3.cur = a.src))
+             |SELECT walk_id, array_to_string(path, '->') AS path,
+             |       CAST(len(path) - 1 AS BIGINT) AS hops
+             |FROM s4""".stripMargin)),
+
     Q("q_graph_bfs",
       (s, d) => {
         val fw = t(s, d)("documents").filter(col("doc_id") < 12)

@@ -236,6 +236,44 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Deterministic "random" walks — the DeepWalk/node2vec corpus
+    * generator with every RNG draw replaced by a hash draw, the same
+    * RNG-free discipline as [[graft.pipeline.Mix]] sampling: step `i` of
+    * the walk started at vertex `v` picks neighbor index
+    * `md5₆₀(v ++ "|" ++ i) mod degree` from the dst-sorted adjacency
+    * array. Repartition-invariant, retry-safe, and exactly replayable by
+    * an engine that can rank neighbors — properties `rand()`-driven walks
+    * can't offer in a distributed retry model.
+    *
+    * One walk per vertex; each round is one equi-join of the walk
+    * frontier against the ranked-adjacency hub — `maxLen` joins total,
+    * shuffling `(walk, cur)` rows only, never payloads. Walks stop at
+    * sinks (no outgoing edges): the path simply stops growing. Hub
+    * degree is uncapped here because the adjacency row is ONE array per
+    * vertex (build cost one groupBy); at extreme hub degrees cap the
+    * array the way [[commonNeighborPairs]] caps wedges — the pick
+    * stays uniform over the retained prefix.
+    */
+  def deterministicWalks(maxLen: Int): DataFrame = {
+    val adj = edges.select(col("src"), col("dst")).distinct()
+      .groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    var state = vertices.select(col("id").as("walk_id"),
+      array(col("id")).as("path"), col("id").as("cur"))
+    for (i <- 1 to maxLen) {
+      val pick = conv(substring(md5(concat(col("walk_id"), lit(s"|$i"))), 1, 15),
+        16, 10).cast("long")
+      state = state.join(adj, col("cur") === col("src"), "left")
+        .withColumn("nxt", when(col("nbrs").isNotNull,
+          element_at(col("nbrs"), (pick % size(col("nbrs"))).cast("int") + 1)))
+        .select(col("walk_id"),
+          when(col("nxt").isNotNull, concat(col("path"), array(col("nxt"))))
+            .otherwise(col("path")).as("path"),
+          coalesce(col("nxt"), col("cur")).as("cur"))
+    }
+    state.select(col("walk_id"), col("path"),
+      (size(col("path")) - 1).cast("long").as("hops"))
+  }
+
   /** GraphFrames-parity `shortestPaths`: hop distance from every vertex
     * TO each landmark, following edge direction. Returns exploded rows
     * `(id, landmark, distance)` (GraphFrames packs them in a map column;

@@ -339,4 +339,39 @@ class GraphAlgorithmsSpec extends SparkTestBase {
       assert(got === want, s"trial $trial edges=$es")
     }
   }
+
+  test("deterministicWalks: equal to a local replay of the md5-pick rule; sinks stop") {
+    // b is a sink (no outgoing edges) so its walk must stop at hop 1 max
+    val e = Seq(("a", "b", 1.0, "W"), ("a", "c", 1.0, "W"), ("c", "a", 1.0, "W"),
+      ("c", "b", 1.0, "W")).toDF("src", "dst", "w", "type")
+    val gw = Graph(Graph.verticesOf(e), e)
+    val maxLen = 3
+    val got = gw.deterministicWalks(maxLen).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // local replay: same 60-bit md5 prefix, same dst-sorted adjacency
+    val adj = Map("a" -> Seq("b", "c"), "c" -> Seq("a", "b"))
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val want = Seq("a", "b", "c").map { v =>
+      var cur = v; val path = scala.collection.mutable.ArrayBuffer(v)
+      for (i <- 1 to maxLen) adj.get(cur).foreach { ns =>
+        cur = ns((h60(s"$v|$i") % ns.size).toInt); path += cur
+      }
+      v -> path.toSeq
+    }.toMap
+    assert(got === want)
+    assert(got("b") === Seq("b")) // sink: path never grows
+    // every consecutive pair in every walk is a real edge
+    val edgeSet = Set(("a", "b"), ("a", "c"), ("c", "a"), ("c", "b"))
+    got.values.foreach(p => p.sliding(2).filter(_.size == 2)
+      .foreach(st => assert(edgeSet.contains((st(0), st(1))), s"walk $p")))
+    // repartition-invariant
+    val got2 = Graph(gw.vertices.repartition(5), gw.edges.repartition(3))
+      .deterministicWalks(maxLen).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got2 === got)
+  }
 }
