@@ -4141,6 +4141,25 @@ object Queries {
              |SELECT cnt, count(*) AS n_keys, cnt * count(*) AS n_rows
              |FROM kc GROUP BY cnt""".stripMargin)),
 
+    // exact heavy hitters in two bounded-memory scans (per-partition
+    // Misra-Gries candidates -> broadcast-filtered exact recount): the
+    // shuffle carries CANDIDATES, never the distinct item domain — the
+    // vocab-planning question "which (lang, token) pairs exceed 1% of the
+    // corpus?" asked the way it survives a web-scale vocabulary. The
+    // oracle is the one-shuffle naive plan the two phases must equal.
+    Q("q_heavy_hitters",
+      (s, d) => graft.pipeline.HeavyHitters.exact(
+        t(s, d)("documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+          .select(concat_ws(":", col("lang"), col("tok")).as("item")),
+        "item", k = 100),
+      Some("""WITH w AS (SELECT lang || ':' || unnest(string_split(text, ' ')) AS item
+             |           FROM documents),
+             |n AS (SELECT count(*) AS n FROM w)
+             |SELECT item, CAST(count(*) AS BIGINT) AS cnt,
+             |       CAST(count(*) AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE) AS share
+             |FROM w GROUP BY item HAVING count(*) * 100 > (SELECT n FROM n)""".stripMargin)),
+
     // sorted-neighborhood dedup blocking: ONE window pass (row order by a
     // text-prefix sort key within 2-char blocks), each row paired with its
     // 4 lead() successors — no self-join; prefix edit-distance verify
