@@ -2128,6 +2128,48 @@ object Queries {
              |FROM ib LEFT JOIN sk USING (r, bucket)
              |GROUP BY term""".stripMargin)),
 
+    // AMS/CMS inner-product JOIN-SIZE estimate vs truth: price the
+    // clicks ⋈ purchases shuffle from two KB-size one-pass sketches
+    // before paying it (min over depth rows of the bucket-wise count
+    // product — never under-estimates). The audit row pins estimate,
+    // exact join cardinality, and their exact-integer-ratio over_ratio.
+    Q("q_sketch_join_size",
+      (s, d) => {
+        val S = graft.pipeline.Sketches
+        val ev = t(s, d)("events")
+        val clicks = ev.filter(col("event_type") === "click")
+        val purch = ev.filter(col("event_type") === "purchase")
+        val est = S.cmsJoinSizeEstimate(clicks, "user_id", purch, "user_id",
+          depth = 4, width = 256)
+        val exact = S.joinSide(clicks, "user_id")
+          .join(S.joinSide(purch, "user_id"), Seq("v"))
+          .agg(count(lit(1)).as("exact_pairs"))
+        est.join(broadcast(exact))   // 1-row × 1-row audit attachment
+          .select(col("est_pairs"), col("exact_pairs"),
+            (col("est_pairs").cast("double") / col("exact_pairs").cast("double"))
+              .as("over_ratio"))
+      },
+      Some("""WITH a AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+             |           WHERE event_type = 'click' AND user_id IS NOT NULL),
+             |b AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+             |      WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+             |sa AS (SELECT CAST(r AS BIGINT) AS r,
+             |         CAST(concat('0x', substring(md5(CAST(r AS VARCHAR) || ':' || v), 1, 6)) AS BIGINT) % 256 AS bucket,
+             |         count(*) AS ca
+             |       FROM (SELECT v, unnest([0, 1, 2, 3]) AS r FROM a) GROUP BY 1, 2),
+             |sb AS (SELECT CAST(r AS BIGINT) AS r,
+             |         CAST(concat('0x', substring(md5(CAST(r AS VARCHAR) || ':' || v), 1, 6)) AS BIGINT) % 256 AS bucket,
+             |         count(*) AS cb
+             |       FROM (SELECT v, unnest([0, 1, 2, 3]) AS r FROM b) GROUP BY 1, 2),
+             |ip AS (SELECT sa.r, CAST(sum(ca * cb) AS BIGINT) AS ip
+             |       FROM sa JOIN sb USING (r, bucket) GROUP BY 1),
+             |est AS (SELECT CAST(min(coalesce(ip.ip, 0)) AS BIGINT) AS est_pairs
+             |        FROM (SELECT DISTINCT r FROM sa) s LEFT JOIN ip USING (r)),
+             |ex AS (SELECT count(*) AS exact_pairs FROM a JOIN b USING (v))
+             |SELECT est_pairs, exact_pairs,
+             |       CAST(est_pairs AS DOUBLE) / CAST(exact_pairs AS DOUBLE) AS over_ratio
+             |FROM est, ex""".stripMargin)),
+
     // fixed-bin histogram sketch (the mergeable QUANTILE sketch — HLL =
     // distinct, CMS = frequency): 50 bins over value ∈ [0, 500)
     Q("q_sketch_hist",

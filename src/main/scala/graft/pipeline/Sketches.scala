@@ -251,6 +251,38 @@ object Sketches {
       .join(sketch, Seq("r", "bucket"), "left")
       .groupBy(itemCol).agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** Pre-shuffle JOIN-CARDINALITY estimate from two frequency sketches —
+    * the AMS/CMS inner-product estimator (Cormode & Muthukrishnan '05
+    * §4.2): `|A ⋈ B on key| = Σ_key f_A(key)·f_B(key)`, estimated as
+    * `min_r Σ_bucket A_r[b]·B_r[b]`. Never under-estimates (collisions
+    * only ADD mass), exact when no bucket collides — both directions
+    * asserted in `SketchesSpec`.
+    *
+    * Why it matters at 100 TB: the estimate prices a join BEFORE paying
+    * its shuffle — each side is sketched in one mergeable map-side pass
+    * (KB-size output, storable per shard/day like the HLL sketches), and
+    * the estimator is a sketch-sized join. An optimizer-style gate
+    * (broadcast vs sort-merge vs refuse-to-run) reads this number, not
+    * the data. Deterministic: md5 bucket hashing, integer counters.
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                          depth: Int, width: Int): DataFrame = {
+    val sa = cmsSketch(joinSide(a, aCol), "v", depth, width).withColumnRenamed("cnt", "ca")
+    val sb = cmsSketch(joinSide(b, bCol), "v", depth, width).withColumnRenamed("cnt", "cb")
+    val ip = sa.join(sb, Seq("r", "bucket"))
+      .groupBy(col("r")).agg(sum(col("ca") * col("cb")).as("ip"))
+    // min over ALL depth rows: a row with zero shared buckets estimates 0,
+    // so spine from the sketch's own r values, absent ip coalesced to 0
+    sa.select(col("r")).distinct().join(ip, Seq("r"), "left")
+      .agg(min(coalesce(col("ip"), lit(0L))).as("est_pairs"))
+  }
+
+  /** Equi-join inputs as the estimator sees them: string-cast, non-null
+    * keys (SQL join semantics drop null keys anyway).
+    */
+  def joinSide(df: DataFrame, c: String): DataFrame =
+    df.select(col(c).cast("string").as("v")).filter(col("v").isNotNull)
+
   // ------------------------------------------------------------- KMV
 
   /** 2^60 as an exact double — the KMV hash-space size. The estimator's

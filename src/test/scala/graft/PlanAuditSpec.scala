@@ -42,6 +42,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_graph_hits",                      // 1-row half-step max broadcast (×2/iter)
     "q_dsir_weights", "q_dsir_select",   // 1-row model-totals broadcast
     "q_heavy_hitters",                   // 1-row corpus-total broadcast
+    "q_sketch_join_size",                // 1-row estimate × 1-row exact audit
     "q_tpch_q22",                        // 1-row balance-gate broadcast
                                          // (bal·cnt > sum exact-decimal compare)
     "q_sketch_kmv_pairs")                // sketch relation × itself (groups²,

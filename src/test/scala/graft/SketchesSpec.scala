@@ -179,6 +179,29 @@ class SketchesSpec extends SparkTestBase {
     assert(absent >= 0 && absent <= 500)
   }
 
+  test("CMS join-size estimate never under-counts; exact when no bucket collides") {
+    // skewed many-to-many: key i appears i times on side a, 11-i on side b
+    val a = (1 to 10).flatMap(i => Seq.fill(i)(s"k$i")).toDF("key")
+    val b = (1 to 10).flatMap(i => Seq.fill(11 - i)(s"k$i")).toDF("key")
+    val exactSize = (1 to 10).map(i => i.toLong * (11 - i)).sum
+    for (width <- Seq(4, 16, 64)) {
+      val est = Sketches.cmsJoinSizeEstimate(a, "key", b, "key", 4, width)
+        .collect()(0).getLong(0)
+      assert(est >= exactSize, s"width=$width: est $est < exact $exactSize")
+    }
+    // 10 keys over 8192 buckets x 4 rows: collision-free (deterministic
+    // md5 layout, asserted not assumed) -> the estimate IS the join size
+    val wide = Sketches.cmsJoinSizeEstimate(a, "key", b, "key", 4, 8192)
+      .collect()(0).getLong(0)
+    assert(wide === exactSize)
+    // disjoint key sets -> estimate may only carry collision mass at tiny
+    // widths and must be 0 when nothing collides
+    val c = Seq("x1", "x2", "x3").toDF("key")
+    val disjoint = Sketches.cmsJoinSizeEstimate(a, "key", c, "key", 4, 8192)
+      .collect()(0).getLong(0)
+    assert(disjoint === 0L)
+  }
+
   // ------------------------------------------------------------- KMV
 
   private def kmvCorpus(nPerGroup: Int) =
