@@ -5419,6 +5419,59 @@ object Queries {
              |      FROM documents)
              |GROUP BY 1, 2""".stripMargin)),
 
+    // LEAKAGE-SAFE train/val/test split: hashing the near-dup CLUSTER
+    // label instead of the doc id keeps every duplicate family inside one
+    // split — the eval-contamination guard a naive per-doc split cannot
+    // give (a train/test pair of near-identical docs silently inflates
+    // eval). One audit row per mode: the naive split must show spanning
+    // clusters on this corpus, the cluster-keyed split exactly zero.
+    Q("q_split_leakage",
+      (s, d) => {
+        val comp = Dedup.components(
+          Dedup.ngramJaccardPairs(t(s, d)("documents"), minShared = 2L, minJaccard = 0.5)
+            .select("id1", "id2"))
+        def audit(keyed: DataFrame, mode: String) =
+          keyed.groupBy(col("component"))
+            .agg(countDistinct(col("split")).as("nsplits"))
+            .agg(count(lit(1)).as("clusters_total"),
+              sum(when(col("nsplits") > 1, 1L).otherwise(0L)).as("clusters_spanning"))
+            .select(lit(mode).as("mode"), col("clusters_total"),
+              col("clusters_spanning"))
+        audit(graft.pipeline.Mix.split(comp, col("id")), "naive")
+          .unionByName(audit(graft.pipeline.Mix.split(comp, col("component")),
+            "cluster_safe"))
+      },
+      Some(s"""WITH RECURSIVE $shingleSqlCte,
+              |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+              |p0 AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+              |       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              |       GROUP BY 1, 2 HAVING count(*) >= 2),
+              |dup AS (SELECT id1, id2 FROM p0
+              |        JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+              |        WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5),
+              |e AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
+              |r AS (SELECT a AS id, a AS lbl FROM e
+              |      UNION
+              |      SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b),
+              |comp AS (SELECT id, min(lbl) AS component FROM r GROUP BY id),
+              |lbl AS (SELECT component,
+              |    CASE WHEN hi < 80 THEN 'train' WHEN hi < 90 THEN 'val' ELSE 'test' END AS s_naive,
+              |    CASE WHEN hc < 80 THEN 'train' WHEN hc < 90 THEN 'val' ELSE 'test' END AS s_safe
+              |  FROM (SELECT component,
+              |      CAST(concat('0x', substring(md5('split:' || CAST(id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS hi,
+              |      CAST(concat('0x', substring(md5('split:' || CAST(component AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS hc
+              |    FROM comp)),
+              |g AS (SELECT component, count(DISTINCT s_naive) AS dn,
+              |             count(DISTINCT s_safe) AS ds
+              |      FROM lbl GROUP BY component)
+              |SELECT 'naive' AS mode, CAST(count(*) AS BIGINT) AS clusters_total,
+              |       CAST(sum(CASE WHEN dn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS clusters_spanning
+              |FROM g
+              |UNION ALL
+              |SELECT 'cluster_safe', CAST(count(*) AS BIGINT),
+              |       CAST(sum(CASE WHEN ds > 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |FROM g""".stripMargin)),
+
     // token-budget corpus selection: the best-quality documents until the
     // concatenated stream hits 16384 tokens — the data-selection step of a
     // quality-pruned pretraining mix. The Spark side is the TWO-PHASE

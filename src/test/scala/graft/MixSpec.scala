@@ -159,4 +159,22 @@ test("selectByBudget: two-phase prefix sum equals the one-window global cumsum")
         r.getAs[Long]("rank"))).toSet
     assert(got === naive)
   }
+
+  test("cluster-keyed split never separates a near-dup family; doc-keyed split can") {
+    // 120 clusters of 3 consecutive ids each — big enough that hashing
+    // the member id is statistically guaranteed to split some family
+    val comp = (0L until 360L).map(i => (i, (i / 3) * 3)).toDF("id", "component")
+    def spanning(keyed: org.apache.spark.sql.DataFrame): Long =
+      keyed.groupBy("component")
+        .agg(countDistinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).count()
+    assert(spanning(Mix.split(comp, col("component"))) === 0L)
+    assert(spanning(Mix.split(comp, col("id"))) > 0L)
+    // the safe key preserves the 80/10/10 shape at cluster granularity
+    val frac = Mix.split(comp.select("component").distinct(), col("component"))
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(frac("train") > frac.getOrElse("val", 0L)
+      && frac("train") > frac.getOrElse("test", 0L))
+  }
 }
