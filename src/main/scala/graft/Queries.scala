@@ -1164,6 +1164,40 @@ object Queries {
              | AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1800 SECONDS
              |GROUP BY 1""".stripMargin)),
 
+    // last-touch attribution: each purchase credits the user's most
+    // recent PRIOR click — one window over the click+purchase stream
+    // (shuffle by user, ignoreNulls last over the preceding frame), the
+    // per-row as-of the funnel aggregates summarize away. Never-clicked
+    // purchases keep null credit; ts+event_id is a total order
+    Q("q_attribution",
+      (s, d) => {
+        val ev = t(s, d)("events")
+          .filter(col("event_type").isin("click", "purchase"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val isClick = col("event_type") === "click"
+        ev.withColumn("click_id",
+            last(when(isClick, col("event_id")), ignoreNulls = true).over(w))
+          .withColumn("click_us",
+            last(when(isClick, unix_micros(col("ts"))), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("click_id"),
+            (unix_micros(col("ts")) - col("click_us")).as("gap_us"))
+      },
+      Some("""WITH ev AS (SELECT * FROM events WHERE event_type IN ('click', 'purchase')),
+             |r AS (SELECT event_id, event_type,
+             |        last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+             |          OVER w AS click_id,
+             |        last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+             |          OVER w AS click_us,
+             |        epoch_us(ts) AS ts_us
+             |      FROM ev
+             |      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             |                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+             |SELECT event_id AS purchase_id, click_id, ts_us - click_us AS gap_us
+             |FROM r WHERE event_type = 'purchase'""".stripMargin)),
+
     // two-stage salted aggregations — results identical to the unsalted
     // forms (same oracles), the salt only reshapes the shuffle (SCALE.md)
     Q("q_agg_salted",
@@ -3825,6 +3859,23 @@ object Queries {
              |  array_to_string(list_transform((list_sort(list(did)))[1:100],
              |    x -> CAST(x AS VARCHAR)), ',') AS postings
              |FROM tk GROUP BY term HAVING count(*) >= 5""".stripMargin)),
+
+    // positional phrase search: the exact consecutive phrase "hash join"
+    // as an equi-join of per-term positional postings on (doc, aligned
+    // pos) — each arm is one term's postings, never the corpus
+    Q("q_phrase_search",
+      (s, d) => graft.pipeline.Index.phraseSearch(t(s, d)("documents"),
+        "doc_id", "text", Seq("hash", "join")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |p AS (SELECT doc_id, u.pos AS pos, u.term AS term
+             |      FROM (SELECT doc_id,
+             |              unnest(list_transform(ws, (x, i) -> {'pos': i - 1, 'term': x})) AS u
+             |            FROM w)),
+             |a AS (SELECT doc_id, pos FROM p WHERE term = 'hash'),
+             |b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE term = 'join')
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches
+             |FROM a JOIN b USING (doc_id, pos)
+             |GROUP BY doc_id""".stripMargin)),
 
     // bitmap index over a low-cardinality column: per value, the packed
     // bitset of md5-ordered row positions (32 rows/long — bit 63 of a

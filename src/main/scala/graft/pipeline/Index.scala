@@ -32,6 +32,27 @@ object Index {
           ",").as("postings"))
       .filter(col("df") >= minDf)
 
+  /** Positional phrase search — the serving-side twin of [[inverted]]:
+    * a k-word phrase is k-1 EQUI-joins of positional posting lists on
+    * `(doc, alignedPos)`, the classic positional-index intersection. Each
+    * arm filters to ONE term before joining, so the join inputs are that
+    * term's postings, never the corpus; word `i` joins at `pos - i` so
+    * every arm aligns on the phrase's start offset. Returns
+    * `(id, n_matches)` for documents containing the exact consecutive
+    * phrase, with occurrence counts.
+    */
+  def phraseSearch(docs: DataFrame, id: String, text: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one word")
+    val toks = docs.select(col(id),
+      posexplode(Text.words(col(text))).as(Seq("pos", "term")))
+    val first = toks.filter(col("term") === phrase.head).select(col(id), col("pos"))
+    phrase.zipWithIndex.tail.foldLeft(first) { case (acc, (w, i)) =>
+      acc.join(toks.filter(col("term") === w)
+        .select(col(id), (col("pos") - i).as("pos")), Seq(id, "pos"))
+    }.groupBy(col(id)).agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Bitmap index over a LOW-cardinality column — the OLAP-side complement
     * of [[inverted]]: per distinct value, a bitset of the rows holding it,
     * packed 64 rows per long. Positions come from [[Ids.contiguous]]

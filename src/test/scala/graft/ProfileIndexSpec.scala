@@ -73,4 +73,22 @@ class ProfileIndexSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got === direct)
   }
+
+  test("phraseSearch: consecutive-only matches, overlap counting, k-word fold") {
+    val docs = Seq(
+      (1L, "hash join beats sort"),     // one match
+      (2L, "join hash"),                // wrong order: no match
+      (3L, "hash x join"),              // gap: no match
+      (4L, "hash join hash join"),      // two matches
+      (5L, "a a a")).toDF("doc_id", "text")
+    def run(p: String*) = Index.phraseSearch(docs, "doc_id", "text", p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run("hash", "join") === Map(1L -> 1L, 4L -> 2L))
+    // overlapping occurrences each count: "a a" in "a a a" matches twice
+    assert(run("a", "a") === Map(5L -> 2L))
+    // 3-word phrase folds two positional joins
+    assert(run("hash", "join", "beats") === Map(1L -> 1L))
+    // single word degrades to term lookup with occurrence counts
+    assert(run("hash") === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
 }
