@@ -968,6 +968,58 @@ object Queries {
              |       CAST(len(path) - 1 AS BIGINT) AS hops
              |FROM s4""".stripMargin)),
 
+    // weight-proportional deterministic walks over the word-BIGRAM graph
+    // (edge weight = corpus bigram count): draw = md5(walk|step) mod
+    // total weight, next = first cumulative bucket past the draw — a
+    // neighbor of weight w owns exactly w residues. The oracle rebuilds
+    // the cumulative adjacency with a window and unrolls the 4 steps
+    Q("q_graph_walks_weighted",
+      (s, d) => {
+        val pairs = Text.bindArray(
+          filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0)) { ws =>
+          filter(transform(ws, (x, i) =>
+            when(i < size(ws) - 1,
+              struct(x.as("src"), element_at(ws, i + 2).as("dst")))),
+            p => p.isNotNull)
+        }
+        val e = t(s, d)("documents").select(explode(pairs).as("pr"))
+          .select(col("pr.src").as("src"), col("pr.dst").as("dst"))
+          .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        Graph(Graph.verticesOf(e), e).weightedDeterministicWalks(4)
+          .select(col("walk_id"), concat_ws("->", col("path")).as("path"),
+            col("hops"))
+      },
+      Some {
+        val step = (i: Int) =>
+          s"""s$i AS (SELECT walk_id,
+             |  CASE WHEN nbrs IS NULL THEN cur
+             |       ELSE list_filter(nbrs, x -> x.cum > h % nbrs[-1].cum)[1].dst END AS cur,
+             |  CASE WHEN nbrs IS NULL THEN path
+             |       ELSE list_append(path, list_filter(nbrs, x -> x.cum > h % nbrs[-1].cum)[1].dst) END AS path
+             |FROM (SELECT s${i - 1}.*, a.nbrs,
+             |        CAST(concat('0x', substr(md5(walk_id || '|$i'), 1, 15)) AS BIGINT) AS h
+             |      FROM s${i - 1} LEFT JOIN a ON s${i - 1}.cur = a.src))""".stripMargin
+        s"""WITH w AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+           |                  x -> len(x) > 0) AS ws FROM documents),
+           |bi AS (SELECT u.src AS src, u.dst AS dst FROM (
+           |    SELECT unnest(list_filter(list_transform(ws,
+           |        (x, i) -> CASE WHEN i < len(ws) THEN {'src': x, 'dst': ws[i+1]} END),
+           |      v -> v IS NOT NULL)) AS u FROM w)),
+           |e AS (SELECT src, dst, count(*) AS wt FROM bi GROUP BY 1, 2),
+           |a AS MATERIALIZED (
+           |  SELECT src, list({'dst': dst, 'cum': cum} ORDER BY dst) AS nbrs
+           |  FROM (SELECT src, dst,
+           |          CAST(sum(wt) OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS cum
+           |        FROM e)
+           |  GROUP BY src),
+           |verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+           |s0 AS (SELECT v AS walk_id, v AS cur, [v] AS path FROM verts),
+           |${(1 to 4).map(step).mkString(",\n")}
+           |SELECT walk_id, array_to_string(path, '->') AS path,
+           |       CAST(len(path) - 1 AS BIGINT) AS hops
+           |FROM s4""".stripMargin
+      }),
+
     Q("q_graph_bfs",
       (s, d) => {
         val fw = t(s, d)("documents").filter(col("doc_id") < 12)

@@ -274,6 +274,49 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
       (size(col("path")) - 1).cast("long").as("hops"))
   }
 
+  /** WEIGHT-PROPORTIONAL deterministic walks — [[deterministicWalks]]
+    * with each draw ∝ the edge's integer weight (`w` cast to long,
+    * parallel edges summed), the node2vec/DeepWalk corpus generator for
+    * weighted graphs. The adjacency hub stores one dst-sorted
+    * `(dst, cum)` CUMULATIVE-weight array per vertex (one window + one
+    * groupBy at build time), so step `i` of walk `v` is a pure
+    * projection: `draw = md5₆₀(v|i) mod cum_last`, next =
+    * first struct with `cum > draw`. A neighbor of weight `w_j` owns
+    * exactly `w_j` residues — the draw is uniform over weight mass,
+    * replayable by any engine with ranked cumulative sums, and
+    * repartition/retry-invariant like every hash draw in this library.
+    * Zero/negative-weight edges are excluded (they own no residues).
+    */
+  def weightedDeterministicWalks(maxLen: Int): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val adj = edges.select(col("src"), col("dst"), col("w").cast("long").as("wt"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("wt")).as("wt"))
+      .filter(col("wt") > 0)
+      .withColumn("cum", sum(col("wt")).over(win))
+      // cum is monotone in the dst order, so the struct sort (dst-first)
+      // yields a cumulative array without a second window
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("dst"), col("cum")))).as("nbrs"))
+    var state = vertices.select(col("id").as("walk_id"),
+      array(col("id")).as("path"), col("id").as("cur"))
+    for (i <- 1 to maxLen) {
+      val h = conv(substring(md5(concat(col("walk_id"), lit(s"|$i"))), 1, 15),
+        16, 10).cast("long")
+      val draw = h % element_at(col("nbrs"), -1).getField("cum")
+      state = state.join(adj, col("cur") === col("src"), "left")
+        .withColumn("nxt", when(col("nbrs").isNotNull,
+          element_at(filter(col("nbrs"), x => x.getField("cum") > draw), 1)
+            .getField("dst")))
+        .select(col("walk_id"),
+          when(col("nxt").isNotNull, concat(col("path"), array(col("nxt"))))
+            .otherwise(col("path")).as("path"),
+          coalesce(col("nxt"), col("cur")).as("cur"))
+    }
+    state.select(col("walk_id"), col("path"),
+      (size(col("path")) - 1).cast("long").as("hops"))
+  }
+
   /** GraphFrames-parity `shortestPaths`: hop distance from every vertex
     * TO each landmark, following edge direction. Returns exploded rows
     * `(id, landmark, distance)` (GraphFrames packs them in a map column;

@@ -374,4 +374,42 @@ class GraphAlgorithmsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(got2 === got)
   }
+
+  test("weightedDeterministicWalks: draws proportional to weight, local replay agrees") {
+    // a's neighbors: b (w=3, residues 0-2), c (w=1, residue 3);
+    // z has only a zero-weight edge -> owns no residues, walk stops
+    val e = Seq(("a", "b", 3.0, "W"), ("a", "c", 1.0, "W"), ("b", "a", 2.0, "W"),
+      ("c", "a", 1.0, "W"), ("z", "a", 0.0, "W")).toDF("src", "dst", "w", "type")
+    val gw = Graph(Graph.verticesOf(e), e)
+    val maxLen = 4
+    val got = gw.weightedDeterministicWalks(maxLen).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // local replay over cumulative dst-sorted adjacency
+    val adj = Map("a" -> Seq(("b", 3L), ("c", 4L)), "b" -> Seq(("a", 2L)),
+      "c" -> Seq(("a", 1L)))
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val want = Seq("a", "b", "c", "z").map { v =>
+      var cur = v; val path = scala.collection.mutable.ArrayBuffer(v)
+      for (i <- 1 to maxLen) adj.get(cur).foreach { ns =>
+        val draw = h60(s"$v|$i") % ns.last._2
+        cur = ns.find(_._2 > draw).get._1; path += cur
+      }
+      v -> path.toSeq
+    }.toMap
+    assert(got === want)
+    assert(got("z") === Seq("z")) // zero-weight-only vertex is a sink
+    // weight monotonicity over the draw space: enumerate draws 0..3 —
+    // b owns exactly 3 residues, c exactly 1 (the ∝-weight contract)
+    assert((0L until 4L).map(d => adj("a").find(_._2 > d).get._1)
+      === Seq("b", "b", "b", "c"))
+    // repartition-invariant
+    val got2 = Graph(gw.vertices.repartition(5), gw.edges.repartition(3))
+      .weightedDeterministicWalks(maxLen).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got2 === got)
+  }
 }
