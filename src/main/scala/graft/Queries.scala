@@ -77,6 +77,49 @@ object Queries {
       |                      v -> v IS NOT NULL)) AS s
       |             FROM w))""".stripMargin
 
+  /** Shared doc∪word bipartite walk relation (q_graph_walks +
+    * q_walk_skipgrams): unweighted 4-step deterministic walks over the
+    * symmetrized document-word membership graph of docs 0-11.
+    */
+  private def docWordWalks(s: SparkSession, d: String): DataFrame = {
+    val fw = t(s, d)("documents").filter(col("doc_id") < 12)
+      .select(col("doc_id").cast("string").as("src"),
+        explode(array_distinct(
+          filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0))).as("dst"))
+    val sym = fw.unionByName(fw.select(col("dst").as("src"), col("src").as("dst")))
+      .withColumn("w", lit(1.0)).withColumn("type", lit("B"))
+    Graph(Graph.verticesOf(sym), sym).deterministicWalks(4)
+  }
+
+  /** DuckDB twin of [[docWordWalks]]: CTE chain ending in
+    * `s4(walk_id, path)` — the md5-draw unroll of the 4 steps. `a` is
+    * multi-referenced, hence MATERIALIZED (verify skill: DuckDB inlines
+    * plain CTEs and re-evaluates refs^i times otherwise).
+    */
+  private val docWordWalkSqlCte: String = {
+    val step = (i: Int, last: Boolean) => {
+      val curSel = if (last) "" else
+        s"""         CASE WHEN nbrs IS NULL THEN cur
+           |              ELSE nbrs[CAST(h % len(nbrs) AS INT) + 1] END AS cur,
+           |""".stripMargin
+      s"""s$i AS (SELECT walk_id,
+         |$curSel         CASE WHEN nbrs IS NULL THEN path
+         |              ELSE list_append(path, nbrs[CAST(h % len(nbrs) AS INT) + 1]) END AS path
+         |       FROM (SELECT s${i - 1}.*, a.nbrs,
+         |               CAST(concat('0x', substr(md5(walk_id || '|$i'), 1, 15)) AS BIGINT) AS h
+         |             FROM s${i - 1} LEFT JOIN a ON s${i - 1}.cur = a.src))""".stripMargin
+    }
+    s"""fw AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src, w AS dst FROM (
+       |   SELECT doc_id, unnest(list_filter(
+       |     string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS w
+       |   FROM documents WHERE doc_id < 12)),
+       |e AS (SELECT src, dst FROM fw UNION ALL SELECT dst, src FROM fw),
+       |a AS MATERIALIZED (
+       |  SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM e GROUP BY src),
+       |s0 AS (SELECT DISTINCT src AS walk_id, src AS cur, [src] AS path FROM e),
+       |${(1 to 4).map(i => step(i, i == 4)).mkString(",\n")}""".stripMargin
+  }
+
   /** DuckDB replay of [[graft.pipeline.Importance.dsirWeights]] up to the
     * per-doc sum relation `s` (target = `lang = 'en'`, 4096 buckets):
     * hashed unigram+bigram features, per-bucket target/raw counts,
@@ -915,58 +958,29 @@ object Queries {
     // distributed retry model. The oracle unrolls the 4 steps against
     // the same ranked adjacency
     Q("q_graph_walks",
-      (s, d) => {
-        val fw = t(s, d)("documents").filter(col("doc_id") < 12)
-          .select(col("doc_id").cast("string").as("src"),
-            explode(array_distinct(
-              filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0))).as("dst"))
-        val sym = fw.unionByName(fw.select(col("dst").as("src"), col("src").as("dst")))
-          .withColumn("w", lit(1.0)).withColumn("type", lit("B"))
-        Graph(Graph.verticesOf(sym), sym).deterministicWalks(4)
-          .select(col("walk_id"), concat_ws("->", col("path")).as("path"),
-            col("hops"))
-      },
-      Some("""WITH fw AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src, w AS dst FROM (
-             |   SELECT doc_id, unnest(list_filter(
-             |     string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS w
-             |   FROM documents WHERE doc_id < 12)),
-             |e AS (SELECT src, dst FROM fw UNION ALL SELECT dst, src FROM fw),
-             |a AS MATERIALIZED (
-             |  SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM e GROUP BY src),
-             |s0 AS (SELECT DISTINCT src AS walk_id, src AS cur, [src] AS path FROM e),
-             |s1 AS (SELECT walk_id,
-             |         CASE WHEN nbrs IS NULL THEN cur
-             |              ELSE nbrs[CAST(h % len(nbrs) AS INT) + 1] END AS cur,
-             |         CASE WHEN nbrs IS NULL THEN path
-             |              ELSE list_append(path, nbrs[CAST(h % len(nbrs) AS INT) + 1]) END AS path
-             |       FROM (SELECT s0.*, a.nbrs,
-             |               CAST(concat('0x', substr(md5(walk_id || '|1'), 1, 15)) AS BIGINT) AS h
-             |             FROM s0 LEFT JOIN a ON s0.cur = a.src)),
-             |s2 AS (SELECT walk_id,
-             |         CASE WHEN nbrs IS NULL THEN cur
-             |              ELSE nbrs[CAST(h % len(nbrs) AS INT) + 1] END AS cur,
-             |         CASE WHEN nbrs IS NULL THEN path
-             |              ELSE list_append(path, nbrs[CAST(h % len(nbrs) AS INT) + 1]) END AS path
-             |       FROM (SELECT s1.*, a.nbrs,
-             |               CAST(concat('0x', substr(md5(walk_id || '|2'), 1, 15)) AS BIGINT) AS h
-             |             FROM s1 LEFT JOIN a ON s1.cur = a.src)),
-             |s3 AS (SELECT walk_id,
-             |         CASE WHEN nbrs IS NULL THEN cur
-             |              ELSE nbrs[CAST(h % len(nbrs) AS INT) + 1] END AS cur,
-             |         CASE WHEN nbrs IS NULL THEN path
-             |              ELSE list_append(path, nbrs[CAST(h % len(nbrs) AS INT) + 1]) END AS path
-             |       FROM (SELECT s2.*, a.nbrs,
-             |               CAST(concat('0x', substr(md5(walk_id || '|3'), 1, 15)) AS BIGINT) AS h
-             |             FROM s2 LEFT JOIN a ON s2.cur = a.src)),
-             |s4 AS (SELECT walk_id,
-             |         CASE WHEN nbrs IS NULL THEN path
-             |              ELSE list_append(path, nbrs[CAST(h % len(nbrs) AS INT) + 1]) END AS path
-             |       FROM (SELECT s3.*, a.nbrs,
-             |               CAST(concat('0x', substr(md5(walk_id || '|4'), 1, 15)) AS BIGINT) AS h
-             |             FROM s3 LEFT JOIN a ON s3.cur = a.src))
-             |SELECT walk_id, array_to_string(path, '->') AS path,
-             |       CAST(len(path) - 1 AS BIGINT) AS hops
-             |FROM s4""".stripMargin)),
+      (s, d) => docWordWalks(s, d)
+        .select(col("walk_id"), concat_ws("->", col("path")).as("path"),
+          col("hops")),
+      Some(s"""WITH $docWordWalkSqlCte
+              |SELECT walk_id, array_to_string(path, '->') AS path,
+              |       CAST(len(path) - 1 AS BIGINT) AS hops
+              |FROM s4""".stripMargin)),
+
+    // walks → skip-gram training pairs: the step that turns the DeepWalk
+    // corpus into word2vec input — (center, context) co-occurrence counts
+    // within a ±2 window along each walk. One positional self-join keyed
+    // on walk_id (the window residual prunes inside the equi-join group)
+    Q("q_walk_skipgrams",
+      (s, d) => Graph.skipGramPairs(docWordWalks(s, d), window = 2),
+      Some(s"""WITH $docWordWalkSqlCte,
+              |p AS (SELECT walk_id, u.pos AS pos, u.w AS w FROM (
+              |    SELECT walk_id,
+              |           unnest(list_transform(path, (x, i) -> {'pos': i, 'w': x})) AS u
+              |    FROM s4))
+              |SELECT a.w AS center, b.w AS context, CAST(count(*) AS BIGINT) AS cnt
+              |FROM p a JOIN p b ON a.walk_id = b.walk_id AND a.pos <> b.pos
+              |  AND abs(a.pos - b.pos) <= 2
+              |GROUP BY 1, 2""".stripMargin)),
 
     // weight-proportional deterministic walks over the word-BIGRAM graph
     // (edge weight = corpus bigram count): draw = md5(walk|step) mod

@@ -864,4 +864,21 @@ object Graph {
     edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct()
+
+  /** Skip-gram `(center, context, cnt)` pair extraction from a walk
+    * relation (`walk_id`, `path`) — the word2vec/DeepWalk training-corpus
+    * step after [[Graph.deterministicWalks]]. One positional self-join
+    * keyed on `walk_id`; the `|Δpos| ≤ window` residual prunes inside
+    * each equi-join group, so cost is walks × pathLen × 2·window, never
+    * a cross product.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
+    val pos = walks.select(col("walk_id"),
+      posexplode(col("path")).as(Seq("pos", "w")))
+    pos.as("a").join(pos.as("b"),
+        col("a.walk_id") === col("b.walk_id") && col("a.pos") =!= col("b.pos") &&
+          abs(col("a.pos") - col("b.pos")) <= window)
+      .groupBy(col("a.w").as("center"), col("b.w").as("context"))
+      .agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -412,4 +412,20 @@ class GraphAlgorithmsSpec extends SparkTestBase {
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(got2 === got)
   }
+
+  test("skipGramPairs: window-bounded, direction-counted, never crosses walks") {
+    val walks = Seq(("w1", Seq("a", "b", "c", "d")), ("w2", Seq("a", "x")))
+      .toDF("walk_id", "path")
+    val got = Graph.skipGramPairs(walks, window = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // local oracle: all ordered pairs with 1 <= |i-j| <= 2 within a walk
+    val want = Seq(Seq("a", "b", "c", "d"), Seq("a", "x")).flatMap { p =>
+      for (i <- p.indices; j <- p.indices
+           if i != j && math.abs(i - j) <= 2) yield (p(i), p(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got === want)
+    assert(!got.contains(("d", "x"))) // no cross-walk pair
+    assert(got(("a", "c")) === 1L)
+    assert(!got.contains(("a", "d"))) // |Δpos| = 3 > window
+  }
 }
