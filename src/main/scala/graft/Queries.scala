@@ -3214,6 +3214,50 @@ object Queries {
               |    / CAST(count(*) AS DOUBLE) AS keep_rate
               |FROM b JOIN c USING (bin) GROUP BY 1""".stripMargin)),
 
+    // classifier EVALUATION against the rule battery: confusion matrix +
+    // precision/recall/F1 as exact-integer ratios — the accept/reject
+    // evidence for replacing the expensive Gopher rules with the cheap
+    // learned score at 100 TB. One equi-join + one 1-row aggregate
+    Q("q_classifier_eval",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        val pred = graft.pipeline.QualityClassifier
+          .score(docs, buckets = 4096, threshold = 0.0)
+          .select(col("doc_id"), col("keep").as("pred"))
+        val gold = docs.select(col("doc_id"),
+          QualityFilters.keep(col("text")).as("gold"))
+        pred.join(gold, "doc_id")
+          .agg(
+            sum(when(col("pred") && col("gold"), 1L).otherwise(0L)).as("tp"),
+            sum(when(col("pred") && !col("gold"), 1L).otherwise(0L)).as("fp"),
+            sum(when(!col("pred") && col("gold"), 1L).otherwise(0L)).as("fn"),
+            sum(when(!col("pred") && !col("gold"), 1L).otherwise(0L)).as("tn"))
+          .select(col("tp"), col("fp"), col("fn"), col("tn"),
+            (col("tp").cast("double") / (col("tp") + col("fp")).cast("double"))
+              .as("precision"),
+            (col("tp").cast("double") / (col("tp") + col("fn")).cast("double"))
+              .as("recall"),
+            ((col("tp") * 2).cast("double")
+              / (col("tp") * 2 + col("fp") + col("fn")).cast("double")).as("f1"))
+      },
+      Some(s"""WITH $classifierScoreSqlCte,
+              |p AS (SELECT doc_id,
+              |        (CAST(w_sum AS DOUBLE) / CAST(n_features AS DOUBLE)) >= 0.0 AS pred
+              |      FROM s),
+              |g AS (SELECT doc_id, $gopherKeepSql AS gold
+              |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+              |m AS (SELECT
+              |    CAST(sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              |    CAST(sum(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              |    CAST(sum(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+              |    CAST(sum(CASE WHEN NOT pred AND NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              |  FROM p JOIN g USING (doc_id))
+              |SELECT tp, fp, fn, tn,
+              |  CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+              |  CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+              |  CAST(tp * 2 AS DOUBLE) / CAST(tp * 2 + fp + fn AS DOUBLE) AS f1
+              |FROM m""".stripMargin)),
+
     // the full Gopher rule battery as one shuffle-free per-row verdict:
     // keep boolean + sorted fail-reason audit trail (what a corpus
     // pipeline logs for every dropped document)
@@ -5409,6 +5453,22 @@ object Queries {
            |  array_to_string(list_transform(c2.cv, x -> CAST(x AS VARCHAR)), ',') AS centroid
            |FROM f JOIN c2 ON f.cluster = c2.cluster""".stripMargin
       }),
+
+    // clustering-quality audit: per-cell size + EXACT-integer inertia
+    // (Σ sq-dist of members to their assigned final centroid) — the
+    // elbow/drift diagnostic read before trusting k; integer quantization
+    // makes the usual float inertia bit-replayable cross-engine
+    Q("q_kmeans_inertia",
+      (s, d) => graft.pipeline.KMeansCluster.cellInertia(
+        t(s, d)("embeddings"), k = 8, iters = 2, dim = 64),
+      Some(s"""WITH ${kmeansAssignSqlCtes(8)},
+              |j AS (SELECT a3.cluster AS cell,
+              |        list_sum(list_transform(a3.qv,
+              |          (x, j) -> (x - c2.cv[j]) * (x - c2.cv[j]))) AS d
+              |      FROM a3 JOIN c2 ON a3.cluster = c2.cluster)
+              |SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+              |       CAST(sum(d) AS BIGINT) AS inertia
+              |FROM j GROUP BY cell""".stripMargin)),
 
     // cluster-balanced diversity sampling: first 16 vectors per k-means
     // cell in deterministic md5 order — caps any one semantic cluster's

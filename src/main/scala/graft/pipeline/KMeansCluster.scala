@@ -128,4 +128,29 @@ object KMeansCluster {
     val (cents, _) = train(q, k, iters, dim, id)
     q.select(col(id), col("q"), assignExpr(col("q"), cents).as("cell"))
   }
+
+  /** Clustering-quality audit: per-cell size + EXACT-integer inertia
+    * (Σ squared distance of each member to its assigned final centroid)
+    * — the elbow/drift diagnostic a pipeline owner reads before trusting
+    * k. Quantized coordinates are ≤127 in magnitude, so a dim-64 squared
+    * distance is ≤ 64·254² ≈ 4.1M and the per-cell long sum is exact —
+    * bit-identical in any engine, unlike float inertia. One argmin
+    * projection (centroids are plan literals) + one hash aggregate.
+    */
+  def cellInertia(df: DataFrame, k: Int, iters: Int, dim: Int,
+                  id: String = "vec_id", emb: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val q = quantized(df, id, emb).persistTracked()
+    val (cents, _) = train(q, k, iters, dim, id)
+    // one evaluation of the argmin struct yields BOTH the cell and its
+    // distance — no second distance pass against the assigned centroid
+    val m = array_min(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(sqDist(col("q"), c).as("d"), lit(i).as("cluster"))
+    }: _*))
+    q.select(m.as("m"))
+      .select(col("m").getField("cluster").as("cell"),
+        col("m").getField("d").as("d"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), sum(col("d")).as("inertia"))
+  }
 }

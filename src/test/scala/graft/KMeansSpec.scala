@@ -83,4 +83,22 @@ class KMeansSpec extends SparkTestBase {
         r.getAs[String]("centroid"))).toSet
     assert(a === b)
   }
+
+  test("cellInertia equals a brute-force recompute from assignCells + kMeans centroids") {
+    val got = KMeansCluster.cellInertia(vecs, k = 2, iters = 2, dim = 2)
+      .collect().map(r => r.getAs[Int]("cell") ->
+        ((r.getAs[Long]("n_vectors"), r.getAs[Long]("inertia")))).toMap
+    val cents = KMeansCluster.kMeans(vecs, k = 2, iters = 2, dim = 2)
+      .collect().map(r => r.getAs[Int]("cluster") ->
+        r.getAs[String]("centroid").split(",").map(_.toLong)).toMap
+    val members = KMeansCluster.assignCells(vecs, k = 2, iters = 2, dim = 2)
+      .collect().map(r => (r.getAs[Int]("cell"),
+        r.getSeq[Long](r.fieldIndex("q")).toSeq))
+    val want = members.groupBy(_._1).map { case (cell, ms) =>
+      cell -> ((ms.size.toLong, ms.map { case (_, q) =>
+        q.zip(cents(cell)).map { case (x, c) => (x - c) * (x - c) }.sum
+      }.sum))
+    }
+    assert(got === want)
+  }
 }
