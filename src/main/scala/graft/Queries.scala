@@ -5890,6 +5890,34 @@ object Queries {
         t(s, d)("documents"), "doc_id", "text", bpeEncodeMerges),
       Some(bpeEncodeOracle(bpeEncodeMerges))),
 
+    // tokenizer ROUND-TRIP audit: decode(encode(w)) == w for every word —
+    // BPE merges only concatenate adjacent tokens, so the invariant holds
+    // by construction; the Spark side re-derives it the hard way (encode,
+    // tpos-ordered re-concat, compare) and the oracle is the ground truth
+    // the audit must land on. n_roundtrip_ok < n_words = a broken encoder
+    Q("q_bpe_roundtrip",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        val dec = graft.pipeline.Bpe
+          .encode(docs, "doc_id", "text", bpeEncodeMerges)
+          .groupBy(col("doc_id"), col("wpos"))
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("tpos"), col("token")))),
+              x => x.getField("token")), "").as("decoded"))
+        val words = docs
+          .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("wpos", "w")))
+          .filter(length(col("w")) > 0)
+          .select(col("doc_id"), col("wpos").cast("long").as("wpos"), col("w"))
+        words.join(dec, Seq("doc_id", "wpos"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(when(col("w") === col("decoded"), 1L).otherwise(0L))
+              .as("n_roundtrip_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_words,
+             |       CAST(count(*) AS BIGINT) AS n_roundtrip_ok
+             |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |WHERE length(w) > 0""".stripMargin)),
+
     // first-order Markov transition matrix of per-user event sequences:
     // lead window → transition counts → row-normalized probabilities
     // (exact integer ratio — deterministic double)
