@@ -349,20 +349,27 @@ object Queries {
     * guard replayed exactly (never fires at these SFs, but the contract
     * must not diverge the day a bucket does exceed it), UNION dedup.
     */
-  private def lshOracleSql(numPlanes: Int, numTables: Int, threshold: Double,
-                           maxBucketSize: Long = 10000L): String = {
+  /** The per-table bucket-join UNION producing distinct LSH candidate
+    * pairs `(id1, id2, cos)` — shared by the threshold ([[lshOracleSql]])
+    * and kNN-graph (q_knn_graph) oracles.
+    */
+  private def lshPairsSubquery(numTables: Int, maxBucketSize: Long): String = {
     val cosSql =
       s"${dotSql("a.e", "b.e")} / (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")}))"
-    val branches = (0 until numTables).map { i =>
+    (0 until numTables).map { i =>
       s"""SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cos
          |FROM bk a
          |JOIN bk b ON a.k$i = b.k$i AND a.vec_id < b.vec_id
          |JOIN (SELECT k$i AS gk, count(*) AS c FROM bk GROUP BY k$i
          |      HAVING count(*) <= $maxBucketSize) g ON a.k$i = g.gk""".stripMargin
     }.mkString("\nUNION\n")
-    s"""WITH ${lshBucketsCte(numPlanes, numTables)}
-       |SELECT id1, id2, cos FROM ($branches) WHERE cos >= $threshold""".stripMargin
   }
+
+  private def lshOracleSql(numPlanes: Int, numTables: Int, threshold: Double,
+                           maxBucketSize: Long = 10000L): String =
+    s"""WITH ${lshBucketsCte(numPlanes, numTables)}
+       |SELECT id1, id2, cos FROM (${lshPairsSubquery(numTables, maxBucketSize)})
+       |WHERE cos >= $threshold""".stripMargin
 
   /** DuckDB pre-normalized embeddings CTE (id, ne: double list). */
   private val normedSqlCte =
@@ -2887,6 +2894,26 @@ object Queries {
         t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
         threshold = 0.35, useLsh = true, numPlanes = 8, numTables = 6),
       Some(lshOracleSql(numPlanes = 8, numTables = 6, threshold = 0.35))),
+
+    // kNN-GRAPH construction: every vector's exact top-3 neighbors among
+    // its LSH bucket candidates — the input structure of graph-based
+    // semantic dedup / NN-descent / diversity maximization. Per-vector
+    // window over bucket-bounded candidates, never a global sort
+    Q("q_knn_graph",
+      (s, d) => graft.pipeline.SimilarityLsh.topK(
+        t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+        k = 3, numPlanes = 8, numTables = 6),
+      Some(s"""WITH ${lshBucketsCte(8, 6)},
+              |p AS (SELECT id1, id2, cos
+              |      FROM (${lshPairsSubquery(6, 10000L)})),
+              |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
+              |        UNION ALL SELECT id2, id1, cos FROM p)
+              |SELECT q_id, n_id, cos, rank FROM (
+              |  SELECT q_id, n_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+              |  FROM sym)
+              |WHERE rank <= 3""".stripMargin)),
 
     // IVF ANN: fixed coarse quantizer (vec_id < 16), cell assignment by
     // max-cosine, inverted-list search within the query's cell (nprobe=1)

@@ -404,13 +404,21 @@ object SimilarityLsh {
       .select(col("id1"), col("id2"), Similarity.cosine(col("e1"), col("e2")).as("cos"))
   }
 
-  /** ANN top-k per query via LSH buckets: exact ranking within candidates. */
+  /** kNN-GRAPH construction — every vector's exact top-k neighbors among
+    * its LSH bucket candidates (the input structure of graph-based
+    * semantic dedup / NN-descent refinement / diversity maximization).
+    * Symmetrized candidate pairs, then one per-vector window: rank by
+    * `(cos desc, neighbor id)` — a total order, so the graph is
+    * deterministic under any partitioning. The window partitions by
+    * vector id (never global); candidates are bucket-bounded by the
+    * skew guard, so per-vector ranking stays O(bucket) at any corpus.
+    */
   def topK(vectors: DataFrame, k: Int, numPlanes: Int = 8, numTables: Int = 8,
            dim: Int = 64): DataFrame = {
     val pairs = candidatePairs(vectors, numPlanes, numTables, dim)
     val sym = pairs.select(col("id1").as("q_id"), col("id2").as("n_id"), col("cos"))
       .union(pairs.select(col("id2").as("q_id"), col("id1").as("n_id"), col("cos")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    sym.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    sym.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 }

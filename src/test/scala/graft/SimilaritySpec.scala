@@ -176,6 +176,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(k1 === k2)
     assert(k1.forall(k => k.length === 6 && k.forall(c => c == '0' || c == '1')))
   }
+
+  test("kNN graph (topK): per-vector rank window over candidates, repartition-invariant") {
+    val corpus = randVecs(60, 8, seed = 5)
+    val g = SimilarityLsh.topK(corpus, k = 3, numPlanes = 3, numTables = 6, dim = 8)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cos")))
+    // ranks are 1..min(3, candidates) per vector, cos non-increasing in rank
+    g.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._2) === (1L to byRank.length).toSeq, s"q=$q")
+      assert(byRank.map(_._4).sliding(2).forall(s => s.length < 2 || s(0) >= s(1)), s"q=$q")
+      assert(!byRank.exists(_._3 == q)) // never its own neighbor
+    }
+    val g2 = SimilarityLsh.topK(corpus.repartition(7), k = 3,
+        numPlanes = 3, numTables = 6, dim = 8)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cos")))
+    assert(g2.toSet === g.toSet)
+  }
 }
 
 /** tiny helper kept out of the suite for clarity */
