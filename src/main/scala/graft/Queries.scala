@@ -1927,6 +1927,298 @@ object Queries {
              |      AND o_orderdate >= TIMESTAMP '2001-01-01')
              |GROUP BY 1""".stripMargin)),
 
+    // TPC-H Q2 shape (min-value row recovery): per-part minimum offered
+    // price via groupBy-min, then an equi-join back on (key, min) to
+    // recover the achieving supplier rows — the decorrelated form of the
+    // correlated `= (SELECT min ...)` subquery. Equality is on STORED
+    // doubles (no arithmetic), so cross-engine exact. This corpus has no
+    // partsupp; lineitem (partkey, suppkey, extendedprice) plays its role
+    Q("q_tpch_q2",
+      (s, d) => {
+        val prt = t(s, d)("part")
+          .filter(col("p_type") === "STANDARD" && col("p_size") < 10)
+          .select("p_partkey")
+        val offers = t(s, d)("lineitem")
+          .join(prt, col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+          .distinct()
+        val minp = offers.groupBy(col("l_partkey"))
+          .agg(min(col("l_extendedprice")).as("min_price"))
+        offers
+          .join(minp, Seq("l_partkey"))
+          .filter(col("l_extendedprice") === col("min_price"))
+          .join(t(s, d)("supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, d)("nation"), col("s_nationkey") === col("n_nationkey"))
+          .select(col("l_partkey").as("p_partkey"), col("s_acctbal"),
+            col("s_name"), col("n_name"), col("min_price"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""WITH offers AS (
+             |  SELECT DISTINCT l_partkey, l_suppkey, l_extendedprice
+             |  FROM lineitem JOIN part ON l_partkey = p_partkey
+             |  WHERE p_type = 'STANDARD' AND p_size < 10),
+             |mp AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+             |       FROM offers GROUP BY 1)
+             |SELECT o.l_partkey AS p_partkey, s_acctbal, s_name, n_name, min_price
+             |FROM offers o
+             |JOIN mp ON o.l_partkey = mp.l_partkey AND o.l_extendedprice = mp.min_price
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+             |LIMIT 100""".stripMargin)),
+
+    // TPC-H Q6 shape: the pure filter-and-sum forecast query — every
+    // predicate PUSHED to the scan, revenue in exact decimal
+    Q("q_tpch_q6",
+      (s, d) => t(s, d)("lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01"))
+          && col("l_shipdate") < to_timestamp(lit("1999-01-01"))
+          && col("l_discount") >= 0.02 && col("l_discount") <= 0.04
+          && col("l_quantity") < 25)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+            * col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("revenue")),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |         * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+             |  AND l_shipdate < TIMESTAMP '1999-01-01'
+             |  AND l_discount BETWEEN 0.02 AND 0.04
+             |  AND l_quantity < 25""".stripMargin)),
+
+    // TPC-H Q7 shape: bilateral shipping volume — the 6-way star join
+    // with a symmetric two-nation disjunction, grouped by (supp nation,
+    // cust nation, year). Nation/region dims broadcast; one fact shuffle
+    Q("q_tpch_q7",
+      (s, d) => {
+        val sn = t(s, d)("nation").select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))
+        val cn = t(s, d)("nation").select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))
+        t(s, d)("lineitem")
+          .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01"))
+            && col("l_shipdate") < to_timestamp(lit("2002-01-01")))
+          .join(t(s, d)("orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d)("customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+          .join(t(s, d)("supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("snk"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+            || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+              * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+      },
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+             |  AND l_shipdate < TIMESTAMP '2002-01-01'
+             |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+             |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q8 shape: national market share — conditional-sum share of
+    // one supplier nation inside a region's PROMO-part order volume by
+    // year; numerator and denominator are the SAME decimal-exact sums,
+    // divided once as doubles
+    Q("q_tpch_q8",
+      (s, d) => {
+        val asiaN = t(s, d)("nation")
+          .join(broadcast(t(s, d)("region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cnk"))
+        val sn = t(s, d)("nation").select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))
+        val vol = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)"))
+        t(s, d)("lineitem")
+          .join(t(s, d)("part").filter(col("p_type") === "PROMO"),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, d)("orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d)("customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(asiaN), col("c_nationkey") === col("cnk"))
+          .join(t(s, d)("supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("snk"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(when(col("supp_nation") === "NATION_2", vol)
+              .otherwise(lit(0).cast("decimal(18,2)"))).as("nation_vol"),
+            sum(vol).as("total_vol"))
+          .select(col("o_year"),
+            (col("nation_vol").cast("double") / col("total_vol").cast("double"))
+              .as("mkt_share"))
+      },
+      Some("""WITH v AS (
+             |  SELECT year(o_orderdate) AS o_year, sn.n_name AS supp_nation,
+             |    CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS vol
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN region ON cn.n_regionkey = r_regionkey
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  WHERE p_type = 'PROMO' AND r_name = 'ASIA')
+             |SELECT CAST(o_year AS BIGINT) AS o_year,
+             |  CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN vol
+             |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             |    / CAST(sum(vol) AS DOUBLE) AS mkt_share
+             |FROM v GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q9 shape: product-line profit by (supplier nation, year) —
+    // profit = revenue − cost, both exact decimal; p_retailprice·quantity
+    // stands in for the absent ps_supplycost
+    Q("q_tpch_q9",
+      (s, d) => {
+        val sn = t(s, d)("nation").select(col("n_nationkey").as("snk"),
+          col("n_name").as("nation"))
+        val profit = col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")) -
+          col("p_retailprice").cast("decimal(18,2)") * col("l_quantity").cast("decimal(18,2)")
+        t(s, d)("lineitem")
+          .join(t(s, d)("part").filter(col("p_name").contains("red")),
+            col("l_partkey") === col("p_partkey"))
+          .join(t(s, d)("orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d)("supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("snk"))
+          .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(sum(profit).cast("double").as("sum_profit"))
+      },
+      Some("""SELECT sn.n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             |    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)))
+             |    AS DOUBLE) AS sum_profit
+             |FROM lineitem
+             |JOIN part ON l_partkey = p_partkey
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |WHERE p_name LIKE '%red%'
+             |GROUP BY 1, 2""".stripMargin)),
+
+    // TPC-H Q10 shape: returned-item revenue per customer in one quarter,
+    // top-20 — fact⨝fact⨝dim⨝dim, decimal revenue, unique-keyed top-k
+    Q("q_tpch_q10",
+      (s, d) => t(s, d)("lineitem")
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, d)("orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01"))
+              && col("o_orderdate") < to_timestamp(lit("2000-04-01"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d)("customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d)("nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+            * (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20),
+      Some("""SELECT c_custkey, c_name, c_acctbal, n_name,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+             |FROM lineitem
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |  AND o_orderdate >= TIMESTAMP '2000-01-01'
+             |  AND o_orderdate < TIMESTAMP '2000-04-01'
+             |GROUP BY 1, 2, 3, 4
+             |ORDER BY revenue DESC, c_custkey
+             |LIMIT 20""".stripMargin)),
+
+    // TPC-H Q11 shape: important-stock HAVING gate — per-part inventory
+    // value kept only when above 1.2× the mean part value; the mean
+    // arrives as a 1-row broadcast (sum + part count), compared in
+    // doubles cast from the SAME decimal-exact sums on both sides
+    Q("q_tpch_q11",
+      (s, d) => {
+        val pv = t(s, d)("lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")
+            * col("l_quantity").cast("decimal(18,2)")).as("pval"))
+        val gate = pv.agg(sum(col("pval")).as("total"), count(lit(1)).as("np"))
+        pv.join(broadcast(gate),
+            col("pval").cast("double") * col("np").cast("double") * 10.0
+              > col("total").cast("double") * 12.0)
+          .select(col("l_partkey"), col("pval").cast("double").as("part_value"))
+      },
+      Some("""WITH pv AS (SELECT l_partkey,
+             |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |      * CAST(l_quantity AS DECIMAL(18,2))) AS pval
+             |  FROM lineitem GROUP BY 1),
+             |g AS (SELECT sum(pval) AS total, count(*) AS np FROM pv)
+             |SELECT l_partkey, CAST(pval AS DOUBLE) AS part_value
+             |FROM pv, g
+             |WHERE CAST(pval AS DOUBLE) * CAST(np AS DOUBLE) * 10.0
+             |      > CAST(total AS DOUBLE) * 12.0""".stripMargin)),
+
+    // TPC-H Q12 shape: late-shipment priority split by line status —
+    // join + dual conditional counts; "late" adapts commit/receipt dates
+    // (absent here) to shipped >90 days after order date
+    Q("q_tpch_q12",
+      (s, d) => t(s, d)("lineitem")
+        .filter(col("l_shipdate") >= to_timestamp(lit("2000-01-01"))
+          && col("l_shipdate") < to_timestamp(lit("2001-01-01")))
+        .join(t(s, d)("orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count")),
+      Some("""SELECT l_linestatus,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+             |  AND l_shipdate < TIMESTAMP '2001-01-01'
+             |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+             |GROUP BY 1""".stripMargin)),
+
+    // TPC-H Q16 shape: supplier diversity per (brand, type, size) —
+    // distinct-count over the part-supplier relation with a brand
+    // exclusion and a NOT-IN anti-join (negative-balance suppliers stand
+    // in for the absent complaint-comment filter)
+    Q("q_tpch_q16",
+      (s, d) => {
+        val badSupp = t(s, d)("supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        t(s, d)("lineitem").select("l_partkey", "l_suppkey").distinct()
+          .join(t(s, d)("part")
+              .filter(col("p_brand") =!= "Brand#1"
+                && col("p_size").isin(1, 5, 9, 13, 17, 21)),
+            col("l_partkey") === col("p_partkey"))
+          .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+             |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+             |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+             |JOIN part ON l_partkey = p_partkey
+             |WHERE p_brand <> 'Brand#1'
+             |  AND p_size IN (1, 5, 9, 13, 17, 21)
+             |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     Q("q_window_hourly",
       (s, d) => EventStream.windowedAgg(t(s, d)("events"), "1 hour")
         .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),

@@ -45,6 +45,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_sketch_join_size",                // 1-row estimate × 1-row exact audit
     "q_tpch_q22",                        // 1-row balance-gate broadcast
                                          // (bal·cnt > sum exact-decimal compare)
+    "q_tpch_q11",                        // 1-row mean-value-gate broadcast
+                                         // (pval·np·10 > total·12 compare)
     "q_sketch_kmv_pairs")                // sketch relation × itself (groups²,
                                          // k-sized arrays — never data-sized)
 
