@@ -3207,6 +3207,47 @@ object Queries {
               |  FROM sym)
               |WHERE rank <= 3""".stripMargin)),
 
+    // one NN-DESCENT refinement round over the kNN graph: expand each
+    // vector's candidates with neighbors-of-neighbors (one self-join on
+    // the k-bounded graph, ≤ k² per vector), rescore exactly, keep the
+    // new top-k — recovers true neighbors the LSH buckets missed without
+    // ever going corpus². The oracle replays graph, hop expansion,
+    // rescore, and re-rank
+    Q("q_knn_refine",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        graft.pipeline.SimilarityLsh.nnDescentRound(emb,
+          graft.pipeline.SimilarityLsh.topK(emb, k = 3, numPlanes = 8, numTables = 6),
+          k = 3)
+      },
+      Some {
+        val cosAb =
+          s"${dotSql("a.e", "b.e")} / (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")}))"
+        s"""WITH ${lshBucketsCte(8, 6)},
+           |p AS (SELECT id1, id2, cos
+           |      FROM (${lshPairsSubquery(6, 10000L)})),
+           |g AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |    FROM (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
+           |          UNION ALL SELECT id2, id1, cos FROM p))
+           |  WHERE rank <= 3),
+           |hops AS (SELECT g1.q_id AS q_id, g2.n_id AS n_id
+           |         FROM g g1 JOIN g g2 ON g1.n_id = g2.q_id
+           |         WHERE g1.q_id <> g2.n_id),
+           |cand AS (SELECT q_id, n_id FROM g UNION SELECT q_id, n_id FROM hops),
+           |sc AS (SELECT c.q_id, c.n_id, $cosAb AS cos
+           |       FROM cand c
+           |       JOIN de a ON c.q_id = a.vec_id
+           |       JOIN de b ON c.n_id = b.vec_id)
+           |SELECT q_id, n_id, cos, rank FROM (
+           |  SELECT q_id, n_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM sc)
+           |WHERE rank <= 3""".stripMargin
+      }),
+
     // IVF ANN: fixed coarse quantizer (vec_id < 16), cell assignment by
     // max-cosine, inverted-list search within the query's cell (nprobe=1)
     Q("q_ann_ivf",

@@ -421,4 +421,31 @@ object SimilarityLsh {
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
     sym.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
+
+  /** One NN-DESCENT refinement round (Dong et al., WWW'11) over a kNN
+    * graph: expand each vector's candidates with its neighbors' neighbors
+    * ("a neighbor of my neighbor is probably my neighbor"), rescore the
+    * expanded set exactly, keep the new top-k. Recovers true neighbors
+    * that LSH bucketing missed — recall improves monotonically per round
+    * (the candidate set only grows; asserted in `SimilaritySpec`) — while
+    * staying ALL equi-joins: the hop expansion is one self-join on the
+    * k-bounded graph (≤ k² candidates per vector), never corpus².
+    */
+  def nnDescentRound(vectors: DataFrame, graph: DataFrame, k: Int): DataFrame = {
+    val e = graph.select(col("q_id"), col("n_id"))
+    val hops = e.as("g1")
+      .join(e.as("g2"), col("g1.n_id") === col("g2.q_id"))
+      .select(col("g1.q_id").as("q_id"), col("g2.n_id").as("n_id"))
+      .filter(col("q_id") =!= col("n_id"))
+    val scored = e.unionByName(hops).distinct()
+      .join(vectors.select(col("vec_id").as("q_id"), col("embedding").as("eq")),
+        Seq("q_id"))
+      .join(vectors.select(col("vec_id").as("n_id"), col("embedding").as("en")),
+        Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Similarity.cosine(col("eq"), col("en")).as("cos"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
 }

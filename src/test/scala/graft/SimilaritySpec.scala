@@ -195,6 +195,32 @@ class SimilaritySpec extends SparkTestBase {
         r.getAs[Long]("n_id"), r.getAs[Double]("cos")))
     assert(g2.toSet === g.toSet)
   }
+
+  test("nnDescentRound: recall vs true kNN never decreases; shape preserved") {
+    val n = 80
+    val corpus = randVecs(n, 8, seed = 7)
+    // local brute-force truth: top-3 by cosine (random floats — no ties)
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val truth = vecs.keys.flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq.sortBy(o => (-cos(vecs(q), vecs(o)), o))
+        .take(3).map(q -> _)
+    }.toSet
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val g0 = SimilarityLsh.topK(corpus, k = 3, numPlanes = 4, numTables = 3, dim = 8)
+    val g1 = SimilarityLsh.nnDescentRound(corpus, g0, k = 3)
+    val (r0, r1) = (edges(g0).count(truth) , edges(g1).count(truth))
+    assert(r1 >= r0, s"refined recall $r1 < initial $r0")
+    g1.collect().groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to rows.length))
+      assert(!rows.exists(_.getAs[Long]("n_id") == q))
+    }
+  }
 }
 
 /** tiny helper kept out of the suite for clarity */
