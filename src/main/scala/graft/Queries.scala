@@ -6317,7 +6317,9 @@ object Queries {
           C.referential(t(s, d)("orders"), "o_custkey",
             t(s, d)("customer"), "c_custkey", "orders_customer_fk"),
           C.kAnonymity(t(s, d)("documents"), Seq("lang", "source"), 10L,
-            "documents_k10_anonymity"))
+            "documents_k10_anonymity"),
+          C.lDiversity(t(s, d)("documents"), Seq("source"), "lang", 3L,
+            "documents_l3_diversity"))
       },
       Some("""SELECT 'lineitem_pk_unique' AS "check",
              |  CAST(count(*) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS BIGINT) AS metric,
@@ -6342,7 +6344,12 @@ object Queries {
              |SELECT 'documents_k10_anonymity',
              |  CAST(coalesce(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END), 0) AS BIGINT),
              |  coalesce(sum(CASE WHEN cnt < 10 THEN 1 ELSE 0 END), 0) = 0
-             |FROM (SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source)""".stripMargin)),
+             |FROM (SELECT lang, source, count(*) AS cnt FROM documents GROUP BY lang, source)
+             |UNION ALL
+             |SELECT 'documents_l3_diversity',
+             |  CAST(coalesce(sum(CASE WHEN ndv < 3 THEN 1 ELSE 0 END), 0) AS BIGINT),
+             |  coalesce(sum(CASE WHEN ndv < 3 THEN 1 ELSE 0 END), 0) = 0
+             |FROM (SELECT source, count(DISTINCT lang) AS ndv FROM documents GROUP BY source)""".stripMargin)),
 
     // CUSUM change-point statistic over the daily value series per event
     // type — all-integer running form (n·R_t − t·S)/n, no float window sum

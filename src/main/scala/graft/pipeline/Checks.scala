@@ -58,6 +58,20 @@ object Checks {
       coalesce(sum(when(col("cnt") < k, 1L).otherwise(0L)), lit(0L)) === 0L)(
       df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("cnt")))
 
+  /** l-diversity over quasi-identifier columns: number of equivalence
+    * classes whose SENSITIVE column carries fewer than l distinct values
+    * (a homogeneity-attack risk k-anonymity alone misses — a class can
+    * be large yet all share one diagnosis); passes at 0. One two-level
+    * hash aggregate: distinct-per-class, then the violation count.
+    */
+  def lDiversity(df: DataFrame, quasi: Seq[String], sensitive: String,
+                 l: Long, name: String): DataFrame =
+    row(name,
+      coalesce(sum(when(col("ndv") < l, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("ndv") < l, 1L).otherwise(0L)), lit(0L)) === 0L)(
+      df.groupBy(quasi.map(col): _*)
+        .agg(countDistinct(col(sensitive)).as("ndv")))
+
   /** Union a suite of check rows into one audit relation. */
   def suite(checks: DataFrame*): DataFrame = checks.reduce(_.unionByName(_))
 }

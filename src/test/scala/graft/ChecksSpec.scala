@@ -40,4 +40,21 @@ class ChecksSpec extends SparkTestBase {
     assert(audit.forall(_.getAs[Boolean]("passed")))
     assert(audit.map(_.getAs[String]("check")).toSet === Set("u", "c", "r"))
   }
+
+  test("lDiversity flags homogeneous classes k-anonymity misses") {
+    // class A: 3 rows, all the same diagnosis (big but homogeneous);
+    // class B: 2 rows, 2 distinct diagnoses
+    val df = Seq(("A", "flu"), ("A", "flu"), ("A", "flu"),
+      ("B", "flu"), ("B", "cold")).toDF("zip", "diag")
+    val r = Checks.lDiversity(df, Seq("zip"), "diag", l = 2L, "l2").collect()(0)
+    assert(r.getAs[Long]("metric") === 1L)     // only class A violates
+    assert(!r.getAs[Boolean]("passed"))
+    // the same table is 3-anonymous-ish on A: kAnonymity(k=3) flags B, not A
+    val k = Checks.kAnonymity(df, Seq("zip"), 3L, "k3").collect()(0)
+    assert(k.getAs[Long]("metric") === 1L)
+    // empty input: vacuously clean, not null
+    val e = Checks.lDiversity(df.filter("1 = 0"), Seq("zip"), "diag", 2L, "l2e")
+      .collect()(0)
+    assert(e.getAs[Long]("metric") === 0L && e.getAs[Boolean]("passed"))
+  }
 }
