@@ -81,20 +81,37 @@ object Queries {
     * q_walk_skipgrams): unweighted 4-step deterministic walks over the
     * symmetrized document-word membership graph of docs 0-11.
     */
-  private def docWordWalks(s: SparkSession, d: String): DataFrame = {
+  private def docWordGraph(s: SparkSession, d: String): Graph = {
     val fw = t(s, d)("documents").filter(col("doc_id") < 12)
       .select(col("doc_id").cast("string").as("src"),
         explode(array_distinct(
           filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0))).as("dst"))
     val sym = fw.unionByName(fw.select(col("dst").as("src"), col("src").as("dst")))
       .withColumn("w", lit(1.0)).withColumn("type", lit("B"))
-    Graph(Graph.verticesOf(sym), sym).deterministicWalks(4)
+    Graph(Graph.verticesOf(sym), sym)
   }
 
+  private def docWordWalks(s: SparkSession, d: String): DataFrame =
+    docWordGraph(s, d).deterministicWalks(4)
+
+  /** DuckDB doc∪word graph prologue shared by every walk oracle:
+    * `fw`/`e` edges, the MATERIALIZED dst-sorted adjacency `a`, and the
+    * `s0(walk_id, cur, path)` start frontier (verify skill: `a` is
+    * multi-referenced, hence MATERIALIZED — DuckDB inlines plain CTEs
+    * and re-evaluates refs^i times otherwise).
+    */
+  private val docWordGraphSqlCte: String =
+    s"""fw AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src, w AS dst FROM (
+       |   SELECT doc_id, unnest(list_filter(
+       |     string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS w
+       |   FROM documents WHERE doc_id < 12)),
+       |e AS (SELECT src, dst FROM fw UNION ALL SELECT dst, src FROM fw),
+       |a AS MATERIALIZED (
+       |  SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM e GROUP BY src),
+       |s0 AS (SELECT DISTINCT src AS walk_id, src AS cur, [src] AS path FROM e)""".stripMargin
+
   /** DuckDB twin of [[docWordWalks]]: CTE chain ending in
-    * `s4(walk_id, path)` — the md5-draw unroll of the 4 steps. `a` is
-    * multi-referenced, hence MATERIALIZED (verify skill: DuckDB inlines
-    * plain CTEs and re-evaluates refs^i times otherwise).
+    * `s4(walk_id, path)` — the md5-draw unroll of the 4 uniform steps.
     */
   private val docWordWalkSqlCte: String = {
     val step = (i: Int, last: Boolean) => {
@@ -109,15 +126,43 @@ object Queries {
          |               CAST(concat('0x', substr(md5(walk_id || '|$i'), 1, 15)) AS BIGINT) AS h
          |             FROM s${i - 1} LEFT JOIN a ON s${i - 1}.cur = a.src))""".stripMargin
     }
-    s"""fw AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src, w AS dst FROM (
-       |   SELECT doc_id, unnest(list_filter(
-       |     string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS w
-       |   FROM documents WHERE doc_id < 12)),
-       |e AS (SELECT src, dst FROM fw UNION ALL SELECT dst, src FROM fw),
-       |a AS MATERIALIZED (
-       |  SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM e GROUP BY src),
-       |s0 AS (SELECT DISTINCT src AS walk_id, src AS cur, [src] AS path FROM e),
+    s"""$docWordGraphSqlCte,
        |${(1 to 4).map(i => step(i, i == 4)).mkString(",\n")}""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.graph.Graph.node2vecWalks]] over the doc∪word
+    * graph: per step the frontier left-joins the adjacency TWICE (cur +
+    * prev), neighbor weights are the second-order CASE, and the pick is
+    * a prefix-sum over the dst-sorted array (O(d²) list lambdas — oracle
+    * clarity over speed; the Spark side folds in O(d)). Ends in
+    * `n4(walk_id, path)`.
+    */
+  private def docWordNode2vecSqlCte(wr: Long, wc: Long, wo: Long): String = {
+    val wOf = (y: String) =>
+      s"""CASE WHEN $y = prev THEN $wr
+         |     WHEN pnbrs IS NOT NULL AND list_contains(pnbrs, $y) THEN $wc
+         |     ELSE $wo END""".stripMargin.replace("\n", " ")
+    val step = (i: Int) =>
+      s"""n$i AS (SELECT walk_id,
+         |  CASE WHEN nbrs IS NULL THEN c0 ELSE nxt END AS cur,
+         |  CASE WHEN nbrs IS NULL THEN p0 ELSE c0 END AS prev,
+         |  CASE WHEN nbrs IS NULL THEN path ELSE list_append(path, nxt) END AS path
+         |FROM (SELECT walk_id, nbrs, path, cur AS c0, prev AS p0,
+         |        nbrs[len(list_filter(cums, c -> c <= h % cums[-1])) + 1] AS nxt
+         |      FROM (SELECT q.*, a.nbrs, ap.nbrs AS pnbrs,
+         |              CAST(concat('0x', substr(md5(walk_id || '|$i'), 1, 15)) AS BIGINT) AS h,
+         |              list_transform(a.nbrs, (x, j) -> list_sum(list_transform(
+         |                a.nbrs[1:j], y -> ${wOf("y")}))) AS cums
+         |            FROM q$i q
+         |            LEFT JOIN a ON q.cur = a.src
+         |            LEFT JOIN a ap ON q.prev = ap.src)))""".stripMargin
+    val starts = (1 to 4).map { i =>
+      val src = if (i == 1) "s0" else s"n${i - 1}"
+      val prevCol = if (i == 1) "CAST(NULL AS VARCHAR) AS prev" else "prev"
+      s"q$i AS (SELECT walk_id, cur, $prevCol, path FROM $src)"
+    }
+    s"""$docWordGraphSqlCte,
+       |${(1 to 4).map(i => s"${starts(i - 1)},\n${step(i)}").mkString(",\n")}""".stripMargin
   }
 
   /** DuckDB replay of [[graft.pipeline.Importance.dsirWeights]] up to the
@@ -988,6 +1033,21 @@ object Queries {
               |FROM p a JOIN p b ON a.walk_id = b.walk_id AND a.pos <> b.pos
               |  AND abs(a.pos - b.pos) <= 2
               |GROUP BY 1, 2""".stripMargin)),
+
+    // node2vec SECOND-ORDER biased walks (Grover-Leskovec): step weight
+    // depends on the previous vertex — return 1, distance-1 (common
+    // neighbor of prev) 4, exploration 2 — exact integer weights, md5
+    // draws over cumulative mass. Spark folds the pick in O(degree); the
+    // oracle replays it as dst-sorted prefix sums, bit-identically
+    Q("q_graph_walks_biased",
+      (s, d) => docWordGraph(s, d)
+        .node2vecWalks(4, wReturn = 1L, wCommon = 4L, wOut = 2L)
+        .select(col("walk_id"), concat_ws("->", col("path")).as("path"),
+          col("hops")),
+      Some(s"""WITH ${docWordNode2vecSqlCte(1L, 4L, 2L)}
+              |SELECT walk_id, array_to_string(path, '->') AS path,
+              |       CAST(len(path) - 1 AS BIGINT) AS hops
+              |FROM n4""".stripMargin)),
 
     // weight-proportional deterministic walks over the word-BIGRAM graph
     // (edge weight = corpus bigram count): draw = md5(walk|step) mod

@@ -317,6 +317,62 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
       (size(col("path")) - 1).cast("long").as("hops"))
   }
 
+  /** Second-order (node2vec) deterministic walks — [[deterministicWalks]]
+    * with the Grover–Leskovec bias (KDD'16): the weight of stepping from
+    * `cur` to neighbor `n` depends on the PREVIOUS vertex — `wReturn` if
+    * `n == prev` (the 1/p return bias), `wCommon` if `n` is also a
+    * neighbor of `prev` (distance 1, the "stay local" mass), `wOut`
+    * otherwise (the 1/q exploration mass) — all exact integer weights,
+    * draw = md5₆₀(walk|step) mod total, neighbor chosen by cumulative
+    * weight. The first step has no `prev`, so it is uniform at `wOut`.
+    *
+    * Per step the frontier joins the dst-sorted adjacency hub TWICE
+    * (cur's neighbors to step over, prev's to test distance-1
+    * membership) and the pick is one O(degree) fold — no explode, no
+    * per-step shuffle beyond the two equi-joins. The membership probe is
+    * `array_contains` on prev's sorted array; at hub degrees cap the
+    * arrays as in [[deterministicWalks]].
+    */
+  def node2vecWalks(maxLen: Int, wReturn: Long = 1L, wCommon: Long = 4L,
+                    wOut: Long = 2L): DataFrame = {
+    require(wReturn > 0 && wCommon > 0 && wOut > 0, "weights must be positive")
+    val adj = edges.select(col("src"), col("dst")).distinct()
+      .groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val padj = adj.select(col("src").as("psrc"), col("nbrs").as("pnbrs"))
+    def wOf(n: Column): Column =
+      when(n === col("prev"), lit(wReturn))                       // null prev → false
+        .when(col("pnbrs").isNotNull && array_contains(col("pnbrs"), n), lit(wCommon))
+        .otherwise(lit(wOut))
+    var state = vertices.select(col("id").as("walk_id"),
+      array(col("id")).as("path"), col("id").as("cur"),
+      lit(null).cast("string").as("prev"))
+    for (i <- 1 to maxLen) {
+      val h = conv(substring(md5(concat(col("walk_id"), lit(s"|$i"))), 1, 15),
+        16, 10).cast("long")
+      val total = aggregate(col("nbrs"), lit(0L), (acc, n) => acc + wOf(n))
+      val draw = h % total
+      // one O(degree) fold: carry (cum, pick), freeze pick at first cum > draw
+      val pick = aggregate(col("nbrs"),
+        struct(lit(0L).as("cum"), lit(null).cast("string").as("pick")),
+        (acc, n) => {
+          val cum = acc.getField("cum") + wOf(n)
+          when(acc.getField("pick").isNotNull, acc)
+            .otherwise(struct(cum.as("cum"),
+              when(cum > draw, n).otherwise(lit(null).cast("string")).as("pick")))
+        }).getField("pick")
+      state = state.join(adj, col("cur") === col("src"), "left")
+        .join(padj, col("prev") === col("psrc"), "left")
+        .withColumn("nxt", when(col("nbrs").isNotNull, pick))
+        .select(col("walk_id"),
+          when(col("nxt").isNotNull, concat(col("path"), array(col("nxt"))))
+            .otherwise(col("path")).as("path"),
+          coalesce(col("nxt"), col("cur")).as("cur"),
+          when(col("nxt").isNotNull, col("cur")).otherwise(col("prev")).as("prev"))
+    }
+    state.select(col("walk_id"), col("path"),
+      (size(col("path")) - 1).cast("long").as("hops"))
+  }
+
   /** GraphFrames-parity `shortestPaths`: hop distance from every vertex
     * TO each landmark, following edge direction. Returns exploded rows
     * `(id, landmark, distance)` (GraphFrames packs them in a map column;

@@ -413,6 +413,50 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(got2 === got)
   }
 
+  test("node2vecWalks: local replay of the second-order rule; extreme return bias ping-pongs") {
+    // triangle a-b-c plus pendant a-d: from b after a, "a" is return,
+    // "c" is common (a's neighbor), others are out
+    val e = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("a", "c"),
+      ("c", "a"), ("a", "d"), ("d", "a"))
+      .map { case (s0, d0) => (s0, d0, 1.0, "W") }.toDF("src", "dst", "w", "type")
+    val g = Graph(Graph.verticesOf(e), e)
+    val (wr, wc, wo) = (1L, 4L, 2L)
+    val got = g.node2vecWalks(4, wr, wc, wo).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // local replay
+    val adj = Map("a" -> Seq("b", "c", "d"), "b" -> Seq("a", "c"),
+      "c" -> Seq("a", "b"), "d" -> Seq("a"))
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def wOf(n: String, prev: Option[String]): Long = prev match {
+      case Some(p) if n == p => wr
+      case Some(p) if adj.get(p).exists(_.contains(n)) => wc
+      case _ => wo
+    }
+    val want = adj.keys.toSeq.sorted.map { v =>
+      var cur = v; var prev: Option[String] = None
+      val path = scala.collection.mutable.ArrayBuffer(v)
+      for (i <- 1 to 4) adj.get(cur).foreach { ns =>
+        val ws = ns.map(wOf(_, prev))
+        val draw = h60(s"$v|$i") % ws.sum
+        val cums = ws.scanLeft(0L)(_ + _).tail
+        val nxt = ns(cums.indexWhere(_ > draw))
+        prev = Some(cur); cur = nxt; path += nxt
+      }
+      v -> path.toSeq
+    }.toMap
+    assert(got === want)
+    // extreme return bias: after the first step the walk ping-pongs
+    val pp = Graph(Graph.verticesOf(e), e)
+      .node2vecWalks(4, wReturn = 1000000L, wCommon = 1L, wOut = 1L)
+      .collect().map(r => r.getSeq[String](1)).filter(_.length == 5)
+    assert(pp.nonEmpty)
+    pp.foreach(p => assert(p(0) == p(2) && p(1) == p(3), s"no ping-pong: $p"))
+  }
+
   test("skipGramPairs: window-bounded, direction-counted, never crosses walks") {
     val walks = Seq(("w1", Seq("a", "b", "c", "d")), ("w2", Seq("a", "x")))
       .toDF("walk_id", "path")
