@@ -2639,6 +2639,38 @@ object Queries {
              |       count(*) AS cnt
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // range-selectivity estimate vs truth: "how many events have
+    // value ∈ [120, 380)?" answered from the 50-bin histogram sketch
+    // (integer-exact bin overlaps, one final divide) and audited against
+    // the exact filter count — the filter-pricing companion of
+    // q_sketch_join_size
+    Q("q_sketch_selectivity",
+      (s, d) => {
+        val S = graft.pipeline.Sketches
+        val est = S.histSelectivity(
+          S.histSketch(t(s, d)("events"), "value", 0.0, 500.0, 50),
+          lo = 0.0, hi = 500.0, bins = 50, a = 120.0, b = 380.0)
+        val exact = t(s, d)("events")
+          .filter(col("value") >= 120.0 && col("value") < 380.0)
+          .agg(count(lit(1)).as("exact_rows"))
+        est.join(broadcast(exact))   // 1-row × 1-row audit attachment
+          .select(col("est_rows"), col("exact_rows"),
+            (col("est_rows") / col("exact_rows").cast("double")).as("err_ratio"))
+      },
+      Some("""WITH h AS (SELECT CAST(LEAST(49, GREATEST(0,
+             |         CAST(floor((value - 0.0) / 500.0 * 50) AS INTEGER))) AS BIGINT) AS bin,
+             |         count(*) AS cnt
+             |       FROM events GROUP BY 1),
+             |est AS (SELECT CAST(sum(cnt * CAST(GREATEST(0.0,
+             |          LEAST(380.0, 0.0 + (bin + 1) * 10.0)
+             |          - GREATEST(120.0, 0.0 + bin * 10.0)) AS BIGINT)) AS DOUBLE)
+             |        / 10.0 AS est_rows FROM h),
+             |ex AS (SELECT count(*) AS exact_rows FROM events
+             |       WHERE value >= 120.0 AND value < 380.0)
+             |SELECT est_rows, exact_rows,
+             |       est_rows / CAST(exact_rows AS DOUBLE) AS err_ratio
+             |FROM est, ex""".stripMargin)),
+
     // interpolated quantiles read from the sketch — the window/cumsum run
     // over the 50-row sketch, never the data
     Q("q_sketch_hist_quantile",
@@ -6410,6 +6442,48 @@ object Queries {
              |  CAST(coalesce(sum(CASE WHEN ndv < 3 THEN 1 ELSE 0 END), 0) AS BIGINT),
              |  coalesce(sum(CASE WHEN ndv < 3 THEN 1 ELSE 0 END), 0) = 0
              |FROM (SELECT source, count(DISTINCT lang) AS ndv FROM documents GROUP BY source)""".stripMargin)),
+
+    // Benford first-digit audit — the fraud/synthetic-data smell test a
+    // dq gate runs over money columns: observed first-digit shares of
+    // o_totalprice next to the Benford expectation. Expected p's are
+    // IDENTICAL decimal literals in both engines (never engine log10 —
+    // libm may differ in the last ulp); shares are exact-integer ratios
+    Q("q_dq_benford",
+      (s, d) => {
+        val benfordP = Seq(
+          "1" -> 0.3010299956639812, "2" -> 0.17609125905568124,
+          "3" -> 0.12493873660829992, "4" -> 0.09691001300805642,
+          "5" -> 0.07918124604762482, "6" -> 0.06694678963061322,
+          "7" -> 0.05799194697768673, "8" -> 0.05115252244738129,
+          "9" -> 0.04575749056067514)
+        val pExpr = benfordP.foldLeft(lit(null).cast("double")) {
+          case (e, (dg, p)) => when(col("digit") === dg, lit(p)).otherwise(e)
+        }
+        val digits = t(s, d)("orders").filter(col("o_totalprice") >= 1.0)
+          .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+            1, 1).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("obs"))
+        digits.join(broadcast(digits.agg(sum(col("obs")).as("__n"))))
+          .select(col("digit"), col("obs"),
+            (col("obs").cast("double") / col("__n").cast("double")).as("share"),
+            pExpr.as("benford_p"))
+      },
+      Some("""WITH d AS (SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+             |         count(*) AS obs
+             |       FROM orders WHERE o_totalprice >= 1.0 GROUP BY 1),
+             |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM d)
+             |SELECT digit, obs,
+             |  CAST(obs AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE) AS share,
+             |  CAST(CASE digit WHEN '1' THEN 0.3010299956639812
+             |             WHEN '2' THEN 0.17609125905568124
+             |             WHEN '3' THEN 0.12493873660829992
+             |             WHEN '4' THEN 0.09691001300805642
+             |             WHEN '5' THEN 0.07918124604762482
+             |             WHEN '6' THEN 0.06694678963061322
+             |             WHEN '7' THEN 0.05799194697768673
+             |             WHEN '8' THEN 0.05115252244738129
+             |             WHEN '9' THEN 0.04575749056067514 END AS DOUBLE) AS benford_p
+             |FROM d""".stripMargin)),
 
     // CUSUM change-point statistic over the daily value series per event
     // type — all-integer running form (n·R_t − t·S)/n, no float window sum

@@ -237,6 +237,27 @@ object Sketches {
       .drop("bin", "__before", "__n")
   }
 
+  /** Range-SELECTIVITY estimate from a [[histSketch]] — the optimizer
+    * statistic for "how many rows match `value ∈ [a, b)`?" answered from
+    * the KB-size sketch, never the data (the planning companion of
+    * [[cmsJoinSizeEstimate]]: that prices a join, this prices a filter).
+    * Interior bins contribute fully, edge bins linearly by overlap.
+    *
+    * Determinism contract: with integer-aligned `lo/hi/bins/a/b` every
+    * per-bin overlap is an exact integer, so the aggregate sums longs
+    * (order-free) and the ONLY float op is the final divide by the bin
+    * width — bit-identical in any engine. Non-aligned probes would sum
+    * doubles in shuffle order; keep probes on bin-width multiples.
+    */
+  def histSelectivity(sketch: DataFrame, lo: Double, hi: Double, bins: Int,
+                      a: Double, b: Double): DataFrame = {
+    val width = (hi - lo) / bins
+    val binLo = lit(lo) + col("bin").cast("double") * width
+    val overlap = greatest(lit(0.0),
+      least(lit(b), binLo + width) - greatest(lit(a), binLo)).cast("long")
+    sketch.agg((sum(col("cnt") * overlap).cast("double") / width).as("est_rows"))
+  }
+
   /** Point-estimate the frequency of each item in `items`: `min` over the
     * depth rows of the addressed cell, an empty cell counting 0 (the
     * classic CMS upper-bound estimate — never under-counts, over-counts

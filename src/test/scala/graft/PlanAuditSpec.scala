@@ -43,6 +43,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_dsir_weights", "q_dsir_select",   // 1-row model-totals broadcast
     "q_heavy_hitters",                   // 1-row corpus-total broadcast
     "q_sketch_join_size",                // 1-row estimate × 1-row exact audit
+    "q_sketch_selectivity",              // 1-row estimate × 1-row exact audit
+    "q_dq_benford",                      // 1-row digit-total broadcast
     "q_tpch_q22",                        // 1-row balance-gate broadcast
                                          // (bal·cnt > sum exact-decimal compare)
     "q_tpch_q11",                        // 1-row mean-value-gate broadcast
