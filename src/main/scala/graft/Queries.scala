@@ -1034,6 +1034,51 @@ object Queries {
               |  AND abs(a.pos - b.pos) <= 2
               |GROUP BY 1, 2""".stripMargin)),
 
+    // k-TRUSS decomposition over the word-bigram graph: edges supported
+    // by >= k-2 triangles within the surviving subgraph, peeled to a
+    // REQUIRED fixpoint — the edge-cohesion companion of q_graph_kcore.
+    // The oracle unrolls 4 peel rounds (>= the measured 2-3 across SFs;
+    // post-convergence rounds are no-ops, so the unroll depth only needs
+    // to dominate), each round one wedge self-join closed per edge
+    Q("q_graph_ktruss",
+      (s, d) => {
+        val pairs = Text.bindArray(
+          filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0)) { ws =>
+          filter(transform(ws, (x, i) =>
+            when(i < size(ws) - 1,
+              struct(x.as("src"), element_at(ws, i + 2).as("dst")))),
+            p => p.isNotNull)
+        }
+        val e = t(s, d)("documents").select(explode(pairs).as("pr"))
+          .select(col("pr.src").as("src"), col("pr.dst").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .withColumn("w", lit(1.0)).withColumn("type", lit("B"))
+        Graph(Graph.verticesOf(e), e).kTruss(k = 30)
+      },
+      Some {
+        val round = (i: Int) =>
+          s"""r${i}sym AS (SELECT a AS u, b AS n FROM e${i - 1}
+             |            UNION ALL SELECT b, a FROM e${i - 1}),
+             |r${i}sup AS (SELECT e.a, e.b, count(*) AS sup
+             |            FROM r${i}sym x
+             |            JOIN r${i}sym y ON x.u = y.u AND x.n < y.n
+             |            JOIN e${i - 1} e ON x.n = e.a AND y.n = e.b
+             |            GROUP BY e.a, e.b),
+             |e$i AS MATERIALIZED (SELECT a, b FROM r${i}sup WHERE sup >= 28)""".stripMargin
+        s"""WITH w AS (SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+           |                  x -> len(x) > 0) AS ws FROM documents),
+           |bi AS (SELECT u.src AS src, u.dst AS dst FROM (
+           |    SELECT unnest(list_filter(list_transform(ws,
+           |        (x, i) -> CASE WHEN i < len(ws) THEN {'src': x, 'dst': ws[i+1]} END),
+           |      v -> v IS NOT NULL)) AS u FROM w)),
+           |e0 AS MATERIALIZED (
+           |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+           |  FROM bi WHERE src <> dst),
+           |${(1 to 4).map(round).mkString(",\n")}
+           |SELECT a, b, CAST(sup AS BIGINT) AS support
+           |FROM r4sup WHERE sup >= 28""".stripMargin
+      }),
+
     // node2vec SECOND-ORDER biased walks (Grover-Leskovec): step weight
     // depends on the previous vertex — return 1, distance-1 (common
     // neighbor of prev) 4, exploration 2 — exact integer weights, md5

@@ -645,6 +645,55 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
       .groupBy("id").agg(count(lit(1)).as("deg"))
   }
 
+  /** k-TRUSS decomposition (Cohen 2008) — the EDGE-cohesion companion of
+    * [[kCore]]: keep only edges supported by at least `k−2` triangles
+    * within the surviving subgraph, peeling until stable. A k-truss is a
+    * stricter community witness than a k-core (every edge needs k−2
+    * common neighbors, not every vertex k neighbors).
+    *
+    * Per round, per-edge support is ONE wedge self-join closed against
+    * the edge set: for triangle `{x<y<z}` the wedges centered at each
+    * vertex close exactly one of its three edges, so `groupBy(closing
+    * edge).count` IS the triangle-per-edge support — no per-triangle
+    * dedup pass. Same scale discipline as [[kCore]]: canonical `a<b`
+    * edges, eager localCheckpoint per round (the wedge join reads the
+    * edge set three times), convergence REQUIRED within `maxIter`.
+    * Returns the surviving `(a, b, support)` edges.
+    */
+  def kTruss(k: Int, maxIter: Int = 12): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    var cur = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true)
+    var nEdges = cur.count()
+    var converged = false
+    var iter = 0
+    var sup: DataFrame = null
+    while (!converged && iter < maxIter) {
+      val sym = cur.select(col("a").as("u"), col("b").as("n"))
+        .unionAll(cur.select(col("b").as("u"), col("a").as("n")))
+      val closings = sym.as("x").join(sym.as("y"),
+          col("x.u") === col("y.u") && col("x.n") < col("y.n"))
+        .select(col("x.n").as("a"), col("y.n").as("b"))
+        .join(cur, Seq("a", "b"), "left_semi")
+      sup = cur.join(closings.groupBy("a", "b").agg(count(lit(1)).as("support")),
+          Seq("a", "b"), "left")
+        .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+      val next = sup.filter(col("support") >= k - 2).select("a", "b")
+        .localCheckpoint(true)
+      val n = next.count()
+      converged = n == nEdges
+      cur = next
+      nEdges = n
+      iter += 1
+    }
+    require(converged,
+      s"Graph.kTruss: still peeling after $maxIter iterations — raise maxIter")
+    // converged: the last computed support is the support of the final set
+    sup.filter(col("support") >= k - 2)
+  }
+
   /** Strongly connected components of the DIRECTED graph: `(id,
     * component)` where `component` is the smallest member id of the SCC —
     * the same canonical labeling as [[connectedComponents]], so the result

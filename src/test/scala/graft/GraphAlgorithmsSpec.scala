@@ -413,6 +413,29 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(got2 === got)
   }
 
+  test("kTruss: triangle survives 3-truss, pendant peeled; shared-edge cascade empties at k=4") {
+    def und(pairs: (String, String)*) =
+      pairs.flatMap { case (a, b) => Seq((a, b, 1.0, "W"), (b, a, 1.0, "W")) }
+        .toDF("src", "dst", "w", "type")
+    // triangle a-b-c with pendant edge c-d: 3-truss keeps the triangle
+    // (each edge in 1 triangle), peels c-d
+    val g1 = Graph(Graph.verticesOf(und(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))),
+      und(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")))
+    val t3 = g1.kTruss(3).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(t3 === Map(("a", "b") -> 1L, ("a", "c") -> 1L, ("b", "c") -> 1L))
+    // two triangles sharing edge a-b: at k=4 only a-b has support 2, but
+    // removing the others cascades its support to 0 -> empty 4-truss
+    val e2 = und(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d"))
+    val t4 = Graph(Graph.verticesOf(e2), e2).kTruss(4).collect()
+    assert(t4.isEmpty)
+    // K4 is a 4-truss: every edge in exactly 2 triangles
+    val k4 = und(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"))
+    val tk4 = Graph(Graph.verticesOf(k4), k4).kTruss(4).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tk4.size === 6 && tk4.values.forall(_ === 2L))
+  }
+
   test("node2vecWalks: local replay of the second-order rule; extreme return bias ping-pongs") {
     // triangle a-b-c plus pendant a-d: from b after a, "a" is return,
     // "c" is common (a's neighbor), others are out
