@@ -1146,6 +1146,44 @@ object Queries {
            |FROM s4""".stripMargin
       }),
 
+    // word2vec NEGATIVE SAMPLING — the third step of the embedding-data
+    // pipeline (walks → skip-grams → negatives): 2 deterministic
+    // frequency-weighted draws per (center, context) pair from the
+    // corpus unigram distribution; a word of count c owns exactly c hash
+    // residues (count-weighted, not count^0.75 — pow is a libm call
+    // whose last ulp differs across engines; integer mass is exact)
+    Q("q_negative_samples",
+      (s, d) => {
+        val sg = Graph.skipGramPairs(docWordWalks(s, d), window = 2)
+          .select("center", "context")
+        val vocab = t(s, d)("documents")
+          .select(explode(filter(split(lower(col("text")), "[^a-z]+"),
+            w => length(w) > 0)).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+        graft.pipeline.Mix.categoricalDraws(sg, Seq("center", "context"),
+          vocab, "w", "cnt", n = 2)
+      },
+      Some(s"""WITH $docWordWalkSqlCte,
+              |p AS (SELECT walk_id, u.pos AS pos, u.w AS w FROM (
+              |    SELECT walk_id,
+              |           unnest(list_transform(path, (x, i) -> {'pos': i, 'w': x})) AS u
+              |    FROM s4)),
+              |sg AS (SELECT DISTINCT a.w AS center, b.w AS context
+              |       FROM p a JOIN p b ON a.walk_id = b.walk_id AND a.pos <> b.pos
+              |         AND abs(a.pos - b.pos) <= 2),
+              |v AS (SELECT w, count(*) AS cnt FROM (
+              |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+              |      x -> len(x) > 0)) AS w FROM documents) GROUP BY w),
+              |arr AS (SELECT list({'w': w, 'cum': cum} ORDER BY w) AS arr
+              |        FROM (SELECT w, CAST(sum(cnt) OVER (ORDER BY w) AS BIGINT) AS cum
+              |              FROM v)),
+              |dr AS (SELECT center, context, unnest([1, 2]) AS draw FROM sg)
+              |SELECT center, context, CAST(draw AS BIGINT) AS draw,
+              |  list_filter(arr, x -> x.cum >
+              |    CAST(concat('0x', substr(md5('neg:' || center || '|' || context || '|' || draw), 1, 15)) AS BIGINT)
+              |      % arr[-1].cum)[1].w AS sample
+              |FROM dr, arr""".stripMargin)),
+
     Q("q_graph_bfs",
       (s, d) => {
         val fw = t(s, d)("documents").filter(col("doc_id") < 12)

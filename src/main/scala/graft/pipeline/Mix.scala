@@ -284,4 +284,44 @@ object Mix {
                       m: Int, seed: String = "div"): DataFrame =
     Skew.saltedTopK(assigned, col(cellCol), col(idCol), m,
       Seq(md5(concat(lit(seed + ":"), col(idCol).cast("string"))), col(idCol)))
+
+  /** Deterministic frequency-weighted CATEGORICAL draws — word2vec-style
+    * negative sampling with the library's RNG-free discipline: draw `j`
+    * for input row with key `k` picks the vocab entry whose cumulative
+    * count bucket contains `md5₆₀(seed:k|j) mod totalCount` — an entry of
+    * count `c` owns exactly `c` residues, so draws follow the unigram
+    * distribution, and they are retry/repartition-invariant and exactly
+    * engine-replayable (the reason this is count-weighted, not the
+    * classic count^0.75: `pow` is a libm call whose last ulp differs
+    * across engines; integer mass is exact everywhere).
+    *
+    * The cumulative vocab array rides ONE row broadcast to every input
+    * row (vocab-sized, the q_vocab_coverage contract — fine for
+    * categorical vocabularies, not for open domains), so each draw is a
+    * pure projection: no shuffle, no join by key.
+    */
+  def categoricalDraws(rows: DataFrame, keyCols: Seq[String], vocab: DataFrame,
+                       wordCol: String, cntCol: String, n: Int,
+                       seed: String = "neg"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"n must be >= 1, got $n")
+    // cum is monotone in word order, so the struct sort (word-first)
+    // yields the cumulative array — same trick as the weighted walks
+    val cum = vocab
+      .withColumn("cum", sum(col(cntCol)).over(Window.orderBy(col(wordCol))))
+      .agg(sort_array(collect_list(struct(col(wordCol).as("w"), col("cum"))))
+        .as("__arr"))
+    val key = concat_ws("|", (keyCols.map(c => col(c).cast("string"))
+      :+ col("draw").cast("string")): _*)
+    val h = conv(substring(md5(concat(lit(seed + ":"), key)), 1, 15), 16, 10)
+      .cast("long")
+    val total = element_at(col("__arr"), -1).getField("cum")
+    rows.join(broadcast(cum))            // 1-row vocab-array attachment
+      .select(col("*"), explode(array((1 to n).map(lit): _*)).as("draw"))
+      .withColumn("sample",
+        element_at(filter(col("__arr"), x => x.getField("cum") > h % total), 1)
+          .getField("w"))
+      .drop("__arr")
+      .withColumn("draw", col("draw").cast("long"))
+  }
 }

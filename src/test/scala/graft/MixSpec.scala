@@ -177,4 +177,30 @@ test("selectByBudget: two-phase prefix sum equals the one-window global cumsum")
     assert(frac("train") > frac.getOrElse("val", 0L)
       && frac("train") > frac.getOrElse("test", 0L))
   }
+
+  test("categoricalDraws: local replay of the cumulative-mass pick, repartition-invariant") {
+    val rows = (1 to 40).map(i => s"k$i").toDF("key")
+    val vocab = Seq(("a", 3L), ("b", 1L), ("c", 6L)).toDF("w", "cnt")
+    def run(r: org.apache.spark.sql.DataFrame) =
+      Mix.categoricalDraws(r, Seq("key"), vocab, "w", "cnt", n = 2)
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2))).toSet
+    val got = run(rows)
+    assert(got.size === 80) // 40 keys × 2 draws
+    // local replay: cum = [(a,3),(b,4),(c,10)], draw = md5_60("neg:key|j") % 10
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val cum = Seq(("a", 3L), ("b", 4L), ("c", 10L))
+    val want = (for (i <- 1 to 40; j <- 1 to 2) yield {
+      val d = h60(s"neg:k$i|$j") % 10
+      (s"k$i", j.toLong, cum.find(_._2 > d).get._1)
+    }).toSet
+    assert(got === want)
+    // residue ownership IS the distribution: a owns 0-2, b owns 3, c owns 4-9
+    assert((0L to 9L).map(d => cum.find(_._2 > d).get._1).mkString
+      === "aaabcccccc")
+    assert(run(rows.repartition(7)) === got)
+  }
 }

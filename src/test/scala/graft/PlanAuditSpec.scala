@@ -45,6 +45,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_sketch_join_size",                // 1-row estimate × 1-row exact audit
     "q_sketch_selectivity",              // 1-row estimate × 1-row exact audit
     "q_dq_benford",                      // 1-row digit-total broadcast
+    "q_negative_samples",                // 1-row cumulative-vocab-array broadcast
     "q_tpch_q22",                        // 1-row balance-gate broadcast
                                          // (bal·cnt > sum exact-decimal compare)
     "q_tpch_q11",                        // 1-row mean-value-gate broadcast
@@ -142,7 +143,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_global_ids", "q_bitmap_index", "q_bitmap_and", // Ids.contiguous: the
                             // window runs over PER-PARTITION COUNTS (one row
                             // per partition), never rows
-    "q_chisq")              // totals window over the ≤ R·C contingency cells
+    "q_chisq",              // totals window over the ≤ R·C contingency cells
+    "q_negative_samples")   // cumsum over the vocabulary relation (q_vocab_coverage contract)
 
   test("no catalog query plans a global window over an unbounded relation") {
     val sfDir = "/root/testdata/sf0.001"
