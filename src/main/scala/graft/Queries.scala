@@ -845,6 +845,70 @@ object Queries {
               |SELECT id, count(*) AS degree FROM (
               |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id""".stripMargin)),
 
+    // degree ASSORTATIVITY (Newman 2002): Pearson correlation of endpoint
+    // degrees over the symmetric edge list — do hubs attach to hubs?
+    // Rides the Stats.moments exact-integer-sums discipline (degrees are
+    // ints, decimals = 0, one shuffle of six sufficient numbers)
+    Q("q_graph_assortativity",
+      (s, d) => {
+        val und = Queries.eventsGraph(s, d).edges
+          .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+          .distinct()
+        val sym = und.unionByName(und.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct()
+        val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+        val withDeg = sym
+          .join(deg.select(col("v").as("src"), col("deg").as("deg_src")), Seq("src"))
+          .join(deg.select(col("v").as("dst"), col("deg").as("deg_dst")), Seq("dst"))
+          .select(lit("all").as("g"), col("deg_src"), col("deg_dst"))
+        graft.pipeline.Stats.moments(withDeg, "g", "deg_src", "deg_dst", decimals = 0)
+      },
+      Some(s"""WITH $eventsGraphCte,
+              |und AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+              |sym AS (SELECT src, dst FROM und UNION SELECT dst, src FROM und),
+              |dg AS (SELECT src AS v, count(*) AS deg FROM sym GROUP BY src),
+              |x AS (SELECT da.deg AS xu, db.deg AS yu FROM sym
+              |      JOIN dg da ON sym.src = da.v JOIN dg db ON sym.dst = db.v),
+              |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              |  CAST(sum(CAST(xu AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+              |  CAST(sum(CAST(yu AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+              |  CAST(sum(CAST(xu AS DECIMAL(19,0)) * CAST(xu AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+              |  CAST(sum(CAST(yu AS DECIMAL(19,0)) * CAST(yu AS DECIMAL(19,0))) AS DOUBLE) AS syy,
+              |  CAST(sum(CAST(xu AS DECIMAL(19,0)) * CAST(yu AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+              |  FROM x)
+              |SELECT 'all' AS g, n,
+              |  (sx / CAST(n AS DOUBLE)) / 1.0 AS mean_x,
+              |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx) / CAST(n AS DOUBLE)) / 1.0 AS stddev_x,
+              |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+              |    / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+              |           * (CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_xy
+              |FROM a""".stripMargin)),
+
+    // directed RECIPROCITY: the share of edges whose reverse also exists
+    // — one self-join with a presence marker, one aggregate, exact ratio
+    Q("q_graph_reciprocity",
+      (s, d) => {
+        val dir = Queries.eventsGraph(s, d).edges
+          .select(col("src"), col("dst")).filter(col("src") =!= col("dst"))
+          .distinct()
+        val rev = dir.select(col("dst").as("src"), col("src").as("dst"))
+          .withColumn("has_rev", lit(1L))
+        dir.join(rev, Seq("src", "dst"), "left")
+          .agg(count(lit(1)).as("n_edges"),
+            sum(coalesce(col("has_rev"), lit(0L))).as("n_reciprocal"))
+          .select(col("n_edges"), col("n_reciprocal"),
+            (col("n_reciprocal").cast("double") / col("n_edges").cast("double"))
+              .as("reciprocity"))
+      },
+      Some(s"""WITH $eventsGraphCte,
+              |dd AS (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+              |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+              |        CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal
+              |      FROM dd LEFT JOIN dd r ON dd.src = r.dst AND dd.dst = r.src)
+              |SELECT n_edges, n_reciprocal,
+              |       CAST(n_reciprocal AS DOUBLE) / CAST(n_edges AS DOUBLE) AS reciprocity
+              |FROM m""".stripMargin)),
+
     Q("q_graph_cc",
       (s, d) => Queries.eventsGraph(s, d).connectedComponents(),
       Some(s"""WITH RECURSIVE $eventsGraphCte,
