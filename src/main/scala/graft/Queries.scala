@@ -845,6 +845,31 @@ object Queries {
               |SELECT id, count(*) AS degree FROM (
               |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e) GROUP BY id""".stripMargin)),
 
+    // Watts-Strogatz local clustering coefficient: tri(v) / C(deg(v), 2)
+    // per vertex — exact integer triangles and degrees, one IEEE divide,
+    // deg < 2 pinned to 0.0 (never a cross-engine NaN)
+    Q("q_graph_clustering",
+      (s, d) => Queries.eventsGraph(s, d).clusteringCoefficient,
+      Some(s"""WITH $eventsGraphCte,
+              |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              |        FROM e WHERE src <> dst),
+              |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              |        FROM und e1
+              |        JOIN und e2 ON e1.b = e2.a
+              |        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+              |tc AS (SELECT id, count(*) AS c
+              |       FROM (SELECT unnest([x, y, z]) AS id FROM tri) GROUP BY id),
+              |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+              |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+              |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+              |SELECT v.id, CAST(coalesce(tc.c, 0) AS BIGINT) AS tri_count,
+              |  coalesce(dg.degree, 0) AS degree,
+              |  CASE WHEN coalesce(dg.degree, 0) >= 2
+              |       THEN CAST(coalesce(tc.c, 0) * 2 AS DOUBLE)
+              |            / CAST(dg.degree * (dg.degree - 1) AS DOUBLE)
+              |       ELSE 0.0 END AS coeff
+              |FROM v LEFT JOIN tc ON v.id = tc.id LEFT JOIN dg ON v.id = dg.id""".stripMargin)),
+
     // degree ASSORTATIVITY (Newman 2002): Pearson correlation of endpoint
     // degrees over the symmetric edge list — do hubs attach to hubs?
     // Rides the Stats.moments exact-integer-sums discipline (degrees are

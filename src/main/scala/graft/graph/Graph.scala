@@ -502,6 +502,30 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
       .withColumn("tri_count", coalesce(col("tri_count"), lit(0L)))
   }
 
+  /** Per-vertex local CLUSTERING COEFFICIENT (Watts–Strogatz):
+    * `tri(v) / C(deg(v), 2)` — how close a vertex's neighborhood is to a
+    * clique, the standard small-world / community-structure diagnostic.
+    * Triangles and degrees are exact integers, the coefficient one IEEE
+    * divide of them (0.0 when `deg < 2` — no divide-by-zero NaN to
+    * diverge between engines). Costs [[triangleCount]] plus one degree
+    * aggregate and an equi-join.
+    */
+  def clusteringCoefficient: DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("id")).unionAll(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    triangleCount
+      .join(deg, Seq("id"), "left")
+      .withColumn("degree", coalesce(col("degree"), lit(0L)))
+      .withColumn("coeff",
+        when(col("degree") >= 2,
+          (col("tri_count") * 2).cast("double")
+            / (col("degree") * (col("degree") - 1)).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Newman modularity of a vertex partition (undirected, unweighted):
     * per community `c`,
     *
