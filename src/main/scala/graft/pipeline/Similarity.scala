@@ -432,7 +432,10 @@ object SimilarityLsh {
     * k-bounded graph (≤ k² candidates per vector), never corpus².
     */
   def nnDescentRound(vectors: DataFrame, graph: DataFrame, k: Int): DataFrame = {
-    val e = graph.select(col("q_id"), col("n_id"))
+    // the graph feeds THREE consumers (both wedge sides + the union
+    // branch); unpinned, an expensive upstream (LSH bucketing + ranking)
+    // would execute three times — same contract as Dedup.components
+    val e = graph.select(col("q_id"), col("n_id")).persistTracked()
     val hops = e.as("g1")
       .join(e.as("g2"), col("g1.n_id") === col("g2.q_id"))
       .select(col("g1.q_id").as("q_id"), col("g2.n_id").as("n_id"))
