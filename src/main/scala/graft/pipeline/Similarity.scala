@@ -415,7 +415,11 @@ object SimilarityLsh {
     */
   def topK(vectors: DataFrame, k: Int, numPlanes: Int = 8, numTables: Int = 8,
            dim: Int = 64): DataFrame = {
-    val pairs = candidatePairs(vectors, numPlanes, numTables, dim)
+    // pin before the symmetrize-union: the two branches project (q,n) and
+    // (n,q) — different subplans, so exchange reuse does NOT dedupe them
+    // and the whole LSH pipeline would execute twice (the
+    // Dedup.components trap)
+    val pairs = candidatePairs(vectors, numPlanes, numTables, dim).persistTracked()
     val sym = pairs.select(col("id1").as("q_id"), col("id2").as("n_id"), col("cos"))
       .union(pairs.select(col("id2").as("q_id"), col("id1").as("n_id"), col("cos")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
