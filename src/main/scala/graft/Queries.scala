@@ -1772,6 +1772,64 @@ object Queries {
              |FROM lineitem
              |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
 
+    // TPC-H Q1 shape as a first-class DataFrame-API row (q_sql_q1 is the
+    // same pricing summary through the spark.sql front door): full-scan
+    // group-aggregate with every money sum decimal-exact, plus the
+    // avg/disc+tax columns the SQL twin omits
+    Q("q_tpch_q1",
+      (s, d) => {
+        val dec = (c: String) => col(c).cast("decimal(18,2)")
+        t(s, d)("lineitem")
+          .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(dec("l_quantity")).cast("double").as("sum_qty"),
+            sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+            sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount")))
+              .cast("double").as("sum_disc_price"),
+            sum(dec("l_extendedprice") * (lit(1).cast("decimal(18,2)") - dec("l_discount"))
+                * (lit(1).cast("decimal(18,2)") + dec("l_tax")))
+              .cast("double").as("sum_charge"),
+            count(lit(1)).as("count_order"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+             |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             |    * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q4 shape as a first-class DataFrame-API row: order-priority
+    // checking with the EXISTS decorrelated to a LEFT SEMI join
+    // (q_exists_subquery is the same shape through correlated SQL —
+    // Catalyst plans both to the identical semi-join)
+    Q("q_tpch_q4",
+      (s, d) => {
+        val ord = t(s, d)("orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01"))
+            && col("o_orderdate") < to_timestamp(lit("2000-04-01")))
+        val late = t(s, d)("lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        ord.join(late,
+            col("o_orderkey") === col("l_orderkey")
+              && col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+             |  AND o_orderdate < TIMESTAMP '2000-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
     // TPC-H Q3 shape: shipping-priority revenue — fact⨝fact⨝dim with
     // selective date filters PUSHED to all three scans, then agg + top-10.
     // No join hints: customer is fact-sized at 100 TB, so the right plan is
