@@ -2869,6 +2869,39 @@ object Queries {
              |       count(*) AS cnt
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // distribution-DRIFT audit: per event type, the L1 distance between
+    // the first- and second-half value histograms — the retraining gate /
+    // upstream-change alarm, in the cross-multiplied exact-integer form
+    // (PSI/KL need ln, a libm call; L1 carries the drift signal with one
+    // final IEEE divide)
+    Q("q_drift_hist",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = to_timestamp(lit("2024-01-15"))
+        graft.pipeline.Sketches.histDriftL1(
+          ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut),
+          "event_type", "value", lo = 0.0, hi = 500.0, bins = 50)
+      },
+      Some("""WITH bins AS (SELECT event_type, ts,
+             |    CAST(LEAST(49, GREATEST(0,
+             |      CAST(floor((value - 0.0) / 500.0 * 50) AS INTEGER))) AS BIGINT) AS bin
+             |  FROM events),
+             |ha AS (SELECT event_type, bin, count(*) AS ca FROM bins
+             |       WHERE ts < TIMESTAMP '2024-01-15' GROUP BY 1, 2),
+             |hb AS (SELECT event_type, bin, count(*) AS cb FROM bins
+             |       WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY 1, 2),
+             |cells AS (SELECT coalesce(ha.event_type, hb.event_type) AS event_type,
+             |            coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+             |          FROM ha FULL JOIN hb USING (event_type, bin)),
+             |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS n_a,
+             |             CAST(sum(cb) AS BIGINT) AS n_b
+             |      FROM cells GROUP BY 1)
+             |SELECT c.event_type, t.n_a, t.n_b,
+             |  CAST(sum(abs(c.ca * t.n_b - c.cb * t.n_a)) AS DOUBLE)
+             |    / CAST(t.n_a * t.n_b AS DOUBLE) AS l1_drift
+             |FROM cells c JOIN t ON c.event_type = t.event_type
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // range-selectivity estimate vs truth: "how many events have
     // value ∈ [120, 380)?" answered from the 50-bin histogram sketch
     // (integer-exact bin overlaps, one final divide) and audited against

@@ -187,6 +187,37 @@ object Sketches {
         floor((col(valueCol) - lo) / (hi - lo) * bins).cast("int"))).cast("long").as("bin"))
       .groupBy(groupCol, "bin").agg(count(lit(1)).as("cnt"))
 
+  /** Distribution-DRIFT audit between two relations (train vs serve,
+    * yesterday vs today): per group, the L1 distance between the two
+    * value histograms — the drift monitor that gates model retraining
+    * and catches upstream schema/unit changes. The usual PSI/KL forms
+    * need `ln` (libm, engine-divergent); L1 on histograms carries the
+    * same signal, and the cross-multiplied form
+    * `Σ_bins |c_a·n_b − c_b·n_a| / (n_a·n_b)` keeps the whole numerator
+    * an exact order-free integer sum — the ONLY float op is the final
+    * divide, so the score is bit-identical in any engine. Range 0 (same
+    * shape) to 2 (disjoint support).
+    */
+  def histDriftL1(a: DataFrame, b: DataFrame, groupCol: String, valueCol: String,
+                  lo: Double, hi: Double, bins: Int): DataFrame = {
+    val ha = histSketchBy(a, groupCol, valueCol, lo, hi, bins)
+      .withColumnRenamed("cnt", "ca")
+    val hb = histSketchBy(b, groupCol, valueCol, lo, hi, bins)
+      .withColumnRenamed("cnt", "cb")
+    val cells = ha.join(hb, Seq(groupCol, "bin"), "full")
+      .select(col(groupCol), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val totals = cells.groupBy(groupCol)
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    cells.join(totals, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(any_value(col("na")).as("n_a"), any_value(col("nb")).as("n_b"),
+        sum(abs(col("ca") * col("nb") - col("cb") * col("na"))).as("num"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        (col("num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+          .as("l1_drift"))
+  }
+
   /** Per-group interpolated quantiles from a [[histSketchBy]] relation —
     * the grouped twin of [[histQuantile]]. Windows partition on the group
     * over the (groups × bins)-sized sketch: no single-partition global

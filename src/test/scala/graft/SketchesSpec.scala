@@ -202,6 +202,26 @@ class SketchesSpec extends SparkTestBase {
     assert(disjoint === 0L)
   }
 
+  test("histDriftL1: 0 for identical shapes, 2 for disjoint support, symmetric") {
+    val a = (1 to 100).map(i => ("g", (i % 10) * 10.0)).toDF("g", "v")
+    val same = Sketches.histDriftL1(a, a, "g", "v", 0.0, 100.0, 10)
+      .collect()(0).getAs[Double]("l1_drift")
+    assert(same === 0.0)
+    // same shape at double the count is still zero drift (scale-free)
+    val a2 = a.union(a)
+    assert(Sketches.histDriftL1(a, a2, "g", "v", 0.0, 100.0, 10)
+      .collect()(0).getAs[Double]("l1_drift") === 0.0)
+    val b = (1 to 50).map(_ => ("g", 95.0)).toDF("g", "v") // all in the last bin
+    val lo = (1 to 50).map(_ => ("g", 5.0)).toDF("g", "v") // all in the first
+    assert(Sketches.histDriftL1(lo, b, "g", "v", 0.0, 100.0, 10)
+      .collect()(0).getAs[Double]("l1_drift") === 2.0)
+    val d1 = Sketches.histDriftL1(a, b, "g", "v", 0.0, 100.0, 10)
+      .collect()(0).getAs[Double]("l1_drift")
+    val d2 = Sketches.histDriftL1(b, a, "g", "v", 0.0, 100.0, 10)
+      .collect()(0).getAs[Double]("l1_drift")
+    assert(d1 === d2 && d1 > 0.0 && d1 < 2.0)
+  }
+
   // ------------------------------------------------------------- KMV
 
   private def kmvCorpus(nPerGroup: Int) =
