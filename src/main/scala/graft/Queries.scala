@@ -1503,6 +1503,52 @@ object Queries {
              |SELECT event_id AS purchase_id, click_id, ts_us - click_us AS gap_us
              |FROM r WHERE event_type = 'purchase'""".stripMargin)),
 
+    // 3-step strict-order funnel: first view → first later click within
+    // 12h → first later purchase within 12h, per user; one row of stage
+    // conversion counts. Each stage is a min-aggregate + equi-join on
+    // user (the decorrelated form of three correlated EXISTS) — at 100 TB
+    // three user-keyed shuffles, no window over the event stream
+    Q("q_funnel_steps",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        def firstOf(tpe: String) = ev.filter(col("event_type") === tpe)
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"t_$tpe"))
+        val v = firstOf("view")
+        val c = v.join(ev.filter(col("event_type") === "click"), Seq("user_id"))
+          .filter(col("ts") > col("t_view")
+            && col("ts") <= col("t_view") + expr("INTERVAL 12 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+        val p = c.join(ev.filter(col("event_type") === "purchase"), Seq("user_id"))
+          .filter(col("ts") > col("t_click")
+            && col("ts") <= col("t_click") + expr("INTERVAL 12 HOURS"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+        v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_view"),
+            count(col("t_click")).as("n_click"),
+            count(col("t_purchase")).as("n_purchase"))
+          .select(col("n_view"), col("n_click"), col("n_purchase"),
+            (col("n_purchase").cast("double") / col("n_view").cast("double"))
+              .as("full_conversion"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+             |           WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS t_click
+             |      FROM events e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click'
+             |        AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 12 HOUR
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+             |      FROM events e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase'
+             |        AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 12 HOUR
+             |      GROUP BY e.user_id)
+             |SELECT count(*) AS n_view,
+             |  CAST(count(c.t_click) AS BIGINT) AS n_click,
+             |  CAST(count(p.t_purchase) AS BIGINT) AS n_purchase,
+             |  CAST(count(p.t_purchase) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS full_conversion
+             |FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |       LEFT JOIN p ON v.user_id = p.user_id""".stripMargin)),
+
     // two-stage salted aggregations — results identical to the unsalted
     // forms (same oracles), the salt only reshapes the shuffle (SCALE.md)
     Q("q_agg_salted",
