@@ -984,6 +984,32 @@ object Queries {
               |SELECT id, landmark, CAST(min(d) AS BIGINT) AS distance
               |FROM r GROUP BY id, landmark""".stripMargin)),
 
+    // landmark CLOSENESS centrality: per vertex, how many of the
+    // landmarks it reaches (within the hop bound) and its mean distance
+    // to them — the sampled-landmark estimator of closeness (exact
+    // all-pairs closeness is O(V·E); landmarks is the standard scale
+    // substitute). Pure composition over shortestPaths: exact integer
+    // counts and sums, one final divide
+    Q("q_graph_closeness",
+      (s, d) => Queries.eventsGraph(s, d)
+        .shortestPaths(Seq("1", "42", "77"), maxHops = 6)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("distance")).as("dist_sum"))
+        .withColumn("mean_dist",
+          col("dist_sum").cast("double") / col("n_reached").cast("double")),
+      Some(s"""WITH RECURSIVE $eventsGraphCte,
+              |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+              |r AS (SELECT id, id AS landmark, 0 AS d FROM v WHERE id IN ('1', '42', '77')
+              |      UNION
+              |      SELECT e.src, r.landmark, r.d + 1 FROM e JOIN r ON e.dst = r.id
+              |      WHERE r.d < 6),
+              |sp AS (SELECT id, landmark, CAST(min(d) AS BIGINT) AS distance
+              |       FROM r GROUP BY id, landmark)
+              |SELECT id, count(*) AS n_reached,
+              |  CAST(sum(distance) AS BIGINT) AS dist_sum,
+              |  CAST(sum(distance) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_dist
+              |FROM sp GROUP BY id""".stripMargin)),
+
     // WEIGHTED shortest paths (min-plus Bellman-Ford): distance + w
     // relaxation with integer edge weights — exact longs, so the bounded
     // recursive CTE replays every round bit-for-bit; maxHops bounds path
