@@ -100,20 +100,25 @@ object Queries {
     * multi-referenced, hence MATERIALIZED — DuckDB inlines plain CTEs
     * and re-evaluates refs^i times otherwise).
     */
-  private val docWordGraphSqlCte: String =
+  private def docWordGraphSqlCte(cap: Option[Int] = None): String = {
+    val sliced = cap.map(c => s"[1:$c]").getOrElse("")
     s"""fw AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS src, w AS dst FROM (
        |   SELECT doc_id, unnest(list_filter(
        |     string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS w
        |   FROM documents WHERE doc_id < 12)),
        |e AS (SELECT src, dst FROM fw UNION ALL SELECT dst, src FROM fw),
        |a AS MATERIALIZED (
-       |  SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM e GROUP BY src),
+       |  SELECT src, list_sort(list(DISTINCT dst))$sliced AS nbrs FROM e GROUP BY src),
        |s0 AS (SELECT DISTINCT src AS walk_id, src AS cur, [src] AS path FROM e)""".stripMargin
+  }
 
   /** DuckDB twin of [[docWordWalks]]: CTE chain ending in
     * `s4(walk_id, path)` — the md5-draw unroll of the 4 uniform steps.
+    * `cap` replays the hub-degree truncation (walks pick uniformly over
+    * the first `cap` dst-sorted neighbors — the [1:cap] slice of the
+    * sorted adjacency is exactly Spark's pre-collect row_number filter).
     */
-  private val docWordWalkSqlCte: String = {
+  private def docWordWalkSql(cap: Option[Int] = None): String = {
     val step = (i: Int, last: Boolean) => {
       val curSel = if (last) "" else
         s"""         CASE WHEN nbrs IS NULL THEN cur
@@ -126,9 +131,11 @@ object Queries {
          |               CAST(concat('0x', substr(md5(walk_id || '|$i'), 1, 15)) AS BIGINT) AS h
          |             FROM s${i - 1} LEFT JOIN a ON s${i - 1}.cur = a.src))""".stripMargin
     }
-    s"""$docWordGraphSqlCte,
+    s"""${docWordGraphSqlCte(cap)},
        |${(1 to 4).map(i => step(i, i == 4)).mkString(",\n")}""".stripMargin
   }
+
+  private val docWordWalkSqlCte: String = docWordWalkSql()
 
   /** DuckDB twin of [[graft.graph.Graph.node2vecWalks]] over the doc∪word
     * graph: per step the frontier left-joins the adjacency TWICE (cur +
@@ -161,7 +168,7 @@ object Queries {
       val prevCol = if (i == 1) "CAST(NULL AS VARCHAR) AS prev" else "prev"
       s"q$i AS (SELECT walk_id, cur, $prevCol, path FROM $src)"
     }
-    s"""$docWordGraphSqlCte,
+    s"""${docWordGraphSqlCte()},
        |${(1 to 4).map(i => s"${starts(i - 1)},\n${step(i)}").mkString(",\n")}""".stripMargin
   }
 
@@ -314,7 +321,7 @@ object Queries {
     * with 0-based token positions. Rule r's block reads `tk{r-1}` and
     * writes `tk{r}`.
     */
-  private def bpeEncodeOracle(merges: Seq[(String, String)]): String = {
+  private def bpeEncodeOracleCtes(merges: Seq[(String, String)]): String = {
     val blocks = merges.zipWithIndex.map { case ((a, b), r) =>
       s"""m$r AS (SELECT doc_id, wpos, tpos, tok,
          |        (lead(tok) OVER w IS NOT NULL AND tok = '$a'
@@ -332,17 +339,20 @@ object Queries {
          |          CASE WHEN merged THEN '$a$b' ELSE tok END AS tok
          |        FROM rd$r WHERE NOT consumed)""".stripMargin
     }.mkString(",\n")
-    s"""WITH wd AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS wpos, unnest(ws) AS w
+    s"""wd AS (SELECT doc_id, generate_subscripts(ws, 1) - 1 AS wpos, unnest(ws) AS w
        |            FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
        |tks AS (SELECT doc_id, wpos, unnest(generate_series(1, length(w))) AS tpos, w
        |        FROM wd WHERE length(w) > 0),
        |tk0 AS (SELECT doc_id, wpos, tpos,
        |         substring(w, CAST(tpos AS INTEGER), 1) AS tok FROM tks),
-       |$blocks
+       |$blocks""".stripMargin
+  }
+
+  private def bpeEncodeOracle(merges: Seq[(String, String)]): String =
+    s"""WITH ${bpeEncodeOracleCtes(merges)}
        |SELECT doc_id, CAST(wpos AS BIGINT) AS wpos, CAST(tpos - 1 AS BIGINT) AS tpos,
        |       tok AS token
        |FROM tk${merges.size}""".stripMargin
-  }
 
   /** DuckDB sequential-fold dot product of two double-list columns —
     * bit-identical to [[Similarity.dot]].
@@ -1010,6 +1020,32 @@ object Queries {
               |  CAST(sum(distance) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_dist
               |FROM sp GROUP BY id""".stripMargin)),
 
+    // DIAMETER lower bound by double-sweep BFS (Magnien et al., JEA'09):
+    // BFS from the min-id seed, re-BFS from the farthest vertex found —
+    // two bounded shortestPaths loops instead of the O(V·E) exact
+    // all-pairs diameter; exact on trees, near-exact in practice. The
+    // two argmax picks are 1-row driver reductions (centroid precedent)
+    Q("q_graph_diameter",
+      (s, d) => Queries.eventsGraph(s, d).diameterLowerBound(maxHops = 8),
+      Some(s"""WITH RECURSIVE $eventsGraphCte,
+              |u AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+              |v AS (SELECT DISTINCT a AS id FROM u),
+              |s AS (SELECT min(id) AS sid FROM v),
+              |r1 AS (SELECT id, 0 AS dd FROM v WHERE id = (SELECT sid FROM s)
+              |       UNION
+              |       SELECT u.a, r1.dd + 1 FROM u JOIN r1 ON u.b = r1.id WHERE r1.dd < 8),
+              |d1 AS (SELECT id, min(dd) AS dist FROM r1 GROUP BY id),
+              |far AS (SELECT id FROM d1 ORDER BY dist DESC, id LIMIT 1),
+              |r2 AS (SELECT id, 0 AS dd FROM v WHERE id = (SELECT id FROM far)
+              |       UNION
+              |       SELECT u.a, r2.dd + 1 FROM u JOIN r2 ON u.b = r2.id WHERE r2.dd < 8),
+              |d2 AS (SELECT id, min(dd) AS dist FROM r2 GROUP BY id)
+              |SELECT (SELECT sid FROM s) AS start_id,
+              |       (SELECT id FROM far) AS peripheral_id,
+              |       CAST(max(dist) AS BIGINT) AS diameter_lb,
+              |       count(*) AS n_reached
+              |FROM d2""".stripMargin)),
+
     // WEIGHTED shortest paths (min-plus Bellman-Ford): distance + w
     // relaxation with integer edge weights — exact longs, so the bounded
     // recursive CTE replays every round bit-for-bit; maxHops bounds path
@@ -1133,6 +1169,21 @@ object Queries {
               |       CAST(len(path) - 1 AS BIGINT) AS hops
               |FROM s4""".stripMargin)),
 
+    // hub-degree-CAPPED walks: maxDegree=3 truncates every adjacency to
+    // the first 3 dst-sorted neighbors BEFORE collection (row_number
+    // filter — the 100 TB power-law-hub guard; doc vertices here have
+    // degree 30+, so the cap genuinely bites). The oracle replays the
+    // truncation as the [1:3] slice of the same sorted list — proof the
+    // capped pick stays deterministic and engine-replayable
+    Q("q_graph_walks_capped",
+      (s, d) => docWordGraph(s, d).deterministicWalks(4, maxDegree = 3)
+        .select(col("walk_id"), concat_ws("->", col("path")).as("path"),
+          col("hops")),
+      Some(s"""WITH ${docWordWalkSql(Some(3))}
+              |SELECT walk_id, array_to_string(path, '->') AS path,
+              |       CAST(len(path) - 1 AS BIGINT) AS hops
+              |FROM s4""".stripMargin)),
+
     // walks → skip-gram training pairs: the step that turns the DeepWalk
     // corpus into word2vec input — (center, context) co-occurrence counts
     // within a ±2 window along each walk. One positional self-join keyed
@@ -1168,7 +1219,13 @@ object Queries {
           .select(col("pr.src").as("src"), col("pr.dst").as("dst"))
           .filter(col("src") =!= col("dst"))
           .withColumn("w", lit(1.0)).withColumn("type", lit("B"))
-        Graph(Graph.verticesOf(e), e).kTruss(k = 30)
+        // the oracle unrolls a FIXED 4 peel rounds; assert the live peel
+        // converged within them so a deeper dataset fails with a depth
+        // diagnosis instead of a generic hash mismatch (r7 advice)
+        val (truss, rounds) = Graph(Graph.verticesOf(e), e).kTrussWithRounds(k = 30)
+        require(rounds <= 4, s"q_graph_ktruss: peel took $rounds rounds but " +
+          "the oracle unrolls only 4 — deepen the oracle's unroll")
+        truss
       },
       Some {
         val round = (i: Int) =>
@@ -4350,8 +4407,10 @@ object Queries {
           .select(col("doc_id"),
             when(col("doc_id") % 5 === 0, concat(lit("v2 "), col("text")))
               .otherwise(col("text")).as("text"))
+          // "added" rows in the negative id namespace — disjoint from
+          // real doc_ids at every corpus size (same fix as q_phash_pairs)
           .unionByName(docs.filter(col("doc_id") < 25)
-            .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+            .select((-col("doc_id") - 1).as("doc_id"), col("text")))
         graft.pipeline.Snapshot.diff(oldSnap, newSnap, "doc_id")
       },
       Some("""WITH o AS (SELECT doc_id, text FROM documents),
@@ -4359,7 +4418,7 @@ object Queries {
              |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'v2 ' || text ELSE text END AS text
              |  FROM documents WHERE doc_id % 11 <> 3
              |  UNION ALL
-             |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25)
+             |  SELECT -doc_id - 1, text FROM documents WHERE doc_id < 25)
              |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
              |  CASE WHEN o.doc_id IS NULL THEN 'added'
              |       WHEN n.doc_id IS NULL THEN 'removed'
@@ -5137,14 +5196,20 @@ object Queries {
     // vocab-planning question "which (lang, token) pairs exceed 1% of the
     // corpus?" asked the way it survives a web-scale vocabulary. The
     // oracle is the one-shuffle naive plan the two phases must equal.
+    // NULL discipline (r7 advice): both sides filter NULL lang/text
+    // explicitly, so the engines agree even if the corpus ever grows
+    // nullable rows — concat_ws would DROP a null lang (item becomes the
+    // bare token) while DuckDB's || nulls the item out of the HAVING but
+    // not out of count(*)
     Q("q_heavy_hitters",
       (s, d) => graft.pipeline.HeavyHitters.exact(
         t(s, d)("documents")
+          .filter(col("lang").isNotNull && col("text").isNotNull)
           .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
           .select(concat_ws(":", col("lang"), col("tok")).as("item")),
         "item", k = 100),
       Some("""WITH w AS (SELECT lang || ':' || unnest(string_split(text, ' ')) AS item
-             |           FROM documents),
+             |           FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
              |n AS (SELECT count(*) AS n FROM w)
              |SELECT item, CAST(count(*) AS BIGINT) AS cnt,
              |       CAST(count(*) AS DOUBLE) / CAST((SELECT n FROM n) AS DOUBLE) AS share
@@ -5701,11 +5766,13 @@ object Queries {
     // char replaced — only the final byte window moves, dist ≤ 1) is
     // planted so the row proves the blocking + distance path on 500
     // real pairs. Oracle replays the blocks and the 4-arm candidate
-    // union
+    // union. Twin ids live in the NEGATIVE namespace (-doc_id - 1):
+    // disjoint from real ids at EVERY corpus size — a fixed +100000
+    // offset would silently collide once the corpus passes 100k docs
     Q("q_phash_pairs",
       (s, d) => {
         val base = t(s, d)("documents").select(col("doc_id"), col("text"))
-        val edited = base.select((col("doc_id") + 100000).as("doc_id"),
+        val edited = base.select((-col("doc_id") - 1).as("doc_id"),
           concat(expr("substring(text, 1, length(text) - 1)"), lit("!")).as("text"))
         Multimodal.phashPairs(
             Multimodal.fromDocuments(base.unionByName(edited)), maxDist = 3)
@@ -5714,7 +5781,7 @@ object Queries {
       Some("""WITH src AS MATERIALIZED (
              |  SELECT doc_id, text FROM documents
              |  UNION ALL
-             |  SELECT doc_id + 100000,
+             |  SELECT -doc_id - 1,
              |         substr(text, 1, CAST(strlen(text) AS INT) - 1) || '!' FROM documents),
              |w AS MATERIALIZED (
              |  SELECT doc_id, k.range AS k,
@@ -6704,6 +6771,119 @@ object Queries {
              |       CAST(count(*) AS BIGINT) AS n_roundtrip_ok
              |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
              |WHERE length(w) > 0""".stripMargin)),
+
+    // tokenizer FERTILITY per language — tokens/word and chars/token
+    // under the fixed merge table: the "how expensive is this language
+    // under this tokenizer" data-card metric that drives mix weighting
+    // (a high-fertility language consumes budget faster than its byte
+    // share suggests). One encode pass → per-doc partial counts → one
+    // lang aggregate; ratios are exact-integer divides (one IEEE op)
+    Q("q_token_fertility",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        val toks = graft.pipeline.Bpe.encode(docs, "doc_id", "text", bpeEncodeMerges)
+        toks.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(length(col("token"))).as("n_chars"),
+            countDistinct(col("wpos")).as("n_words"))
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(col("n_words")).as("n_words"))
+          .select(col("lang"), col("n_tokens"), col("n_chars"), col("n_words"),
+            (col("n_tokens").cast("double") / col("n_words").cast("double"))
+              .as("fertility"),
+            (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+              .as("chars_per_token"))
+      },
+      Some(s"""WITH ${bpeEncodeOracleCtes(bpeEncodeMerges)},
+              |pd AS (SELECT doc_id, count(*) AS n_tokens,
+              |              sum(length(tok)) AS n_chars,
+              |              count(DISTINCT wpos) AS n_words
+              |       FROM tk${bpeEncodeMerges.size} GROUP BY doc_id)
+              |SELECT d.lang,
+              |  CAST(sum(pd.n_tokens) AS BIGINT) AS n_tokens,
+              |  CAST(sum(pd.n_chars) AS BIGINT) AS n_chars,
+              |  CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+              |  CAST(sum(pd.n_tokens) AS DOUBLE) / CAST(sum(pd.n_words) AS DOUBLE) AS fertility,
+              |  CAST(sum(pd.n_chars) AS DOUBLE) / CAST(sum(pd.n_tokens) AS DOUBLE) AS chars_per_token
+              |FROM pd JOIN documents d USING (doc_id)
+              |GROUP BY d.lang""".stripMargin)),
+
+    // HEAPS'-LAW vocabulary growth curve: distinct vocabulary vs total
+    // tokens at doc-prefix checkpoints — the "is this source still
+    // contributing new vocabulary" curation signal. ONE first-occurrence
+    // aggregate (min doc_id per word) carries every checkpoint: a word
+    // counts toward checkpoint c iff its first doc precedes c, so the
+    // corpus is scanned once regardless of checkpoint count (never a
+    // scan per checkpoint)
+    Q("q_vocab_growth",
+      (s, d) => {
+        import s.implicits._
+        val cps = Seq(16L, 64L, 256L, 1024L, 4096L).toDF("cp")
+        val words = t(s, d)("documents").select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "[^a-z]+"),
+            w => length(w) > 0)).as("w"))
+        val vocab = words.groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+          .join(broadcast(cps), col("first_doc") < col("cp"))
+          .groupBy(col("cp")).agg(count(lit(1)).as("vocab_size"))
+        val tokens = words.groupBy(col("doc_id")).agg(count(lit(1)).as("ntok"))
+          .join(broadcast(cps), col("doc_id") < col("cp"))
+          .groupBy(col("cp")).agg(sum(col("ntok")).as("n_tokens"))
+        tokens.join(vocab, Seq("cp"))
+          .select(col("cp"), col("n_tokens"), col("vocab_size"))
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS w
+             |  FROM documents),
+             |cp AS (SELECT CAST(unnest([16, 64, 256, 1024, 4096]) AS BIGINT) AS cp),
+             |fs AS (SELECT w, min(doc_id) AS first_doc FROM w GROUP BY w),
+             |vc AS (SELECT cp, count(*) AS vocab_size
+             |       FROM fs JOIN cp ON first_doc < cp GROUP BY cp),
+             |tk AS (SELECT cp, CAST(sum(n) AS BIGINT) AS n_tokens
+             |       FROM (SELECT doc_id, count(*) AS n FROM w GROUP BY doc_id) t
+             |       JOIN cp ON doc_id < cp GROUP BY cp)
+             |SELECT tk.cp, tk.n_tokens, vc.vocab_size
+             |FROM tk JOIN vc ON tk.cp = vc.cp""".stripMargin)),
+
+    // WINDOWED mergeable KMV: per-hour bottom-64 sketches merged into
+    // per-day distinct-user estimates — the streaming-rollup shape a
+    // 100 TB event pipeline uses (hourly shards sketch independently;
+    // the day is a k-min merge of 24 sketch ARRAYS, never a re-scan of
+    // the raw events). merge(partials) == sketch(union) because
+    // k-min-of-distinct is a commutative idempotent monoid
+    Q("q_sketch_kmv_windowed",
+      (s, d) => {
+        val k = 64
+        val ev = Tables.events(s, d).select(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("h"),
+          col("user_id").cast("string").as("uid"))
+        val daily = graft.pipeline.Sketches.kmvSketch(ev, "h", "uid", k)
+          .withColumn("day", substring(col("h"), 1, 10))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_hours"),
+            slice(array_sort(array_distinct(flatten(collect_list(col("ks"))))),
+              1, k).as("ks"))
+        val n = size(col("ks")).cast("long")
+        daily.select(col("day"), col("n_hours"),
+          when(n < k, n.cast("double"))
+            .otherwise(lit(63.0) * lit(1152921504606846976.0) /
+              element_at(col("ks"), k).cast("double")).as("est_distinct"))
+      },
+      Some("""WITH ev AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS h,
+             |                   CAST(user_id AS VARCHAR) AS uid FROM events),
+             |hv AS (SELECT h, CAST(concat('0x', substr(md5(uid), 1, 15)) AS BIGINT) AS hv
+             |       FROM ev),
+             |hk AS (SELECT h, list_sort(list(DISTINCT hv))[1:64] AS ks FROM hv GROUP BY h),
+             |dk AS (SELECT substr(h, 1, 10) AS day, count(*) AS n_hours,
+             |              list_sort(list_distinct(flatten(list(ks))))[1:64] AS ks
+             |       FROM hk GROUP BY substr(h, 1, 10))
+             |SELECT day, CAST(n_hours AS BIGINT) AS n_hours,
+             |  CASE WHEN len(ks) < 64 THEN CAST(len(ks) AS DOUBLE)
+             |       ELSE 63.0 * 1152921504606846976.0 / CAST(ks[64] AS DOUBLE)
+             |  END AS est_distinct
+             |FROM dk""".stripMargin)),
 
     // first-order Markov transition matrix of per-user event sequences:
     // lead window → transition counts → row-normalized probabilities

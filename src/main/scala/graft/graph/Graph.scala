@@ -248,15 +248,22 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * One walk per vertex; each round is one equi-join of the walk
     * frontier against the ranked-adjacency hub — `maxLen` joins total,
     * shuffling `(walk, cur)` rows only, never payloads. Walks stop at
-    * sinks (no outgoing edges): the path simply stops growing. Hub
-    * degree is uncapped here because the adjacency row is ONE array per
-    * vertex (build cost one groupBy); at extreme hub degrees cap the
-    * array the way [[commonNeighborPairs]] caps wedges — the pick
-    * stays uniform over the retained prefix.
+    * sinks (no outgoing edges): the path simply stops growing.
+    *
+    * HUB SAFETY: the adjacency array is capped at `maxDegree` BEFORE
+    * collection — a `row_number` over `(src ORDER BY dst)` filters to
+    * the first `maxDegree` dst-sorted neighbors, so a power-law hub
+    * never materializes an unbounded array row (the shuffle sort spills
+    * to disk; the collect buffer is bounded at `maxDegree`). The pick
+    * stays uniform over the retained prefix, which is a deterministic
+    * function of the edge set — truncation is itself replayable
+    * (an oracle slices the same sorted prefix). Default 10000 ≈ a few
+    * hundred KB per hub row; on this corpus no vertex comes close, so
+    * the default cap is result-invisible.
     */
-  def deterministicWalks(maxLen: Int): DataFrame = {
-    val adj = edges.select(col("src"), col("dst")).distinct()
-      .groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+  def deterministicWalks(maxLen: Int,
+                         maxDegree: Int = Graph.DefaultWalkMaxDegree): DataFrame = {
+    val adj = Graph.cappedAdjacency(edges, maxDegree)
     var state = vertices.select(col("id").as("walk_id"),
       array(col("id")).as("path"), col("id").as("cur"))
     for (i <- 1 to maxLen) {
@@ -286,13 +293,24 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * replayable by any engine with ranked cumulative sums, and
     * repartition/retry-invariant like every hash draw in this library.
     * Zero/negative-weight edges are excluded (they own no residues).
+    *
+    * HUB SAFETY: like [[deterministicWalks]], the per-vertex array is
+    * capped at `maxDegree` BEFORE collection (`row_number` filter over
+    * the dst order); the cumulative mass is computed over the retained
+    * prefix only, so the draw stays exactly weight-proportional within
+    * it and the truncation is replayable from the sorted edge list.
     */
-  def weightedDeterministicWalks(maxLen: Int): DataFrame = {
+  def weightedDeterministicWalks(maxLen: Int,
+                                 maxDegree: Int = Graph.DefaultWalkMaxDegree): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst"))
     val adj = edges.select(col("src"), col("dst"), col("w").cast("long").as("wt"))
       .groupBy(col("src"), col("dst")).agg(sum(col("wt")).as("wt"))
       .filter(col("wt") > 0)
+      // rn then cum over the SAME (src, dst) window spec: one sort, the
+      // filter between the two Window execs keeps cum prefix-local
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= maxDegree).drop("rn")
       .withColumn("cum", sum(col("wt")).over(win))
       // cum is monotone in the dst order, so the struct sort (dst-first)
       // yields a cumulative array without a second window
@@ -330,14 +348,15 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * (cur's neighbors to step over, prev's to test distance-1
     * membership) and the pick is one O(degree) fold — no explode, no
     * per-step shuffle beyond the two equi-joins. The membership probe is
-    * `array_contains` on prev's sorted array; at hub degrees cap the
-    * arrays as in [[deterministicWalks]].
+    * `array_contains` on prev's sorted array; both arrays are hub-capped
+    * at `maxDegree` as in [[deterministicWalks]] (the distance-1 test is
+    * then against the retained prefix — deterministic and replayable).
     */
   def node2vecWalks(maxLen: Int, wReturn: Long = 1L, wCommon: Long = 4L,
-                    wOut: Long = 2L): DataFrame = {
+                    wOut: Long = 2L,
+                    maxDegree: Int = Graph.DefaultWalkMaxDegree): DataFrame = {
     require(wReturn > 0 && wCommon > 0 && wOut > 0, "weights must be positive")
-    val adj = edges.select(col("src"), col("dst")).distinct()
-      .groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val adj = Graph.cappedAdjacency(edges, maxDegree)
     val padj = adj.select(col("src").as("psrc"), col("nbrs").as("pnbrs"))
     def wOf(n: Column): Column =
       when(n === col("prev"), lit(wReturn))                       // null prev → false
@@ -479,6 +498,40 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
         .select(col("id"), coalesce(col("newLbl"), col("lbl")).as("lbl"))
     }
     labels
+  }
+
+  /** DIAMETER lower bound by the classic double-sweep BFS (Magnien,
+    * Latapy & Habib, JEA 2009): BFS from a deterministic seed (the
+    * minimum vertex id), re-BFS from the farthest vertex found
+    * (ties → smallest id), report that sweep's eccentricity — a lower
+    * bound that is exact on trees and empirically within 1-2 hops on
+    * real graphs, at the cost of TWO bounded BFS instead of the O(V·E)
+    * all-pairs exact diameter. Direction is ignored (diameter of the
+    * underlying undirected graph, the standard convention).
+    *
+    * Scale shape: each sweep is a [[shortestPaths]] loop — `maxHops`
+    * rounds of edge ⋈ dist + min-agg, shuffling `(id, long)` rows only.
+    * The two argmax picks are 1-row driver reductions (the centroid/
+    * codebook precedent), never a collect of the distance relation.
+    * Distances beyond `maxHops` are treated unreachable, so `maxHops`
+    * must dominate the true diameter for the bound to be meaningful —
+    * the returned `n_reached` vs the vertex count is the caller's check.
+    */
+  def diameterLowerBound(maxHops: Int = 8): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val gU = Graph(vertices, und.withColumn("w", lit(1.0))
+      .withColumn("type", lit("U")))
+    val start = vertices.agg(min(col("id"))).head().getString(0)
+    val far = gU.shortestPaths(Seq(start), maxHops)
+      .orderBy(col("distance").desc, col("id").asc).select(col("id"))
+      .head().getString(0)
+    gU.shortestPaths(Seq(far), maxHops)
+      .agg(max(col("distance")).as("diameter_lb"),
+        count(lit(1)).as("n_reached"))
+      .select(lit(start).as("start_id"), lit(far).as("peripheral_id"),
+        col("diameter_lb"), col("n_reached"))
   }
 
   /** Triangles through each vertex, direction ignored (GraphFrames
@@ -631,7 +684,13 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * rather than returning an unconverged core, because downstream
     * consumers assume the degree invariant.
     */
-  def kCore(k: Int, maxIter: Int = 12): DataFrame = {
+  def kCore(k: Int, maxIter: Int = 12): DataFrame = kCoreWithRounds(k, maxIter)._1
+
+  /** [[kCore]] plus the executed peel-round count (incl. the final
+    * no-change round) — rounds, not seconds, are the 100× cost driver
+    * for a peel, so scaling probes record them per SF (SCALE.md).
+    */
+  def kCoreWithRounds(k: Int, maxIter: Int = 12): (DataFrame, Int) = {
     // eager localCheckpoint per round, NOT persist: each round reads the
     // previous edge set three times (degree union ×2 + the semi-join
     // source), so the retained plan tree triples per round — the same
@@ -665,8 +724,8 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
       s"Graph.kCore: still peeling after $maxIter iterations — raise maxIter")
     // `cur` is checkpointed — the returned plan reads its blocks twice
     // (a/b sides) without recomputing the peel
-    cur.select(col("a").as("id")).unionAll(cur.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
+    (cur.select(col("a").as("id")).unionAll(cur.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg")), iter)
   }
 
   /** k-TRUSS decomposition (Cohen 2008) — the EDGE-cohesion companion of
@@ -684,7 +743,15 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * edge set three times), convergence REQUIRED within `maxIter`.
     * Returns the surviving `(a, b, support)` edges.
     */
-  def kTruss(k: Int, maxIter: Int = 12): DataFrame = {
+  def kTruss(k: Int, maxIter: Int = 12): DataFrame = kTrussWithRounds(k, maxIter)._1
+
+  /** [[kTruss]] plus the number of peel rounds actually executed
+    * (including the final no-change confirming round). Callers that
+    * replay the peel with a FIXED unroll depth (the DuckDB oracle) can
+    * assert `rounds <= depth` so a dataset needing a deeper peel is
+    * diagnosed as a depth problem, not a generic hash mismatch.
+    */
+  def kTrussWithRounds(k: Int, maxIter: Int = 12): (DataFrame, Int) = {
     require(k >= 3, s"k must be >= 3, got $k")
     var cur = edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -715,7 +782,7 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     require(converged,
       s"Graph.kTruss: still peeling after $maxIter iterations — raise maxIter")
     // converged: the last computed support is the support of the final set
-    sup.filter(col("support") >= k - 2)
+    (sup.filter(col("support") >= k - 2), iter)
   }
 
   /** Strongly connected components of the DIRECTED graph: `(id,
@@ -760,7 +827,8 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     */
   def stronglyConnectedComponents(maxRounds: Int = 10,
                                   maxPropIter: Int = 25,
-                                  localEdgeThreshold: Long = 2000000L): DataFrame = {
+                                  localEdgeThreshold: Long =
+                                    graft.GraftConfig.LocalEdgeThreshold): DataFrame = {
     val spark = edges.sparkSession
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -878,6 +946,33 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
 }
 
 object Graph {
+  /** Default per-vertex adjacency cap for the walk family. A power-law
+    * hub at 100 TB would otherwise materialize its full neighbor list as
+    * ONE array row inside a `collect_list` buffer — the executor-OOM
+    * class SURVEY §7.4 risk 5 names. 10000 string neighbors ≈ a few
+    * hundred KB per hub row: safely bounded, and far above every degree
+    * in the test corpus, so defaults never change results there.
+    */
+  val DefaultWalkMaxDegree = 10000
+
+  /** Dst-sorted adjacency arrays, hub-capped BEFORE collection: a
+    * `row_number` over `(src ORDER BY dst)` keeps only the first
+    * `maxDegree` neighbors, so the sort spills (disk-backed) while the
+    * array buffer stays bounded — `slice` AFTER `collect_list` would
+    * still OOM building the full array. The retained prefix is a pure
+    * function of the (distinct) edge set: deterministic, replayable by
+    * any engine that can slice a sorted neighbor list.
+    */
+  private[graph] def cappedAdjacency(edges: DataFrame, maxDegree: Int): DataFrame = {
+    require(maxDegree > 0, "maxDegree must be positive")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    edges.select(col("src"), col("dst")).distinct()
+      .withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= maxDegree)
+      .groupBy(col("src")).agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+  }
+
   /** Past this many rounds, the lazy shortest-path loops (whose doubled
     * logical subtree grows per round — see [[Graph.shortestPaths]]) switch
     * to periodic eager lineage truncation.

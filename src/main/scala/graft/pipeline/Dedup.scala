@@ -547,7 +547,8 @@ object Dedup {
     * own component (see [[dedupByClusters]]).
     */
   def components(pairs: DataFrame, maxIter: Int = 20,
-                 localEdgeThreshold: Long = 2000000L): DataFrame = {
+                 localEdgeThreshold: Long =
+                   graft.GraftConfig.LocalEdgeThreshold): DataFrame = {
     // persist the INPUT before the symmetrize-union: the two union
     // branches project (a,b) and (b,a) — different subplans, so exchange
     // reuse does NOT dedupe them, and an unpersisted `pairs` (e.g. the

@@ -382,7 +382,13 @@ object SimilarityLsh {
   def candidatePairs(vectors: DataFrame, numPlanes: Int = 8, numTables: Int = 8,
                      dim: Int = 64, seed: Long = 42L,
                      maxBucketSize: Long = 10000L): DataFrame =
-    pairsFromKeyed(bucketed(vectors, numPlanes, numTables, dim, seed), vectors, maxBucketSize)
+    // pin the bucket keys like candidatePairsAuto does: `keyed` feeds the
+    // skew-guard aggregate AND both self-join sides — unpinned, the
+    // numTables × planes dot products per vector are recomputed per
+    // consumer (the same three-evaluation trap the r2 advice flagged on
+    // the auto path)
+    pairsFromKeyed(bucketed(vectors, numPlanes, numTables, dim, seed).persistTracked(),
+      vectors, maxBucketSize)
 
   /** Pairing join over a (vec_id, tbl, bucket) relation — shared by
     * [[candidatePairs]] (lazy keys) and [[candidatePairsAuto]] (persisted
@@ -390,9 +396,15 @@ object SimilarityLsh {
     */
   private def pairsFromKeyed(keyed: DataFrame, vectors: DataFrame,
                              maxBucketSize: Long): DataFrame = {
-    val okBuckets = keyed.groupBy("tbl", "bucket")
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucketSize)
-    val sized = keyed.join(okBuckets, Seq("tbl", "bucket"), "left_semi")
+    // skew guard as ONE window count over the (tbl, bucket) exchange the
+    // pairing self-join then REUSES (its partitioning requirement is
+    // already satisfied) — the former aggregate + left-semi spent two
+    // extra stage waves to compute the same filter. count() over a
+    // bucket-keyed window never materializes the bucket (sort spills),
+    // so an over-limit bucket costs a sort, not memory.
+    val sized = keyed.withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("bsz") <= maxBucketSize).drop("bsz")
     val pairs = sized.as("a").hint("SHUFFLE_MERGE").join(sized.as("b").hint("SHUFFLE_MERGE"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -444,11 +456,22 @@ object SimilarityLsh {
       .join(e.as("g2"), col("g1.n_id") === col("g2.q_id"))
       .select(col("g1.q_id").as("q_id"), col("g2.n_id").as("n_id"))
       .filter(col("q_id") =!= col("n_id"))
+    // attach embeddings from ONE pinned projection probed twice, instead
+    // of re-evaluating the `vectors` plan per side. No node-frontier
+    // semi-join: a kNN graph built by [[topK]] has every corpus vector
+    // as a q_id, so the frontier IS the corpus — the semi-join would add
+    // three stages (distinct + semi-join + materialize) to filter
+    // nothing (measured +2.2 s at sf0.1 when tried)
+    val nodeEmb = vectors.select(col("vec_id").as("id"), col("embedding"))
+      .persistTracked()
+    // join order n_id THEN q_id: the second join leaves the relation
+    // hash-partitioned on q_id, which the ranking window requires — the
+    // reversed order would re-exchange the full scored relation
     val scored = e.unionByName(hops).distinct()
-      .join(vectors.select(col("vec_id").as("q_id"), col("embedding").as("eq")),
-        Seq("q_id"))
-      .join(vectors.select(col("vec_id").as("n_id"), col("embedding").as("en")),
+      .join(nodeEmb.select(col("id").as("n_id"), col("embedding").as("en")),
         Seq("n_id"))
+      .join(nodeEmb.select(col("id").as("q_id"), col("embedding").as("eq")),
+        Seq("q_id"))
       .select(col("q_id"), col("n_id"),
         Similarity.cosine(col("eq"), col("en")).as("cos"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)

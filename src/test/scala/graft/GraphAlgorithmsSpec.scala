@@ -375,6 +375,72 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(got2 === got)
   }
 
+  test("diameterLowerBound: exact on a path graph, regardless of edge direction") {
+    // path a-b-c-d-e stored with mixed directions: double sweep on the
+    // underlying undirected graph must find the true diameter 4 with
+    // endpoints a (min id seed never matters for correctness) and e
+    val e = Seq(("b", "a"), ("b", "c"), ("d", "c"), ("d", "e"))
+      .map { case (s0, d0) => (s0, d0, 1.0, "W") }.toDF("src", "dst", "w", "type")
+    val g = Graph(Graph.verticesOf(e), e)
+    val r = g.diameterLowerBound(maxHops = 8).head()
+    assert(r.getAs[String]("start_id") === "a")
+    assert(r.getAs[String]("peripheral_id") === "e")
+    assert(r.getAs[Long]("diameter_lb") === 4L)
+    assert(r.getAs[Long]("n_reached") === 5L)
+    // star graph: diameter 2, peripheral = smallest leaf by tie-break
+    val star = (1 to 5).map(i => ("hub", s"l$i", 1.0, "W"))
+      .toDF("src", "dst", "w", "type")
+    val g2 = Graph(Graph.verticesOf(star), star)
+    val r2 = g2.diameterLowerBound(maxHops = 8).head()
+    assert(r2.getAs[Long]("diameter_lb") === 2L)
+    assert(r2.getAs[Long]("n_reached") === 6L)
+  }
+
+  test("walk family: maxDegree caps a synthetic hub's adjacency to the dst-sorted prefix") {
+    // hub h has 50 out-neighbors; with maxDegree=5 every pick must land
+    // in the 5 smallest dsts (n00..n04) and the walk must equal a local
+    // replay over the SLICED adjacency — proving the truncation is the
+    // deterministic sorted prefix, not an arbitrary subset
+    val ns = (0 until 50).map(i => f"n$i%02d")
+    val e = (ns.map(n => ("h", n, 1.0, "W")) ++ ns.map(n => (n, "h", 2.0, "W")))
+      .toDF("src", "dst", "w", "type")
+    val g = Graph(Graph.verticesOf(e), e)
+    val cap = 5
+    val retained = ns.sorted.take(cap)
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val got = g.deterministicWalks(6, maxDegree = cap).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // all hub-outgoing steps land inside the retained prefix
+    got.values.foreach(p => p.sliding(2).filter(_.size == 2).foreach { st =>
+      if (st(0) == "h") assert(retained.contains(st(1)), s"uncapped pick in $p")
+    })
+    // exact local replay over the sliced adjacency
+    val adj = Map("h" -> retained) ++ ns.map(_ -> Seq("h")).toMap
+    val want = ("h" +: ns).map { v =>
+      var cur = v; val path = scala.collection.mutable.ArrayBuffer(v)
+      for (i <- 1 to 6) adj.get(cur).foreach { nb =>
+        cur = nb((h60(s"$v|$i") % nb.size).toInt); path += cur
+      }
+      v -> path.toSeq
+    }.toMap
+    assert(got === want)
+    // weighted + node2vec variants honor the same cap
+    val gotW = g.weightedDeterministicWalks(4, maxDegree = cap).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    gotW.values.foreach(p => p.sliding(2).filter(_.size == 2).foreach { st =>
+      if (st(0) == "h") assert(retained.contains(st(1)), s"weighted uncapped in $p")
+    })
+    val gotN = g.node2vecWalks(4, maxDegree = cap).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    gotN.values.foreach(p => p.sliding(2).filter(_.size == 2).foreach { st =>
+      if (st(0) == "h") assert(retained.contains(st(1)), s"node2vec uncapped in $p")
+    })
+  }
+
   test("weightedDeterministicWalks: draws proportional to weight, local replay agrees") {
     // a's neighbors: b (w=3, residues 0-2), c (w=1, residue 3);
     // z has only a zero-weight edge -> owns no residues, walk stops

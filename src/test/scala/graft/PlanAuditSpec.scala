@@ -50,8 +50,10 @@ class PlanAuditSpec extends SparkTestBase {
                                          // (bal·cnt > sum exact-decimal compare)
     "q_tpch_q11",                        // 1-row mean-value-gate broadcast
                                          // (pval·np·10 > total·12 compare)
-    "q_sketch_kmv_pairs")                // sketch relation × itself (groups²,
+    "q_sketch_kmv_pairs",                // sketch relation × itself (groups²,
                                          // k-sized arrays — never data-sized)
+    "q_vocab_growth")                    // 5-row checkpoint relation broadcast
+                                         // (first_doc < cp range predicate)
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {

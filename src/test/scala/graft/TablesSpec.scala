@@ -102,6 +102,33 @@ class TablesSpec extends SparkTestBase {
     assert(badSrc == 0L, "documents.source no longer matches src[0-9]+")
   }
 
+  test("implicit value-domain contracts: embedding dim, events.ts range, ASCII text") {
+    // embeddings are fixed 64-dim — the ANN/PQ/k-means queries assume a
+    // constant dimension (PQ subspace split, cosine fold order); a
+    // ragged or re-dimensioned regeneration fails here, not 30 rows deep
+    val dims = tbl("embeddings")
+      .select(size(col("embedding")).as("d")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(dims == Set(64), s"embeddings dim drifted: $dims")
+    // events live in a single month (Jan 2024) — the walk/funnel/
+    // attribution rows and hourly windows implicitly bucket within it
+    val mm = tbl("events").agg(
+      min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (mm.getTimestamp(0), mm.getTimestamp(1))
+    assert(lo.toInstant.isAfter(java.time.Instant.parse("2023-12-31T00:00:00Z")) &&
+      hi.toInstant.isBefore(java.time.Instant.parse("2024-02-01T00:00:00Z")),
+      s"events.ts range drifted: [$lo, $hi]")
+    // documents.text is pure ASCII — the phash oracle mixes DuckDB's
+    // byte-based strlen with character-based substr/ascii, and
+    // StubCodec.phash64 windows UTF-8 BYTES; both are only equivalent
+    // on ASCII, so the assumption is CHECKED, not implicit (r7 advice)
+    val nonAscii = tbl("documents")
+      .filter(octet_length(col("text")) =!= length(col("text"))).count()
+    assert(nonAscii == 0L,
+      s"$nonAscii documents contain non-ASCII text — the byte/char " +
+        "equivalence the phash oracle depends on no longer holds")
+  }
+
   test("normalizeTs covers both historical physical encodings") {
     import spark.implicits._
     // long-typed nanos (the r1-r4 TIMESTAMP(NANOS)-as-long form)
