@@ -77,12 +77,75 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq.sorted
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // Short second line: the per-query line outgrew the driver's stdout tail
-    // capture at 104 queries (BENCH_r03 lost its total) — the summary must
-    // always fit.
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The single per-query line above outgrew the driver's stdout tail
+    // capture at 104 queries (BENCH_r03 lost its total; BENCH_r07 kept
+    // only 61 of 276 queries). Two mitigations, so the full map is never
+    // lost again (r7 verdict #2):
+    //   1. the COMPLETE result is written to a committed file
+    //      (BENCH_DETAILS.json — the durable per-query artifact);
+    //   2. stdout re-emits the map in bounded ~40-query chunks, each
+    //      line short enough to survive any tail capture individually.
+    val sorted = results.toSeq.sortBy(_._1)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAILS.json")
+    val fileJson = new StringBuilder()
+      .append(s"""{\n "sf": "$sfDir",\n "cpus": $cpus,\n "reps": $reps,\n""")
+      .append(s""" "total": $total,\n "failed": $failedJson,\n "queries": {\n""")
+      .append(sorted.map { case (k, v) => s"""  "$k": $v""" }.mkString(",\n"))
+      .append("\n }\n}\n").toString()
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), fileJson)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    sorted.grouped(40).zipWithIndex.foreach { case (chunk, i) =>
+      val m = chunk.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      println(s"""{"metric":"queries_chunk","chunk":${i + 1},"chunks":${(sorted.size + 39) / 40},"queries":$m}""")
+    }
+    // Contention-vs-regression triage: compare each time against the
+    // committed reps=3 floor (min of per-run medians in the newest
+    // BENCH_MEDIANS_r*.json). A >2x-over-floor reading on a loaded host
+    // is machine-distinguishable from a plan regression only if the
+    // floor rides along in the artifact.
+    floors() match {
+      case Some((floorFile, fl)) =>
+        val flagged = sorted.collect {
+          case (k, v) if v > 0 && fl.get(k).exists(f => v > 2 * f && v - f > 0.5) =>
+            s""""$k":{"sec":$v,"floor":${fl(k)}}"""
+        }
+        println(s"""{"metric":"flagged","floor_file":"$floorFile","n":${flagged.size},"queries":${flagged.mkString("{", ",", "}")}}""")
+      case None => ()
+    }
+    // Short last line: the summary must always fit the tail capture.
     println(s"""{"metric":"summary","total":$total,"n":${results.size},"reps":$reps,"failed":$failedJson,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Per-query committed floors: min of the per-run medians across every
+    * run in the NEWEST `BENCH_MEDIANS_r*.json` in the working directory
+    * (the artifact each round commits). None if no medians file exists.
+    */
+  private def floors(): Option[(String, Map[String, Double])] = {
+    val cwd = new java.io.File(".")
+    val files = Option(cwd.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_MEDIANS_r\\d+\\.json"))
+    if (files.isEmpty) return None
+    val newest = files.maxBy(f =>
+      "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
+    try {
+      import org.json4s._
+      val root = org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(newest.toPath))
+      val perRun = for {
+        JArray(runs) <- root \ "runs"
+        run <- runs
+        JObject(qs) <- run \ "queries"
+        (name, JDouble(sec)) <- qs
+      } yield name -> sec
+      val fl = perRun.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+      Some((newest.getName, fl))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] floors unreadable from ${newest.getName}: ${e.getMessage}")
+      None
+    }
   }
 }

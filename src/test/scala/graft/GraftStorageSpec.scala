@@ -38,6 +38,30 @@ class GraftStorageSpec extends SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("two concurrent sessions: clear is session-scoped, no cross-release") {
+    import spark.implicits._
+    val other = spark.newSession()
+    // each session persists its own relation through the tracked path
+    val mine = Seq(1, 2, 3).toDF("x").persistTracked()
+    val theirsDf = { val s = other; import s.implicits._
+      Seq(4, 5, 6).toDF("y") }
+    val theirs = GraftStorage.persisted(theirsDf)
+    assert(mine.count() === 3 && theirs.count() === 3)
+    assert(GraftStorage.trackedCount(spark) === 1)
+    assert(GraftStorage.trackedCount(other) === 1)
+    // clearing MY session must not release the other session's handle
+    // (sweepCheckpoints = false: the RDD sweep is the documented
+    // context-wide step, exercised separately above)
+    GraftStorage.clear(spark, sweepCheckpoints = false)
+    assert(GraftStorage.trackedCount(spark) === 0)
+    assert(GraftStorage.trackedCount(other) === 1)
+    assert(theirs.storageLevel.useMemory,
+      "other session's tracked persist was cross-released")
+    GraftStorage.clear(other)
+    assert(GraftStorage.trackedCount === 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("no catalog query leaves persisted blocks after consume + clear") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory)
