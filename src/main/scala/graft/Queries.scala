@@ -4539,6 +4539,35 @@ object Queries {
              |      FROM sc)
              |WHERE rn <= 3""".stripMargin)),
 
+    // SPARSE lexical cosine pairs over the df-capped term space — the
+    // inverted-index twin of the dense ANN path: integer tf·(N div df)
+    // weights (exact-long dot products and norms), pairing restricted to
+    // terms with df·16 <= N (the cooccur_lift dyadic df guard — common-
+    // term mass never joins), cosine = the 4-IEEE-op finish
+    Q("q_sparse_cosine",
+      (s, d) => graft.pipeline.Relevance.sparseCosinePairs(
+        t(s, d)("documents"), "doc_id", "text", maxDfFrac = 16, minCos = 0.3),
+      Some("""WITH w0 AS (SELECT doc_id, unnest(list_filter(
+             |    string_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM w0 GROUP BY 1, 2),
+             |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |wt AS (SELECT doc_id, term,
+             |         CAST(tf * ((SELECT n_docs FROM n) // df) AS BIGINT) AS w
+             |       FROM tf JOIN dft USING (term)
+             |       WHERE df * 16 <= (SELECT n_docs FROM n)),
+             |nm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS n2 FROM wt GROUP BY 1),
+             |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             |              CAST(sum(a.w * b.w) AS BIGINT) AS s
+             |       FROM wt a JOIN wt b ON a.term = b.term AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT id1, id2, cos FROM (
+             |  SELECT id1, id2, CAST(s AS DOUBLE) /
+             |    (sqrt(CAST(x.n2 AS DOUBLE)) * sqrt(CAST(y.n2 AS DOUBLE))) AS cos
+             |  FROM pr JOIN nm x ON pr.id1 = x.doc_id JOIN nm y ON pr.id2 = y.doc_id)
+             |WHERE cos >= 0.3""".stripMargin)),
+
     // mean token rarity (inverse corpus frequency) — fold order pinned by
     // sorting the per-doc ratio array before summing
     Q("q_token_rarity",

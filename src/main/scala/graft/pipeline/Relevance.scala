@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.GraftStorage.Syntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,6 +49,52 @@ object Relevance {
       .select(col(idCol), col("term"),
         ((col("tf") * col("n_docs")).cast("double") / col("df").cast("double")).as("score"))
     topK(scored, idCol, k)
+  }
+
+  /** SPARSE lexical similarity JOIN — all-pairs TF-IDF cosine over the
+    * df-CAPPED term space, via the inverted index: the lexical twin of
+    * the dense embedding ANN path (and the recall backstop MinHash
+    * misses when near-dups share vocabulary but not shingles). Weights
+    * are exact integers `tf · (N div df)` (floor idf — coarse for
+    * common terms, which the cap drops anyway), so the pair dot product
+    * and both norms are exact longs; the cosine is the documented
+    * 4-IEEE-op finish (cast, two sqrt, divide) — bit-replayable.
+    *
+    * Scale: the pairing join fans out df² per term, so it runs ONLY
+    * over terms with `df · maxDfFrac ≤ N` — the same dyadic-fraction
+    * df guard as [[cooccurrenceLift]]; common-term mass never joins.
+    * Norms use the same capped space, so the metric is internally
+    * consistent (cosine OVER the capped vocabulary, documented).
+    * Overflow contract: w ≤ tf·N, so Σ w² needs tf²·N²·|terms| < 2⁶³
+    * — at N = 10⁹ lower the idf scale or pre-bucket df.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                        maxDfFrac: Int = 16, minCos: Double = 0.3): DataFrame = {
+    val tf = docs.select(col(idCol), explode(filter(
+        split(lower(col(textCol)), "[^a-z]+"), w => length(w) > 0)).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // pinned: the weighted index feeds the norm aggregate AND both
+    // sides of the pairing join (the Dedup.components contract)
+    val w = tf.join(dfT, "term").crossJoin(broadcast(n))
+      .filter(col("df") * maxDfFrac <= col("n_docs"))
+      .select(col(idCol), col("term"),
+        (col("tf") * expr("n_docs div df")).as("w"))
+      .persistTracked()
+    val norms = w.groupBy(col(idCol)).agg(sum(col("w") * col("w")).as("n2"))
+    val s = w.select(col(idCol).as("id1"), col("term"), col("w").as("w1"))
+      .join(w.select(col(idCol).as("id2"), col("term"), col("w").as("w2")),
+        Seq("term"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(sum(col("w1") * col("w2")).as("s"))
+    s.join(norms.select(col(idCol).as("id1"), col("n2").as("na")), Seq("id1"))
+      .join(norms.select(col(idCol).as("id2"), col("n2").as("nb")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        (col("s").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+          .as("cos"))
+      .filter(col("cos") >= minCos)
   }
 
   /** Mean token rarity per document: the average over the doc's word

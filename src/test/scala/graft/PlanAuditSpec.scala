@@ -52,8 +52,10 @@ class PlanAuditSpec extends SparkTestBase {
                                          // (pval·np·10 > total·12 compare)
     "q_sketch_kmv_pairs",                // sketch relation × itself (groups²,
                                          // k-sized arrays — never data-sized)
-    "q_vocab_growth")                    // 5-row checkpoint relation broadcast
+    "q_vocab_growth",                    // 5-row checkpoint relation broadcast
                                          // (first_doc < cp range predicate)
+    "q_sparse_cosine")                   // 1-row n_docs broadcast (df cap +
+                                         // integer idf weights)
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {

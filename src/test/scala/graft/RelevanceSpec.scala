@@ -110,4 +110,23 @@ class RelevanceSpec extends SparkTestBase {
     assert(!Relevance.vocabCoverage(docs, "text", Seq(9)).collect()
       .map(_.getAs[Long]("vocab_rank")).contains(9L))
   }
+
+  test("sparseCosinePairs: hand-computed integer-weight cosine; df cap prunes pairing") {
+    // N=3; df(x)=df(y)=2, df(z)=1 -> floor idf: x,y -> 1, z -> 3
+    // wa = {x:2, y:1} (norm 5), wb = {x:1, y:2} (norm 5), wc = {z:9}
+    // s(a,b) = 2+2 = 4 -> cos = 4/(sqrt(5)*sqrt(5)) ≈ 0.8 (the exact IEEE
+    // value, NOT 0.8: sqrt(5)² rounds to 4.999...6); c pairs with no one
+    val docs = Seq((1L, "x x y"), (2L, "x y y"), (3L, "z z z"))
+      .toDF("doc_id", "text")
+    val got = Relevance.sparseCosinePairs(docs, "doc_id", "text",
+        maxDfFrac = 1, minCos = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L,
+      4.0 / (math.sqrt(5.0) * math.sqrt(5.0)))))
+    // the df cap excludes common terms from PAIRING and from the norms:
+    // with maxDfFrac = 2 only z (df=1) survives df*2 <= 3, so no pairs
+    assert(Relevance.sparseCosinePairs(docs, "doc_id", "text",
+      maxDfFrac = 2, minCos = 0.0).count() === 0L)
+    GraftStorage.clear(spark)
+  }
 }
