@@ -404,24 +404,55 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * are exact integers; paths longer than `maxHops` are treated as
     * unreachable (document the cap; at 100 TB you bound rounds anyway).
     *
-    * The loop is deliberately LAZY even though `dist` is referenced twice
-    * per round (step + union): the two references canonicalize to the
-    * same aggregate exchange, which AQE's ReuseExchange executes once, so
-    * runtime stays linear in `maxHops`. Measured: eager per-round
-    * persist+count (the GraphFrames Pregel pattern) was 1.7× SLOWER here
-    * (7.9 s vs 4.6 s at sf0.1) — it trades the reused exchange for
-    * maxHops extra job/cache round-trips. Revisit only if rounds grow
-    * past ~10, where optimizer time on the doubled logical subtree would
-    * start to bite — so past [[Graph.LazyHopLimit]] hops the loop
-    * truncates lineage with an eager `localCheckpoint` every
-    * [[Graph.CheckpointEvery]] rounds (plan size stays bounded; the
-    * shallow fast path is untouched).
+    * EAGER by default since round 8: each round checkpoints and the loop
+    * stops the moment no new `(id, landmark)` row appears — unit-weight
+    * BFS distances are final the round they are first set, so early exit
+    * is exact. Measured at sf0.1: 3.03 s lazy → 1.07 s eager for the
+    * 2-landmark row, 2.93 → 1.28 s for 3-landmark closeness; the old
+    * "lazy is 1.7× faster" reading predated early exit (a fixed 6-round
+    * eager loop pays count jobs for post-convergence no-op rounds, and
+    * the lazy loop's logical tree doubles per round — 2⁶ seed copies by
+    * round 6 — which is pure planner cost).
     */
-  def shortestPaths(landmarks: Seq[String], maxHops: Int = 6): DataFrame = {
+  def shortestPaths(landmarks: Seq[String], maxHops: Int = 6): DataFrame =
+    shortestPathsEager(landmarks, maxHops, eager = true)
+
+  /** [[shortestPaths]] with a per-round materialization toggle. Unit-
+    * weight BFS distances are FINAL the round they first appear, so the
+    * eager path can stop the moment no new `(id, landmark)` row is
+    * reached — on a small-diameter graph that is diameter+1 rounds, not
+    * `maxHops` — and each round's plan is one join over a checkpointed
+    * leaf instead of the lazily DOUBLED subtree (dist is referenced
+    * twice per round; by round 6 the logical tree holds 2⁶ copies of
+    * the seed, and past ~6 rounds optimizer time dominates execution —
+    * the [[diameterLowerBound]] measurement: 23 s lazy vs 2.5 s eager
+    * at 8 hops). The lazy path remains for A/B measurement and for
+    * callers embedding this loop inside a larger lazy plan.
+    */
+  private[graft] def shortestPathsEager(landmarks: Seq[String], maxHops: Int,
+                                        eager: Boolean): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     var dist = vertices.select(col("id"))
       .filter(col("id").isin(landmarks: _*))
       .select(col("id"), col("id").as("landmark"), lit(0L).as("distance"))
+    if (eager) {
+      dist = dist.localCheckpoint(true)
+      var n = dist.count()
+      var hop = 0
+      var grown = true
+      while (grown && hop < maxHops) {
+        val stepped = e.join(dist.withColumnRenamed("id", "did"), col("dst") === col("did"))
+          .select(col("src").as("id"), col("landmark"), (col("distance") + 1L).as("distance"))
+        dist = dist.unionByName(stepped)
+          .groupBy("id", "landmark").agg(min("distance").as("distance"))
+          .localCheckpoint(true)
+        val n2 = dist.count()
+        grown = n2 > n
+        n = n2
+        hop += 1
+      }
+      return dist
+    }
     val deep = maxHops > Graph.LazyHopLimit
     for (hop <- 1 to maxHops) {
       val stepped = e.join(dist.withColumnRenamed("id", "did"), col("dst") === col("did"))
@@ -456,15 +487,20 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     var dist = vertices.select(col("id"))
       .filter(col("id").isin(landmarks: _*))
       .select(col("id"), col("id").as("landmark"), lit(0L).as("distance"))
-    val deep = maxHops > Graph.LazyHopLimit
-    for (hop <- 1 to maxHops) {
+      .localCheckpoint(true)
+    // eager per-round like [[shortestPaths]], but NO early exit: a
+    // min-plus relaxation can lower an existing distance without adding
+    // a row, so "no new rows" is not convergence here — the loop runs
+    // all `maxHops` relaxation rounds (the bound the result is defined
+    // by). Checkpointing still replaces the per-round doubled logical
+    // subtree with a leaf read.
+    for (_ <- 1 to maxHops) {
       val stepped = e.join(dist.withColumnRenamed("id", "did"), col("dst") === col("did"))
         .select(col("src").as("id"), col("landmark"),
           (col("distance") + col("__w")).as("distance"))
       dist = dist.unionByName(stepped)
         .groupBy("id", "landmark").agg(min("distance").as("distance"))
-      if (deep && hop % Graph.CheckpointEvery == 0 && hop < maxHops)
-        dist = dist.localCheckpoint(true)
+        .localCheckpoint(true)
     }
     dist
   }
