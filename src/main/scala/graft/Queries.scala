@@ -4348,6 +4348,23 @@ object Queries {
              |  FROM documents)
              |WHERE sample_rank <= 7""".stripMargin)),
 
+    // deterministic TRAINING-ORDER interleave — the EXACT per-source hash
+    // rank of every doc with no single-task stratum sort: the salt is the
+    // md5's top bits, so shard-concatenation order equals the global hash
+    // permutation and rank = shard row_number + broadcast shard offset.
+    // Sorting by (interleave_rank, source) reproduces the round-robin
+    // source schedule; the oracle is the one-window naive form the
+    // two-stage rank must equal EXACTLY
+    Q("q_mix_interleave",
+      (s, d) => graft.pipeline.Mix.interleaveRanks(
+        t(s, d)("documents").select(col("doc_id"), col("source")),
+        "source", col("doc_id")),
+      Some("""SELECT source, doc_id,
+             |  CAST(row_number() OVER (PARTITION BY source
+             |    ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+             |    AS interleave_rank
+             |FROM documents""".stripMargin)),
+
     // --------------------------------------- snapshot maintenance (Snapshot)
 
     // latest-wins upsert of a crawl delta into the corpus: one max_by hash

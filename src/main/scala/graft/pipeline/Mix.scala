@@ -268,6 +268,47 @@ object Mix {
       .select(col(idCol), col("score"), col("n_tokens"), col("start_offset"))
   }
 
+  /** Deterministic TRAINING-ORDER interleave: the EXACT per-stratum hash
+    * rank of every row, computed without ever sorting a whole stratum in
+    * one task. Consumers order by `(interleave_rank, stratum)` to get
+    * the round-robin source schedule training pipelines feed from (each
+    * source's docs appear in a reproducible shuffled order, sources
+    * alternating) — the global-sort-free form of "shuffle and interleave
+    * the corpus".
+    *
+    * Exactness trick: the salt is the TOP bits of the same md5 the
+    * within-shard sort uses, so salt order IS hash-prefix order and
+    * concatenating shards by `(salt, md5, key)` equals the global
+    * `(md5, key)` permutation — rank = shard-local row_number + the
+    * stratum's cumulative shard offset (a strata×salts-row broadcast).
+    * A plain `Window.partitionBy(stratum)` would sort entire strata in
+    * single tasks (strata are LOW-cardinality); this is the exact-rank
+    * generalization of the [[Skew.saltedTopK]] top-k escape.
+    */
+  def interleaveRanks(df: DataFrame, stratumCol: String, key: Column,
+                      seed: String = "mix", salts: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(salts >= 1 && 256 % salts == 0,
+      s"salts=$salts must divide 256 (salt = top bits of the md5 first byte)")
+    val keyed = df
+      .withColumn("__h", md5(concat(lit(seed + ":"), key.cast("string"))))
+      .withColumn("__salt", floor(
+        conv(substring(col("__h"), 1, 2), 16, 10) / lit(256 / salts)).cast("int"))
+    val r1 = keyed.withColumn("__r", row_number().over(
+      Window.partitionBy(col(stratumCol), col("__salt"))
+        .orderBy(col("__h"), key)).cast("long"))
+    val offs = keyed.groupBy(col(stratumCol), col("__salt"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.partitionBy(col(stratumCol))
+          .orderBy(col("__salt")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .drop("__c")
+    r1.join(broadcast(offs), Seq(stratumCol, "__salt"))
+      .withColumn("interleave_rank", col("__off") + col("__r"))
+      .drop("__h", "__salt", "__r", "__off")
+  }
+
   /** Cluster-balanced ("diversity") sampling: the first `m` rows per
     * cell in deterministic md5 order — the cap that keeps a dominant
     * semantic cluster from swallowing a selection budget (the

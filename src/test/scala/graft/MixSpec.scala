@@ -203,4 +203,31 @@ test("selectByBudget: two-phase prefix sum equals the one-window global cumsum")
       === "aaabcccccc")
     assert(run(rows.repartition(7)) === got)
   }
+
+  test("interleaveRanks: two-stage rank equals the naive single-window rank exactly") {
+    import org.apache.spark.sql.expressions.Window
+    // 200 rows over 3 skewed strata; the exactness claim is that the
+    // salt-sharded rank (salt = md5 top bits, shard row_number + offset)
+    // IS the global (md5, key) permutation per stratum
+    val rows = (1 to 200).map(i => (i.toLong, Seq("a", "a", "a", "b", "c")(i % 5)))
+      .toDF("doc_id", "source")
+    val naive = rows.withColumn("interleave_rank",
+      row_number().over(Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("mix:"), col("doc_id").cast("string"))),
+          col("doc_id"))).cast("long"))
+    val got = Mix.interleaveRanks(rows, "source", col("doc_id"))
+      .select("doc_id", "source", "interleave_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = naive.select("doc_id", "source", "interleave_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === want)
+    // repartition-invariant, and salts must divide 256
+    val got2 = Mix.interleaveRanks(rows.repartition(13), "source", col("doc_id"),
+        salts = 8)
+      .select("doc_id", "source", "interleave_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got2 === want)
+    intercept[IllegalArgumentException](
+      Mix.interleaveRanks(rows, "source", col("doc_id"), salts = 3))
+  }
 }
