@@ -3945,6 +3945,50 @@ object Queries {
               |  $langCountsSql
               |  FROM documents)""".stripMargin)),
 
+    // lang-ID CONFUSION MATRIX against the labeled lang column, in TWO
+    // evidence regimes — full text (the heuristic is diagonal on this
+    // corpus: given enough stopword evidence it never confuses these 5
+    // languages) and the first 40 chars (evidence-starved predictions
+    // collapse toward the stopword-densest default, off-diagonal at
+    // every SF — the minimum-evidence threshold quantified, which is
+    // the number that decides whether short docs get routed to a
+    // heavier classifier). The language twin of q_classifier_eval;
+    // non-vacuous by construction (the short regime always confuses)
+    Q("q_langid_confusion",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        def scored(textExpr: Column, regime: String) = {
+          val evidence = Text.langEvidence(textExpr)
+          docs.select(col("doc_id") +: col("lang") +: evidence: _*)
+            .withColumn("pred", Text.langPredict(
+              Text.StopwordLists.map { case (l, _) => col(s"c_$l") }))
+            .withColumn("regime", lit(regime))
+        }
+        scored(col("text"), "full")
+          .unionByName(scored(substring(col("text"), 1, 40), "short40"))
+          .groupBy(col("regime"), col("lang").as("actual"), col("pred"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("share", col("cnt").cast("double") /
+            sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("regime"), col("actual"))).cast("double"))
+      },
+      Some {
+        def arm(src: String, regime: String) =
+          s"""SELECT doc_id, lang, '$regime' AS regime, $langPredSql AS pred FROM (
+             |  SELECT doc_id, lang,
+             |  $langCountsSql
+             |  FROM $src)""".stripMargin
+        s"""WITH sc AS (${arm("documents", "full")}
+           |UNION ALL
+           |${arm("(SELECT doc_id, lang, substring(text, 1, 40) AS text FROM documents)", "short40")}),
+           |cm AS (SELECT regime, lang AS actual, pred, count(*) AS cnt
+           |       FROM sc GROUP BY 1, 2, 3)
+           |SELECT regime, actual, pred, cnt,
+           |  CAST(cnt AS DOUBLE) /
+           |    CAST(sum(cnt) OVER (PARTITION BY regime, actual) AS DOUBLE) AS share
+           |FROM cm""".stripMargin
+      }),
+
     // the C4-style composite: language filter → quality floor → exact
     // dedup (min doc_id per md5 wins), each stage reusing its
     // oracle-proven primitive — the chain an LLM corpus runs before
