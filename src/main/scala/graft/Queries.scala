@@ -6669,6 +6669,56 @@ object Queries {
              |    1, 12)) AS BIGINT)) AS VARCHAR) AS checksum
              |FROM documents GROUP BY source""".stripMargin)),
 
+    // deterministic SHARD MANIFEST — the dataset-release write step made
+    // auditable: md5-routed shard placement + per-shard doc count, token
+    // mass, and order-invariant content checksum. Two writers agreeing
+    // on the manifest almost surely wrote identical shards
+    Q("q_shard_manifest",
+      (s, d) => graft.pipeline.Profile.shardManifest(
+        t(s, d)("documents"), "doc_id", "text", shards = 16),
+      Some("""SELECT CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+             |         1, 15)) AS BIGINT) % 16 AS shard,
+             |  CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+             |  CAST(sum(CAST(concat('0x', substring(
+             |    md5(concat_ws('|', doc_id, text)), 1, 12)) AS BIGINT)) AS VARCHAR)
+             |    AS checksum
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // CROSS-SHARD duplicate-family audit — the operational argument for
+    // GLOBAL dedup: hash-shard the corpus, fingerprint dup families by
+    // 48-char text prefix, and count how many families straddle shards
+    // (shard-local dedup misses every straddler). Non-vacuous at all
+    // SFs (prefix families exist from sf0.001 up); straddle_share is
+    // the exact integer ratio
+    Q("q_dedup_cross_shard",
+      (s, d) => {
+        val d16 = t(s, d)("documents").select(
+          (conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))),
+            1, 15), 16, 10).cast("long") % 16).as("shard"),
+          md5(substring(col("text"), 1, 48)).as("fp"))
+        d16.groupBy(col("fp"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("shard")).as("n_shards"))
+          .filter(col("n") > 1)
+          .agg(count(lit(1)).as("n_families"),
+            sum(when(col("n_shards") === 1, 1L).otherwise(0L)).as("n_single_shard"),
+            sum(when(col("n_shards") > 1, 1L).otherwise(0L)).as("n_straddling"))
+          .withColumn("straddle_share",
+            col("n_straddling").cast("double") / col("n_families").cast("double"))
+      },
+      Some("""WITH d AS (SELECT md5(substring(text, 1, 48)) AS fp,
+             |    CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+             |      1, 15)) AS BIGINT) % 16 AS shard
+             |  FROM documents),
+             |f AS (SELECT fp, count(*) AS n, count(DISTINCT shard) AS ns
+             |      FROM d GROUP BY fp HAVING count(*) > 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_families,
+             |  CAST(sum(CASE WHEN ns = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_single_shard,
+             |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+             |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE) AS straddle_share
+             |FROM f""".stripMargin)),
+
     // modularity audit of the LPA partition — the quality number every
     // community detection reports; counts are exact ints, the term a
     // fixed IEEE tree, m attaches as a 1-row broadcast

@@ -79,6 +79,30 @@ object Profile {
     * One map-combined hash aggregate; only (group, 48-bit int) partials
     * ride the shuffle.
     */
+  /** Deterministic SHARD MANIFEST — the "write the training shards"
+    * step made auditable: every doc hash-routes to `shards` buckets
+    * (`md5(seed:id) mod shards` — engine-replayable, placement stable
+    * under reshuffles/retries), and the manifest row per shard carries
+    * doc count, token mass, and the order-invariant content checksum
+    * ([[checksum]]'s exact-decimal sum of 48-bit row digests). Two
+    * writers producing the same manifest almost surely wrote the same
+    * shard contents — the reproducible-dataset-release contract.
+    * One map-combined aggregate; only (shard, partial) rows shuffle.
+    */
+  def shardManifest(docs: DataFrame, idCol: String, textCol: String,
+                    shards: Int = 16, seed: String = "shard"): DataFrame = {
+    require(shards >= 1, s"shards=$shards must be >= 1")
+    docs.select(
+        (conv(substring(md5(concat(lit(seed + ":"), col(idCol).cast("string"))),
+          1, 15), 16, 10).cast("long") % shards).as("shard"),
+        Text.nWords(col(textCol)).as("ntok"),
+        conv(substring(md5(concat_ws("|", col(idCol), col(textCol))), 1, 12),
+          16, 10).cast("decimal(28,0)").as("h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+        sum(col("h")).cast("string").as("checksum"))
+  }
+
   def checksum(df: DataFrame, group: String, cols: Seq[String]): DataFrame =
     df.select(col(group),
         conv(substring(md5(concat_ws("|", cols.map(col): _*)), 1, 12), 16, 10)
