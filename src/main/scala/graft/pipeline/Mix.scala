@@ -288,12 +288,18 @@ object Mix {
   def interleaveRanks(df: DataFrame, stratumCol: String, key: Column,
                       seed: String = "mix", salts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(salts >= 1 && 256 % salts == 0,
-      s"salts=$salts must divide 256 (salt = top bits of the md5 first byte)")
+    // salts is the per-stratum parallelism: each (stratum, salt) shard
+    // sorts in one task, so size it at ~|largest stratum| / 10M rows.
+    // Up to 65536 shards from the md5's top TWO bytes (a 10B-doc
+    // stratum at 65536 salts is ~150k rows/task); the divisibility
+    // requirement keeps the salt an exact top-bits prefix, which is
+    // what makes shard concatenation equal the global hash order.
+    require(salts >= 1 && 65536 % salts == 0,
+      s"salts=$salts must divide 65536 (salt = top bits of the md5 first two bytes)")
     val keyed = df
       .withColumn("__h", md5(concat(lit(seed + ":"), key.cast("string"))))
       .withColumn("__salt", floor(
-        conv(substring(col("__h"), 1, 2), 16, 10) / lit(256 / salts)).cast("int"))
+        conv(substring(col("__h"), 1, 4), 16, 10) / lit(65536 / salts)).cast("int"))
     val r1 = keyed.withColumn("__r", row_number().over(
       Window.partitionBy(col(stratumCol), col("__salt"))
         .orderBy(col("__h"), key)).cast("long"))

@@ -229,5 +229,10 @@ test("selectByBudget: two-phase prefix sum equals the one-window global cumsum")
     assert(got2 === want)
     intercept[IllegalArgumentException](
       Mix.interleaveRanks(rows, "source", col("doc_id"), salts = 3))
+    // wide salt spaces (top two md5 bytes) produce the same exact ranks
+    val got3 = Mix.interleaveRanks(rows, "source", col("doc_id"), salts = 4096)
+      .select("doc_id", "source", "interleave_rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got3 === want)
   }
 }
