@@ -3691,6 +3691,47 @@ object Queries {
               |  FROM sym)
               |WHERE rank <= 3""".stripMargin)),
 
+    // kNN LABEL PURITY — the standard embedding-quality probe: per
+    // label, what fraction of each vector's top-3 neighbors share its
+    // label? Low purity = the space does not separate the classes (on
+    // this synthetic corpus labels are near-random wrt the vectors, so
+    // the row honestly reads ~1/n_labels — the metric the probe exists
+    // to report). Composes the verified kNN graph with two label
+    // attaches + one aggregate; purity is the exact integer ratio
+    Q("q_knn_purity",
+      (s, d) => {
+        val emb = t(s, d)("embeddings")
+        val lbl = emb.select(col("vec_id"), col("label"))
+        graft.pipeline.SimilarityLsh.topK(
+            emb.select(col("vec_id"), col("embedding")),
+            k = 3, numPlanes = 8, numTables = 6)
+          .join(lbl.select(col("vec_id").as("q_id"), col("label").as("ql")), Seq("q_id"))
+          .join(lbl.select(col("vec_id").as("n_id"), col("label").as("nl")), Seq("n_id"))
+          .groupBy(col("ql").as("label"))
+          .agg(count(lit(1)).as("n_edges"),
+            sum(when(col("ql") === col("nl"), 1L).otherwise(0L)).as("n_agree"))
+          .withColumn("purity",
+            col("n_agree").cast("double") / col("n_edges").cast("double"))
+      },
+      Some(s"""WITH ${lshBucketsCte(8, 6)},
+              |p AS (SELECT id1, id2, cos
+              |      FROM (${lshPairsSubquery(6, 10000L)})),
+              |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
+              |        UNION ALL SELECT id2, id1, cos FROM p),
+              |g AS (SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id,
+              |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+              |    FROM sym)
+              |  WHERE rank <= 3)
+              |SELECT a.label,
+              |  CAST(count(*) AS BIGINT) AS n_edges,
+              |  CAST(sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+              |  CAST(sum(CASE WHEN a.label = b.label THEN 1 ELSE 0 END) AS DOUBLE) /
+              |    CAST(count(*) AS DOUBLE) AS purity
+              |FROM g JOIN embeddings a ON g.q_id = a.vec_id
+              |       JOIN embeddings b ON g.n_id = b.vec_id
+              |GROUP BY a.label""".stripMargin)),
+
     // one NN-DESCENT refinement round over the kNN graph: expand each
     // vector's candidates with neighbors-of-neighbors (one self-join on
     // the k-bounded graph, ≤ k² per vector), rescore exactly, keep the
