@@ -6540,6 +6540,39 @@ object Queries {
              |FROM p LEFT JOIN und ON p.a = und.a AND p.b = und.b
              |WHERE und.a IS NULL""".stripMargin)),
 
+    // RESOURCE-ALLOCATION link prediction (Zhou-Lü-Zhang 2009) — the
+    // log-free Adamic-Adar sibling whose score replays bit-for-bit:
+    // each term is one 1/deg IEEE divide and the per-pair sum folds
+    // over the SORTED degree list, so an unordered double SUM never
+    // enters the hash contract. Same wedge plan and hub cap as
+    // q_link_prediction
+    Q("q_link_prediction_ra",
+      (s, d) => {
+        val e = Tables.events(s, d).select(
+          col("user_id").cast("string").as("src"),
+          ((col("event_id") % 2000) + 1).cast("string").as("dst"))
+          .withColumn("w", lit(1.0)).withColumn("type", lit("EV"))
+        Graph(Graph.verticesOf(e), e)
+          .resourceAllocation(minCommon = 2L, maxDegree = 200L)
+      },
+      Some("""WITH e AS (SELECT CAST(user_id AS VARCHAR) AS src,
+             |            CAST(event_id % 2000 + 1 AS VARCHAR) AS dst FROM events),
+             |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |        FROM e WHERE src <> dst),
+             |nbr AS (SELECT a AS v, b AS n FROM und UNION ALL SELECT b, a FROM und),
+             |deg AS (SELECT n AS hub, count(*) AS d FROM nbr GROUP BY n
+             |        HAVING count(*) <= 200),
+             |wedge AS (SELECT v, n, d FROM nbr JOIN deg ON nbr.n = deg.hub),
+             |p AS (SELECT l.v AS a, r.v AS b, CAST(count(*) AS BIGINT) AS common,
+             |             list_reduce(list_prepend(0.0,
+             |               list_transform(list_sort(list(l.d)), x -> 1.0 / x)),
+             |               (p, q) -> p + q) AS ra_score
+             |      FROM wedge l JOIN wedge r ON l.n = r.n AND l.v < r.v
+             |      GROUP BY l.v, r.v HAVING count(*) >= 2)
+             |SELECT p.a, p.b, p.common, p.ra_score
+             |FROM p LEFT JOIN und ON p.a = und.a AND p.b = und.b
+             |WHERE und.a IS NULL""".stripMargin)),
+
     // per-source min-max normalization of a numeric feature — broadcast
     // group stats, shuffle-free scaled projection
     Q("q_minmax_scale",

@@ -733,6 +733,40 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     pairs.join(und, Seq("a", "b"), "left_anti")
   }
 
+  /** RESOURCE-ALLOCATION link prediction (Zhou, Lü & Zhang, EPJ B 2009):
+    * score(x,y) = Σ_{z ∈ CN(x,y)} 1/deg(z) — the log-free sibling of
+    * Adamic–Adar that consistently matches or beats it in the published
+    * benchmarks, and the one whose score this engine can make
+    * BIT-REPLAYABLE: each term is one exact-integer-reciprocal IEEE
+    * divide, and the per-pair sum folds over the SORTED degree list
+    * (collected array bounded by the common-neighbor count), so the
+    * result is partition/retry/engine-invariant where an unordered SQL
+    * SUM of doubles is not. Same wedge plan, hub cap, `minCommon`
+    * support floor, and non-edge filter as [[commonNeighbors]].
+    */
+  def resourceAllocation(minCommon: Long = 2L, maxDegree: Long = 1000L): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .persistTracked()
+    val nbr = und.union(und.select(col("b"), col("a"))).toDF("v", "n")
+    val deg = nbr.groupBy(col("n").as("hub")).agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxDegree)
+    val wedge = nbr.join(deg, nbr("n") === deg("hub"))
+      .select(col("v"), col("n"), col("d"))
+      .persistTracked()
+    val pairs = wedge.as("l")
+      .join(wedge.as("r"), col("l.n") === col("r.n") && col("l.v") < col("r.v"))
+      .groupBy(col("l.v").as("a"), col("r.v").as("b"))
+      .agg(count(lit(1)).as("common"),
+        sort_array(collect_list(col("l.d"))).as("ds"))
+      .filter(col("common") >= minCommon)
+      .withColumn("ra_score",
+        aggregate(col("ds"), lit(0.0), (acc, x) => acc + lit(1.0) / x))
+      .drop("ds")
+    pairs.join(und, Seq("a", "b"), "left_anti")
+  }
+
   /** k-core decomposition: the maximal subgraph in which every vertex has
     * degree ≥ k (direction ignored, self-loops dropped, parallel edges
     * collapsed — the standard simple-graph semantics). Returns
