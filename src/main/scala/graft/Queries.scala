@@ -6759,6 +6759,45 @@ object Queries {
              |    AS checksum
              |FROM documents GROUP BY 1""".stripMargin)),
 
+    // shard BALANCE audit — the "is my hash routing even" number read
+    // off the manifest: min/max/total docs and token mass across the 16
+    // shards plus the max-over-mean imbalance ratios (exact integer
+    // cross-multiplication inside, one IEEE divide out). A ratio
+    // drifting from ~1.0 means the shard key correlates with content —
+    // the straggler-task smell caught before the write, not after
+    Q("q_shard_balance",
+      (s, d) => graft.pipeline.Profile.shardManifest(
+          t(s, d)("documents"), "doc_id", "text", shards = 16)
+        .agg(count(lit(1)).as("n_shards"),
+          min(col("n_docs")).as("min_docs"), max(col("n_docs")).as("max_docs"),
+          sum(col("n_docs")).as("total_docs"),
+          min(col("n_tokens")).as("min_tokens"), max(col("n_tokens")).as("max_tokens"),
+          sum(col("n_tokens")).as("total_tokens"))
+        .withColumn("doc_imbalance",
+          (col("max_docs") * col("n_shards")).cast("double") /
+            col("total_docs").cast("double"))
+        .withColumn("token_imbalance",
+          (col("max_tokens") * col("n_shards")).cast("double") /
+            col("total_tokens").cast("double")),
+      Some("""WITH m AS (
+             |  SELECT CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+             |           1, 15)) AS BIGINT) % 16 AS shard,
+             |    count(*) AS n_docs,
+             |    sum(len(string_split(text, ' '))) AS n_tokens
+             |  FROM documents GROUP BY 1)
+             |SELECT CAST(count(*) AS BIGINT) AS n_shards,
+             |  CAST(min(n_docs) AS BIGINT) AS min_docs,
+             |  CAST(max(n_docs) AS BIGINT) AS max_docs,
+             |  CAST(sum(n_docs) AS BIGINT) AS total_docs,
+             |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+             |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+             |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             |  CAST(max(n_docs) * count(*) AS DOUBLE) / CAST(sum(n_docs) AS DOUBLE)
+             |    AS doc_imbalance,
+             |  CAST(max(n_tokens) * count(*) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+             |    AS token_imbalance
+             |FROM m""".stripMargin)),
+
     // CROSS-SHARD duplicate-family audit — the operational argument for
     // GLOBAL dedup: hash-shard the corpus, fingerprint dup families by
     // 48-char text prefix, and count how many families straddle shards
