@@ -110,9 +110,27 @@ object Bench {
       case Some((floorFile, fl)) =>
         val flagged = sorted.collect {
           case (k, v) if v > 0 && fl.get(k).exists(f => v > 2 * f && v - f > 0.5) =>
-            s""""$k":{"sec":$v,"floor":${fl(k)}}"""
+            (k, v, fl(k))
         }
-        println(s"""{"metric":"flagged","floor_file":"$floorFile","n":${flagged.size},"queries":${flagged.mkString("{", ",", "}")}}""")
+        // SPARK_GRAFT_BENCH_REFLAG=1: re-run each flagged query at reps=3
+        // IN THE SAME PROCESS and carry the median along — a loaded host
+        // inflates single-shot readings uniformly (r8: 30 false flags,
+        // worst 12×, all contention), and a same-process remeasure lets
+        // the run self-triage contention vs plan regression instead of
+        // waiting for a next-session focused rerun.
+        val reflag = sys.env.get("SPARK_GRAFT_BENCH_REFLAG").contains("1")
+        val entries = flagged.map { case (k, v, f) =>
+          val re =
+            if (!reflag) ""
+            else {
+              val fn = SparkEntry.queries(k)
+              val times = Seq.fill(3)(timeOnce(k, fn)).filter(_ >= 0).sorted
+              val med = if (times.isEmpty) -1.0 else times(times.size / 2)
+              s""","remeasured":$med"""
+            }
+          s""""$k":{"sec":$v,"floor":$f$re}"""
+        }
+        println(s"""{"metric":"flagged","reflag":$reflag,"floor_file":"$floorFile","n":${entries.size},"queries":${entries.mkString("{", ",", "}")}}""")
       case None => ()
     }
     // Short last line: the summary must always fit the tail capture.
@@ -135,11 +153,18 @@ object Bench {
       import org.json4s._
       val root = org.json4s.jackson.JsonMethods.parse(
         java.nio.file.Files.readString(newest.toPath))
+      // JInt too: a median that serialized as a JSON integer (e.g. 3)
+      // would otherwise silently drop its query from the floor map
       val perRun = for {
         JArray(runs) <- root \ "runs"
         run <- runs
         JObject(qs) <- run \ "queries"
-        (name, JDouble(sec)) <- qs
+        (name, v) <- qs
+        sec <- v match {
+          case JDouble(d) => Seq(d)
+          case JInt(i) => Seq(i.toDouble)
+          case _ => Seq.empty[Double]
+        }
       } yield name -> sec
       val fl = perRun.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
       Some((newest.getName, fl))

@@ -30,14 +30,22 @@ import org.apache.spark.storage.StorageLevel
   * the RDD-level local checkpoints the iterative graph/clustering loops
   * leave behind (those never enter the CacheManager, so the handle walk
   * cannot see them — and Spark does not attribute RDDs to sessions).
-  * In a multi-session deployment pass `sweepCheckpoints = false` from
-  * all but the context-owning caller, or accept that checkpointed
-  * loop state (which is consumed within each library call anyway)
-  * recomputes if another session races the sweep.
+  * Because the sweep cannot distinguish sessions, [[clear]] SKIPS it
+  * automatically whenever another session still holds tracked handles —
+  * a multi-session deployment never cross-releases by default; the last
+  * session to clear performs the sweep. Sessions are held WEAKLY: an
+  * abandoned session (never cleared, then unreferenced) drops out of the
+  * registry with its queue instead of leaking both forever.
   */
 object GraftStorage {
-  private val tracked = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
+  // weak keys: the registry must never be the thing keeping a forgotten
+  // SparkSession (and its queued Dataset handles) reachable.
+  // Collections.synchronizedMap covers the default-method compute* too
+  // (overridden in SynchronizedMap since Java 8); iteration synchronizes
+  // on the map per its contract.
+  private val tracked = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      SparkSession, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]())
 
   /** `df.persist(MEMORY_AND_DISK)`, recorded for a later [[clear]]. */
   private[graft] def persisted(df: DataFrame): DataFrame = {
@@ -50,7 +58,7 @@ object GraftStorage {
   /** How many persisted handles are currently tracked across all
     * sessions (spec/debug aid).
     */
-  def trackedCount: Int = {
+  def trackedCount: Int = tracked.synchronized {
     var n = 0
     tracked.forEach((_, q) => n += q.size())
     n
@@ -62,6 +70,15 @@ object GraftStorage {
     if (q == null) 0 else q.size()
   }
 
+  /** Does any session OTHER than `spark` currently hold tracked handles?
+    * (The context-wide checkpoint sweep defers to them — see [[clear]].)
+    */
+  private def othersTracking(spark: SparkSession): Boolean = tracked.synchronized {
+    var found = false
+    tracked.forEach((s, q) => if (!(s eq spark) && !q.isEmpty) found = true)
+    found
+  }
+
   /** Postfix form: `df.persistTracked()` ≡ [[persisted]] — keeps the
     * call sites chainable where `.persist(level)` used to sit.
     */
@@ -69,12 +86,31 @@ object GraftStorage {
     private[graft] def persistTracked(): DataFrame = GraftStorage.persisted(df)
   }
 
+  /** Release the RDD blocks behind an eagerly `localCheckpoint`ed
+    * Dataset the moment its round is superseded, instead of letting
+    * every round of an iterative loop stay pinned until the next
+    * [[clear]] sweep (a library caller that never clears would
+    * accumulate one checkpoint per round per invocation). An eager
+    * local checkpoint's plan IS a `LogicalRDD` leaf over the persisted
+    * RDD; anything else (already-released, or not a checkpoint) is a
+    * safe no-op.
+    */
+  private[graft] def releaseCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.logical.collectLeaves().foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Release every block graft pinned through `spark`. Call once the
     * returned DataFrames have been consumed; results not yet
     * materialized recompute from source afterwards (correct, just
     * uncached). Handles tracked by OTHER sessions are untouched;
     * `sweepCheckpoints` additionally drops the context-wide local
-    * checkpoints (see class doc for the multi-session contract).
+    * checkpoints — but the sweep AUTO-SKIPS while any other session
+    * still holds tracked handles (it cannot tell whose RDDs are whose,
+    * and unpersisting a sibling session's live cache behind its back is
+    * worse than letting loop checkpoints wait for the last clear).
     */
   def clear(spark: SparkSession, sweepCheckpoints: Boolean = true): Unit = {
     val q = tracked.remove(spark)
@@ -82,7 +118,7 @@ object GraftStorage {
       var d = q.poll()
       while (d != null) { d.unpersist(blocking = false); d = q.poll() }
     }
-    if (sweepCheckpoints)
+    if (sweepCheckpoints && !othersTracking(spark))
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
   }

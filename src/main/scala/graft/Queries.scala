@@ -426,6 +426,19 @@ object Queries {
        |SELECT id1, id2, cos FROM (${lshPairsSubquery(numTables, maxBucketSize)})
        |WHERE cos >= $threshold""".stripMargin
 
+  /** [[lshBucketsCte]] for the SELF-SIZING rows (topKAuto /
+    * candidatePairsAuto): the live plane count is `planesFor(corpus)`,
+    * so the oracle replays `planesFor` on the known test corpus counts
+    * and fails FAST if testdata or the sizing rule ever makes the two
+    * test SFs disagree (one hyperplane set must be exact at both).
+    */
+  private def knnBucketsCte(name: String, numTables: Int): String = {
+    val p = graft.pipeline.SimilarityLsh.planesFor(500) // sf0.01 corpus (TESTDATA.md)
+    require(p == graft.pipeline.SimilarityLsh.planesFor(2000),
+      s"$name oracle: planesFor diverges between test SFs ($p vs sf0.1)")
+    lshBucketsCte(p, numTables)
+  }
+
   /** DuckDB pre-normalized embeddings CTE (id, ne: double list). */
   private val normedSqlCte =
     s"""nrm AS (SELECT vec_id,
@@ -3495,18 +3508,27 @@ object Queries {
               |SELECT doc_id FROM documents
               |WHERE doc_id NOT IN (SELECT id FROM rk WHERE rn > 1)""".stripMargin)),
 
-    Q("q_dedup_embedding",
-      (s, d) => {
-        val ne = normalizedVectors(t(s, d)("embeddings"))
-        ne.as("a").join(ne.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-            preNormCos(col("a.ne"), col("b.ne")).as("cos"))
-          .filter(col("cos") >= 0.35)
-      },
-      Some(s"""WITH $normedSqlCte
-              |SELECT a.vec_id AS id1, b.vec_id AS id2, ${dotSql("a.ne", "b.ne")} AS cos
-              |FROM ne a JOIN ne b ON a.vec_id < b.vec_id
-              |WHERE ${dotSql("a.ne", "b.ne")} >= 0.35""".stripMargin)),
+    // TWO-REGIME embedding dedup (the components/SCC precedent): exact
+    // all-pairs at or below the measured vector-count threshold, self-
+    // sizing LSH above — nobody has to remember to flip useLsh before
+    // the n² join eats the cluster. The row pins exactLimit UNDER the
+    // test corpus (500 vectors at sf0.01) so the LIVE catalog plan is
+    // the 100 TB regime — bucketed equi-joins, no theta join anywhere
+    // in the catalog (PlanAudit enforces it); the exact regime and the
+    // count-gated switch itself are spec-pinned in DedupSpec, where the
+    // regimes are asserted to agree (equal cosines) on their overlap.
+    Q("q_dedup_embedding_auto",
+      (s, d) => Dedup.embeddingNearDupAuto(
+        t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+        threshold = 0.35, numTables = 6, exactLimit = 100L),
+      Some {
+        // the LSH regime self-sizes: planesFor must agree across test SFs
+        // for one oracle to replay both (the q_ann_lsh_auto contract)
+        val p = graft.pipeline.SimilarityLsh.planesFor(500) // sf0.01 corpus
+        require(p == graft.pipeline.SimilarityLsh.planesFor(2000),
+          s"q_dedup_embedding_auto oracle: planesFor diverges between test SFs ($p vs sf0.1)")
+        lshOracleSql(numPlanes = p, numTables = 6, threshold = 0.35)
+      }),
 
     // ------------------------------------------------------ similarity search
     // seeds pinned to a FIXED count (vec_id < 40), not `% 50 == 0`: a
@@ -3674,8 +3696,34 @@ object Queries {
     // kNN-GRAPH construction: every vector's exact top-3 neighbors among
     // its LSH bucket candidates — the input structure of graph-based
     // semantic dedup / NN-descent / diversity maximization. Per-vector
-    // window over bucket-bounded candidates, never a global sort
+    // window over bucket-bounded candidates, never a global sort. The
+    // row is the SELF-SIZING production shape (topKAuto: planes derived
+    // from the live corpus count via planesFor) — a hand-pinned plane
+    // count densifies with corpus growth (the 10× experiment measured
+    // fixed-8-planes at 4.8× for 10× data; see q_knn_graph_fixed, kept
+    // below as the labeled scaling contrast)
     Q("q_knn_graph",
+      (s, d) => graft.pipeline.SimilarityLsh.topKAuto(
+        t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+        k = 3, numTables = 6),
+      Some(s"""WITH ${knnBucketsCte("q_knn_graph", 6)},
+              |p AS (SELECT id1, id2, cos
+              |      FROM (${lshPairsSubquery(6, 10000L)})),
+              |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
+              |        UNION ALL SELECT id2, id1, cos FROM p)
+              |SELECT q_id, n_id, cos, rank FROM (
+              |  SELECT q_id, n_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+              |  FROM sym)
+              |WHERE rank <= 3""".stripMargin)),
+
+    // the SCALING CONTRAST row for q_knn_graph: the fixed 8-plane graph
+    // whose 10× point (4.8× for 10× data — SCALE.md round-8 table) is
+    // exactly WHY the catalog row above self-sizes. Kept live so the
+    // contrast stays measurable round over round; never the shape a
+    // 100 TB run should pick.
+    Q("q_knn_graph_fixed",
       (s, d) => graft.pipeline.SimilarityLsh.topK(
         t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
         k = 3, numPlanes = 8, numTables = 6),
@@ -3702,9 +3750,9 @@ object Queries {
       (s, d) => {
         val emb = t(s, d)("embeddings")
         val lbl = emb.select(col("vec_id"), col("label"))
-        graft.pipeline.SimilarityLsh.topK(
+        graft.pipeline.SimilarityLsh.topKAuto(
             emb.select(col("vec_id"), col("embedding")),
-            k = 3, numPlanes = 8, numTables = 6)
+            k = 3, numTables = 6)
           .join(lbl.select(col("vec_id").as("q_id"), col("label").as("ql")), Seq("q_id"))
           .join(lbl.select(col("vec_id").as("n_id"), col("label").as("nl")), Seq("n_id"))
           .groupBy(col("ql").as("label"))
@@ -3713,7 +3761,7 @@ object Queries {
           .withColumn("purity",
             col("n_agree").cast("double") / col("n_edges").cast("double"))
       },
-      Some(s"""WITH ${lshBucketsCte(8, 6)},
+      Some(s"""WITH ${knnBucketsCte("q_knn_purity", 6)},
               |p AS (SELECT id1, id2, cos
               |      FROM (${lshPairsSubquery(6, 10000L)})),
               |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
@@ -3742,13 +3790,13 @@ object Queries {
       (s, d) => {
         val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
         graft.pipeline.SimilarityLsh.nnDescentRound(emb,
-          graft.pipeline.SimilarityLsh.topK(emb, k = 3, numPlanes = 8, numTables = 6),
+          graft.pipeline.SimilarityLsh.topKAuto(emb, k = 3, numTables = 6),
           k = 3)
       },
       Some {
         val cosAb =
           s"${dotSql("a.e", "b.e")} / (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")}))"
-        s"""WITH ${lshBucketsCte(8, 6)},
+        s"""WITH ${knnBucketsCte("q_knn_refine", 6)},
            |p AS (SELECT id1, id2, cos
            |      FROM (${lshPairsSubquery(6, 10000L)})),
            |g AS (SELECT q_id, n_id FROM (
@@ -6541,11 +6589,13 @@ object Queries {
              |WHERE und.a IS NULL""".stripMargin)),
 
     // RESOURCE-ALLOCATION link prediction (Zhou-Lü-Zhang 2009) — the
-    // log-free Adamic-Adar sibling whose score replays bit-for-bit:
-    // each term is one 1/deg IEEE divide and the per-pair sum folds
-    // over the SORTED degree list, so an unordered double SUM never
-    // enters the hash contract. Same wedge plan and hub cap as
-    // q_link_prediction
+    // log-free Adamic-Adar sibling whose score replays bit-for-bit
+    // WITHOUT per-pair arrays: each 1/deg term is the exact integer
+    // 10^15 div deg, the per-pair reduction an exact decimal SUM
+    // (commutative — order never enters the hash contract), the score
+    // one int->double conversion + one IEEE divide at the end. DuckDB
+    // replays it as sum(10^15 // d) :: DOUBLE / 1e15. Same wedge plan
+    // and hub cap as q_link_prediction
     Q("q_link_prediction_ra",
       (s, d) => {
         val e = Tables.events(s, d).select(
@@ -6564,9 +6614,7 @@ object Queries {
              |        HAVING count(*) <= 200),
              |wedge AS (SELECT v, n, d FROM nbr JOIN deg ON nbr.n = deg.hub),
              |p AS (SELECT l.v AS a, r.v AS b, CAST(count(*) AS BIGINT) AS common,
-             |             list_reduce(list_prepend(0.0,
-             |               list_transform(list_sort(list(l.d)), x -> 1.0 / x)),
-             |               (p, q) -> p + q) AS ra_score
+             |             CAST(sum(1000000000000000 // l.d) AS DOUBLE) / 1e15 AS ra_score
              |      FROM wedge l JOIN wedge r ON l.n = r.n AND l.v < r.v
              |      GROUP BY l.v, r.v HAVING count(*) >= 2)
              |SELECT p.a, p.b, p.common, p.ra_score

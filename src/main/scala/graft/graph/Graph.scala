@@ -31,7 +31,8 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * `RetweetTagsJaccardGraph.py:158`) — see [[Motif]] for the supported
     * grammar, semantics, and scale notes.
     */
-  def find(pattern: String): DataFrame = Motif.find(this, pattern)
+  def find(pattern: String, allowCartesian: Boolean = false): DataFrame =
+    Motif.find(this, pattern, allowCartesian)
 
   /** GraphFrames-parity degree views — one groupBy each, partial-agg
     * map-side. `degrees` counts both endpoints of every edge (a self-loop
@@ -443,10 +444,15 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
       while (grown && hop < maxHops) {
         val stepped = e.join(dist.withColumnRenamed("id", "did"), col("dst") === col("did"))
           .select(col("src").as("id"), col("landmark"), (col("distance") + 1L).as("distance"))
-        dist = dist.unionByName(stepped)
+        val next = dist.unionByName(stepped)
           .groupBy("id", "landmark").agg(min("distance").as("distance"))
           .localCheckpoint(true)
-        val n2 = dist.count()
+        val n2 = next.count()
+        // the superseded round's checkpoint blocks are dead the moment
+        // `next` is materialized — release them here, not at the next
+        // context-wide clear (library callers may never call clear)
+        graft.GraftStorage.releaseCheckpoint(dist)
+        dist = next
         grown = n2 > n
         n = n2
         hop += 1
@@ -498,9 +504,11 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
       val stepped = e.join(dist.withColumnRenamed("id", "did"), col("dst") === col("did"))
         .select(col("src").as("id"), col("landmark"),
           (col("distance") + col("__w")).as("distance"))
-      dist = dist.unionByName(stepped)
+      val next = dist.unionByName(stepped)
         .groupBy("id", "landmark").agg(min("distance").as("distance"))
         .localCheckpoint(true)
+      graft.GraftStorage.releaseCheckpoint(dist) // superseded round — see shortestPaths
+      dist = next
     }
     dist
   }
@@ -577,17 +585,24 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
         val stepped = und
           .join(dist.withColumnRenamed("id", "did"), col("dst") === col("did"))
           .select(col("src").as("id"), (col("distance") + 1L).as("distance"))
-        dist = dist.unionByName(stepped)
+        val next = dist.unionByName(stepped)
           .groupBy("id").agg(min("distance").as("distance"))
           .localCheckpoint(true)
-        val n2 = dist.count()
+        val n2 = next.count()
+        graft.GraftStorage.releaseCheckpoint(dist) // superseded round — see shortestPaths
+        dist = next
         grown = n2 > n
         n = n2
         hop += 1
       }
       dist
     }
-    val start = vertices.agg(min(col("id"))).head().getString(0)
+    // agg over empty input yields one null row — fail with a diagnosable
+    // message instead of an NPE three jobs later
+    val startRow = vertices.agg(min(col("id"))).head()
+    require(!startRow.isNullAt(0),
+      "diameterLowerBound: graph has no vertices — nothing to sweep from")
+    val start = startRow.getString(0)
     val far = sweep(start)
       .orderBy(col("distance").desc, col("id").asc).select(col("id"))
       .head().getString(0)
@@ -737,12 +752,18 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * score(x,y) = Σ_{z ∈ CN(x,y)} 1/deg(z) — the log-free sibling of
     * Adamic–Adar that consistently matches or beats it in the published
     * benchmarks, and the one whose score this engine can make
-    * BIT-REPLAYABLE: each term is one exact-integer-reciprocal IEEE
-    * divide, and the per-pair sum folds over the SORTED degree list
-    * (collected array bounded by the common-neighbor count), so the
-    * result is partition/retry/engine-invariant where an unordered SQL
-    * SUM of doubles is not. Same wedge plan, hub cap, `minCommon`
-    * support floor, and non-edge filter as [[commonNeighbors]].
+    * BIT-REPLAYABLE without any per-pair state: each 1/deg term is
+    * pre-scaled to the exact integer `10¹⁵ div deg` on the wedge side,
+    * the per-pair reduction is an exact decimal(38,0) SUM — commutative,
+    * so partition/retry/engine-invariant where a double SUM is not — and
+    * the score is ONE int→double conversion + ONE IEEE divide by the
+    * exactly-representable 10¹⁵ at the end. No `collect_list`: the r8
+    * version folded a sorted per-pair degree array, unbounded in the
+    * pair's common-neighbor count (two co-hubs sharing 10⁶ capped-degree
+    * neighbors = an 8 MB array row). Precision: |score error| ≤
+    * common·10⁻¹⁵ — dwarfed by double rounding of the true sum itself.
+    * Same wedge plan, hub cap, `minCommon` support floor, and non-edge
+    * filter as [[commonNeighbors]].
     */
   def resourceAllocation(minCommon: Long = 2L, maxDegree: Long = 1000L): DataFrame = {
     val und = edges.select(least(col("src"), col("dst")).as("a"),
@@ -752,20 +773,33 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     val nbr = und.union(und.select(col("b"), col("a"))).toDF("v", "n")
     val deg = nbr.groupBy(col("n").as("hub")).agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxDegree)
+    // fixed-point reciprocal 10¹⁵ div d, computed ONCE per wedge row.
+    // floor(double-div) here IS exact integer division: 10¹⁵ < 2⁵³, so
+    // for any d the quotient's half-ulp (q·2⁻⁵³) is strictly below the
+    // smallest nonzero fractional part (q/10¹⁵) — rounding can never
+    // cross an integer boundary. Replays in DuckDB as `10¹⁵ // d`.
     val wedge = nbr.join(deg, nbr("n") === deg("hub"))
-      .select(col("v"), col("n"), col("d"))
+      .select(col("v"), col("n"),
+        floor(lit(RaFixedPoint.toDouble) / col("d").cast("double"))
+          .cast("long").as("fp"))
       .persistTracked()
     val pairs = wedge.as("l")
       .join(wedge.as("r"), col("l.n") === col("r.n") && col("l.v") < col("r.v"))
       .groupBy(col("l.v").as("a"), col("r.v").as("b"))
       .agg(count(lit(1)).as("common"),
-        sort_array(collect_list(col("l.d"))).as("ds"))
+        // decimal(38,0) sum: exact and overflow-free at any common count
+        // a physical graph can produce (10³⁸/10¹⁵ = 10²³ terms), where a
+        // long sum would wrap past ~1.8·10⁴ degree-2 common neighbors
+        sum(col("l.fp").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("fps"))
       .filter(col("common") >= minCommon)
-      .withColumn("ra_score",
-        aggregate(col("ds"), lit(0.0), (acc, x) => acc + lit(1.0) / x))
-      .drop("ds")
+      .withColumn("ra_score", col("fps").cast("double") / lit(RaFixedPoint.toDouble))
+      .drop("fps")
     pairs.join(und, Seq("a", "b"), "left_anti")
   }
+
+  /** Fixed-point scale for [[resourceAllocation]]: 10¹⁵ (< 2⁵³). */
+  private val RaFixedPoint = 1000000000000000L
 
   /** k-core decomposition: the maximal subgraph in which every vertex has
     * degree ≥ k (direction ignored, self-loops dropped, parallel edges
@@ -1047,11 +1081,14 @@ object Graph {
   /** Default per-vertex adjacency cap for the walk family. A power-law
     * hub at 100 TB would otherwise materialize its full neighbor list as
     * ONE array row inside a `collect_list` buffer — the executor-OOM
-    * class SURVEY §7.4 risk 5 names. 10000 string neighbors ≈ a few
-    * hundred KB per hub row: safely bounded, and far above every degree
-    * in the test corpus, so defaults never change results there.
+    * class SURVEY §7.4 risk 5 names. The default 10000 string neighbors
+    * ≈ a few hundred KB per hub row: safely bounded, and far above every
+    * degree in the test corpus, so defaults never change results there.
+    * Env-tunable via `SPARK_GRAFT_WALK_MAX_DEGREE`
+    * ([[graft.GraftConfig.WalkMaxDegree]]) — the right cap is a
+    * cluster-memory fact, not a compile-time one.
     */
-  val DefaultWalkMaxDegree = 10000
+  def DefaultWalkMaxDegree: Int = graft.GraftConfig.WalkMaxDegree
 
   /** Dst-sorted adjacency arrays, hub-capped BEFORE collection: a
     * `row_number` over `(src ORDER BY dst)` keeps only the first

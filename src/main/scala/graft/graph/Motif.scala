@@ -76,7 +76,7 @@ object Motif {
     parsed
   }
 
-  def find(g: Graph, pattern: String): DataFrame = {
+  def find(g: Graph, pattern: String, allowCartesian: Boolean = false): DataFrame = {
     val terms = parse(pattern)
     val edgeNames = terms.map(_.edge).filter(_.nonEmpty)
     require(edgeNames.distinct.size == edgeNames.size,
@@ -120,7 +120,16 @@ object Motif {
           case (name, c) if name.nonEmpty && bound.contains(name) =>
             col(c) === col(bound(name))
         }
-        // disconnected term → cartesian, mirroring GraphFrames
+        // disconnected term → cartesian (GraphFrames semantics), but NEVER
+        // silently: at 100× an accidentally disconnected pattern plans an
+        // |matches|² product that looks fine at test scale and kills the
+        // cluster in production. The caller must opt in.
+        if (conds.isEmpty) require(allowCartesian,
+          s"motif term '(${t.src})-[${t.edge}]->(${t.dst})' shares no bound " +
+            "vertex with the preceding terms — the join would be a CARTESIAN " +
+            "product over all matches so far. Reorder the pattern so every " +
+            "term connects to an earlier one, or pass allowCartesian = true " +
+            "if the product is intended (GraphFrames semantics).")
         acc = if (conds.isEmpty) acc.crossJoin(term)
               else acc.join(term, conds.reduce(_ && _))
       }

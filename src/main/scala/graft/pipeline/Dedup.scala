@@ -801,6 +801,36 @@ object Dedup {
     pairs.filter(col("cos") >= threshold)
   }
 
+  /** [[embeddingNearDup]] with the regime PICKED from the live corpus
+    * count instead of trusting the caller to know when n² stops being
+    * runnable: at or below `exactLimit` vectors the exact all-pairs join
+    * runs (complete recall — the oracle regime); above it, self-sizing
+    * LSH ([[SimilarityLsh.candidatePairsAuto]] — bucketed equi-joins,
+    * planes derived via `planesFor`, skew-guard drops logged). The same
+    * two-regime contract as [[components]]/SCC: one measured threshold
+    * (`SPARK_GRAFT_EXACT_PAIR_VECTORS`, [[graft.GraftConfig]]), both
+    * regimes spec-pinned, the LSH regime's pairs a subset of the exact
+    * regime's with identical cosines on the overlap. The one count job
+    * is column-pruned and cheap next to the pairing it gates (the
+    * `candidatePairsAuto` precedent — that path re-counts to size its
+    * planes; two row-count scans are still noise vs one 10⁵² pairing).
+    */
+  def embeddingNearDupAuto(vectors: DataFrame, threshold: Double,
+                           numTables: Int = 8, dim: Int = 64,
+                           exactLimit: Long = graft.GraftConfig.ExactPairVectors)
+      : DataFrame = {
+    val n = vectors.count()
+    val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+    if (n <= exactLimit) {
+      log.info(s"embeddingNearDupAuto: corpus=$n <= exactLimit=$exactLimit — exact all-pairs regime")
+      embeddingNearDup(vectors, threshold)
+    } else {
+      log.info(s"embeddingNearDupAuto: corpus=$n > exactLimit=$exactLimit — self-sizing LSH regime")
+      SimilarityLsh.candidatePairsAuto(vectors, numTables, dim)
+        .filter(col("cos") >= threshold)
+    }
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, arXiv
     * 2303.09540): k-means the embedding space into cells, then compare
     * cosines ONLY within a cell — semantically-duplicate pairs land in

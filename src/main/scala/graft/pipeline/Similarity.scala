@@ -379,6 +379,17 @@ object SimilarityLsh {
     pairsFromKeyed(keyed, vectors, maxBucketSize)
   }
 
+  /** LSH candidate pairs `(id1, id2, cos)` — per-table bucket equi-joins
+    * with the occupancy skew guard, UNION-deduped, exact cosine attached.
+    *
+    * PINS the bucketed keys (`persistTracked`) until
+    * [[graft.GraftStorage]]`.clear` — the keys feed the guard window and
+    * both self-join sides, and recomputing numTables × numPlanes dot
+    * products per vector per consumer costs more than the pin. Library
+    * callers outside the query harness must call
+    * `GraftStorage.clear(spark)` after consuming the result (the same
+    * contract as [[topK]] / [[nnDescentRound]]).
+    */
   def candidatePairs(vectors: DataFrame, numPlanes: Int = 8, numTables: Int = 8,
                      dim: Int = 64, seed: Long = 42L,
                      maxBucketSize: Long = 10000L): DataFrame =
@@ -426,12 +437,33 @@ object SimilarityLsh {
     * skew guard, so per-vector ranking stays O(bucket) at any corpus.
     */
   def topK(vectors: DataFrame, k: Int, numPlanes: Int = 8, numTables: Int = 8,
-           dim: Int = 64): DataFrame = {
+           dim: Int = 64): DataFrame =
+    rankTopK(candidatePairs(vectors, numPlanes, numTables, dim), k)
+
+  /** [[topK]] with `numPlanes` DERIVED from the live corpus count
+    * (via [[candidatePairsAuto]]/`planesFor`) — the production kNN-graph
+    * entry point: a hand-pinned plane count densifies its buckets as the
+    * corpus grows (the repo's own 10× experiment measured the fixed
+    * 8-plane graph at 4.8× for 10× data), while this one re-sizes itself
+    * every run and logs what the skew guard drops. Pins the candidate
+    * pairs until [[graft.GraftStorage]]`.clear` (same contract as topK).
+    */
+  def topKAuto(vectors: DataFrame, k: Int, numTables: Int = 8,
+               dim: Int = 64): DataFrame =
+    rankTopK(candidatePairsAuto(vectors, numTables, dim), k)
+
+  /** Symmetrize candidate pairs and keep each vector's exact top-k by
+    * `(cos desc, neighbor id)` — a total order, so the graph is
+    * deterministic under any partitioning. The window partitions by
+    * vector id (never global); candidates are bucket-bounded by the skew
+    * guard, so per-vector ranking stays O(bucket) at any corpus.
+    */
+  private def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
     // pin before the symmetrize-union: the two branches project (q,n) and
     // (n,q) — different subplans, so exchange reuse does NOT dedupe them
     // and the whole LSH pipeline would execute twice (the
     // Dedup.components trap)
-    val pairs = candidatePairs(vectors, numPlanes, numTables, dim).persistTracked()
+    val pairs = candidates.persistTracked()
     val sym = pairs.select(col("id1").as("q_id"), col("id2").as("n_id"), col("cos"))
       .union(pairs.select(col("id2").as("q_id"), col("id1").as("n_id"), col("cos")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)

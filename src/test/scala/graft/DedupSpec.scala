@@ -207,6 +207,34 @@ class DedupSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("embeddingNearDupAuto: count-gated regimes that agree on their overlap") {
+    // 64-dim vectors (the LSH regime's dim contract) with a planted
+    // near-dup pair: base + a tiny perturbation of it + an orthogonal one
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => (((seed * 31 + i) % 7) - 3).toFloat)
+    val base = vec(1)
+    val near = base.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    val vecs = Seq((1L, base), (2L, near), (3L, vec(5)), (4L, vec(9)))
+      .toDF("vec_id", "embedding")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("cos"))
+      .toMap
+    val exact = key(Dedup.embeddingNearDup(vecs, 0.9))
+    assert(exact.contains((1L, 2L)), "planted near-dup missing from exact regime")
+    // BELOW the limit the auto form IS the exact regime
+    val below = key(Dedup.embeddingNearDupAuto(vecs, 0.9, exactLimit = 100L))
+    assert(below === exact)
+    // ABOVE the limit it switches to self-sizing LSH: a SUBSET of the
+    // exact pairs, with bit-identical cosines on the overlap (same
+    // Similarity.cosine expression, same operand order)
+    val lsh = key(Dedup.embeddingNearDupAuto(vecs, 0.9, exactLimit = 0L))
+    lsh.foreach { case (ids, cos) =>
+      assert(exact.contains(ids), s"LSH regime invented pair $ids")
+      assert(exact(ids) === cos, s"regimes disagree on cosine for $ids")
+    }
+    GraftStorage.clear(spark)
+  }
+
   test("minhash estimates: exact dup scores 1.0; near-dup strictly between") {
     val est = Dedup.minhashEstimates(docs).collect()
       .map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) -> r.getAs[Double]("est_jaccard"))

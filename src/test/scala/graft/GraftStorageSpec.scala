@@ -62,6 +62,26 @@ class GraftStorageSpec extends SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("default checkpoint sweep defers while another session holds tracked handles") {
+    import spark.implicits._
+    val other = spark.newSession()
+    val theirs = GraftStorage.persisted({ val s = other; import s.implicits._
+      Seq(4, 5).toDF("y") })
+    assert(theirs.count() === 2)
+    val mine = Seq(1, 2, 3).toDF("x").persistTracked()
+    assert(mine.count() === 3)
+    // DEFAULT clear (sweepCheckpoints = true): the context-wide RDD sweep
+    // must auto-skip because `other` still holds a tracked handle —
+    // otherwise it would unpersist theirs' blocks behind its back
+    GraftStorage.clear(spark)
+    assert(GraftStorage.trackedCount(spark) === 0)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "sweep ran while a sibling session still tracked handles")
+    // the LAST session to clear performs the deferred sweep
+    GraftStorage.clear(other)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("no catalog query leaves persisted blocks after consume + clear") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory)

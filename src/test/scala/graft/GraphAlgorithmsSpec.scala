@@ -396,6 +396,34 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(r2.getAs[Long]("n_reached") === 6L)
   }
 
+  test("resourceAllocation: exact fixed-point score on a co-hub pair, no per-pair array") {
+    // x and y are NOT adjacent but share hubs h1 (degree 3: x, y, z),
+    // h2 and h3 (degree 2 each): RA(x,y) = 1/3 + 1/2 + 1/2 computed as
+    // (10^15 div 3 + 10^15 div 2 + 10^15 div 2) / 1e15 — the exact
+    // integer fixed-point contract that replays in DuckDB with `//`
+    val e = Seq(
+      ("x", "h1"), ("y", "h1"), ("h1", "z"),
+      ("x", "h2"), ("y", "h2"),
+      ("x", "h3"), ("h3", "y")) // one reversed edge: direction ignored
+      .map { case (s0, d0) => (s0, d0, 1.0, "W") }.toDF("src", "dst", "w", "type")
+    val g = Graph(Graph.verticesOf(e), e)
+    val ra = g.resourceAllocation(minCommon = 2L)
+    // the fix's whole point: no unbounded per-pair collect_list in the plan
+    assert(!ra.queryExecution.optimizedPlan.toString.contains("collect_list"),
+      "RA plan regressed to a per-pair degree array")
+    val rows = ra.collect().map(r => (r.getAs[String]("a"), r.getAs[String]("b")) ->
+      (r.getAs[Long]("common"), r.getAs[Double]("ra_score"))).toMap
+    val fp = 1000000000000000L
+    val want = (fp / 3 + fp / 2 + fp / 2).toDouble / 1e15
+    assert(rows(("x", "y")) === ((3L, want)))
+    // hub pairs share wedge centers x (deg 3) and y (deg 3): 2 · (fp div 3)
+    val hubWant = (2 * (fp / 3)).toDouble / 1e15
+    assert(rows(("h1", "h2")) === ((2L, hubWant)))
+    // existing edges never appear, sub-support pairs filtered
+    assert(!rows.contains(("h1", "x")) && !rows.contains(("x", "z")))
+    GraftStorage.clear(spark)
+  }
+
   test("walk family: maxDegree caps a synthetic hub's adjacency to the dst-sorted prefix") {
     // hub h has 50 out-neighbors; with maxDegree=5 every pick must land
     // in the 5 smallest dsts (n00..n04) and the walk must equal a local

@@ -77,8 +77,22 @@ class MotifSpec extends SparkTestBase {
 
   test("anonymous vertices do not unify with each other") {
     val g = graphOf(Seq(("a", "b", 1.0, "RT"), ("c", "d", 1.0, "RT")))
-    // two independent anonymous-endpoint terms → full 2×2 cross of edges
-    assert(g.find("()-[e]->(); ()-[e2]->()").count() === 4)
+    // two independent anonymous-endpoint terms → full 2×2 cross of edges —
+    // the GraphFrames cartesian semantics, behind the explicit opt-in
+    assert(g.find("()-[e]->(); ()-[e2]->()", allowCartesian = true).count() === 4)
+  }
+
+  test("a disconnected pattern fails LOUDLY unless the cartesian is opted into") {
+    val g = graphOf(Seq(("a", "b", 1.0, "RT"), ("c", "d", 1.0, "RT")))
+    // at test scale a silent cartesian looks fine; at 100× it plans an
+    // |matches|² product — the compiler must refuse without the opt-in
+    val e = intercept[IllegalArgumentException] {
+      g.find("(x)-[]->(y); (z)-[]->(w)")
+    }
+    assert(e.getMessage.contains("CARTESIAN"))
+    assert(e.getMessage.contains("allowCartesian"))
+    // the opt-in path keeps GraphFrames semantics: 2 × 2 edge matches
+    assert(g.find("(x)-[]->(y); (z)-[]->(w)", allowCartesian = true).count() === 4)
   }
 
   test("self-loop pattern matches only loops") {

@@ -21,7 +21,6 @@ class PlanAuditSpec extends SparkTestBase {
   private val nestedLoopWhitelist = Set(
     "q_ann_cosine", "q_ann_topk",        // broadcast(seed queries) ⨝ corpus
     "q_ann_quantized",                   // same shape, int8-quantized vectors
-    "q_dedup_embedding",                 // declared all-pairs baseline
     "q_ann_ivf", "q_ann_ivf_probe", "q_ann_ivf_trained", // k-row centroid cross join
     "q_ann_pq", "q_ann_pq_trained",      // broadcast(seed queries) ⨝ code scan (ADC)
     "q_hybrid_rrf",                      // dense arm = broadcast(seeds) ⨝ corpus (q_ann_cosine shape)
