@@ -433,8 +433,9 @@ object Queries {
     * test SFs disagree (one hyperplane set must be exact at both).
     */
   private def knnBucketsCte(name: String, numTables: Int): String = {
-    val p = graft.pipeline.SimilarityLsh.planesFor(500) // sf0.01 corpus (TESTDATA.md)
-    require(p == graft.pipeline.SimilarityLsh.planesFor(2000),
+    val cap = graft.pipeline.SimilarityLsh.TopKMaxBucket // topK's tighter sizing
+    val p = graft.pipeline.SimilarityLsh.planesFor(500, cap) // sf0.01 corpus (TESTDATA.md)
+    require(p == graft.pipeline.SimilarityLsh.planesFor(2000, cap),
       s"$name oracle: planesFor diverges between test SFs ($p vs sf0.1)")
     lshBucketsCte(p, numTables)
   }
@@ -3708,7 +3709,7 @@ object Queries {
         k = 3, numTables = 6),
       Some(s"""WITH ${knnBucketsCte("q_knn_graph", 6)},
               |p AS (SELECT id1, id2, cos
-              |      FROM (${lshPairsSubquery(6, 10000L)})),
+              |      FROM (${lshPairsSubquery(6, graft.pipeline.SimilarityLsh.TopKMaxBucket)})),
               |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
               |        UNION ALL SELECT id2, id1, cos FROM p)
               |SELECT q_id, n_id, cos, rank FROM (
@@ -3763,7 +3764,7 @@ object Queries {
       },
       Some(s"""WITH ${knnBucketsCte("q_knn_purity", 6)},
               |p AS (SELECT id1, id2, cos
-              |      FROM (${lshPairsSubquery(6, 10000L)})),
+              |      FROM (${lshPairsSubquery(6, graft.pipeline.SimilarityLsh.TopKMaxBucket)})),
               |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
               |        UNION ALL SELECT id2, id1, cos FROM p),
               |g AS (SELECT q_id, n_id FROM (
@@ -3798,7 +3799,7 @@ object Queries {
           s"${dotSql("a.e", "b.e")} / (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")}))"
         s"""WITH ${knnBucketsCte("q_knn_refine", 6)},
            |p AS (SELECT id1, id2, cos
-           |      FROM (${lshPairsSubquery(6, 10000L)})),
+           |      FROM (${lshPairsSubquery(6, graft.pipeline.SimilarityLsh.TopKMaxBucket)})),
            |g AS (SELECT q_id, n_id FROM (
            |    SELECT q_id, n_id,
            |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
@@ -4331,6 +4332,59 @@ object Queries {
              |       CAST(bucket * count(*) - sum(tok) AS DOUBLE)
              |         / CAST(bucket * count(*) AS DOUBLE) AS waste_frac
              |FROM b GROUP BY bucket""".stripMargin)),
+
+    // per-doc n-gram NOVELTY via first-occurrence attribution (min doc
+    // id per gram): the memorization/duplication diagnostic — a verbatim
+    // re-crawl scores 0.0. Argmin attribution, never a pairwise join:
+    // O(gram instances) at any corpus. Ratio of exact longs
+    Q("q_ngram_novelty",
+      (s, d) => graft.pipeline.Profile.ngramNovelty(t(s, d)("documents")),
+      Some(s"""WITH $shingleSqlCte,
+              |f AS (SELECT s, min(id) AS first_id FROM sh GROUP BY s)
+              |SELECT sh.id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              |  CAST(sum(CASE WHEN f.first_id = sh.id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+              |  CAST(sum(CASE WHEN f.first_id = sh.id THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS novelty
+              |FROM sh JOIN f USING (s) GROUP BY sh.id""".stripMargin)),
+
+    // per-source duplicate n-gram MASS (bag semantics): the "how much
+    // would n-gram dedup save" sizing audit read BEFORE paying for a
+    // pairwise pass. One exploded projection + one exact-distinct agg
+    Q("q_dedup_gram_mass",
+      (s, d) => graft.pipeline.Profile.gramDupMass(t(s, d)("documents")),
+      Some("""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+             |g AS (SELECT source, unnest(list_filter(
+             |        list_transform(ws, (x,i) -> CASE WHEN i <= len(ws)-2
+             |          THEN x || ' ' || ws[i+1] || ' ' || ws[i+2] END),
+             |        v -> v IS NOT NULL)) AS s
+             |      FROM w)
+             |SELECT source, CAST(count(*) AS BIGINT) AS total_grams,
+             |  CAST(count(DISTINCT s) AS BIGINT) AS distinct_grams,
+             |  CAST(count(*) - count(DISTINCT s) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS dup_mass_frac
+             |FROM g GROUP BY source""".stripMargin)),
+
+    // MEDIAN/MAD robust outlier audit (Iglewicz-Hoaglin 3.5 rule) over
+    // per-source doc lengths — LOWER medians (input values, never an
+    // interpolated float) and an all-integer 10·dev > 35·mad verdict, so
+    // the whole row replays bit-free-of-floats except the final ratio
+    Q("q_mad_outliers",
+      (s, d) => graft.pipeline.Stats.madOutliers(
+        t(s, d)("documents"), "source", "n_chars", "doc_id"),
+      Some("""WITH r AS (SELECT source, doc_id, n_chars,
+             |         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             |         count(*) OVER (PARTITION BY source) AS n FROM documents),
+             |m AS (SELECT source, CAST(n_chars AS BIGINT) AS med FROM r WHERE rn = (n + 1) // 2),
+             |d AS (SELECT dd.source, abs(CAST(dd.n_chars AS BIGINT) - m.med) AS dev, m.med AS med
+             |      FROM documents dd JOIN m USING (source)),
+             |r2 AS (SELECT source, med, dev,
+             |         row_number() OVER (PARTITION BY source ORDER BY dev) AS rn,
+             |         count(*) OVER (PARTITION BY source) AS n FROM d),
+             |md AS (SELECT source, med, dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+             |SELECT d.source, md.med, CAST(md.mad AS BIGINT) AS mad,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(CASE WHEN d.dev * 10 > md.mad * 35 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM d JOIN md USING (source) GROUP BY d.source, md.med, md.mad""".stripMargin)),
 
     // conversion funnel: each user's FIRST click, then the first purchase
     // within 12 h of it (null = no conversion) — the standard two-stage

@@ -16,10 +16,19 @@ import org.apache.spark.sql.types._
   * GIFs — [[WavCodec]] really decodes PCM audio on `javax.sound.sampled`,
   * and [[StubCodec]] derives deterministic features straight from the
   * bytes — the oracle rows use the stub (its arithmetic is replayable in
-  * DuckDB), the media specs use the real codecs. General video (mp4/webm)
-  * still needs an external decoder (javacv / ffmpeg-cli) dropped into the
-  * same seam; animated GIF is the in-JDK stand-in that keeps the temporal
-  * path real.
+  * DuckDB), the media specs use the real codecs.
+  *
+  * GENERAL VIDEO (mp4/webm) IS PERMANENTLY WAIVED IN THIS SANDBOX
+  * (SURVEY.md §7.3): every JVM mp4 route needs a native decoder
+  * (javacv/ffmpeg bindings or the ffmpeg CLI); none ships in
+  * `/opt/spark/jars`, there is no `ffmpeg` binary on the host, and the
+  * build is pinned to zero new dependencies with zero egress. The seam
+  * is the waiver's other half: a javacv-backed [[MediaCodec]] is a
+  * deploy-time jar swap — `features`/`sampleFrames`/`resize`/`phash64`
+  * are the complete decoder surface, and the TEMPORAL path (evenly
+  * spaced frame sampling → per-frame features → explode) is already
+  * exercised end-to-end on animated GIF, which the in-JDK imageio stack
+  * can decode.
   */
 object Multimodal {
 

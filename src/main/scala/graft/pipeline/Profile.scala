@@ -144,4 +144,54 @@ object Profile {
           (col("n_docs") * col("n_docs")).cast("double")).as("lang_gini"),
         (col("n_tokens").cast("double") / col("n_docs").cast("double")).as("mean_words"))
   }
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * n-grams whose FIRST corpus occurrence (minimum doc id) is this doc —
+    * the standard memorization/duplication diagnostic ("how much of this
+    * doc is text the corpus has already seen?"). A verbatim re-crawl
+    * scores 0.0; pristine text ~1.0. Returns
+    * `(doc_id, n_grams, n_novel, novelty)`; docs shorter than n words
+    * have no grams and no row.
+    *
+    * Plan: distinct (doc, gram) explode → min-id aggregate keyed on the
+    * gram → join back on the gram (the aggregate's exchange is reused —
+    * same key) → one doc-keyed aggregate. Never a self-join: attribution
+    * is an argmin, so cost is O(gram instances), not O(df²) per gram like
+    * the pairwise dedup joins. `novelty` is a ratio of exact longs — one
+    * IEEE divide, hash-replayable.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = Dedup.docShingles(docs, idCol, textCol, n)
+    val first = sh.groupBy(col("sh")).agg(min(col("id")).as("first_id"))
+    sh.join(first, Seq("sh"))
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Per-group duplicate n-gram MASS: of all n-gram INSTANCES (bag
+    * semantics — repeats inside one doc count), what share is a repeat of
+    * an already-seen gram? This is the "how much would n-gram-level dedup
+    * save" sizing number a 100 TB dedup run reads before paying for the
+    * pairwise pass. Returns
+    * `(group, total_grams, distinct_grams, dup_mass_frac)`.
+    *
+    * One exploded projection → one aggregate with an exact
+    * `count(DISTINCT)` (Expand-based partial aggregation; the scan
+    * dominates at scale). Swap to `approx_count_distinct` for an
+    * advisory run — same shape, map-side HLL sketches.
+    */
+  def gramDupMass(docs: DataFrame, groupCol: String = "source",
+                  textCol: String = "text", n: Int = 3): DataFrame =
+    docs.select(col(groupCol),
+        explode(Text.shingles(col(textCol), n)).as("sh"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("total_grams"),
+        countDistinct(col("sh")).as("distinct_grams"))
+      .withColumn("dup_mass_frac",
+        (col("total_grams") - col("distinct_grams")).cast("double") /
+          col("total_grams").cast("double"))
 }

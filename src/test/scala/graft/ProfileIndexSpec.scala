@@ -17,6 +17,34 @@ class ProfileIndexSpec extends SparkTestBase {
     assert(idx("c") === ((1L, "1")))
   }
 
+  test("ngramNovelty: verbatim duplicate scores 0.0, first occurrence 1.0") {
+    val docs = Seq(
+      (1L, "a b c d"),      // grams "a b c", "b c d" — first occurrence
+      (2L, "a b c d"),      // verbatim re-crawl of doc 1 → novelty 0.0
+      (3L, "x y z a b c"))  // 3 novel grams + 1 seen ("a b c") → 3/4
+      .toDF("doc_id", "text")
+    val got = Profile.ngramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(got(1L) === ((2L, 2L, 1.0)))
+    assert(got(2L) === ((2L, 0L, 0.0)))
+    assert(got(3L) === ((4L, 3L, 0.75)))
+  }
+
+  test("gramDupMass: bag semantics — within-doc repeats count as duplicate mass") {
+    val docs = Seq(
+      (1L, "srcA", "a b c a b c"), // instances: abc, bca, cab, abc → 4 total, 3 distinct
+      (2L, "srcB", "p q r"))       // 1 total, 1 distinct
+      .toDF("doc_id", "source", "text")
+    val got = Profile.gramDupMass(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("total_grams"), r.getAs[Long]("distinct_grams"),
+          r.getAs[Double]("dup_mass_frac")))).toMap
+    assert(got("srcA") === ((4L, 3L, 0.25)))
+    assert(got("srcB") === ((1L, 1L, 0.0)))
+  }
+
   test("keySkew: count-of-counts histogram with row contributions") {
     val df = Seq("a", "a", "a", "b", "b", "b", "c").toDF("k")
     val got = Profile.keySkew(df, "k").collect()

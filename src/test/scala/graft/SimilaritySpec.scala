@@ -196,6 +196,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(g2.toSet === g.toSet)
   }
 
+  test("topKAuto: equals topK at the planesFor-derived count under the topK bucket cap") {
+    val corpus = randVecs(60, 8, seed = 11)
+    val planes = SimilarityLsh.planesFor(60, SimilarityLsh.TopKMaxBucket)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cos"))).toSet
+    val auto = key(SimilarityLsh.topKAuto(corpus, k = 3, numTables = 6, dim = 8))
+    val pinned = key(SimilarityLsh.topK(corpus, k = 3, numPlanes = planes,
+      numTables = 6, dim = 8))
+    assert(auto === pinned)
+    assert(auto.nonEmpty)
+    GraftStorage.clear(spark)
+  }
+
   test("nnDescentRound: recall vs true kNN never decreases; shape preserved") {
     val n = 80
     val corpus = randVecs(n, 8, seed = 7)

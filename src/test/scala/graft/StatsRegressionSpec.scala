@@ -7,6 +7,22 @@ import org.apache.spark.sql.functions._
 class StatsRegressionSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("madOutliers: lower medians, all-integer 3.5-MAD verdict, MAD=0 degeneracy") {
+    // group g: values 10,12,14,16,100 → lower median (n=5 → pos 3) = 14;
+    // deviations 4,2,0,2,86 → MAD (pos 3 of 0,2,2,4,86) = 2;
+    // outliers: 10·dev > 35·2 = 70 → only 86 (the planted wild row)
+    val df = (Seq(10, 12, 14, 16, 100).zipWithIndex.map { case (v, i) => ("g", i.toLong, v) } ++
+      // group z: all identical → med 7, MAD 0 → ANY deviation flags (the 9)
+      Seq(("z", 10L, 7), ("z", 11L, 7), ("z", 12L, 9)))
+      .toDF("grp", "id", "x")
+    val got = graft.pipeline.Stats.madOutliers(df, "grp", "x", "id").collect()
+      .map(r => r.getAs[String]("grp") ->
+        ((r.getAs[Long]("med"), r.getAs[Long]("mad"),
+          r.getAs[Long]("n"), r.getAs[Long]("n_outliers")))).toMap
+    assert(got("g") === ((14L, 2L, 5L, 1L)))
+    assert(got("z") === ((7L, 0L, 3L, 1L)))
+  }
+
   test("ols recovers an exact linear relationship (slope 2, intercept 1, r2 1)") {
     val df = Seq(("g", 1.0, 3.0), ("g", 2.0, 5.0), ("g", 3.0, 7.0), ("g", 4.0, 9.0))
       .toDF("grp", "x", "y")
