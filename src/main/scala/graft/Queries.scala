@@ -1034,6 +1034,25 @@ object Queries {
               |  CAST(sum(distance) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_dist
               |FROM sp GROUP BY id""".stripMargin)),
 
+    // HARMONIC centrality over the same 3 landmarks: the disconnected-
+    // graph-safe closeness variant (unreached landmarks contribute 0,
+    // never poison a mean). Fixed-point reciprocal sum — the RA contract:
+    // exact integer 10^15 div d terms, DuckDB replays with //
+    Q("q_graph_harmonic",
+      (s, d) => Queries.eventsGraph(s, d)
+        .harmonicCentrality(Seq("1", "42", "77"), maxHops = 6),
+      Some(s"""WITH RECURSIVE $eventsGraphCte,
+              |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+              |r AS (SELECT id, id AS landmark, 0 AS d FROM v WHERE id IN ('1', '42', '77')
+              |      UNION
+              |      SELECT e.src, r.landmark, r.d + 1 FROM e JOIN r ON e.dst = r.id
+              |      WHERE r.d < 6),
+              |sp AS (SELECT id, landmark, CAST(min(d) AS BIGINT) AS distance
+              |       FROM r GROUP BY id, landmark)
+              |SELECT id, CAST(count(*) AS BIGINT) AS n_reached,
+              |  CAST(sum(1000000000000000 // distance) AS DOUBLE) / 1e15 AS harmonic
+              |FROM sp WHERE distance > 0 GROUP BY id""".stripMargin)),
+
     // DIAMETER lower bound by double-sweep BFS (Magnien et al., JEA'09):
     // BFS from the min-id seed, re-BFS from the farthest vertex found —
     // two bounded shortestPaths loops instead of the O(V·E) exact

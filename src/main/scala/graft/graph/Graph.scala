@@ -471,6 +471,25 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     dist
   }
 
+  /** HARMONIC centrality restricted to a landmark set: Σ 1/d(id, l) over
+    * reached landmarks, the closeness variant that handles disconnected
+    * graphs gracefully (unreached landmarks contribute 0 instead of
+    * poisoning a mean). Rides the same eager early-exit BFS as
+    * [[shortestPaths]]; the reciprocal sum uses the
+    * [[resourceAllocation]] fixed-point contract — each term is the
+    * exact integer `10¹⁵ div d` (d ≤ maxHops, trivially exact), the sum
+    * a long aggregate bounded by |landmarks| terms, the score one
+    * int→double conversion + one divide. Returns
+    * `(id, n_reached, harmonic)`.
+    */
+  def harmonicCentrality(landmarks: Seq[String], maxHops: Int = 6): DataFrame =
+    shortestPaths(landmarks, maxHops)
+      .filter(col("distance") > 0L) // self-distance rows contribute nothing
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_reached"),
+        (sum(floor(lit(1.0e15) / col("distance").cast("double")).cast("long"))
+          .cast("double") / lit(1.0e15)).as("harmonic"))
+
   /** WEIGHTED shortest paths to each landmark (min-plus / Bellman-Ford):
     * [[shortestPaths]] with `distance + w` relaxation over an integer
     * weight column instead of `+ 1`. Per round: the same edge equi-join +

@@ -396,6 +396,20 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(r2.getAs[Long]("n_reached") === 6L)
   }
 
+  test("harmonicCentrality: reciprocal-distance sums; unreached landmarks contribute 0") {
+    // directed path a→b→c, landmarks {a, c}: a reaches c at d=2 (H=0.5),
+    // b reaches c at d=1 (H=1.0), c reaches only itself → no row (its
+    // self-distance is excluded and 'a' is unreachable forward)
+    val e = Seq(("a", "b"), ("b", "c"))
+      .map { case (s0, d0) => (s0, d0, 1.0, "W") }.toDF("src", "dst", "w", "type")
+    val g = Graph(Graph.verticesOf(e), e)
+    val got = g.harmonicCentrality(Seq("a", "c"), maxHops = 4).collect()
+      .map(r => r.getAs[String]("id") ->
+        ((r.getAs[Long]("n_reached"), r.getAs[Double]("harmonic")))).toMap
+    assert(got === Map("a" -> ((1L, 0.5)), "b" -> ((1L, 1.0))))
+    GraftStorage.clear(spark)
+  }
+
   test("resourceAllocation: exact fixed-point score on a co-hub pair, no per-pair array") {
     // x and y are NOT adjacent but share hubs h1 (degree 3: x, y, z),
     // h2 and h3 (degree 2 each): RA(x,y) = 1/3 + 1/2 + 1/2 computed as
