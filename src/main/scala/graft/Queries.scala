@@ -1034,6 +1034,30 @@ object Queries {
               |  CAST(sum(distance) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_dist
               |FROM sp GROUP BY id""".stripMargin)),
 
+    // TIME-RESPECTING reachability (earliest arrival) over the user-
+    // entity contact log: influence flows only along non-decreasing
+    // timestamps — the spreading-process primitive a static projected
+    // graph over-counts (it routes through entities whose contacts all
+    // predate the source). Exact integer micros end to end; waves
+    // unrolled in the oracle (multi-referenced levels MATERIALIZED)
+    Q("q_temporal_reach",
+      (s, d) => graft.graph.Temporal.earliestArrival(
+        Tables.events(s, d).select(col("user_id"),
+          (col("event_id") % 2000).as("ent"), col("ts")),
+        "user_id", "ent", "ts", seeds = Seq(1L, 7L), waves = 2),
+      Some("""WITH c AS MATERIALIZED (
+             |  SELECT user_id AS u, event_id % 2000 AS ent, epoch_us(ts) AS ts FROM events),
+             |u0 AS (SELECT DISTINCT u, CAST(0 AS BIGINT) AS arr FROM c WHERE u IN (1, 7)),
+             |e1 AS (SELECT c.ent, min(c.ts) AS arr FROM c JOIN u0 ON c.u = u0.u AND c.ts >= u0.arr GROUP BY c.ent),
+             |n1 AS (SELECT c.u, min(c.ts) AS arr FROM c JOIN e1 ON c.ent = e1.ent AND c.ts >= e1.arr GROUP BY c.u),
+             |u1 AS MATERIALIZED (SELECT u, min(arr) AS arr
+             |      FROM (SELECT * FROM u0 UNION ALL SELECT * FROM n1) GROUP BY u),
+             |e2 AS (SELECT c.ent, min(c.ts) AS arr FROM c JOIN u1 ON c.u = u1.u AND c.ts >= u1.arr GROUP BY c.ent),
+             |n2 AS (SELECT c.u, min(c.ts) AS arr FROM c JOIN e2 ON c.ent = e2.ent AND c.ts >= e2.arr GROUP BY c.u),
+             |u2 AS (SELECT u, min(arr) AS arr
+             |      FROM (SELECT * FROM u1 UNION ALL SELECT * FROM n2) GROUP BY u)
+             |SELECT u AS actor, CAST(arr AS BIGINT) AS arrival_us FROM u2""".stripMargin)),
+
     // HARMONIC centrality over the same 3 landmarks: the disconnected-
     // graph-safe closeness variant (unreached landmarks contribute 0,
     // never poison a mean). Fixed-point reciprocal sum — the RA contract:

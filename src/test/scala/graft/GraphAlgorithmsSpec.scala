@@ -396,6 +396,34 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(r2.getAs[Long]("n_reached") === 6L)
   }
 
+  test("temporal earliestArrival: influence respects time order; static reach over-counts") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    def llog(rows: (Long, String, Long)*) =
+      rows.toSeq.toDF("actor", "ent", "t")
+        .select(col("actor"), col("ent"), timestamp_micros(col("t")).as("ts"))
+    // b touched E1 BEFORE the seed's contact: a static projection links
+    // a-b via E1, but no time-respecting path exists
+    val noPath = llog((1L, "E1", 10L), (2L, "E1", 5L))
+    val r1 = graft.graph.Temporal.earliestArrival(
+        noPath, "actor", "ent", "ts", seeds = Seq(1L), waves = 2)
+      .collect().map(r => r.getAs[Long]("actor") -> r.getAs[Long]("arrival_us")).toMap
+    assert(r1 === Map(1L -> 0L))
+    // chain with a valid ordering: 1 →(E1@10) 2@12 →(E2@20) 3@25;
+    // 3's EARLIER E2 contact at 15 must not count (E2 infected at 20)
+    val chain = llog((1L, "E1", 10L), (2L, "E1", 12L),
+      (2L, "E2", 20L), (3L, "E2", 15L), (3L, "E2", 25L))
+    val r2 = graft.graph.Temporal.earliestArrival(
+        chain, "actor", "ent", "ts", seeds = Seq(1L), waves = 2)
+      .collect().map(r => r.getAs[Long]("actor") -> r.getAs[Long]("arrival_us")).toMap
+    assert(r2 === Map(1L -> 0L, 2L -> 12L, 3L -> 25L))
+    // one wave cannot make the two-step hop
+    val r3 = graft.graph.Temporal.earliestArrival(
+        chain, "actor", "ent", "ts", seeds = Seq(1L), waves = 1)
+      .collect().map(r => r.getAs[Long]("actor") -> r.getAs[Long]("arrival_us")).toMap
+    assert(r3 === Map(1L -> 0L, 2L -> 12L))
+    GraftStorage.clear(spark)
+  }
+
   test("harmonicCentrality: reciprocal-distance sums; unreached landmarks contribute 0") {
     // directed path a→b→c, landmarks {a, c}: a reaches c at d=2 (H=0.5),
     // b reaches c at d=1 (H=1.0), c reaches only itself → no row (its
