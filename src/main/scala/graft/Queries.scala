@@ -433,7 +433,7 @@ object Queries {
     * test SFs disagree (one hyperplane set must be exact at both).
     */
   private def knnBucketsCte(name: String, numTables: Int): String = {
-    val cap = graft.pipeline.SimilarityLsh.TopKMaxBucket // topK's tighter sizing
+    val cap = graft.pipeline.SimilarityLsh.PairingMaxBucket // topK's tighter sizing
     val p = graft.pipeline.SimilarityLsh.planesFor(500, cap) // sf0.01 corpus (TESTDATA.md)
     require(p == graft.pipeline.SimilarityLsh.planesFor(2000, cap),
       s"$name oracle: planesFor diverges between test SFs ($p vs sf0.1)")
@@ -3566,12 +3566,15 @@ object Queries {
         t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
         threshold = 0.35, numTables = 6, exactLimit = 100L),
       Some {
-        // the LSH regime self-sizes: planesFor must agree across test SFs
-        // for one oracle to replay both (the q_ann_lsh_auto contract)
-        val p = graft.pipeline.SimilarityLsh.planesFor(500) // sf0.01 corpus
-        require(p == graft.pipeline.SimilarityLsh.planesFor(2000),
+        // the LSH regime self-sizes under the PAIRING cap: planesFor must
+        // agree across test SFs for one oracle to replay both (the
+        // q_ann_lsh_auto contract), and the replayed skew guard is the
+        // same PairingMaxBucket the live plan applies
+        val cap = graft.pipeline.SimilarityLsh.PairingMaxBucket
+        val p = graft.pipeline.SimilarityLsh.planesFor(500, cap) // sf0.01 corpus
+        require(p == graft.pipeline.SimilarityLsh.planesFor(2000, cap),
           s"q_dedup_embedding_auto oracle: planesFor diverges between test SFs ($p vs sf0.1)")
-        lshOracleSql(numPlanes = p, numTables = 6, threshold = 0.35)
+        lshOracleSql(numPlanes = p, numTables = 6, threshold = 0.35, maxBucketSize = cap)
       }),
 
     // ------------------------------------------------------ similarity search
@@ -3752,7 +3755,7 @@ object Queries {
         k = 3, numTables = 6),
       Some(s"""WITH ${knnBucketsCte("q_knn_graph", 6)},
               |p AS (SELECT id1, id2, cos
-              |      FROM (${lshPairsSubquery(6, graft.pipeline.SimilarityLsh.TopKMaxBucket)})),
+              |      FROM (${lshPairsSubquery(6, graft.pipeline.SimilarityLsh.PairingMaxBucket)})),
               |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
               |        UNION ALL SELECT id2, id1, cos FROM p)
               |SELECT q_id, n_id, cos, rank FROM (
@@ -3807,7 +3810,7 @@ object Queries {
       },
       Some(s"""WITH ${knnBucketsCte("q_knn_purity", 6)},
               |p AS (SELECT id1, id2, cos
-              |      FROM (${lshPairsSubquery(6, graft.pipeline.SimilarityLsh.TopKMaxBucket)})),
+              |      FROM (${lshPairsSubquery(6, graft.pipeline.SimilarityLsh.PairingMaxBucket)})),
               |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
               |        UNION ALL SELECT id2, id1, cos FROM p),
               |g AS (SELECT q_id, n_id FROM (
@@ -3842,7 +3845,7 @@ object Queries {
           s"${dotSql("a.e", "b.e")} / (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")}))"
         s"""WITH ${knnBucketsCte("q_knn_refine", 6)},
            |p AS (SELECT id1, id2, cos
-           |      FROM (${lshPairsSubquery(6, graft.pipeline.SimilarityLsh.TopKMaxBucket)})),
+           |      FROM (${lshPairsSubquery(6, graft.pipeline.SimilarityLsh.PairingMaxBucket)})),
            |g AS (SELECT q_id, n_id FROM (
            |    SELECT q_id, n_id,
            |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
@@ -4382,13 +4385,21 @@ object Queries {
     // O(gram instances) at any corpus. Ratio of exact longs
     Q("q_ngram_novelty",
       (s, d) => graft.pipeline.Profile.ngramNovelty(t(s, d)("documents")),
-      Some(s"""WITH $shingleSqlCte,
-              |f AS (SELECT s, min(id) AS first_id FROM sh GROUP BY s)
-              |SELECT sh.id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
-              |  CAST(sum(CASE WHEN f.first_id = sh.id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-              |  CAST(sum(CASE WHEN f.first_id = sh.id THEN 1 ELSE 0 END) AS DOUBLE)
-              |    / CAST(count(*) AS DOUBLE) AS novelty
-              |FROM sh JOIN f USING (s) GROUP BY sh.id""".stripMargin)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id AS id,
+             |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS s
+             |       FROM (SELECT doc_id,
+             |                    unnest(list_filter(
+             |                      list_transform(ws, (x,i) -> CASE WHEN i <= len(ws)-2
+             |                        THEN x || ' ' || ws[i+1] || ' ' || ws[i+2] END),
+             |                      v -> v IS NOT NULL)) AS s
+             |             FROM w)),
+             |f AS (SELECT s, min(id) AS first_id FROM sh GROUP BY s)
+             |SELECT sh.id AS doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |  CAST(sum(CASE WHEN f.first_id = sh.id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             |  CAST(sum(CASE WHEN f.first_id = sh.id THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / CAST(count(*) AS DOUBLE) AS novelty
+             |FROM sh JOIN f USING (s) GROUP BY sh.id""".stripMargin)),
 
     // per-source duplicate n-gram MASS (bag semantics): the "how much
     // would n-gram dedup save" sizing audit read BEFORE paying for a

@@ -826,7 +826,13 @@ object Dedup {
       embeddingNearDup(vectors, threshold)
     } else {
       log.info(s"embeddingNearDupAuto: corpus=$n > exactLimit=$exactLimit — self-sizing LSH regime")
-      SimilarityLsh.candidatePairsAuto(vectors, numTables, dim)
+      // PairingMaxBucket, not the 10000 memory guard: this path PAIRS its
+      // buckets (cost = occupancy²), so it sizes for ~125 expected
+      // occupants — at 20k vectors that is the blessed 8-plane dedup
+      // shape; the 625-occupancy sizing measured 24.1 s vs ~2 s at the
+      // synthesized 10× point (SCALE.md round 9)
+      SimilarityLsh.candidatePairsAuto(vectors, numTables, dim,
+          maxBucketSize = SimilarityLsh.PairingMaxBucket)
         .filter(col("cos") >= threshold)
     }
   }

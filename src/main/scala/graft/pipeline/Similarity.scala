@@ -440,22 +440,25 @@ object SimilarityLsh {
            dim: Int = 64): DataFrame =
     rankTopK(candidatePairs(vectors, numPlanes, numTables, dim), k)
 
-  /** Bucket cap for the kNN/topK path — 5× tighter than the dedup
-    * default (10000) ON PURPOSE: pairing cost inside a bucket is
-    * occupancy², so the topK sizing targets ~125 expected occupants
-    * (2000/16) where dedup candidate generation tolerates ~625 to
-    * protect recall near the threshold. A kNN graph only needs ~k
-    * honest candidates per vector per table, and 125 × numTables is two
-    * orders above k=3 — while the expected per-bucket pairing stays at
-    * ~15k pairs instead of ~390k. Measured on the synthesized 10×
-    * point: the 625-target sizing ran 29.1 s where this one tracks the
-    * efficient plane count (8 at 20k vectors) at ~5 s.
+  /** Bucket cap for the PAIRING-COST-SIZED auto paths ([[topKAuto]] and
+    * [[graft.pipeline.Dedup.embeddingNearDupAuto]]'s LSH regime) — 5×
+    * tighter than the raw [[candidatePairs]] default (10000) ON PURPOSE:
+    * pairing cost inside a bucket is occupancy², so these paths size for
+    * ~125 expected occupants (2000/16) where the plain memory guard
+    * tolerates ~625. 125 × numTables candidates per vector is still two
+    * orders above what a kNN graph (k=3) or a 0.35-threshold near-dup
+    * pass needs, while expected per-bucket pairing stays at ~15k pairs
+    * instead of ~390k. Measured on the synthesized 10× point: the
+    * 625-target sizing ran the kNN graph at 29.1 s and the dedup-auto
+    * row at 24.1 s, where this cap tracks the efficient plane count
+    * (8 at 20k vectors — exactly the blessed fixed 8-plane dedup shape)
+    * at ~5 s / ~2 s.
     */
-  val TopKMaxBucket = 2000L
+  val PairingMaxBucket = 2000L
 
   /** [[topK]] with `numPlanes` DERIVED from the live corpus count
     * (via [[candidatePairsAuto]]/`planesFor`, occupancy target
-    * [[TopKMaxBucket]]/16) — the production kNN-graph entry point: a
+    * [[PairingMaxBucket]]/16) — the production kNN-graph entry point: a
     * hand-pinned plane count densifies its buckets as the corpus grows
     * (the repo's own 10× experiment measured the fixed 8-plane graph at
     * 4.8× for 10× data), while this one re-sizes itself every run and
@@ -465,7 +468,7 @@ object SimilarityLsh {
   def topKAuto(vectors: DataFrame, k: Int, numTables: Int = 8,
                dim: Int = 64): DataFrame =
     rankTopK(candidatePairsAuto(vectors, numTables, dim,
-      maxBucketSize = TopKMaxBucket), k)
+      maxBucketSize = PairingMaxBucket), k)
 
   /** Symmetrize candidate pairs and keep each vector's exact top-k by
     * `(cos desc, neighbor id)` — a total order, so the graph is

@@ -198,7 +198,7 @@ class SimilaritySpec extends SparkTestBase {
 
   test("topKAuto: equals topK at the planesFor-derived count under the topK bucket cap") {
     val corpus = randVecs(60, 8, seed = 11)
-    val planes = SimilarityLsh.planesFor(60, SimilarityLsh.TopKMaxBucket)
+    val planes = SimilarityLsh.planesFor(60, SimilarityLsh.PairingMaxBucket)
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rank"),
         r.getAs[Long]("n_id"), r.getAs[Double]("cos"))).toSet
