@@ -6823,6 +6823,50 @@ object Queries {
               |       CAST(sum(CASE WHEN ds > 1 THEN 1 ELSE 0 END) AS BIGINT)
               |FROM g""".stripMargin)),
 
+    // CONTRASTIVE training pairs off the dedup pipeline's own structure:
+    // positives = near-dup pairs, negatives = md5-picked pool docs from a
+    // DIFFERENT duplicate family (the false-negative contamination guard
+    // a random negative sampler lacks). Pool is a 16-row broadcast —
+    // never a corpus self-join; all picks md5-ranked and replayed
+    Q("q_contrastive_pairs",
+      (s, d) => {
+        val pairs = Dedup.ngramJaccardPairs(t(s, d)("documents"),
+          minShared = 2L, minJaccard = 0.5).select("id1", "id2")
+        graft.pipeline.Mix.contrastivePairs(pairs, Dedup.components(pairs),
+          t(s, d)("documents").select("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $shingleSqlCte,
+              |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+              |p0 AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+              |       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              |       GROUP BY 1, 2 HAVING count(*) >= 2),
+              |dup AS (SELECT id1, id2 FROM p0
+              |        JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+              |        WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5),
+              |e AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
+              |r AS (SELECT a AS id, a AS lbl FROM e
+              |      UNION
+              |      SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b),
+              |comp AS MATERIALIZED (SELECT id, min(lbl) AS component FROM r GROUP BY id),
+              |pos AS (SELECT anchor, other, 'pos' AS label, CAST(rank AS BIGINT) AS rank FROM (
+              |  SELECT id1 AS anchor, id2 AS other,
+              |    row_number() OVER (PARTITION BY id1
+              |      ORDER BY md5('pos:' || CAST(id1 AS VARCHAR) || ':' || CAST(id2 AS VARCHAR)), id2) AS rank
+              |  FROM dup) WHERE rank <= 2),
+              |pool AS (SELECT doc_id AS cand FROM documents
+              |         ORDER BY md5('pool:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 16),
+              |pc AS (SELECT cand, coalesce(c.component, cand) AS ccomp
+              |       FROM pool LEFT JOIN comp c ON pool.cand = c.id),
+              |an AS (SELECT DISTINCT anchor FROM pos),
+              |ac AS (SELECT anchor, coalesce(c.component, anchor) AS acomp
+              |       FROM an LEFT JOIN comp c ON an.anchor = c.id),
+              |neg AS (SELECT anchor, other, 'neg' AS label, CAST(rank AS BIGINT) AS rank FROM (
+              |  SELECT ac.anchor, pc.cand AS other,
+              |    row_number() OVER (PARTITION BY ac.anchor
+              |      ORDER BY md5('neg:' || CAST(ac.anchor AS VARCHAR) || ':' || CAST(pc.cand AS VARCHAR)), pc.cand) AS rank
+              |  FROM ac JOIN pc ON ac.acomp <> pc.ccomp) WHERE rank <= 2)
+              |SELECT * FROM pos UNION ALL SELECT * FROM neg""".stripMargin)),
+
     // token-budget corpus selection: the best-quality documents until the
     // concatenated stream hits 16384 tokens — the data-selection step of a
     // quality-pruned pretraining mix. The Spark side is the TWO-PHASE

@@ -235,4 +235,37 @@ test("selectByBudget: two-phase prefix sum equals the one-window global cumsum")
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(got3 === want)
   }
+
+  test("contrastivePairs: positives from dup pairs, negatives never share a family") {
+    import graft.pipeline.{Dedup, Mix}
+    // two duplicate families {1,2,3} (chain) and {8,9}; 10-doc universe
+    val pairs = Seq((1L, 2L), (2L, 3L), (8L, 9L)).toDF("id1", "id2")
+    val comp = Dedup.components(pairs)
+    val universe = (1L to 10L).toDF("doc_id")
+    val got = Mix.contrastivePairs(pairs, comp, universe,
+      poolSize = 10, posPerAnchor = 2, negPerAnchor = 2).collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("other"),
+        r.getAs[String]("label"), r.getAs[Long]("rank")))
+    val fam = comp.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
+    def family(x: Long) = fam.getOrElse(x, x)
+    val pos = got.filter(_._3 == "pos")
+    assert(pos.map(p => (p._1, p._2)).toSet === Set((1L, 2L), (2L, 3L), (8L, 9L)))
+    val neg = got.filter(_._3 == "neg")
+    assert(neg.nonEmpty)
+    neg.foreach { case (a, o, _, _) =>
+      assert(family(a) != family(o), s"negative ($a,$o) shares family ${family(a)}")
+    }
+    // per-anchor caps and dense ranks
+    got.groupBy(r => (r._1, r._3)).foreach { case ((a, l), rows) =>
+      assert(rows.length <= 2, s"anchor $a label $l over cap")
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // md5 picks are partitioning-invariant
+    val again = Mix.contrastivePairs(pairs.repartition(7), comp, universe.repartition(3),
+      poolSize = 10, posPerAnchor = 2, negPerAnchor = 2).collect()
+      .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("other"),
+        r.getAs[String]("label"), r.getAs[Long]("rank")))
+    assert(again.toSet === got.toSet)
+    GraftStorage.clear(spark)
+  }
 }
