@@ -830,8 +830,9 @@ object Dedup {
       // buckets (cost = occupancy²), so it sizes for ~125 expected
       // occupants — at 20k vectors that is the blessed 8-plane dedup
       // shape; the 625-occupancy sizing measured 24.1 s vs ~2 s at the
-      // synthesized 10× point (SCALE.md round 9)
-      SimilarityLsh.candidatePairsAuto(vectors, numTables, dim,
+      // synthesized 10× point (SCALE.md round 9). The regime gate's own
+      // count is passed through — one row-count scan, not two.
+      SimilarityLsh.candidatePairsAutoCounted(vectors, n, numTables, dim,
           maxBucketSize = SimilarityLsh.PairingMaxBucket)
         .filter(col("cos") >= threshold)
     }

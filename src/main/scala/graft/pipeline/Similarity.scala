@@ -358,13 +358,23 @@ object SimilarityLsh {
     * grows; this one re-sizes itself every run.
     */
   def candidatePairsAuto(vectors: DataFrame, numTables: Int = 8, dim: Int = 64,
-                         seed: Long = 42L, maxBucketSize: Long = 10000L): DataFrame = {
-    // one count job sizes the planes (cheap: column-pruned row-count scan);
+                         seed: Long = 42L, maxBucketSize: Long = 10000L): DataFrame =
+    candidatePairsAutoCounted(vectors, vectors.count(), numTables, dim, seed,
+      maxBucketSize)
+
+  /** [[candidatePairsAuto]] with the corpus count supplied by a caller
+    * that already paid for it (e.g.
+    * [[graft.pipeline.Dedup.embeddingNearDupAuto]]'s regime gate) — one
+    * row-count scan instead of two.
+    */
+  private[graft] def candidatePairsAutoCounted(
+      vectors: DataFrame, n: Long, numTables: Int = 8, dim: Int = 64,
+      seed: Long = 42L, maxBucketSize: Long = 10000L): DataFrame = {
+    // the count sizes the planes (cheap: column-pruned row-count scan);
     // the bucket keys themselves — numTables × planes codegen'd dot
     // products per vector, the expensive part — are computed ONCE and
     // persisted, shared by the stats pass and the pairing join (r2 advice:
     // the old code evaluated the upstream plan three times).
-    val n = vectors.count()
     val planes = planesFor(n, maxBucketSize)
     val keyed = bucketed(vectors, planes, numTables, dim, seed)
       .persistTracked()
