@@ -490,6 +490,27 @@ object Queries {
   /** exact money sum → double, both engines (see class doc). */
   private def moneySum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Unrolled level-synchronous BFS-with-σ CTE chain (the DuckDB replay
+    * of [[graft.graph.Graph.pathCounts]]): per wave, frontier `f_k` sums
+    * σ over distance-(k−1) neighbors of UNSEEN vertices, accumulator
+    * `a_k` appends the wave. Assumes a CTE `u(a, b)` holding the
+    * symmetrized self-loop-free distinct edge set. Multi-referenced
+    * levels are MATERIALIZED (the q_graph_hits lesson — DuckDB inlines
+    * plain CTEs, refs^k blowup otherwise).
+    */
+  private def bfsSigmaSql(rootSelect: String, hops: Int, pfx: String): String = {
+    val f0 = s"${pfx}f0 AS (SELECT id, CAST(1 AS BIGINT) AS sig FROM ($rootSelect))"
+    val a0 = s"${pfx}a0 AS (SELECT id, CAST(0 AS BIGINT) AS d, sig FROM ${pfx}f0)"
+    val waves = (1 to hops).map { k =>
+      s"""${pfx}f$k AS MATERIALIZED (SELECT u.a AS id, CAST(sum(f.sig) AS BIGINT) AS sig
+         |  FROM u JOIN ${pfx}f${k - 1} f ON u.b = f.id
+         |  WHERE u.a NOT IN (SELECT id FROM ${pfx}a${k - 1}) GROUP BY u.a),
+         |${pfx}a$k AS MATERIALIZED (SELECT * FROM ${pfx}a${k - 1}
+         |  UNION ALL SELECT id, CAST($k AS BIGINT) AS d, sig FROM ${pfx}f$k)""".stripMargin
+    }
+    (Seq(f0, a0) ++ waves).mkString(",\n")
+  }
+
   // ================================================================ catalog
 
   val all: Seq[Q] = Seq(
@@ -1033,6 +1054,28 @@ object Queries {
               |  CAST(sum(distance) AS BIGINT) AS dist_sum,
               |  CAST(sum(distance) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_dist
               |FROM sp GROUP BY id""".stripMargin)),
+
+    // STRESS centrality (Shimbel 1953) from landmark 1 to its FARTHEST
+    // vertex (sweep-picked, so the pair never collapses to adjacency as
+    // the graph densifies across SFs): exact shortest-path counts through
+    // each on-path vertex — the integer sibling of betweenness (products
+    // of exact sigma counts, no fractional delta accumulation), so the
+    // scores hash-replay. Two level-synchronous BFS-with-sigma sweeps +
+    // one id-keyed join
+    Q("q_graph_stress",
+      (s, d) => Queries.eventsGraph(s, d)
+        .stressCentralityToFarthest("1", maxHops = 6),
+      Some(s"""WITH $eventsGraphCte,
+              |u AS MATERIALIZED (SELECT src AS a, dst AS b FROM e WHERE src <> dst
+              |     UNION SELECT dst, src FROM e WHERE src <> dst),
+              |${bfsSigmaSql("SELECT '1' AS id", 6, "s")},
+              |far AS (SELECT id, d FROM sa6 ORDER BY d DESC, id LIMIT 1),
+              |${bfsSigmaSql("SELECT id FROM far", 6, "t")}
+              |SELECT s.id, s.d AS ds, t.d AS dt, s.sig AS sig_s, t.sig AS sig_t,
+              |  CAST(s.sig * t.sig AS BIGINT) AS through
+              |FROM sa6 s JOIN ta6 t USING (id)
+              |WHERE s.d + t.d = (SELECT d FROM far)
+              |  AND s.id <> '1' AND s.id <> (SELECT id FROM far)""".stripMargin)),
 
     // TIME-RESPECTING reachability (earliest arrival) over the user-
     // entity contact log: influence flows only along non-decreasing

@@ -471,6 +471,101 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     dist
   }
 
+  /** Level-synchronous UNDIRECTED BFS carrying exact shortest-path
+    * COUNTS (σ): at wave k, a newly reached vertex's σ is the sum of σ
+    * over its distance-(k−1) neighbors — the forward half of Brandes'
+    * betweenness DP, kept integer-exact. Per wave: one equi-join against
+    * the current frontier + one sum-aggregate + one LEFT ANTI against
+    * the seen set, all keyed on vertex id; eager checkpoints with
+    * superseded rounds released ([[shortestPaths]] contract). Simple-
+    * graph semantics (parallel edges collapsed, self-loops dropped).
+    * σ fits a long for any graph whose per-level branching keeps path
+    * multiplicity under 2⁶³ — beyond ~6 hops on adversarial graphs use
+    * a decimal sum; at the catalog's bounded hops the counts are tiny.
+    */
+  private[graph] def pathCounts(root: String, maxHops: Int): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val u = und.union(und.select(col("b"), col("a"))).toDF("a", "b")
+      .persistTracked()
+    var acc = vertices.filter(col("id") === root)
+      .select(col("id"), lit(0L).as("d"), lit(1L).as("sig"))
+      .localCheckpoint(true)
+    var frontier = acc
+    var k = 1
+    var grown = true
+    while (grown && k <= maxHops) {
+      val stepped = u
+        .join(frontier.select(col("id").as("fid"), col("sig").as("fsig")),
+          col("b") === col("fid"))
+        .groupBy(col("a").as("id")).agg(sum(col("fsig")).as("sig"))
+        .join(acc.select(col("id")), Seq("id"), "left_anti")
+        .select(col("id"), lit(k.toLong).as("d"), col("sig"))
+        .localCheckpoint(true)
+      if (stepped.isEmpty) {
+        graft.GraftStorage.releaseCheckpoint(stepped)
+        grown = false
+      } else {
+        val next = acc.unionByName(stepped).localCheckpoint(true)
+        graft.GraftStorage.releaseCheckpoint(acc)
+        if (!(frontier eq acc)) graft.GraftStorage.releaseCheckpoint(frontier)
+        acc = next
+        frontier = stepped
+      }
+      k += 1
+    }
+    acc
+  }
+
+  /** STRESS centrality (Shimbel 1953) for one landmark pair: for every
+    * vertex v on a shortest s–t path, the EXACT number of shortest s–t
+    * paths passing through v — `σ_s(v) · σ_t(v)` for vertices with
+    * `d_s(v) + d_t(v) = d(s,t)`. The path-count sibling of betweenness
+    * whose scores are pure integers (products of exact σ counts), so the
+    * whole row replays bit-for-bit where Brandes' fractional δ
+    * accumulation would drag float division into the hash contract.
+    * Returns `(id, ds, dt, sig_s, sig_t, through)`, endpoints excluded.
+    *
+    * Two [[pathCounts]] sweeps (from s and from t) + one id-keyed join;
+    * d(s,t) is a 1-row driver reduction (the centroid precedent).
+    */
+  def stressCentrality(s: String, t: String, maxHops: Int = 6): DataFrame = {
+    val fs = pathCounts(s, maxHops)
+      .select(col("id"), col("d").as("ds"), col("sig").as("sig_s"))
+    val distRows = fs.filter(col("id") === t).select(col("ds")).collect()
+    require(distRows.nonEmpty,
+      s"stressCentrality: '$t' not reachable from '$s' within $maxHops hops")
+    stressAgainst(fs, s, t, distRows.head.getLong(0), maxHops)
+  }
+
+  /** [[stressCentrality]] with the far landmark PICKED from the graph —
+    * the farthest vertex from `s` (ties → smallest id; the
+    * [[diameterLowerBound]] sweep-pick) — so the pair stays structurally
+    * interesting at any corpus density: a hand-pinned pair that sits at
+    * distance 2 in the test corpus collapses to adjacency (empty stress
+    * set) the moment the graph densifies. 1-row driver reduction for the
+    * pick (centroid precedent).
+    */
+  def stressCentralityToFarthest(s: String, maxHops: Int = 6): DataFrame = {
+    val fs = pathCounts(s, maxHops)
+      .select(col("id"), col("d").as("ds"), col("sig").as("sig_s"))
+    val far = fs.orderBy(col("ds").desc, col("id").asc)
+      .select(col("id"), col("ds")).head()
+    stressAgainst(fs, s, far.getString(0), far.getLong(1), maxHops)
+  }
+
+  private def stressAgainst(fs: DataFrame, s: String, t: String,
+                            distST: Long, maxHops: Int): DataFrame = {
+    val ft = pathCounts(t, maxHops)
+      .select(col("id"), col("d").as("dt"), col("sig").as("sig_t"))
+    fs.join(ft, Seq("id"))
+      .filter(col("ds") + col("dt") === lit(distST) &&
+        col("id") =!= s && col("id") =!= t)
+      .select(col("id"), col("ds"), col("dt"), col("sig_s"), col("sig_t"),
+        (col("sig_s") * col("sig_t")).as("through"))
+  }
+
   /** HARMONIC centrality restricted to a landmark set: Σ 1/d(id, l) over
     * reached landmarks, the closeness variant that handles disconnected
     * graphs gracefully (unreached landmarks contribute 0 instead of

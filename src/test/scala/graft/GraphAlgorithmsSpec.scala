@@ -396,6 +396,31 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(r2.getAs[Long]("n_reached") === 6L)
   }
 
+  test("stressCentrality: exact path counts through each on-path vertex") {
+    // a-{p,q}-m-d: two shortest a→d paths, both through m — σ_a(m)=2 so
+    // through(m)=2; p and q carry one path each; the 4-hop decoy
+    // x-y-z never reaches a shortest (3-hop) path
+    val e = Seq(("a", "p"), ("a", "q"), ("p", "m"), ("q", "m"), ("m", "d"),
+      ("a", "x"), ("x", "y"), ("y", "z"), ("z", "d"))
+      .map { case (s0, d0) => (s0, d0, 1.0, "W") }.toDF("src", "dst", "w", "type")
+    val g = Graph(Graph.verticesOf(e), e)
+    val got = g.stressCentrality("a", "d", maxHops = 6).collect()
+      .map(r => r.getAs[String]("id") ->
+        ((r.getAs[Long]("ds"), r.getAs[Long]("dt"), r.getAs[Long]("sig_s"),
+          r.getAs[Long]("sig_t"), r.getAs[Long]("through")))).toMap
+    assert(got === Map(
+      "p" -> ((1L, 2L, 1L, 1L, 1L)),
+      "q" -> ((1L, 2L, 1L, 1L, 1L)),
+      "m" -> ((2L, 1L, 2L, 1L, 2L))))
+    // unreachable landmark fails loudly, not silently empty
+    val e2 = Seq(("a", "b"), ("c", "d"))
+      .map { case (s0, d0) => (s0, d0, 1.0, "W") }.toDF("src", "dst", "w", "type")
+    val g2 = Graph(Graph.verticesOf(e2), e2)
+    val ex = intercept[IllegalArgumentException](g2.stressCentrality("a", "d"))
+    assert(ex.getMessage.contains("not reachable"))
+    GraftStorage.clear(spark)
+  }
+
   test("temporal earliestArrival: influence respects time order; static reach over-counts") {
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     def llog(rows: (Long, String, Long)*) =
