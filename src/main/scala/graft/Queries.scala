@@ -5492,6 +5492,29 @@ object Queries {
              |FROM t WHERE grp IN (3, 7, 11) AND id >= 100 AND id < 1500
              |GROUP BY grp""".stripMargin)),
 
+    // the connector's AGGREGATE pushdown (SupportsPushDownAggregates)
+    // exercised end-to-end: grouped COUNT/MIN/MAX answered INSIDE the
+    // generator loop (partial per partition, Spark merges) — rows never
+    // materialize, the parquet-footer-statistics analogue. sum(v) stays
+    // a Spark-side residual shape on purpose in q_synth_source above;
+    // this row is the pushable subset. SynthSourceSpec asserts the scan
+    // really carries the pushed aggregation
+    Q("q_synth_agg_pushdown",
+      (s, d) => s.read.format("graft-synth")
+        .option("rows", "5000").option("numPartitions", "8").load()
+        .filter(col("id") >= 200L && col("id") < 4200L)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), min(col("v")).as("min_v"),
+          max(col("v")).as("max_v"), max(col("id")).as("max_id")),
+      Some("""WITH t AS (SELECT r.range AS id, r.range % 20 AS grp,
+             |         CAST(concat('0x', substr(md5(CAST(r.range AS VARCHAR)), 1, 15))
+             |           AS BIGINT) AS v
+             |       FROM range(5000) r)
+             |SELECT grp, count(*) AS n, min(v) AS min_v, max(v) AS max_v,
+             |       max(id) AS max_id
+             |FROM t WHERE id >= 200 AND id < 4200
+             |GROUP BY grp""".stripMargin)),
+
     // per-source corpus data card: docs, token mass, exact-dup rate,
     // language Gini impurity (entropy minus the libm log), mean length —
     // the release-table summary; every number a ratio of exact ints

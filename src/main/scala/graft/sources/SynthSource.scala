@@ -5,8 +5,9 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -73,6 +74,12 @@ object SynthSource {
       .map(b => f"$b%02x").mkString
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
+
+  /** Pushed-down aggregate functions the generator evaluates in-loop. */
+  private[sources] sealed trait AggSpec extends Serializable
+  private[sources] case object AggCountStar extends AggSpec
+  private[sources] final case class AggMin(col: String) extends AggSpec
+  private[sources] final case class AggMax(col: String) extends AggSpec
 }
 
 private[sources] class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
@@ -85,9 +92,14 @@ private[sources] class SynthTable(rows: Long, parts: Int) extends Table with Sup
 }
 
 private[sources] class SynthScanBuilder(rows: Long, parts: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  import SynthSource.{AggCountStar, AggMax, AggMin, AggSpec}
   private var required: StructType = SynthSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggGroupByGrp = false
+  private var aggFuncs: Seq[AggSpec] = Nil
+  private var aggPushed = false
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo(a, _: Long)            => a == "id" || a == "grp"
@@ -108,18 +120,71 @@ private[sources] class SynthScanBuilder(rows: Long, parts: Int)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new SynthScan(rows, parts, required, pushed)
+
+  /** AGGREGATE pushdown (partial: Spark still merges per-partition
+    * results — count partials re-sum, min/max re-min/max — so the
+    * connector never has to see the whole "table" in one task).
+    * Supported: optional `GROUP BY grp`, COUNT(*), MIN/MAX over any
+    * generated column. The generator then aggregates IN THE READ LOOP
+    * — the rows themselves never materialize, the analogue of a
+    * parquet footer answering MIN/MAX from statistics. Spark only
+    * attempts this when every filter was fully pushed (a residual
+    * filter after aggregation would be unanswerable), so the clamp +
+    * in-loop filter semantics compose unchanged.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def field(e: Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+    val groups = aggregation.groupByExpressions.toSeq.map(field)
+    if (groups.length > 1 || groups.exists(!_.contains("grp"))) return false
+    val cols = Set("id", "grp", "v")
+    val funcs: Seq[Option[AggSpec]] = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggCountStar)
+      // COUNT(col) over our columns ≡ COUNT(*): every generated column is
+      // non-null, so the non-distinct count doesn't depend on the column
+      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !c.isDistinct => field(c.column).filter(cols).map(_ => AggCountStar)
+      case m: Min => field(m.column).filter(cols).map(AggMin)
+      case m: Max => field(m.column).filter(cols).map(AggMax)
+      case _ => None
+    }
+    if (funcs.isEmpty || funcs.exists(_.isEmpty)) return false
+    aggGroupByGrp = groups.nonEmpty
+    aggFuncs = funcs.flatten
+    aggPushed = true
+    // readSchema becomes [group cols…, agg cols…] POSITIONALLY — Spark
+    // maps them back to the rewritten aggregate by position, names free
+    required = StructType(
+      (if (aggGroupByGrp) Seq(StructField("grp", LongType, nullable = false)) else Nil) ++
+        aggFuncs.zipWithIndex.map { case (f, i) =>
+          // global MIN/MAX over an all-filtered partition is NULL (the
+          // SQL/JDBC partial contract); COUNT(*) partials are never null
+          StructField(s"agg_$i", LongType, nullable = f != AggCountStar)
+        })
+    true
+  }
+
+  override def build(): Scan =
+    new SynthScan(rows, parts, required, pushed,
+      if (aggPushed) Some((aggGroupByGrp, aggFuncs)) else None)
 }
 
-// public: PlanAudit-style specs inspect `pushed`/`planInputPartitions`
+// public: PlanAudit-style specs inspect `pushed`/`pushedAgg`/`planInputPartitions`
 class SynthScan(rows: Long, parts: Int, required: StructType,
-                val pushed: Array[Filter])
+                val pushed: Array[Filter],
+                val pushedAgg: Option[(Boolean, Seq[SynthSource.AggSpec])] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"SynthScan(rows=$rows, cols=${required.fieldNames.mkString(",")}, " +
-      s"pushed=${pushed.mkString("[", ",", "]")})"
+      s"pushed=${pushed.mkString("[", ",", "]")}" +
+      pushedAgg.map { case (g, fs) =>
+        s", pushedAgg=${if (g) "GROUP BY grp: " else ""}${fs.mkString(",")}"
+      }.getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // id-filter pushdown CLAMPS the generated ranges — the partition-
@@ -144,17 +209,97 @@ class SynthScan(rows: Long, parts: Int, required: StructType,
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(required, pushed)
+    new SynthReaderFactory(required, pushed, pushedAgg)
 }
 
 case class SynthRange(lo: Long, hi: Long) extends InputPartition
 
-private[sources] class SynthReaderFactory(required: StructType, pushed: Array[Filter])
+private[sources] class SynthReaderFactory(
+    required: StructType, pushed: Array[Filter],
+    pushedAgg: Option[(Boolean, Seq[SynthSource.AggSpec])])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val r = p.asInstanceOf[SynthRange]
-    new SynthReader(r.lo, r.hi, required, pushed)
+    pushedAgg match {
+      case Some((byGrp, funcs)) => new SynthAggReader(r.lo, r.hi, pushed, byGrp, funcs)
+      case None                 => new SynthReader(r.lo, r.hi, required, pushed)
+    }
   }
+}
+
+/** Per-partition PARTIAL aggregation inside the generator loop: the
+  * pushed filters gate each id, the agg state is a tiny per-group
+  * array, and no row is ever materialized — Spark merges the partials
+  * (partial-pushdown contract of [[SupportsPushDownAggregates]]).
+  */
+private[sources] class SynthAggReader(lo: Long, hi: Long, pushed: Array[Filter],
+                                      byGrp: Boolean,
+                                      funcs: Seq[SynthSource.AggSpec])
+    extends PartitionReader[InternalRow] {
+  import SynthSource.{AggCountStar, AggMax, AggMin}
+  private var out: Iterator[InternalRow] = _
+  private var row: InternalRow = _
+
+  private def colValue(attr: String, id: Long): Long = attr match {
+    case "id"  => id
+    case "grp" => id % 20
+    case "v"   => SynthSource.mdPrefix(id)
+  }
+
+  private def keep(id: Long): Boolean = {
+    val grp = id % 20
+    def v(attr: String): Long = if (attr == "id") id else grp
+    pushed.forall {
+      case EqualTo(a, x: Long)            => v(a) == x
+      case GreaterThan(a, x: Long)        => v(a) > x
+      case GreaterThanOrEqual(a, x: Long) => v(a) >= x
+      case LessThan(a, x: Long)           => v(a) < x
+      case LessThanOrEqual(a, x: Long)    => v(a) <= x
+      case In(a, vs)                      => vs.exists(_.asInstanceOf[Long] == v(a))
+      case _                              => true
+    }
+  }
+
+  private def materialize(): Iterator[InternalRow] = {
+    val state = scala.collection.mutable.LinkedHashMap.empty[Long, Array[Long]]
+    def fresh() = funcs.map {
+      case AggCountStar => 0L
+      case AggMin(_)    => Long.MaxValue
+      case AggMax(_)    => Long.MinValue
+    }.toArray
+    var id = lo
+    while (id < hi) {
+      if (keep(id)) {
+        val key = if (byGrp) id % 20 else 0L
+        val st = state.getOrElseUpdate(key, fresh())
+        funcs.zipWithIndex.foreach {
+          case (AggCountStar, i) => st(i) += 1
+          case (AggMin(c), i)    => st(i) = math.min(st(i), colValue(c, id))
+          case (AggMax(c), i)    => st(i) = math.max(st(i), colValue(c, id))
+        }
+      }
+      id += 1
+    }
+    if (!byGrp && state.isEmpty) {
+      // a GLOBAL aggregate always yields one row (SQL semantics — the
+      // JDBC-pushdown contract): count 0, min/max NULL
+      val empty: Seq[Any] = funcs.map {
+        case AggCountStar => 0L
+        case _            => null
+      }
+      return Iterator.single(InternalRow.fromSeq(empty))
+    }
+    state.iterator.map { case (k, st) =>
+      InternalRow.fromSeq((if (byGrp) Seq(k) else Nil) ++ st.toSeq)
+    }
+  }
+
+  override def next(): Boolean = {
+    if (out == null) out = materialize()
+    if (out.hasNext) { row = out.next(); true } else false
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 private[sources] class SynthReader(lo: Long, hi: Long, required: StructType,

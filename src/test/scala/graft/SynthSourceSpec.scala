@@ -80,4 +80,47 @@ class SynthSourceSpec extends SparkTestBase {
     assert(synthScan(df).readSchema().fieldNames.toSeq === Seq("id", "grp"))
     assert(df.count() === 100L)
   }
+
+  test("aggregate pushdown: grouped COUNT/MIN/MAX answered inside the generator") {
+    val df = read(200).groupBy("grp")
+      .agg(count(lit(1)).as("n"), min("v").as("mn"), max("id").as("mx"))
+    val scan = synthScan(df)
+    assert(scan.pushedAgg.isDefined, s"aggregation not pushed: ${scan.description()}")
+    assert(scan.pushedAgg.get._1, "GROUP BY grp not pushed")
+    // the scan's output is the partial-aggregate schema, not raw rows
+    assert(scan.readSchema().fieldNames.length === 4)
+    val got = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expected = (0L until 200L).groupBy(_ % 20).map { case (g, ids) =>
+      g -> ((ids.size.toLong, ids.map(SynthSource.mdPrefix).min, ids.max))
+    }
+    assert(got === expected)
+  }
+
+  test("aggregate pushdown: global aggregate with pushed filters; empty result contract") {
+    val df = read(100).filter(col("id") >= 40L && col("id") < 60L)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"), max("v").as("mx"))
+    val scan = synthScan(df)
+    assert(scan.pushedAgg.isDefined && !scan.pushedAgg.get._1)
+    val r = df.head()
+    assert(r.getLong(0) === 20L)
+    assert(r.getLong(1) === 40L)
+    assert(r.getLong(2) === (40L until 60L).map(SynthSource.mdPrefix).max)
+    // every row filtered out: COUNT 0, MIN/MAX null (the SQL/JDBC contract)
+    val empty = read(100).filter(col("id") > 1000L)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"))
+    assert(synthScan(empty).pushedAgg.isDefined)
+    val er = empty.head()
+    assert(er.getLong(0) === 0L && er.isNullAt(1))
+  }
+
+  test("unsupported aggregates are NOT pushed and still compute correctly") {
+    // SUM is outside the supported set — Spark must keep the raw scan
+    val df = read(100).groupBy("grp").agg(sum("id").as("s"))
+    assert(synthScan(df).pushedAgg.isEmpty)
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0L until 100L).groupBy(_ % 20)
+      .map { case (g, ids) => g -> ids.sum }
+    assert(got === expected)
+  }
 }
