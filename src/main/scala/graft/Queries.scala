@@ -6553,6 +6553,39 @@ object Queries {
     // mT5-style temperature (α = 0.5) source mixing over the lineitem
     // return-flag strata: weight ∝ √count, per-row keep decided by the
     // deterministic md5 uniform — per-stratum audit row
+    // MIXTURE PLANNER: waterfill a 1.3x-corpus token budget over a
+    // pinned recipe weight vector with a 1.5-epoch cap — proportional
+    // allocation, cap, one exact-integer redistribution round. At both
+    // test SFs the heavy sources (src0..src3) cap at exactly 1.5 epochs
+    // and the excess waterfalls to the weight-1 sources (~1.24 epochs)
+    Q("q_mix_plan",
+      (s, d) => graft.pipeline.Mix.planMixture(
+        t(s, d)("documents"), "source", "text",
+        weights = Map("src0" -> 10L, "src1" -> 8L, "src2" -> 6L, "src3" -> 4L)),
+      Some("""WITH av AS (SELECT source, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS avail
+             |            FROM documents GROUP BY source),
+             |w AS (SELECT source, avail,
+             |        CAST(CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 8
+             |             WHEN 'src2' THEN 6 WHEN 'src3' THEN 4 ELSE 1 END AS BIGINT) AS weight
+             |      FROM av),
+             |t AS (SELECT CAST(sum(avail) AS BIGINT) AS tot, CAST(sum(weight) AS BIGINT) AS wsum FROM w),
+             |base AS (SELECT w.source, w.avail, w.weight,
+             |           t.tot * 13 // 10 AS budget,
+             |           w.avail * 3 // 2 AS cap,
+             |           (t.tot * 13 // 10) * w.weight // t.wsum AS requested,
+             |           least((t.tot * 13 // 10) * w.weight // t.wsum, w.avail * 3 // 2) AS a1
+             |         FROM w, t),
+             |lo AS (SELECT greatest(0, max(budget) - sum(a1)) AS leftover,
+             |              CAST(sum(cap - a1) AS BIGINT) AS hsum FROM base)
+             |SELECT base.source, base.avail, base.weight, base.requested,
+             |  CAST(base.a1 + CASE WHEN lo.hsum > 0
+             |    THEN CAST(lo.leftover AS HUGEINT) * (base.cap - base.a1) // lo.hsum
+             |    ELSE 0 END AS BIGINT) AS allocated,
+             |  CAST(base.a1 + CASE WHEN lo.hsum > 0
+             |    THEN CAST(lo.leftover AS HUGEINT) * (base.cap - base.a1) // lo.hsum
+             |    ELSE 0 END AS DOUBLE) / CAST(base.avail AS DOUBLE) AS epochs
+             |FROM base, lo""".stripMargin)),
+
     Q("q_mix_temperature",
       (s, d) => graft.pipeline.Mix.temperatureAudit(
         t(s, d)("lineitem"),

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.GraftStorage.Syntax
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -370,6 +371,68 @@ object Mix {
           .getField("w"))
       .drop("__arr")
       .withColumn("draw", col("draw").cast("long"))
+  }
+
+  /** MIXTURE PLANNER — the token-allocation computation behind every
+    * published data recipe (Pile/Gopher/LLaMA weight tables): given a
+    * per-source weight vector, a token budget (a rational multiple of
+    * the live corpus mass, so the plan is scale-free), and a per-source
+    * epoch cap, WATERFILL the budget — proportional allocation, cap the
+    * over-subscribed sources, redistribute the excess over the remaining
+    * headroom in one round. Returns
+    * `(source, avail, weight, requested, allocated, epochs)`.
+    *
+    * ALL-INTEGER arithmetic (`div` floor division; the one cross-multiply
+    * that can exceed a long goes through decimal(38,0)): the plan is
+    * bit-replayable in any engine — a float waterfill would make "which
+    * source got the last token" partition-order-dependent. Floor crumbs
+    * (≤ one token per source per stage) stay unallocated by design; the
+    * single redistribution round cannot overshoot a cap because
+    * leftover ≤ total headroom whenever budget ≤ Σcap (required below).
+    *
+    * Scale shape: one per-source aggregate, two 1-row total broadcasts
+    * (the q_mix_temperature class) — the corpus shuffles once by the
+    * low-cardinality stratum with map-side partials.
+    */
+  def planMixture(docs: DataFrame, stratumCol: String, textCol: String,
+                  weights: Map[String, Long], defaultWeight: Long = 1L,
+                  budgetNum: Long = 13L, budgetDen: Long = 10L,
+                  epochCapNum: Long = 3L, epochCapDen: Long = 2L): DataFrame = {
+    require(budgetNum * epochCapDen <= epochCapNum * budgetDen,
+      "budget exceeds the epoch-capped corpus capacity — nothing to waterfill")
+    require(weights.values.forall(_ >= 0) && defaultWeight >= 0,
+      "weights must be non-negative")
+    val av = docs.groupBy(col(stratumCol).as("source"))
+      // functions.split qualified: Mix.split (the hash splitter) shadows it
+      .agg(sum(size(org.apache.spark.sql.functions.split(col(textCol), " ")))
+        .cast("long").as("avail"))
+    val spark = docs.sparkSession
+    val wdf =
+      if (weights.isEmpty) av.select(col("source")).withColumn("weight", lit(defaultWeight))
+      else {
+        import spark.implicits._
+        weights.toSeq.toDF("source", "weight")
+      }
+    val withW = av.join(broadcast(wdf), Seq("source"), "left")
+      .withColumn("weight", coalesce(col("weight"), lit(defaultWeight)))
+    val tots = withW.agg(sum(col("avail")).as("tot"), sum(col("weight")).as("wsum"))
+    val base = withW.crossJoin(broadcast(tots))
+      .withColumn("budget", expr(s"tot * $budgetNum div $budgetDen"))
+      .withColumn("cap", expr(s"avail * $epochCapNum div $epochCapDen"))
+      .withColumn("requested", expr("budget * weight div wsum"))
+      .withColumn("a1", least(col("requested"), col("cap")))
+      .persistTracked() // feeds the leftover aggregate AND the projection
+    val lo = base.agg(
+      greatest(lit(0L), max(col("budget")) - sum(col("a1"))).as("leftover"),
+      sum(col("cap") - col("a1")).as("hsum"))
+    base.crossJoin(broadcast(lo))
+      .withColumn("allocated", col("a1") + when(col("hsum") > 0,
+          expr("CAST(leftover AS DECIMAL(38,0)) * (cap - a1) div hsum"))
+        .otherwise(lit(0L)))
+      .withColumn("epochs",
+        col("allocated").cast("double") / col("avail").cast("double"))
+      .select(col("source"), col("avail"), col("weight"), col("requested"),
+        col("allocated"), col("epochs"))
   }
 
   /** CONTRASTIVE training pairs from near-dup structure — the embedding-

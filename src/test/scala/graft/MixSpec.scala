@@ -236,6 +236,38 @@ test("selectByBudget: two-phase prefix sum equals the one-window global cumsum")
     assert(got3 === want)
   }
 
+  test("planMixture: caps bind, excess waterfalls, every invariant integer-exact") {
+    import graft.pipeline.Mix
+    // two heavy sources (weight 9) over-subscribe a 1.3x budget at the
+    // 1.5-epoch cap; two weight-1 sources absorb the redistribution
+    val docs = (
+      (0 until 10).map(i => (s"d_a$i", "A", "w " * 99 + "w")) ++ // 100 words each
+      (0 until 10).map(i => (s"d_b$i", "B", "w " * 99 + "w")) ++
+      (0 until 10).map(i => (s"d_c$i", "C", "w " * 99 + "w")) ++
+      (0 until 10).map(i => (s"d_d$i", "D", "w " * 99 + "w"))
+    ).toDF("doc_id", "source", "text")
+    val got = Mix.planMixture(docs, "source", "text",
+        weights = Map("A" -> 9L, "B" -> 9L)).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("avail"), r.getAs[Long]("requested"),
+          r.getAs[Long]("allocated"), r.getAs[Double]("epochs")))).toMap
+    // tot 4000, budget 5200, wsum 20; A/B requested 2340 > cap 1500;
+    // leftover 5200-1500-1500-260-260 = 1680 over headroom 2480
+    assert(got("A") === ((1000L, 2340L, 1500L, 1.5)))
+    assert(got("B") === ((1000L, 2340L, 1500L, 1.5)))
+    // C/D: a1 = 260, headroom 1240 each → +1680*1240/2480 = +840 → 1100
+    assert(got("C") === ((1000L, 260L, 1100L, 1.1)))
+    assert(got("D") === ((1000L, 260L, 1100L, 1.1)))
+    // invariants: nothing over cap, total within budget
+    assert(got.values.map(_._3).sum <= 5200L)
+    // over-budget parameterization is refused loudly
+    intercept[IllegalArgumentException] {
+      Mix.planMixture(docs, "source", "text", Map.empty[String, Long],
+        budgetNum = 2L, budgetDen = 1L)
+    }
+    GraftStorage.clear(spark)
+  }
+
   test("contrastivePairs: positives from dup pairs, negatives never share a family") {
     import graft.pipeline.{Dedup, Mix}
     // two duplicate families {1,2,3} (chain) and {8,9}; 10-doc universe
