@@ -4444,6 +4444,41 @@ object Queries {
              |    / CAST(count(*) AS DOUBLE) AS novelty
              |FROM sh JOIN f USING (s) GROUP BY sh.id""".stripMargin)),
 
+    // per-SOURCE novelty rollup: which source is bringing text the
+    // corpus has already seen? The acquisition-prioritization twin of
+    // q_ngram_novelty — same first-occurrence attribution, aggregated
+    // to the level a crawl budget is actually decided at
+    Q("q_novelty_by_source",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        graft.pipeline.Profile.ngramNovelty(docs)
+          .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_grams")).as("n_grams"), sum(col("n_novel")).as("n_novel"))
+          .withColumn("novelty",
+            col("n_novel").cast("double") / col("n_grams").cast("double"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT doc_id AS id,
+             |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS s
+             |       FROM (SELECT doc_id,
+             |                    unnest(list_filter(
+             |                      list_transform(ws, (x,i) -> CASE WHEN i <= len(ws)-2
+             |                        THEN x || ' ' || ws[i+1] || ' ' || ws[i+2] END),
+             |                      v -> v IS NOT NULL)) AS s
+             |             FROM w)),
+             |f AS (SELECT s, min(id) AS first_id FROM sh GROUP BY s),
+             |pd AS (SELECT sh.id, count(*) AS n_grams,
+             |         sum(CASE WHEN f.first_id = sh.id THEN 1 ELSE 0 END) AS n_novel
+             |       FROM sh JOIN f USING (s) GROUP BY sh.id)
+             |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(pd.n_grams) AS BIGINT) AS n_grams,
+             |  CAST(sum(pd.n_novel) AS BIGINT) AS n_novel,
+             |  CAST(sum(pd.n_novel) AS DOUBLE) / CAST(sum(pd.n_grams) AS DOUBLE) AS novelty
+             |FROM pd JOIN documents d ON pd.id = d.doc_id
+             |GROUP BY d.source""".stripMargin)),
+
     // per-source duplicate n-gram MASS (bag semantics): the "how much
     // would n-gram dedup save" sizing audit read BEFORE paying for a
     // pairwise pass. One exploded projection + one exact-distinct agg
