@@ -33,9 +33,12 @@ import org.apache.spark.storage.StorageLevel
   * Because the sweep cannot distinguish sessions, [[clear]] SKIPS it
   * automatically whenever another session still holds tracked handles —
   * a multi-session deployment never cross-releases by default; the last
-  * session to clear performs the sweep. Sessions are held WEAKLY: an
-  * abandoned session (never cleared, then unreferenced) drops out of the
-  * registry with its queue instead of leaking both forever.
+  * session to clear performs the sweep. Abandoned sessions don't leak:
+  * keys are weak (an unreferenced session with an EMPTY queue collects),
+  * and every [[persisted]] call prunes entries whose SparkContext has
+  * stopped — necessary because a queued Dataset strongly references its
+  * session through the queue, so weak keys alone cannot collect a
+  * session that still holds tracked handles.
   */
 object GraftStorage {
   // weak keys: the registry must never be the thing keeping a forgotten
@@ -50,9 +53,24 @@ object GraftStorage {
   /** `df.persist(MEMORY_AND_DISK)`, recorded for a later [[clear]]. */
   private[graft] def persisted(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    pruneStopped()
     tracked.computeIfAbsent(df.sparkSession,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()).add(p)
     p
+  }
+
+  /** Drop entries whose SparkContext has stopped: their blocks are gone
+    * with the executors, and a queued Dataset strongly references its
+    * session THROUGH the queue (value→key), so the weak keys alone can't
+    * collect a session that still has tracked handles — this prune is
+    * what actually releases an abandoned-and-stopped session's queue.
+    */
+  private def pruneStopped(): Unit = tracked.synchronized {
+    val it = tracked.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey != null && e.getKey.sparkContext.isStopped) it.remove()
+    }
   }
 
   /** How many persisted handles are currently tracked across all

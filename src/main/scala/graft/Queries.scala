@@ -6964,8 +6964,11 @@ object Queries {
     // never a corpus self-join; all picks md5-ranked and replayed
     Q("q_contrastive_pairs",
       (s, d) => {
+        // pinned: the PPJoin pipeline feeds BOTH the positive picks and
+        // the component clustering — unpinned it executes twice
         val pairs = Dedup.ngramJaccardPairs(t(s, d)("documents"),
           minShared = 2L, minJaccard = 0.5).select("id1", "id2")
+          .persistTracked()
         graft.pipeline.Mix.contrastivePairs(pairs, Dedup.components(pairs),
           t(s, d)("documents").select("doc_id"))
       },
