@@ -6958,10 +6958,12 @@ object Queries {
               |FROM g""".stripMargin)),
 
     // CONTRASTIVE training pairs off the dedup pipeline's own structure:
-    // positives = near-dup pairs, negatives = md5-picked pool docs from a
+    // positives = near-dup pairs, negatives = md5-picked docs from a
     // DIFFERENT duplicate family (the false-negative contamination guard
-    // a random negative sampler lacks). Pool is a 16-row broadcast —
-    // never a corpus self-join; all picks md5-ranked and replayed
+    // a random negative sampler lacks). Negative candidates come from a
+    // hash-BUCKET equi-join sized to ~64 docs per anchor — every anchor
+    // gets its own pseudo-random slice (a shared pool would hand every
+    // anchor identical negatives), bounded at any corpus, no nested loop
     Q("q_contrastive_pairs",
       (s, d) => {
         // pinned: the PPJoin pipeline feeds BOTH the positive picks and
@@ -6990,18 +6992,19 @@ object Queries {
               |    row_number() OVER (PARTITION BY id1
               |      ORDER BY md5('pos:' || CAST(id1 AS VARCHAR) || ':' || CAST(id2 AS VARCHAR)), id2) AS rank
               |  FROM dup) WHERE rank <= 2),
-              |pool AS (SELECT doc_id AS cand FROM documents
-              |         ORDER BY md5('pool:' || CAST(doc_id AS VARCHAR)), doc_id LIMIT 16),
-              |pc AS (SELECT cand, coalesce(c.component, cand) AS ccomp
-              |       FROM pool LEFT JOIN comp c ON pool.cand = c.id),
+              |nb AS (SELECT greatest(1, count(*) // 64) AS nb FROM documents),
+              |cand AS (SELECT d.doc_id AS cand, coalesce(c.component, d.doc_id) AS ccomp,
+              |    CAST(concat('0x', substr(md5('nbkt:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % nb.nb AS bkt
+              |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id, nb),
               |an AS (SELECT DISTINCT anchor FROM pos),
-              |ac AS (SELECT anchor, coalesce(c.component, anchor) AS acomp
-              |       FROM an LEFT JOIN comp c ON an.anchor = c.id),
+              |ac AS (SELECT anchor, coalesce(c.component, anchor) AS acomp,
+              |    CAST(concat('0x', substr(md5('nbkt:' || CAST(anchor AS VARCHAR)), 1, 15)) AS BIGINT) % nb.nb AS bkt
+              |  FROM an LEFT JOIN comp c ON an.anchor = c.id, nb),
               |neg AS (SELECT anchor, other, 'neg' AS label, CAST(rank AS BIGINT) AS rank FROM (
-              |  SELECT ac.anchor, pc.cand AS other,
+              |  SELECT ac.anchor, cand.cand AS other,
               |    row_number() OVER (PARTITION BY ac.anchor
-              |      ORDER BY md5('neg:' || CAST(ac.anchor AS VARCHAR) || ':' || CAST(pc.cand AS VARCHAR)), pc.cand) AS rank
-              |  FROM ac JOIN pc ON ac.acomp <> pc.ccomp) WHERE rank <= 2)
+              |      ORDER BY md5('neg:' || CAST(ac.anchor AS VARCHAR) || ':' || CAST(cand.cand AS VARCHAR)), cand.cand) AS rank
+              |  FROM ac JOIN cand USING (bkt) WHERE ac.acomp <> cand.ccomp) WHERE rank <= 2)
               |SELECT * FROM pos UNION ALL SELECT * FROM neg""".stripMargin)),
 
     // token-budget corpus selection: the best-quality documents until the

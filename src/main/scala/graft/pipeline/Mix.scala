@@ -438,8 +438,8 @@ object Mix {
   /** CONTRASTIVE training pairs from near-dup structure — the embedding-
     * model data-assembly step: POSITIVES are near-duplicate pairs (the
     * dedup pipeline's own output, so "semantically same" is whatever the
-    * configured similarity says), NEGATIVES pair each anchor with
-    * corpus docs from a DIFFERENT duplicate family (never an accidental
+    * configured similarity says), NEGATIVES pair each anchor with corpus
+    * docs from a DIFFERENT duplicate family (never an accidental
     * positive — the classic false-negative contamination in contrastive
     * batches). All picks are md5-ranked (the [[split]] convention):
     * reproducible across runs, engines, and partitionings, no RNG state.
@@ -447,38 +447,47 @@ object Mix {
     * Returns `(anchor, other, label 'pos'|'neg', rank)`.
     *
     * Scale shape: positives are one per-anchor window over the (already
-    * bounded) dup-pair relation; the negative side joins anchors against
-    * a BROADCAST `poolSize`-row candidate pool (global md5 bottom-k —
-    * a k-row TakeOrdered, never a corpus shuffle), with the family check
-    * on `coalesce(component, id)` so un-clustered pool docs are their
-    * own family. Anchors × pool is the q_ann_cosine broadcast-scalar
-    * contract: the nested-loop side is ≤ `poolSize` rows by
-    * construction.
+    * bounded) dup-pair relation. Negative CANDIDATES come from a hash
+    * BUCKET equi-join — the corpus hashes into `n / targetCandidates`
+    * buckets (one count job sizes them, the `candidatePairsAuto`
+    * precedent) and each anchor probes the bucket its own hash lands in:
+    * every anchor sees its own pseudo-random ~`targetCandidates`-doc
+    * slice (a shared broadcast pool would hand EVERY anchor the same
+    * negatives — degenerate for training at scale), candidates are
+    * bounded per anchor at any corpus size, and the join is a plain
+    * hash-partition equi-join — no nested loop anywhere. The family
+    * check runs on `coalesce(component, id)` so un-clustered docs are
+    * their own family.
     */
   def contrastivePairs(pairs: DataFrame, comp: DataFrame, universe: DataFrame,
-                       idCol: String = "doc_id", poolSize: Int = 16,
+                       idCol: String = "doc_id", targetCandidates: Long = 64L,
                        posPerAnchor: Int = 2, negPerAnchor: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def pick(tag: String, a: Column, b: Column): Column =
       md5(concat(lit(tag + ":"), a.cast("string"), lit(":"), b.cast("string")))
+    def bucketOf(c: Column, nBuckets: Long): Column =
+      pmod(conv(substring(md5(concat(lit("nbkt:"), c.cast("string"))), 1, 15), 16, 10)
+        .cast("long"), lit(nBuckets))
     val wPos = Window.partitionBy(col("anchor")).orderBy(col("__m"), col("other"))
     val pos = pairs.select(col("id1").as("anchor"), col("id2").as("other"))
       .withColumn("__m", pick("pos", col("anchor"), col("other")))
       .withColumn("rank", row_number().over(wPos).cast("long"))
       .filter(col("rank") <= posPerAnchor)
       .select(col("anchor"), col("other"), lit("pos").as("label"), col("rank"))
-    val pool = universe.select(col(idCol).as("cand"))
-      .withColumn("__pm", md5(concat(lit("pool:"), col("cand").cast("string"))))
-      .orderBy(col("__pm"), col("cand")).limit(poolSize)
-      .select(col("cand"))
+    // one count job sizes the buckets so each holds ~targetCandidates docs
+    val nBuckets = math.max(1L, universe.count() / math.max(1L, targetCandidates))
     val fam = comp.select(col("id"), col("component"))
+    val cands = universe.select(col(idCol).as("cand"))
+      .join(fam, col("cand") === col("id"), "left")
+      .select(col("cand"), coalesce(col("component"), col("cand")).as("ccomp"),
+        bucketOf(col("cand"), nBuckets).as("bkt"))
     val anchors = pos.select(col("anchor")).distinct()
       .join(fam, col("anchor") === col("id"), "left")
-      .select(col("anchor"), coalesce(col("component"), col("anchor")).as("acomp"))
-    val poolFam = pool.join(fam, col("cand") === col("id"), "left")
-      .select(col("cand"), coalesce(col("component"), col("cand")).as("ccomp"))
+      .select(col("anchor"), coalesce(col("component"), col("anchor")).as("acomp"),
+        bucketOf(col("anchor"), nBuckets).as("bkt"))
     val wNeg = Window.partitionBy(col("anchor")).orderBy(col("__m"), col("other"))
-    val neg = anchors.join(broadcast(poolFam), col("acomp") =!= col("ccomp"))
+    val neg = anchors.join(cands, Seq("bkt"))
+      .filter(col("acomp") =!= col("ccomp"))
       .select(col("anchor"), col("cand").as("other"))
       .withColumn("__m", pick("neg", col("anchor"), col("other")))
       .withColumn("rank", row_number().over(wNeg).cast("long"))

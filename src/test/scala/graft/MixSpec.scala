@@ -275,7 +275,7 @@ test("selectByBudget: two-phase prefix sum equals the one-window global cumsum")
     val comp = Dedup.components(pairs)
     val universe = (1L to 10L).toDF("doc_id")
     val got = Mix.contrastivePairs(pairs, comp, universe,
-      poolSize = 10, posPerAnchor = 2, negPerAnchor = 2).collect()
+      targetCandidates = 10L, posPerAnchor = 2, negPerAnchor = 2).collect()
       .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("other"),
         r.getAs[String]("label"), r.getAs[Long]("rank")))
     val fam = comp.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("component")).toMap
@@ -294,7 +294,7 @@ test("selectByBudget: two-phase prefix sum equals the one-window global cumsum")
     }
     // md5 picks are partitioning-invariant
     val again = Mix.contrastivePairs(pairs.repartition(7), comp, universe.repartition(3),
-      poolSize = 10, posPerAnchor = 2, negPerAnchor = 2).collect()
+      targetCandidates = 10L, posPerAnchor = 2, negPerAnchor = 2).collect()
       .map(r => (r.getAs[Long]("anchor"), r.getAs[Long]("other"),
         r.getAs[String]("label"), r.getAs[Long]("rank")))
     assert(again.toSet === got.toSet)

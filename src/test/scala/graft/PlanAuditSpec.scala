@@ -54,10 +54,8 @@ class PlanAuditSpec extends SparkTestBase {
                                          // k-sized arrays — never data-sized)
     "q_vocab_growth",                    // 5-row checkpoint relation broadcast
                                          // (first_doc < cp range predicate)
-    "q_sparse_cosine",                   // 1-row n_docs broadcast (df cap +
+    "q_sparse_cosine")                   // 1-row n_docs broadcast (df cap +
                                          // integer idf weights)
-    "q_contrastive_pairs")               // anchors ⨝ broadcast 16-row negative
-                                         // pool on family ≠ (q_ann_cosine class)
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {
