@@ -3607,7 +3607,10 @@ object Queries {
     Q("q_dedup_embedding_auto",
       (s, d) => Dedup.embeddingNearDupAuto(
         t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
-        threshold = 0.35, numTables = 6, exactLimit = 100L),
+        // pinned BELOW the smallest test corpus (sf0.001 = 50 vectors) so
+        // the LIVE plan is the LSH regime — the one the oracle replays —
+        // at EVERY SF the driver or a local probe might verify at
+        threshold = 0.35, numTables = 6, exactLimit = 10L),
       Some {
         // the LSH regime self-sizes under the PAIRING cap: planesFor must
         // agree across test SFs for one oracle to replay both (the
