@@ -132,14 +132,41 @@ private[sources] class SynthScanBuilder(rows: Long, parts: Int)
     * filter after aggregation would be unanswerable), so the clamp +
     * in-loop filter semantics compose unchanged.
     */
-  override def pushAggregation(aggregation: Aggregation): Boolean = {
+  /** COMPLETE pushdown when the scan plans exactly ONE partition: the
+    * single reader sees the whole "table", so its per-group results are
+    * already final and Spark plans NO aggregate node at all. With more
+    * partitions the partial contract applies (Spark merges).
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    parts == 1 && accepts(aggregation).isDefined
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    accepts(aggregation) match {
+      case Some((byGrp, funcs)) =>
+        aggGroupByGrp = byGrp
+        aggFuncs = funcs
+        aggPushed = true
+        // readSchema becomes [group cols…, agg cols…] POSITIONALLY — Spark
+        // maps them back to the rewritten aggregate by position, names free
+        required = StructType(
+          (if (byGrp) Seq(StructField("grp", LongType, nullable = false)) else Nil) ++
+            funcs.zipWithIndex.map { case (f, i) =>
+              // global MIN/MAX over an all-filtered partition is NULL (the
+              // SQL/JDBC partial contract); COUNT(*) partials are never null
+              StructField(s"agg_$i", LongType, nullable = f != AggCountStar)
+            })
+        true
+      case None => false
+    }
+
+  private def accepts(aggregation: Aggregation): Option[(Boolean, Seq[AggSpec])] = {
     def field(e: Expression): Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         Some(nr.fieldNames.head)
       case _ => None
     }
     val groups = aggregation.groupByExpressions.toSeq.map(field)
-    if (groups.length > 1 || groups.exists(!_.contains("grp"))) return false
+    if (groups.length > 1 || groups.exists(!_.contains("grp"))) return None
     val cols = Set("id", "grp", "v")
     val funcs: Seq[Option[AggSpec]] = aggregation.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(AggCountStar)
@@ -151,20 +178,8 @@ private[sources] class SynthScanBuilder(rows: Long, parts: Int)
       case m: Max => field(m.column).filter(cols).map(AggMax)
       case _ => None
     }
-    if (funcs.isEmpty || funcs.exists(_.isEmpty)) return false
-    aggGroupByGrp = groups.nonEmpty
-    aggFuncs = funcs.flatten
-    aggPushed = true
-    // readSchema becomes [group cols…, agg cols…] POSITIONALLY — Spark
-    // maps them back to the rewritten aggregate by position, names free
-    required = StructType(
-      (if (aggGroupByGrp) Seq(StructField("grp", LongType, nullable = false)) else Nil) ++
-        aggFuncs.zipWithIndex.map { case (f, i) =>
-          // global MIN/MAX over an all-filtered partition is NULL (the
-          // SQL/JDBC partial contract); COUNT(*) partials are never null
-          StructField(s"agg_$i", LongType, nullable = f != AggCountStar)
-        })
-    true
+    if (funcs.isEmpty || funcs.exists(_.isEmpty)) None
+    else Some((groups.nonEmpty, funcs.flatten))
   }
 
   override def build(): Scan =

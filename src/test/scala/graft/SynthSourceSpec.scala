@@ -114,6 +114,29 @@ class SynthSourceSpec extends SparkTestBase {
     assert(er.getLong(0) === 0L && er.isNullAt(1))
   }
 
+  test("COMPLETE pushdown at one partition: Spark plans no aggregate node at all") {
+    val single = spark.read.format("graft-synth")
+      .option("rows", "300").option("numPartitions", "1").load()
+      .groupBy("grp").agg(count(lit(1)).as("n"), max("id").as("mx"))
+    assert(synthScan(single).pushedAgg.isDefined)
+    val aggNodes = collectAll(single.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).count(_.nodeName.toLowerCase.contains("aggregate"))
+    assert(aggNodes === 0, "complete pushdown must eliminate the Spark-side aggregate")
+    val got = single.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val expected = (0L until 300L).groupBy(_ % 20)
+      .map { case (g, ids) => g -> ((ids.size.toLong, ids.max)) }
+    assert(got === expected)
+    // multi-partition keeps the merge aggregate (partial contract)
+    val multi = read(300).groupBy("grp").agg(count(lit(1)).as("n"))
+    val multiAgg = collectAll(multi.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).count(_.nodeName.toLowerCase.contains("aggregate"))
+    assert(multiAgg > 0)
+  }
+
   test("unsupported aggregates are NOT pushed and still compute correctly") {
     // SUM is outside the supported set — Spark must keep the raw scan
     val df = read(100).groupBy("grp").agg(sum("id").as("s"))
