@@ -421,6 +421,92 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     GraftStorage.clear(spark)
   }
 
+  test("stressCentrality: matches local BFS path counting on random graphs") {
+    val rng = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 14
+      val edges0 = (for {
+        a <- 0 until n; b <- 0 until n
+        if a < b && rng.nextDouble() < 0.22
+      } yield (s"v$a", s"v$b")).toSeq
+      if (edges0.nonEmpty) {
+        val e = edges0.map { case (s0, d0) => (s0, d0, 1.0, "W") }
+          .toDF("src", "dst", "w", "type")
+        val g = Graph(Graph.verticesOf(e), e)
+        // local truth: level-synchronous BFS with sigma from a root
+        def bfs(root: String): Map[String, (Long, Long)] = {
+          val adj = (edges0 ++ edges0.map(_.swap)).groupBy(_._1)
+            .map { case (k, vs) => k -> vs.map(_._2).toSet }
+          var res = Map(root -> ((0L, 1L)))
+          var frontier = Set(root)
+          var d = 0L
+          while (frontier.nonEmpty) {
+            d += 1
+            val next = scala.collection.mutable.Map.empty[String, Long]
+            frontier.foreach { v =>
+              adj.getOrElse(v, Set.empty).filterNot(res.contains).foreach { w =>
+                next(w) = next.getOrElse(w, 0L) + res(v)._2
+              }
+            }
+            res = res ++ next.map { case (w, sig) => w -> ((d, sig)) }
+            frontier = next.keySet.toSet
+          }
+          res
+        }
+        val s0 = "v0"
+        val fs = bfs(s0)
+        if (fs.size > 1) {
+          // the sweep pick: farthest from s, ties to smallest id
+          val far = fs.toSeq.map { case (id, (d, _)) => (id, d) }
+            .sortBy { case (id, d) => (-d, id) }.head._1
+          val ft = bfs(far)
+          val dst = fs(far)._1
+          val want = fs.keys.filter(v => ft.contains(v) && v != s0 && v != far)
+            .filter(v => fs(v)._1 + ft(v)._1 == dst)
+            .map(v => v -> fs(v)._2 * ft(v)._2).toMap
+          val got = g.stressCentrality(s0, far, maxHops = n).collect()
+            .map(r => r.getAs[String]("id") -> r.getAs[Long]("through")).toMap
+          assert(got === want, s"trial $trial (s=$s0, t=$far)")
+        }
+      }
+      GraftStorage.clear(spark)
+    }
+  }
+
+  test("temporal earliestArrival: matches a local DP on random contact logs") {
+    val rng = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val contacts = (1 to 60).map { _ =>
+        (rng.nextInt(8).toLong, s"E${rng.nextInt(5)}", (rng.nextInt(1000) + 1).toLong)
+      }
+      import org.apache.spark.sql.functions.{col, timestamp_micros}
+      val df = contacts.toDF("actor", "ent", "t")
+        .select(col("actor"), col("ent"), timestamp_micros(col("t")).as("ts"))
+      val seeds = Seq(0L, 1L)
+      val waves = 2
+      // local truth: the same wave-synchronous earliest-arrival DP
+      var arr = contacts.map(_._1).distinct.filter(seeds.contains).map(_ -> 0L).toMap
+      for (_ <- 1 to waves) {
+        val eArr = contacts.groupBy(_._2).flatMap { case (ent, cs) =>
+          val ts = cs.collect { case (u, _, t) if arr.get(u).exists(_ <= t) => t }
+          if (ts.isEmpty) None else Some(ent -> ts.min)
+        }
+        val uNew = contacts.groupBy(_._1).flatMap { case (u, cs) =>
+          val ts = cs.collect { case (_, ent, t) if eArr.get(ent).exists(_ <= t) => t }
+          if (ts.isEmpty) None else Some(u -> ts.min)
+        }
+        arr = (arr.keySet ++ uNew.keySet).map { u =>
+          u -> math.min(arr.getOrElse(u, Long.MaxValue), uNew.getOrElse(u, Long.MaxValue))
+        }.toMap
+      }
+      val got = graft.graph.Temporal.earliestArrival(
+          df, "actor", "ent", "ts", seeds = seeds, waves = waves)
+        .collect().map(r => r.getAs[Long]("actor") -> r.getAs[Long]("arrival_us")).toMap
+      assert(got === arr, s"trial $trial")
+      GraftStorage.clear(spark)
+    }
+  }
+
   test("temporal earliestArrival: influence respects time order; static reach over-counts") {
     import org.apache.spark.sql.functions.{col, timestamp_micros}
     def llog(rows: (Long, String, Long)*) =
