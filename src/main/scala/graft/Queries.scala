@@ -3753,10 +3753,14 @@ object Queries {
           numTables = 8, dim = 64)
         .filter(col("cos") >= 0.3),
       Some {
-        val p = graft.pipeline.SimilarityLsh.planesFor(500) // sf0.01 corpus (TESTDATA.md)
-        require(p == graft.pipeline.SimilarityLsh.planesFor(2000),
+        // candidatePairsAuto sizes under PairingMaxBucket since r9 (pair
+        // generation IS pairing-cost work: the 625-occupancy memory guard
+        // OOM'd this row at the measured 100× point; ~125 occupancy runs)
+        val cap = graft.pipeline.SimilarityLsh.PairingMaxBucket
+        val p = graft.pipeline.SimilarityLsh.planesFor(500, cap) // sf0.01 corpus
+        require(p == graft.pipeline.SimilarityLsh.planesFor(2000, cap),
           s"q_ann_lsh_auto oracle: planesFor diverges between test SFs ($p vs sf0.1)")
-        lshOracleSql(numPlanes = p, numTables = 8, threshold = 0.3)
+        lshOracleSql(numPlanes = p, numTables = 8, threshold = 0.3, maxBucketSize = cap)
       }),
 
     // the skew guard made VISIBLE: per-(table, bucket) occupancy with the

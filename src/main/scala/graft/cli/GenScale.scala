@@ -58,10 +58,15 @@ object GenScale {
         col("lang"), col("source"), col("n_chars"))
     }
     replicate("embeddings") { (df, i) =>
+      // rotate by i mod 64: past 64 copies the rotation aliases (copies
+      // 64.. reuse rotations 0..), which weakens CROSS-copy decorrelation
+      // for aliased pairs but preserves the properties the experiment
+      // needs — within-copy geometry exact, id spaces disjoint
+      val r = i % 64
       val emb =
-        if (i == 0) col("embedding")
-        else concat(slice(col("embedding"), i + 1, 64 - i),
-          slice(col("embedding"), 1, i))
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r))
       df.select((col("vec_id") + i * Off).as("vec_id"), emb.as("embedding"),
         col("label"))
     }

@@ -358,7 +358,8 @@ object SimilarityLsh {
     * grows; this one re-sizes itself every run.
     */
   def candidatePairsAuto(vectors: DataFrame, numTables: Int = 8, dim: Int = 64,
-                         seed: Long = 42L, maxBucketSize: Long = 10000L): DataFrame =
+                         seed: Long = 42L,
+                         maxBucketSize: Long = PairingMaxBucket): DataFrame =
     candidatePairsAutoCounted(vectors, vectors.count(), numTables, dim, seed,
       maxBucketSize)
 
@@ -369,7 +370,7 @@ object SimilarityLsh {
     */
   private[graft] def candidatePairsAutoCounted(
       vectors: DataFrame, n: Long, numTables: Int = 8, dim: Int = 64,
-      seed: Long = 42L, maxBucketSize: Long = 10000L): DataFrame = {
+      seed: Long = 42L, maxBucketSize: Long = PairingMaxBucket): DataFrame = {
     // the count sizes the planes (cheap: column-pruned row-count scan);
     // the bucket keys themselves — numTables × planes codegen'd dot
     // products per vector, the expensive part — are computed ONCE and
