@@ -55,19 +55,28 @@ object Bench {
     // query is an independent job in production, so per-query release is
     // the honest cost model, and across ~190 queries the blocks would
     // otherwise accumulate and tax late queries with GC/eviction churn.
+    // withTracked: consume inside the scope, blocks released on exit —
+    // success OR throw (the scoped form of the owning-cleanup contract).
+    // The stopwatch is read INSIDE the scope, before the exit clear, so
+    // timings stay comparable with the pre-r10 floors (clear ran outside
+    // the timed span then too).
     def timeOnce(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      val r = try { consume(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-              catch { case e: Throwable =>
-                // -1 in the JSON, but the WHY goes to stderr — a silent -1
-                // cost a debugging session (launcher-dependent add-opens
-                // failure looked identical to a plan regression)
-                System.err.println(s"[bench] $name failed: " +
-                  String.valueOf(e.getMessage).take(300))
-                -1.0
-              }
-      GraftStorage.clear(spark)
-      r
+      try {
+        var dt = -1.0
+        GraftStorage.withTracked(spark) {
+          consume(fn(spark, sfDir)); dt = (System.nanoTime() - t0) / 1e9
+        }
+        dt
+      }
+      catch { case e: Throwable =>
+        // -1 in the JSON, but the WHY goes to stderr — a silent -1
+        // cost a debugging session (launcher-dependent add-opens
+        // failure looked identical to a plan regression)
+        System.err.println(s"[bench] $name failed: " +
+          String.valueOf(e.getMessage).take(300))
+        -1.0
+      }
     }
     val results = SparkEntry.queries.filter(e => selected(e._1)).map { case (name, fn) =>
       val times = Seq.fill(reps)(timeOnce(name, fn)).filter(_ >= 0).sorted
@@ -112,13 +121,15 @@ object Bench {
           case (k, v) if v > 0 && fl.get(k).exists(f => v > 2 * f && v - f > 0.5) =>
             (k, v, fl(k))
         }
-        // SPARK_GRAFT_BENCH_REFLAG=1: re-run each flagged query at reps=3
-        // IN THE SAME PROCESS and carry the median along — a loaded host
-        // inflates single-shot readings uniformly (r8: 30 false flags,
-        // worst 12×, all contention), and a same-process remeasure lets
-        // the run self-triage contention vs plan regression instead of
-        // waiting for a next-session focused rerun.
-        val reflag = sys.env.get("SPARK_GRAFT_BENCH_REFLAG").contains("1")
+        // Self-triage is ON BY DEFAULT since r10 (opt OUT with
+        // SPARK_GRAFT_BENCH_REFLAG=0): re-run each flagged query at
+        // reps=3 IN THE SAME PROCESS and carry the median along — a
+        // loaded host inflates single-shot readings uniformly (r8: 30
+        // false flags, worst 12×, all contention; r9's driver run left
+        // 19 flags un-adjudicated because the knob was opt-in), and a
+        // same-process remeasure lets the run self-triage contention vs
+        // plan regression instead of waiting for a next-session rerun.
+        val reflag = !sys.env.get("SPARK_GRAFT_BENCH_REFLAG").contains("0")
         val entries = flagged.map { case (k, v, f) =>
           val re =
             if (!reflag) ""

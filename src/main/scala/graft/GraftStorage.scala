@@ -108,17 +108,36 @@ object GraftStorage {
     * Dataset the moment its round is superseded, instead of letting
     * every round of an iterative loop stay pinned until the next
     * [[clear]] sweep (a library caller that never clears would
-    * accumulate one checkpoint per round per invocation). An eager
-    * local checkpoint's plan IS a `LogicalRDD` leaf over the persisted
-    * RDD; anything else (already-released, or not a checkpoint) is a
-    * safe no-op.
+    * accumulate one checkpoint per round per invocation). GUARDED to
+    * the checkpoint shape: it unpersists ONLY when the plan is exactly
+    * one `LogicalRDD` leaf (what `localCheckpoint(true)` returns) — a
+    * derived DataFrame whose plan merely EMBEDS a still-live checkpoint
+    * leaf is a no-op, because local checkpoints truncate lineage and
+    * unpersisting a live one behind its consumers would fail them with
+    * "checkpoint block not found" (ADVICE r9 #3). Non-checkpoint plans
+    * are a safe no-op.
     */
   private[graft] def releaseCheckpoint(df: Dataset[_]): Unit =
-    df.queryExecution.logical.collectLeaves().foreach {
+    df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+
+  /** Run `f` and release every block graft pinned through `spark` on
+    * exit (normal OR exceptional) — the SCOPED form of the [[clear]]
+    * contract, for library callers composing graft entry points
+    * (`candidatePairs`/`topK`/`earliestArrival`/… pin relations their
+    * lazy results reference): forgetting the manual `clear` leaks pinned
+    * blocks for the session; this helper cannot forget. The returned
+    * value must be CONSUMED (collected / written / aggregated) inside
+    * `f` — a lazy DataFrame escaping the scope recomputes its pinned
+    * inputs from source (correct, just uncached). Scopes on one session
+    * should nest, not interleave: exit releases whatever the session
+    * tracks at that moment.
+    */
+  def withTracked[T](spark: SparkSession)(f: => T): T =
+    try f finally clear(spark)
 
   /** Release every block graft pinned through `spark`. Call once the
     * returned DataFrames have been consumed; results not yet

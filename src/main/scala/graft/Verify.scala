@@ -22,14 +22,16 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     def selected(name: String) = only.forall(_.exists(name.contains))
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // withTracked: the parquet is fully written inside the scope, then
+      // the blocks the library pinned for it are released on exit —
+      // success or throw (owning-cleanup contract, scoped form)
+      try GraftStorage.withTracked(spark) {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // each query's parquet is fully written here — release the blocks
-      // the library pinned for it (owning-cleanup contract)
-      GraftStorage.clear(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

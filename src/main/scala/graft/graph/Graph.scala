@@ -480,8 +480,14 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     * superseded rounds released ([[shortestPaths]] contract). Simple-
     * graph semantics (parallel edges collapsed, self-loops dropped).
     * σ fits a long for any graph whose per-level branching keeps path
-    * multiplicity under 2⁶³ — beyond ~6 hops on adversarial graphs use
-    * a decimal sum; at the catalog's bounded hops the counts are tiny.
+    * multiplicity under 2⁶³ — and that bound is ENFORCED, not assumed
+    * (ADVICE r9 #4): each wave's emptiness probe also reads max(σ) and
+    * the frontier count, and the loop require-fails when
+    * maxσ·|frontier| could exceed Long.MaxValue (the next wave's σ sums
+    * ≤ |frontier| terms each ≤ maxσ — conservative), so an adversarial
+    * graph dies with a "switch to decimal" diagnosis instead of
+    * silently wrapping stress scores. At the catalog's bounded hops the
+    * counts are tiny.
     */
   private[graph] def pathCounts(root: String, maxHops: Int): DataFrame = {
     val und = edges.select(least(col("src"), col("dst")).as("a"),
@@ -503,10 +509,17 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
         .join(acc.select(col("id")), Seq("id"), "left_anti")
         .select(col("id"), lit(k.toLong).as("d"), col("sig"))
         .localCheckpoint(true)
-      if (stepped.isEmpty) {
+      // one row reads emptiness AND the overflow guard inputs (the
+      // former isEmpty probe cost the same action)
+      val stat = stepped.agg(count(lit(1)), max(col("sig"))).head()
+      if (stat.getLong(0) == 0L) {
         graft.GraftStorage.releaseCheckpoint(stepped)
         grown = false
       } else {
+        require(stat.getLong(1) <= Long.MaxValue / stat.getLong(0),
+          s"pathCounts: σ near long overflow at wave $k (max σ=${stat.getLong(1)} " +
+            s"over ${stat.getLong(0)} frontier vertices) — aggregate σ as " +
+            "decimal(38,0) for this graph")
         val next = acc.unionByName(stepped).localCheckpoint(true)
         graft.GraftStorage.releaseCheckpoint(acc)
         if (!(frontier eq acc)) graft.GraftStorage.releaseCheckpoint(frontier)

@@ -387,8 +387,14 @@ object Mix {
     * bit-replayable in any engine — a float waterfill would make "which
     * source got the last token" partition-order-dependent. Floor crumbs
     * (≤ one token per source per stage) stay unallocated by design; the
-    * single redistribution round cannot overshoot a cap because
-    * leftover ≤ total headroom whenever budget ≤ Σcap (required below).
+    * single redistribution round cannot overshoot a cap: each grant is
+    * CLAMPED to the source's remaining headroom (`least(grant, cap−a1)`).
+    * The clamp matters at the require-boundary edge: the guard compares
+    * the RATIOS budgetNum/budgetDen ≤ epochCapNum/epochCapDen, but
+    * `budget = floor(tot·bn/bd)` can exceed the sum of per-source FLOORED
+    * caps by up to one token per source when the ratios are equal — then
+    * leftover > Σheadroom and an unclamped grant would allocate past a
+    * cap (ADVICE r9 #1).
     *
     * Scale shape: one per-source aggregate, two 1-row total broadcasts
     * (the q_mix_temperature class) — the corpus shuffles once by the
@@ -426,8 +432,11 @@ object Mix {
       greatest(lit(0L), max(col("budget")) - sum(col("a1"))).as("leftover"),
       sum(col("cap") - col("a1")).as("hsum"))
     base.crossJoin(broadcast(lo))
+      // div yields LONG, so the headroom clamp stays long-typed too —
+      // a decimal operand would silently promote `allocated` to decimal
       .withColumn("allocated", col("a1") + when(col("hsum") > 0,
-          expr("CAST(leftover AS DECIMAL(38,0)) * (cap - a1) div hsum"))
+          least(expr("CAST(leftover AS DECIMAL(38,0)) * (cap - a1) div hsum"),
+            col("cap") - col("a1")))
         .otherwise(lit(0L)))
       .withColumn("epochs",
         col("allocated").cast("double") / col("avail").cast("double"))

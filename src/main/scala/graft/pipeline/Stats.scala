@@ -215,11 +215,15 @@ object Stats {
       .select(col(groupCol), col(valueCol).as(out))
   }
 
-  /** MEDIAN/MAD robust outlier audit (the Iglewicz–Hoaglin 3.5 rule kept
-    * EXACT): per group, the lower median of `x`, the lower median of
-    * absolute deviations (MAD), and how many rows sit beyond
-    * 3.5 × MAD — compared as `10·|x − med| > 35·mad`, all-integer, so
-    * the verdict never touches a float. The robust alternative to
+  /** MEDIAN/MAD robust outlier audit: per group, the lower median of
+    * `x`, the lower median of absolute deviations (MAD), and how many
+    * rows DEVIATE BEYOND 3.5 × MAD — compared as `10·|x − med| > 35·mad`,
+    * all-integer, so the verdict never touches a float. NOTE this is a
+    * raw-MAD rule, deliberately NOT the Iglewicz–Hoaglin modified
+    * z-score (which flags `0.6745·dev/MAD > 3.5`, i.e. dev > ~5.19·MAD
+    * — noticeably laxer); the 0.6745 normal-consistency constant is
+    * omitted to keep the threshold exact-integer (ADVICE r9 #2: the
+    * earlier doc cited Iglewicz–Hoaglin while implementing this rule). The robust alternative to
     * z-scores for length/quality screens: one wild document shifts a
     * mean + stddev but not a median + MAD. MAD = 0 (over half the group
     * identical) degenerates to flagging ANY deviation — documented,

@@ -82,6 +82,55 @@ class GraftStorageSpec extends SparkTestBase {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("withTracked releases pinned blocks on exit — no explicit clear") {
+    import spark.implicits._
+    // a library caller composing a pin-returning entry point and never
+    // calling clear: the scoped helper must release on exit (r9 verdict
+    // task #6 — the residual of ADVICE r8 #1)
+    val n = GraftStorage.withTracked(spark) {
+      val pinned = Seq(1, 2, 3, 4).toDF("x").persistTracked()
+      pinned.count()
+    }
+    assert(n === 4)
+    assert(GraftStorage.trackedCount(spark) === 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("withTracked releases on throw too") {
+    import spark.implicits._
+    intercept[RuntimeException] {
+      GraftStorage.withTracked(spark) {
+        val pinned = Seq(1, 2).toDF("x").persistTracked()
+        pinned.count()
+        throw new RuntimeException("consumer died")
+      }
+    }
+    assert(GraftStorage.trackedCount(spark) === 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("releaseCheckpoint only fires on the checkpoint itself, not derived plans") {
+    import spark.implicits._
+    val ck = Seq(1, 2, 3).toDF("x").localCheckpoint(true)
+    assert(ck.count() === 3)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    // a DERIVED DataFrame merely embeds the checkpoint leaf — releasing
+    // through it would destroy blocks its consumers cannot recompute
+    // (lineage is truncated), so the guarded helper must no-op
+    GraftStorage.releaseCheckpoint(ck.filter(col("x") > 1))
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "derived-plan release destroyed a live checkpoint")
+    assert(ck.filter(col("x") > 1).count() === 2)
+    // the checkpoint itself releases as before
+    GraftStorage.releaseCheckpoint(ck)
+    // unpersist is async (blocking=false) — poll briefly
+    val deadline = System.nanoTime() + 5e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+           System.nanoTime() < deadline) Thread.sleep(20)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("no catalog query leaves persisted blocks after consume + clear") {
     val sfDir = "/root/testdata/sf0.001"
     assume(new java.io.File(sfDir).isDirectory)

@@ -268,6 +268,29 @@ test("selectByBudget: two-phase prefix sum equals the one-window global cumsum")
     GraftStorage.clear(spark)
   }
 
+  test("planMixture: redistribution grant is clamped to headroom at the ratio-equality edge") {
+    import graft.pipeline.Mix
+    // ADVICE r9 #1: with budget ratio == cap ratio (both 3/2), the
+    // floored budget can exceed the sum of floored caps — here tot=8,
+    // budget=12, caps 4+4+3=11. A/B over-subscribe (requested 5 > cap 4),
+    // C requests 2 < cap 3; leftover = 12-4-4-2 = 2 > headroom 1, so an
+    // UNCLAMPED grant to C would be floor(2*1/1) = 2 → allocated 4 > cap 3
+    val docs = Seq(
+      ("a", "A", "w w w"), ("b", "B", "w w w"), ("c", "C", "w w")
+    ).toDF("doc_id", "source", "text")
+    val got = Mix.planMixture(docs, "source", "text",
+        weights = Map("A" -> 5L, "B" -> 5L, "C" -> 2L),
+        budgetNum = 3L, budgetDen = 2L, epochCapNum = 3L, epochCapDen = 2L)
+      .collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("avail"), r.getAs[Long]("allocated")))).toMap
+    assert(got("A") === ((3L, 4L)))
+    assert(got("B") === ((3L, 4L)))
+    // the documented invariant: never past the epoch cap (floor(2*3/2)=3)
+    assert(got("C") === ((2L, 3L)))
+    GraftStorage.clear(spark)
+  }
+
   test("contrastivePairs: positives from dup pairs, negatives never share a family") {
     import graft.pipeline.{Dedup, Mix}
     // two duplicate families {1,2,3} (chain) and {8,9}; 10-doc universe

@@ -235,6 +235,49 @@ class SimilaritySpec extends SparkTestBase {
       assert(!rows.exists(_.getAs[Long]("n_id") == q))
     }
   }
+
+  test("skew-guard drops are counted and warn-logged, never silent") {
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.{LogEvent, LoggerContext}
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+
+    // the counting unit on a synthetic over-limit bucket: one bucket of
+    // 5 over a cap of 3 → exactly those 5 memberships are dropped
+    val keyed = Seq(
+      (1L, 0, "b1"), (2L, 0, "b1"), (3L, 0, "b1"), (4L, 0, "b1"), (5L, 0, "b1"),
+      (6L, 0, "b2"), (7L, 0, "b2")).toDF("vec_id", "tbl", "bucket")
+    assert(SimilarityLsh.droppedMemberships(keyed, 3L) === 5L)
+    assert(SimilarityLsh.droppedMemberships(keyed, 10000L) === 0L)
+
+    // end-to-end through the NON-auto path (the one that used to drop
+    // silently — r9 verdict task #2): 20 identical vectors share one
+    // bucket per table; cap 10 → every membership drops, the pairing
+    // returns nothing, and the run must say so out loud
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val app = new AbstractAppender(
+        "graft-test-capture", null, null, true, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage)
+    }
+    app.start()
+    val logger = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      .getLogger("graft.SimilarityLsh")
+    logger.addAppender(app)
+    try {
+      val same = (0 until 20).map(i => (i.toLong, Seq.fill(8)(0.5f)))
+        .toDF("vec_id", "embedding")
+      val pairs = SimilarityLsh.candidatePairs(same, numPlanes = 4,
+        numTables = 2, dim = 8, maxBucketSize = 10L)
+      assert(pairs.count() === 0L)
+      val warns = captured.toArray.map(_.toString)
+        .filter(_.contains("skew guard dropping"))
+      assert(warns.nonEmpty, "over-limit drop produced no warning")
+      // 20 vectors × 2 tables = 40 dropped memberships, reported exactly
+      assert(warns.exists(_.contains("40 vector-bucket")), s"got: ${warns.toSeq}")
+    } finally { logger.removeAppender(app); app.stop() }
+    GraftStorage.clear(spark)
+  }
 }
 
 /** tiny helper kept out of the suite for clarity */
