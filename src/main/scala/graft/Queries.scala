@@ -7758,7 +7758,216 @@ object Queries {
              |                  AND ds.t = rec.t + 1)
              |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
              |       t, c, s
-             |FROM rec""".stripMargin))
+             |FROM rec""".stripMargin)),
+
+    // ------------------------------------------------- round-10 additions
+
+    // truncated Katz centrality over the word-bigram graph (w1 → w2 for
+    // every distinct document bigram): raw path-count influence — unlike
+    // PageRank no degree normalization, unlike HITS no rescale — with the
+    // attenuation applied as the exact common denominator 5^(3-t), so all
+    // three waves are long arithmetic and the oracle unrolls them
+    // bit-for-bit (the q_graph_pagerank recipe). The bigram graph has the
+    // long directed chains Katz exists for (the user→item event graph is
+    // bipartite one-directional — every length-2 path count would be 0)
+    Q("q_graph_katz",
+      (s, d) => {
+        val e = t(s, d)("documents")
+          .select(explode(Text.shingles(col("text"), 2)).as("bg"))
+          .select(split(col("bg"), " ").getItem(0).as("src"),
+            split(col("bg"), " ").getItem(1).as("dst"))
+          .distinct()
+          .withColumn("w", lit(1.0)).withColumn("type", lit("BG"))
+        Graph(Graph.verticesOf(e), e).katzCentrality(maxLen = 3, betaDen = 5)
+      },
+      Some("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+             |e AS (SELECT DISTINCT string_split(bg, ' ')[1] AS src,
+             |             string_split(bg, ' ')[2] AS dst
+             |      FROM (SELECT unnest(list_filter(
+             |              list_transform(ws, (x,i) -> CASE WHEN i <= len(ws)-1
+             |                THEN x || ' ' || ws[i+1] END),
+             |              v -> v IS NOT NULL)) AS bg FROM w)),
+             |v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+             |n1 AS MATERIALIZED (SELECT e.dst AS id, CAST(count(*) AS BIGINT) AS n
+             |  FROM e GROUP BY e.dst),
+             |n2 AS MATERIALIZED (SELECT e.dst AS id, sum(n1.n) AS n
+             |  FROM e JOIN n1 ON e.src = n1.id GROUP BY e.dst),
+             |n3 AS MATERIALIZED (SELECT e.dst AS id, sum(n2.n) AS n
+             |  FROM e JOIN n2 ON e.src = n2.id GROUP BY e.dst)
+             |SELECT v.id,
+             |  CAST(25 * coalesce(n1.n, 0) + 5 * coalesce(n2.n, 0)
+             |       + coalesce(n3.n, 0) AS BIGINT) AS katz
+             |FROM v LEFT JOIN n1 ON v.id = n1.id
+             |       LEFT JOIN n2 ON v.id = n2.id
+             |       LEFT JOIN n3 ON v.id = n3.id""".stripMargin)),
+
+    // INCREMENTAL connected components — the daily-crawl dedup shape:
+    // yesterday's stored labels + today's delta pairs, relabeled through
+    // a delta-sized contracted graph (see Dedup.componentsIncremental:
+    // label-prop rounds NEVER touch the corpus, the remap join is one
+    // broadcast-sized lookup). The oracle is the FULL RECOMPUTE over all
+    // pairs — the two must agree exactly because canonical min-labels
+    // compose; a full recompute at 100 TB is exactly what this avoids
+    Q("q_cc_incremental",
+      (s, d) => {
+        val pairs = Dedup.ngramJaccardPairs(t(s, d)("documents"),
+          minShared = 2L, minJaccard = 0.5).select("id1", "id2")
+          .persistTracked() // feeds the old/delta split AND old components
+        val oldPairs = pairs.filter(col("id1") % 10 < 8 && col("id2") % 10 < 8)
+        val delta = pairs.filter(col("id1") % 10 >= 8 || col("id2") % 10 >= 8)
+        Dedup.componentsIncremental(Dedup.components(oldPairs), delta)
+      },
+      Some(s"""WITH RECURSIVE $shingleSqlCte,
+              |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+              |p0 AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+              |       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+              |       GROUP BY 1, 2 HAVING count(*) >= 2),
+              |dup AS (SELECT id1, id2 FROM p0
+              |        JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+              |        WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5),
+              |e AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
+              |r AS (SELECT a AS id, a AS lbl FROM e
+              |      UNION
+              |      SELECT e.a, r.lbl FROM e JOIN r ON r.id = e.b)
+              |SELECT id, min(lbl) AS component FROM r GROUP BY id""".stripMargin)),
+
+    // per-rule ABLATION of the Gopher battery: n_fail and n_sole_fail
+    // (docs only THIS rule drops — the docs a threshold loosening would
+    // re-admit). One pass, one aggregate of 2·|rules| sums, stack unpivot
+    Q("q_quality_ablation",
+      (s, d) => QualityFilters.ablation(t(s, d)("documents")),
+      Some {
+        val flagDefs = QualityFilters.GopherRules.map(r =>
+          s"CASE WHEN ${gopherRuleSql(r.name)} THEN 1 ELSE 0 END AS f_${r.name}")
+          .mkString(",\n  ")
+        val nf = QualityFilters.GopherRules.map(r => s"f_${r.name}").mkString(" + ")
+        val rows = QualityFilters.GopherRules.map(r =>
+          s"""SELECT '${r.name}' AS rule, CAST(sum(f_${r.name}) AS BIGINT) AS n_fail,
+             |  CAST(sum(CASE WHEN f_${r.name} = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sole_fail
+             |FROM f""".stripMargin).mkString("\nUNION ALL\n")
+        s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+           |f0 AS (SELECT $flagDefs FROM w),
+           |f AS (SELECT *, ($nf) AS nf FROM f0)
+           |$rows""".stripMargin
+      }),
+
+    // shape the corpus to a TARGET stratum distribution (1:2:1 over
+    // l_returnflag): the binding stratum caps the feasible total
+    // T = min(n_s·W div w_s), each stratum keeps at rate T·w_s/(W·n_s)
+    // by the md5-uniform — the mixture-rebalancing step (DoReMi-style
+    // reference weights) as one aggregate + a broadcast rate table +
+    // a shuffle-free per-row decision (the q_mix_temperature shape)
+    Q("q_match_distribution",
+      (s, d) => graft.pipeline.Mix.matchDistributionAudit(
+        t(s, d)("lineitem"), "l_returnflag",
+        targets = Seq(("A", 1L), ("N", 2L), ("R", 1L)),
+        key = col("l_orderkey") * 8 + col("l_linenumber")),
+      Some("""WITH c AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_total,
+             |        CASE l_returnflag WHEN 'A' THEN 1 WHEN 'N' THEN 2
+             |          WHEN 'R' THEN 1 END AS tw
+             |      FROM lineitem GROUP BY l_returnflag),
+             |t AS (SELECT min(n_total * 4 // tw) AS t FROM c WHERE tw IS NOT NULL),
+             |r AS (SELECT l_returnflag, n_total,
+             |        CAST(t.t * c.tw AS DOUBLE) / CAST(4 * c.n_total AS DOUBLE) AS rate
+             |      FROM c, t WHERE c.tw IS NOT NULL),
+             |s AS (SELECT li.l_returnflag, r.n_total, r.rate
+             |      FROM lineitem li JOIN r USING (l_returnflag)
+             |      WHERE CAST(concat('0x', substring(
+             |              md5('match:' || CAST(li.l_orderkey * 8 + li.l_linenumber AS VARCHAR)),
+             |              1, 6)) AS BIGINT) / 16777216.0 < r.rate)
+             |SELECT l_returnflag, any_value(n_total) AS n_total, any_value(rate) AS rate,
+             |       CAST(count(*) AS BIGINT) AS n_sampled
+             |FROM s GROUP BY l_returnflag""".stripMargin)),
+
+    // packing-quality audit for q_pack_context's concat-and-cut layout:
+    // per source the pack count, token mass, and the documents that
+    // STRADDLE a pack boundary (the coherence price of zero-padding
+    // packing). Same single per-group window as the packer itself
+    Q("q_pack_stats",
+      (s, d) => graft.pipeline.Chunking.packStats(t(s, d)("documents"),
+        "doc_id", "text", groupCol = "source", budget = 256),
+      Some("""WITH p AS (SELECT source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+             |    CAST(sum(len(string_split(text, ' '))) OVER (PARTITION BY source
+             |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS cum
+             |  FROM documents)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(max((cum - 1) // 256) + 1 AS BIGINT) AS n_packs,
+             |  CAST(sum(n) AS BIGINT) AS total_tokens,
+             |  CAST(sum(CASE WHEN (cum - 1) // 256 > (cum - n) // 256
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs,
+             |  CAST(sum(CASE WHEN (cum - 1) // 256 > (cum - n) // 256
+             |    THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS split_frac
+             |FROM p GROUP BY source""".stripMargin)),
+
+    // Jelinek–Mercer interpolated LM score (λ = 1/2): the unigram term
+    // separates rare-but-ordinary words from gibberish, which the raw
+    // bigram q_lm_score cannot; λ fixed at 1/2 so the blend is one
+    // halving of two exact-ratio doubles (a fixed IEEE tree)
+    Q("q_lm_interpolated",
+      (s, d) => graft.pipeline.Relevance.lmScoreInterpolated(
+        t(s, d)("documents"), "doc_id", "text"),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |bg AS (SELECT doc_id, unnest(list_filter(
+             |         list_transform(ws, (x,i) -> CASE WHEN i <= len(ws)-1
+             |           THEN x || ' ' || ws[i+1] END), v -> v IS NOT NULL)) AS bg FROM w),
+             |sp AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1,
+             |              string_split(bg, ' ')[2] AS w2 FROM bg),
+             |c AS (SELECT w1, w2, count(*) AS c FROM sp GROUP BY 1, 2),
+             |p AS (SELECT w1, w2,
+             |        CAST(c AS DOUBLE) / CAST(CAST(sum(c) OVER (PARTITION BY w1) AS BIGINT) AS DOUBLE) AS p2
+             |      FROM c),
+             |tk AS (SELECT unnest(ws) AS tok FROM w),
+             |tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS cw FROM tk GROUP BY tok),
+             |nt AS (SELECT CAST(sum(cw) AS BIGINT) AS n FROM tc),
+             |u AS (SELECT tok AS w2, CAST(cw AS DOUBLE) / CAST(n AS DOUBLE) AS p1
+             |      FROM tc, nt),
+             |l AS (SELECT doc_id, list_sort(list((p2 + p1) / 2.0)) AS ps
+             |      FROM sp JOIN p USING (w1, w2) JOIN u USING (w2) GROUP BY doc_id)
+             |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
+             |       list_reduce(ps, (a, b) -> a + b) / CAST(len(ps) AS DOUBLE) AS lm_jm_score
+             |FROM l""".stripMargin)),
+
+    // measured RECALL of the production (self-sizing) kNN graph against
+    // brute-force cosine truth on 50 md5-picked anchors — the ANN twin
+    // of q_lsh_recall, and the audit that prices the auto path's skew
+    // guard in recall, not just occupancy (q_ann_bucket_stats_auto's
+    // companion). Truth side is the sanctioned broadcast-anchors shape,
+    // cost nAnchors·n, never n²
+    Q("q_ann_recall_auto",
+      (s, d) => graft.pipeline.SimilarityLsh.knnRecallAudit(
+        t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+        k = 3, nAnchors = 50, numTables = 6),
+      Some {
+        val cos = s"${dotSql("q.e", "c.e")} / (sqrt(${dotSql("q.e", "q.e")}) * sqrt(${dotSql("c.e", "c.e")}))"
+        s"""WITH ${knnBucketsCte("q_ann_recall_auto", 6)},
+           |p AS (SELECT id1, id2, cos
+           |      FROM (${lshPairsSubquery(6, graft.pipeline.SimilarityLsh.PairingMaxBucket)})),
+           |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
+           |        UNION ALL SELECT id2, id1, cos FROM p),
+           |g AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |    FROM sym)
+           |  WHERE rank <= 3),
+           |anch AS (SELECT vec_id FROM embeddings
+           |         ORDER BY md5('anch:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 50),
+           |sc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, $cos AS cos
+           |       FROM de q JOIN anch ON q.vec_id = anch.vec_id
+           |            JOIN de c ON c.vec_id <> q.vec_id),
+           |tr AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+           |    FROM sc)
+           |  WHERE r <= 3)
+           |SELECT tr.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+           |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM tr LEFT JOIN g ON tr.q_id = g.q_id AND tr.n_id = g.n_id
+           |GROUP BY tr.q_id""".stripMargin
+      })
   )
 
   val queries: Map[String, QueryFn] = all.map { q =>

@@ -178,6 +178,64 @@ case class Graph(vertices: DataFrame, edges: DataFrame) {
     scores
   }
 
+  /** Truncated Katz centrality (Katz 1953) in exact integer arithmetic:
+    *
+    *   katz(v) = Σ_{t=1..maxLen} n_t(v) · betaDen^(maxLen−t)
+    *
+    * where `n_t(v)` counts directed paths of length `t` ending at `v`
+    * (walks — vertices may repeat, the standard Katz semantics) and the
+    * attenuation α = 1/betaDen is applied with the common denominator
+    * betaDen^maxLen, so every score is an exact long and the DuckDB
+    * oracle replays all waves bit-for-bit. Unlike [[pageRank]] (degree-
+    * normalized: a hub's mass splits across its out-edges) Katz counts
+    * RAW path multiplicity — the influence measure for "how many short
+    * chains reach v", used for link-prediction scoring and influence
+    * ranking where prolific sources should count more, not less.
+    *
+    * Truncation at `maxLen` replaces the classic geometric-series
+    * convergence condition (α < 1/λ_max, uncheckable distributedly
+    * without an eigenvalue estimate) with a bounded-horizon contract —
+    * the same move [[bfs]]/[[shortestPaths]] make.
+    *
+    * Overflow contract: path counts grow like (max in-degree)^t, so each
+    * wave aggregates in decimal(38,0) (never wraps) and REQUIRES
+    * max(n_t) ≤ 10¹⁵ before casting back to long — a graph too dense for
+    * the horizon fails loudly with the wave named, never silently wraps
+    * (the [[pathCounts]] guard precedent). With n_t ≤ 10¹⁵ and
+    * betaDen^maxLen ≤ 10³ the weighted sum stays ≪ 2⁶³.
+    *
+    * Scale shape: per wave ONE equi-join (edges ⋈ previous wave, keyed
+    * on the high-cardinality vertex id) + one map-combined aggregate;
+    * `maxLen` waves total, plans kept lazy (each wave references the
+    * previous exactly once — the [[pageRank]] lineage rule).
+    */
+  def katzCentrality(maxLen: Int = 3, betaDen: Long = 5L): DataFrame = {
+    require(maxLen >= 1 && maxLen <= 6, s"need 1 <= maxLen <= 6, got $maxLen")
+    require(betaDen >= 2 && math.pow(betaDen.toDouble, maxLen.toDouble) <= 1000.0,
+      s"need betaDen >= 2 with betaDen^maxLen <= 1000, got $betaDen^$maxLen")
+    val e = edges.select(col("src"), col("dst"))
+    var wave = vertices.select(col("id")).withColumn("n", lit(1L))
+    var katz = vertices.select(col("id")).withColumn("acc", lit(0L))
+    for (t <- 1 to maxLen) {
+      val nextDec = e
+        .join(wave.withColumnRenamed("id", "wid"), col("src") === col("wid"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("n").cast("decimal(38,0)")).as("nd"))
+      val probe = nextDec.agg(max(col("nd")).as("m")).head()
+      val maxN = Option(probe.getDecimal(0)).map(_.toBigInteger)
+        .getOrElse(java.math.BigInteger.ZERO)
+      require(maxN.compareTo(java.math.BigInteger.valueOf(1000000000000000L)) <= 0,
+        s"katzCentrality: wave $t path count $maxN exceeds 10^15 — " +
+          "shorten maxLen or thin the graph (counts would overflow long)")
+      wave = nextDec.select(col("id"), col("nd").cast("long").as("n"))
+        .localCheckpoint(true) // the probe materialized it anyway
+      val w = math.pow(betaDen.toDouble, (maxLen - t).toDouble).toLong
+      katz = katz.join(wave, Seq("id"), "left")
+        .select(col("id"), (col("acc") + lit(w) * coalesce(col("n"), lit(0L))).as("acc"))
+    }
+    katz.select(col("id"), col("acc").as("katz"))
+  }
+
   /** GraphFrames-parity `aggregateMessages`: per edge, optionally send a
     * message (any Column over the edge's `src`/`dst`/`w`/`type` columns)
     * to the source and/or destination vertex, then reduce per receiving

@@ -65,6 +65,40 @@ object Chunking {
         expr(s"(cum - n_tokens) div $budget").as("pack_id"))
   }
 
+  /** Packing-quality audit for [[pack]]'s concatenate-and-cut layout:
+    * per group, the pack count, token mass, and — the loss signal — how
+    * many documents STRADDLE a pack boundary (`n_split_docs`): a split
+    * document trains with its context truncated mid-thought, so the
+    * split fraction is the coherence price of zero-padding packing
+    * (cf. the document-masking discussion in T5/GPT-3 style packing).
+    * A document starting at stream offset `s` with `n` tokens straddles
+    * iff `(s+n−1) div budget > s div budget`. Returns one row per group:
+    * `(group, n_docs, n_packs, total_tokens, n_split_docs, split_frac)`.
+    *
+    * Scale shape: the same single per-group cumulative window as
+    * [[pack]] (partitioned on the stratum, the shard unit), then one
+    * map-combined aggregate — no extra shuffle beyond the packer's own.
+    */
+  def packStats(docs: DataFrame, idCol: String, textCol: String,
+                groupCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(groupCol), col(idCol), Text.nWords(col(textCol)).as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .select(col(groupCol), col("n_tokens"),
+        expr(s"(cum - n_tokens) div $budget").as("p0"),
+        expr(s"(cum - 1) div $budget").as("p1"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        (max(col("p1")) + 1).as("n_packs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("p1") > col("p0"), 1L).otherwise(0L)).as("n_split_docs"))
+      .select(col(groupCol), col("n_docs"), col("n_packs"), col("total_tokens"),
+        col("n_split_docs"),
+        (col("n_split_docs").cast("double") / col("n_docs").cast("double"))
+          .as("split_frac"))
+  }
+
   /** Length-bucketed batching audit: assign each document to the smallest
     * bucket from a fixed power-of-two menu `minBucket, 2·minBucket, …,
     * maxBucket` that fits its word count (longer documents clamp to

@@ -608,6 +608,65 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("component"))
   }
 
+  /** INCREMENTAL connected components — the daily-crawl form of
+    * [[components]]: given yesterday's stored labels `(id, component)`
+    * (canonical min-member labels, exactly what [[components]] emits)
+    * and today's delta of new near-dup pairs `(id1, id2)`, produce the
+    * labels a full recompute over (old pairs ∪ delta pairs) would —
+    * WITHOUT touching the old pair relation or re-running label
+    * propagation over the corpus.
+    *
+    * Why the contraction is exact: an old label is the MIN id of its
+    * family, and a doc unseen by the old run is its own family. Mapping
+    * each delta edge's endpoints to their family labels contracts every
+    * old component to one vertex; running [[components]] on that
+    * contracted delta-sized graph yields, per merged group, the min over
+    * family labels = the min over all member ids — precisely the
+    * canonical label the full recompute assigns. Docs whose family
+    * didn't merge keep their old label (min composes; spec-pinned
+    * against the full recompute on randomized graphs).
+    *
+    * Scale shape: the label-propagation rounds run ONLY on the
+    * contracted graph (≤ |delta| edges — broadcast-regime small for any
+    * realistic daily delta); the corpus-scale work is two lookups of the
+    * old-label store on the delta endpoints plus ONE remap join of the
+    * stored labels against the (delta-bounded, broadcastable) relabel
+    * table. A 100 TB corpus with a 0.1% daily delta pays ~0.1% of the
+    * full recompute, not 100%.
+    *
+    * Returns `(id, component)` for every id in `oldLabels` ∪ delta pairs.
+    */
+  def componentsIncremental(oldLabels: DataFrame, deltaPairs: DataFrame,
+                            maxIter: Int = 20): DataFrame = {
+    val old = oldLabels.select(col("id"), col("component")).persistTracked()
+    val delta = deltaPairs.select(col("id1"), col("id2")).persistTracked()
+    // family label of each delta endpoint: its stored component, or
+    // itself if the old run never saw it
+    val fams = delta
+      .join(old.select(col("id").as("i1"), col("component").as("c1")),
+        col("id1") === col("i1"), "left")
+      .join(old.select(col("id").as("i2"), col("component").as("c2")),
+        col("id2") === col("i2"), "left")
+      .select(coalesce(col("c1"), col("id1")).as("f1"),
+        coalesce(col("c2"), col("id2")).as("f2"))
+    val superEdges = fams.filter(col("f1") =!= col("f2"))
+      .select(col("f1").as("id1"), col("f2").as("id2")).distinct()
+    // delta-sized by construction — components picks its broadcast-style
+    // local regime for any realistic delta, rounds never see the corpus
+    val relabel = components(superEdges, maxIter)
+      .select(col("id").as("family"), col("component").as("merged"))
+    val newIds = delta.select(col("id1").as("id"))
+      .unionByName(delta.select(col("id2").as("id"))).distinct()
+      .join(old.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    val universe = old.unionByName(newIds)
+    val out = universe
+      .join(relabel, universe("component") === relabel("family"), "left")
+      .select(universe("id"),
+        coalesce(col("merged"), universe("component")).as("component"))
+    out
+  }
+
   /** Comparator matching Spark's `min()` ordering for the id types the
     * dedup flows use — integral types naturally, strings as UNSIGNED
     * UTF-8 bytes (Spark's default UTF8_BINARY collation). Any other type

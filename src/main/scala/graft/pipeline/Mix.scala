@@ -116,6 +116,68 @@ object Mix {
       .filter(hashUniform(key, seed) < col("rate"))
   }
 
+  /** Shape the corpus to a TARGET distribution over a stratum column —
+    * the mixture-rebalancing step (DoReMi-style reference weights, or
+    * "make the length/source histogram match the eval distribution"):
+    * keep the LARGEST subcorpus whose strata follow `targets`
+    * proportions. With integer target weights w_s (summing to W) and
+    * stratum counts n_s, the feasible scaled total is
+    * `T = min_s (n_s·W div w_s)` — the binding stratum caps everything —
+    * and stratum s keeps at rate `T·w_s / (W·n_s)` (≤ 1 by construction
+    * of T), decided per row by [[hashUniform]]: reproducible across
+    * runs, engines, retries, and repartitioning, no RNG state. Strata
+    * absent from `targets` are dropped (weight 0); target strata absent
+    * from the corpus make the match infeasible and fail loudly.
+    *
+    * Returns sampled rows with `(rate, n_total)` audit columns attached;
+    * [[matchDistributionAudit]] is the per-stratum rollup.
+    *
+    * Scale shape: ONE map-combined stratum-count aggregate, a 1-row
+    * broadcast of the feasibility minimum (the q_mix_temperature scalar
+    * pattern), then a shuffle-free per-row keep decision against the
+    * broadcast rate table — identical cost profile to
+    * [[temperatureSampled]] at any corpus size.
+    */
+  def matchDistribution(df: DataFrame, stratumCol: String,
+                        targets: Seq[(String, Long)], key: Column,
+                        seed: String = "match"): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "targets must be non-empty with positive weights")
+    val w = targets.map(_._2).sum
+    val weightOf = targets.foldLeft(lit(null).cast("long")) {
+      case (other, (s, wt)) => when(col(stratumCol) === s, lit(wt)).otherwise(other)
+    }
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_total"))
+      .withColumn("tw", weightOf).filter(col("tw").isNotNull)
+    // the binding stratum: feasible scaled total T = min(n_s·W div w_s).
+    // n_targets rides along so a target stratum MISSING from the corpus
+    // fails the require below instead of silently over-allocating
+    val tRow = counts.agg(min(expr(s"n_total * ${w}L div tw")).as("t"),
+      count(lit(1)).as("n_strata")).head()
+    require(!tRow.isNullAt(0) && tRow.getLong(1) == targets.size.toLong,
+      s"matchDistribution: ${targets.size - (if (tRow.isNullAt(0)) 0 else tRow.getLong(1))} " +
+        "target strata absent from the corpus — the match is infeasible")
+    val t = tRow.getLong(0)
+    val rates = counts.select(col(stratumCol), col("n_total"),
+      ((lit(t) * col("tw")).cast("double") /
+        (lit(w) * col("n_total")).cast("double")).as("rate"))
+    df.join(broadcast(rates), stratumCol)
+      .filter(hashUniform(key, seed) < col("rate"))
+  }
+
+  /** Per-stratum rollup of [[matchDistribution]]:
+    * `(stratum, n_total, rate, n_sampled)` — read it to check the
+    * realized histogram against the target before a 100 TB run.
+    */
+  def matchDistributionAudit(df: DataFrame, stratumCol: String,
+                             targets: Seq[(String, Long)], key: Column,
+                             seed: String = "match"): DataFrame =
+    matchDistribution(df, stratumCol, targets, key, seed)
+      .groupBy(col(stratumCol))
+      .agg(any_value(col("n_total")).as("n_total"),
+        any_value(col("rate")).as("rate"),
+        count(lit(1)).as("n_sampled"))
+
   /** Deterministic train/val/test assignment: `split` = "train" for hash
     * percentile < `trainPct`, "val" below `trainPct + valPct`, else
     * "test". The decision is [[hashPct]] of `key` — stable across runs,

@@ -56,6 +56,37 @@ object QualityFilters {
         x => x.isNotNull)),
       ",")
 
+  /** Per-rule ABLATION audit for the battery: for each rule, how many
+    * documents it fails (`n_fail`) and how many it is the SOLE reason
+    * for dropping (`n_sole_fail` — the documents that would re-enter the
+    * corpus if this one rule were removed). The tuning table a filter
+    * pipeline reads before loosening a threshold: a rule with high
+    * `n_fail` but near-zero `n_sole_fail` is redundant with the rest of
+    * the battery; a rule carrying most of its fails alone is the one
+    * whose threshold actually decides corpus size.
+    *
+    * Scale shape: ONE pass — per-row fail flags (pure codegen'd
+    * expressions) into one map-combined aggregate of 2·|rules| sums,
+    * then a |rules|-row `stack` unpivot. Shuffle moves 2·|rules| longs.
+    */
+  def ablation(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val flags = GopherRules.map(r => r.fails(col(textCol)).cast("int"))
+    val nFails = flags.reduce(_ + _)
+    val flagged = docs.select(
+      GopherRules.zip(flags).map { case (r, f) => f.as("f_" + r.name) } :+
+        nFails.as("nf"): _*)
+    val aggs = GopherRules.flatMap { r =>
+      Seq(sum(col("f_" + r.name)).cast("long").as("fail_" + r.name),
+        sum(when(col("f_" + r.name) === 1 && col("nf") === 1, 1L)
+          .otherwise(0L)).as("sole_" + r.name))
+    }
+    val one = flagged.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = GopherRules
+      .map(r => s"'${r.name}', fail_${r.name}, sole_${r.name}").mkString(", ")
+    one.select(expr(
+      s"stack(${GopherRules.size}, $stackArgs) AS (rule, n_fail, n_sole_fail)"))
+  }
+
   /** Most frequent n-word shingle per document and the fraction of the
     * document's words it covers (`count·n / n_words` — Gopher's "top
     * n-gram fraction"). Ties break on the lexicographically smallest

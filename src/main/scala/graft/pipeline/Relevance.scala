@@ -186,6 +186,49 @@ object Relevance {
           size(col("ps")).cast("double")).as("lm_score"))
   }
 
+  /** [[lmScore]] with Jelinek–Mercer unigram interpolation (λ = 1/2):
+    * per bigram instance the score is
+    *
+    *   p = (P(w2|w1) + P(w2)) / 2
+    *
+    * — the smoothing every practical LM filter needs, because a raw
+    * bigram model assigns unseen-context words probability mass only
+    * through their context (a doc full of rare-but-ordinary words scores
+    * as badly as gibberish; the unigram term separates the two). λ is
+    * fixed at 1/2 so the combination is one addition and one halving of
+    * two exact-integer-ratio doubles — a fixed IEEE tree, bit-replayable
+    * (a tunable λ would multiply by an arbitrary double; 0.5 is exact).
+    * Same absence contract as [[lmScore]] (< 2 tokens ⇒ unscorable).
+    *
+    * Scale shape: [[lmScore]]'s plan plus one token-count aggregate and
+    * its 1-row corpus-total broadcast (the q_tfidf scalar pattern); the
+    * unigram join keys on the high-cardinality `w2`.
+    */
+  def lmScoreInterpolated(docs: DataFrame, idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .select(col(idCol), explode(Text.shingles(col(textCol), 2)).as("bg"))
+      .select(col(idCol), split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"))
+    val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .withColumn("p2",
+        col("c").cast("double") /
+          sum(col("c")).over(Window.partitionBy(col("w1"))).cast("double"))
+      .select("w1", "w2", "p2")
+    val toks = docs.select(explode(Text.words(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val nTok = toks.agg(sum(col("cw")).as("n_tokens"))
+    val uni = toks.crossJoin(broadcast(nTok))
+      .select(col("w").as("w2"),
+        (col("cw").cast("double") / col("n_tokens").cast("double")).as("p1"))
+    bg.join(lm, Seq("w1", "w2")).join(uni, Seq("w2"))
+      .groupBy(idCol)
+      .agg(sort_array(collect_list((col("p2") + col("p1")) / lit(2.0))).as("ps"))
+      .select(col(idCol), size(col("ps")).cast("long").as("n_bigrams"),
+        (aggregate(col("ps"), lit(0.0), (a, x) => a + x) /
+          size(col("ps")).cast("double")).as("lm_jm_score"))
+  }
+
   /** Top-k terms per document by BM25 with linear idf (see class doc):
     *
     *   idf = (N - df + 0.5) / (df + 0.5)

@@ -531,6 +531,51 @@ object SimilarityLsh {
     sym.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
   }
 
+  /** Measured RECALL of the production kNN graph ([[topKAuto]]) against
+    * brute-force cosine truth on a fixed-size anchor sample — the ANN
+    * twin of [[graft.pipeline.Dedup.lshRecallAudit]] (r9's lesson made
+    * mechanical: every self-sizing path should ship the audit that says
+    * what its guards are costing in recall). Per anchor: the exact
+    * top-k neighbor set (broadcast anchors × corpus — the sanctioned
+    * q_ann_cosine shape, cost nAnchors·n, NEVER n²), the auto graph's
+    * top-k, and `recall = |approx ∩ truth| / |truth|`. Run it at a
+    * small SF before trusting a sizing at 100 TB, and alongside the
+    * production job on a sampled shard after.
+    *
+    * Anchor choice is md5-ranked (`TakeOrderedAndProject` — per-partition
+    * partial top-k, nAnchors rows to the merge, no global sort), so the
+    * audit is deterministic and engine-replayable. Truth ranking rides
+    * [[Skew.saltedTopK]]: anchors are few and HOT, a plain per-anchor
+    * window would sort corpus-sized partitions in single tasks.
+    */
+  def knnRecallAudit(vectors: DataFrame, k: Int, nAnchors: Int = 50,
+                     numTables: Int = 8, dim: Int = 64): DataFrame = {
+    val anchors = vectors
+      .select(col("vec_id"),
+        md5(concat(lit("anch:"), col("vec_id").cast("string"))).as("__m"))
+      .orderBy(col("__m"), col("vec_id")).limit(nAnchors).drop("__m")
+      .persistTracked() // feeds the truth broadcast AND the approx filter
+    val av = broadcast(anchors.join(vectors, Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+    val scored = vectors.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
+      .join(av, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        Similarity.cosine(col("qe"), col("ne")).as("cos"))
+    val truth = Skew.saltedTopK(scored, col("q_id"), col("n_id"), k,
+      order = Seq(col("cos").desc, col("n_id").asc))
+    val approx = topKAuto(vectors, k, numTables, dim)
+      .join(anchors.select(col("vec_id").as("q_id")), Seq("q_id"), "left_semi")
+      .select(col("q_id"), col("n_id").as("a_id"))
+    truth
+      .join(approx, truth("q_id") === approx("q_id") &&
+        truth("n_id") === approx("a_id"), "left")
+      .groupBy(truth("q_id").as("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall",
+        col("n_caught").cast("double") / col("n_truth").cast("double"))
+  }
+
   /** One NN-DESCENT refinement round (Dong et al., WWW'11) over a kNN
     * graph: expand each vector's candidates with its neighbors' neighbors
     * ("a neighbor of my neighbor is probably my neighbor"), rescore the

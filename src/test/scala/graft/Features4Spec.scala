@@ -1,0 +1,148 @@
+package graft
+
+import graft.graph.Graph
+import graft.pipeline.{Chunking, Dedup, Mix, QualityFilters, Relevance, SimilarityLsh}
+import org.apache.spark.sql.functions._
+
+/** Round-10 operator specs: Katz centrality, incremental components,
+  * filter-rule ablation, distribution matching, packing stats,
+  * interpolated LM scoring, and the ANN recall audit.
+  */
+class Features4Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("katzCentrality matches the hand-computed chain-with-shortcut") {
+    // a→b, b→c, a→c: n1 = {b:1, c:2}; n2 = {c:1} (a→b→c); n3 = {}.
+    // katz (betaDen=5, maxLen=3): a=0, b=25·1=25, c=25·2+5·1=55.
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"))
+      .toDF("src", "dst").withColumn("w", lit(1.0)).withColumn("type", lit("T"))
+    val got = Graph(Graph.verticesOf(e), e).katzCentrality(maxLen = 3, betaDen = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("a" -> 0L, "b" -> 25L, "c" -> 55L))
+  }
+
+  test("katzCentrality counts WALKS (multiplicity), repartition-invariant") {
+    // diamond a→b, a→c, b→d, c→d: two length-2 walks into d.
+    // n1 = {b:1, c:1, d:2}; n2 = {d:2}; katz(d) = 25·2 + 5·2 = 60.
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"))
+      .toDF("src", "dst").withColumn("w", lit(1.0)).withColumn("type", lit("T"))
+    val g = Graph(Graph.verticesOf(e), e)
+    val got = g.katzCentrality().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("d") === 60L && got("a") === 0L && got("b") === 25L)
+    val g2 = Graph(Graph.verticesOf(e).repartition(7), e.repartition(5))
+    assert(g2.katzCentrality().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      === got)
+  }
+
+  test("componentsIncremental equals the full recompute on randomized splits") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      val n = 24
+      val pairs = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val df = pairs.toDF("id1", "id2")
+      val cut = 4 + trial * 4 // vary the old/delta boundary per trial
+      val oldPairs = df.filter($"id1" < cut && $"id2" < cut)
+      val delta = df.filter($"id1" >= cut || $"id2" >= cut)
+      val full = Dedup.components(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val inc = Dedup.componentsIncremental(Dedup.components(oldPairs), delta)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc === full, s"trial $trial (cut $cut): incremental != full recompute")
+      GraftStorage.clear(spark)
+    }
+  }
+
+  test("componentsIncremental: delta-only docs and unmerged families keep canonical labels") {
+    // old: {1,2} and {5,6}; delta connects 2-5 (merges) and adds fresh 8-9
+    val oldLabels = Dedup.components(Seq((1L, 2L), (5L, 6L)).toDF("id1", "id2"))
+    val delta = Seq((2L, 5L), (8L, 9L)).toDF("id1", "id2")
+    val got = Dedup.componentsIncremental(oldLabels, delta)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 8L -> 8L, 9L -> 8L))
+    GraftStorage.clear(spark)
+  }
+
+  test("ablation agrees with failReasons row by row") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val reasons = docs.select(QualityFilters.failReasons(col("text")).as("rs"))
+      .collect().map(_.getString(0))
+    val expected = QualityFilters.GopherRules.map { r =>
+      r.name -> ((reasons.count(_.split(',').contains(r.name)).toLong,
+        reasons.count(_ == r.name).toLong))
+    }.toMap
+    val got = QualityFilters.ablation(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === expected)
+    // every rule must discriminate on the harness corpus (calibration)
+    assert(got.values.forall(_._1 > 0L))
+  }
+
+  test("matchDistribution: exact feasibility math, audit rates, infeasible target throws") {
+    // counts: s0=100, s1=50, s2=200; targets 1:1:2 (W=4)
+    // T = min(100·4/1, 50·4/1, 200·4/2) = 200
+    // rates: s0 = 200/(4·100) = 0.5, s1 = 200/(4·50) = 1.0, s2 = 400/(4·200) = 0.5
+    val df = ((0 until 100).map(i => (i.toLong, "s0")) ++
+      (100 until 150).map(i => (i.toLong, "s1")) ++
+      (150 until 350).map(i => (i.toLong, "s2"))).toDF("id", "stratum")
+    val targets = Seq(("s0", 1L), ("s1", 1L), ("s2", 2L))
+    val audit = Mix.matchDistributionAudit(df, "stratum", targets, $"id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    assert(audit("s0")._2 === 0.5 && audit("s1")._2 === 1.0 && audit("s2")._2 === 0.5)
+    assert(audit("s1")._3 === 50L) // rate 1.0 keeps the whole stratum
+    // repartition-invariant keep set (pure row decision)
+    val a = Mix.matchDistribution(df, "stratum", targets, $"id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Mix.matchDistribution(df.repartition(13), "stratum", targets, $"id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    // a target stratum absent from the corpus must fail loudly
+    intercept[IllegalArgumentException] {
+      Mix.matchDistribution(df, "stratum", targets :+ (("ghost", 1L)), $"id")
+    }
+  }
+
+  test("packStats matches the hand-computed boundary straddle") {
+    // one source, three 100-token docs, budget 256: doc c spans
+    // offsets [200, 300) → crosses the 256 boundary. 2 packs total.
+    def doc(id: Long) = (id, "src", Seq.fill(100)("w").mkString(" "))
+    val docs = Seq(doc(1L), doc(2L), doc(3L)).toDF("doc_id", "source", "text")
+    val row = Chunking.packStats(docs, "doc_id", "text", "source", budget = 256)
+      .collect().head
+    assert(row.getAs[Long]("n_docs") === 3L)
+    assert(row.getAs[Long]("n_packs") === 2L)
+    assert(row.getAs[Long]("total_tokens") === 300L)
+    assert(row.getAs[Long]("n_split_docs") === 1L)
+    assert(row.getAs[Double]("split_frac") === 1.0 / 3.0)
+  }
+
+  test("lmScoreInterpolated: hand-computed JM blend") {
+    // corpus "a b" / "a c": P(b|a) = 1/2, P_uni(b) = 1/4 → doc1 = 0.375
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = Relevance.lmScoreInterpolated(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === Map(1L -> 0.375, 2L -> 0.375))
+    // single doc "x y": P(y|x) = 1, P_uni(y) = 1/2 → (1 + 0.5)/2 = 0.75
+    val one = Relevance.lmScoreInterpolated(Seq((9L, "x y")).toDF("doc_id", "text"))
+      .collect().head
+    assert(one.getLong(1) === 1L && one.getDouble(2) === 0.75)
+  }
+
+  test("knnRecallAudit: anchors-sized output, recall bounds, exact-truth cardinality") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val audit = SimilarityLsh.knnRecallAudit(emb, k = 3, nAnchors = 10, numTables = 4)
+      .collect()
+    assert(audit.length === 10)
+    audit.foreach { r =>
+      val (t, c, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(t === 3L, "truth side must find exactly k neighbors")
+      assert(c >= 0L && c <= t)
+      assert(rec === c.toDouble / t.toDouble)
+    }
+    GraftStorage.clear(spark)
+  }
+}

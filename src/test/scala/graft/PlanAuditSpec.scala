@@ -54,8 +54,12 @@ class PlanAuditSpec extends SparkTestBase {
                                          // k-sized arrays — never data-sized)
     "q_vocab_growth",                    // 5-row checkpoint relation broadcast
                                          // (first_doc < cp range predicate)
-    "q_sparse_cosine")                   // 1-row n_docs broadcast (df cap +
+    "q_sparse_cosine",                   // 1-row n_docs broadcast (df cap +
                                          // integer idf weights)
+    "q_lm_interpolated",                 // 1-row token-total broadcast (the
+                                         // unigram interpolation term)
+    "q_ann_recall_auto")                 // broadcast(50 anchors) ⨝ corpus —
+                                         // the q_ann_cosine truth shape
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {
