@@ -7015,6 +7015,10 @@ object Queries {
       (s, d) => {
         // pinned: the PPJoin pipeline feeds BOTH the positive picks and
         // the component clustering — unpinned it executes twice
+        // A/B-measured (r10, 3-rep medians at sf0.1): pinned 4.72 s vs
+        // unpinned 6.47 s — exchange reuse does NOT dedupe the PPJoin
+        // subtree across the pos-picks and components consumers (their
+        // projections differ), so the pin stays
         val pairs = Dedup.ngramJaccardPairs(t(s, d)("documents"),
           minShared = 2L, minJaccard = 0.5).select("id1", "id2")
           .persistTracked()
@@ -7928,6 +7932,91 @@ object Queries {
              |SELECT doc_id, CAST(len(ps) AS BIGINT) AS n_bigrams,
              |       list_reduce(ps, (a, b) -> a + b) / CAST(len(ps) AS DOUBLE) AS lm_jm_score
              |FROM l""".stripMargin)),
+
+    // STAGED dedup cascade with per-doc attribution — the end-to-end
+    // shape real pipelines run (RefinedWeb/FineWeb order their dedup
+    // stages and need to know which stage killed what): stage 1 removes
+    // strict shingle-Jaccard near-dups (high precision), stage 2 removes
+    // SIMHASH-FINGERPRINT collisions AMONG STAGE-1 SURVIVORS (the fuzzy
+    // recall catch — word-frequency-identical docs whose shingle overlap
+    // sat under the Jaccard bar). A (containment ≥ 0.6 → Jaccard ≥ 0.5)
+    // ordering would be structurally vacuous: J ≥ j forces
+    // max-containment ≥ 2j/(1+j) = 0.67, so the containment stage always
+    // fires first — thresholds must be checked for implication before
+    // trusting a cascade's attribution (measured on this corpus: 0 of 25
+    // J-pairs escaped containment-0.6). Stage-2 pairs are the
+    // full-corpus pair relation filtered to surviving endpoints (both
+    // relations are pairwise, so endpoint restriction ≡ recomputing on
+    // the subset). Output: every doc, its removal stage, its surviving
+    // representative
+    Q("q_dedup_cascade",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        val jacComp = Dedup.components(
+          Dedup.ngramJaccardPairs(docs, minShared = 2L, minJaccard = 0.5)
+            .select("id1", "id2"))
+          .persistTracked() // feeds victims1, the survivor filter, and rep
+        val victims1 = jacComp.filter(col("id") =!= col("component"))
+        val fpPairs = Dedup.simhashPairs(docs, maxDist = 0)
+          .select("id1", "id2")
+          .join(victims1.select(col("id").as("id1")), Seq("id1"), "left_anti")
+          .join(victims1.select(col("id").as("id2")), Seq("id2"), "left_anti")
+        val fpComp = Dedup.components(fpPairs)
+        docs.select(col("doc_id"))
+          .join(jacComp.select(col("id").as("doc_id"), col("component").as("c1")),
+            Seq("doc_id"), "left")
+          .join(fpComp.select(col("id").as("doc_id"), col("component").as("c2")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("c1").isNotNull && col("c1") =!= col("doc_id"), lit("near_dup"))
+              .when(col("c2").isNotNull && col("c2") =!= col("doc_id"), lit("fingerprint"))
+              .otherwise(lit("kept")).as("stage"),
+            when(col("c1").isNotNull && col("c1") =!= col("doc_id"), col("c1"))
+              .when(col("c2").isNotNull && col("c2") =!= col("doc_id"), col("c2"))
+              .otherwise(col("doc_id")).as("rep"))
+      },
+      Some {
+        val votes = (0 until 16).map(j =>
+          s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+        val fp = (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH RECURSIVE $shingleSqlCte,
+           |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+           |p0 AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+           |       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+           |       GROUP BY 1, 2 HAVING count(*) >= 2),
+           |dup AS (SELECT id1, id2 FROM p0
+           |        JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+           |        WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5),
+           |je AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
+           |jr AS (SELECT a AS id, a AS lbl FROM je
+           |       UNION
+           |       SELECT je.a, jr.lbl FROM je JOIN jr ON jr.id = je.b),
+           |jcomp AS MATERIALIZED (SELECT id, min(lbl) AS c1 FROM jr GROUP BY id),
+           |v1 AS (SELECT id FROM jcomp WHERE id <> c1),
+           |tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS wd FROM documents),
+           |hv AS (SELECT id, CAST(concat('0x', substr(md5(wd), 1, 4)) AS INTEGER) AS v FROM tok),
+           |sv AS (SELECT id, $votes FROM hv GROUP BY id),
+           |f AS (SELECT id, CAST($fp AS BIGINT) AS simhash FROM sv),
+           |fpp AS (SELECT a.id AS id1, b.id AS id2
+           |        FROM f a JOIN f b ON a.simhash = b.simhash AND a.id < b.id
+           |        WHERE a.id NOT IN (SELECT id FROM v1)
+           |          AND b.id NOT IN (SELECT id FROM v1)),
+           |fe AS (SELECT id1 AS a, id2 AS b FROM fpp UNION SELECT id2, id1 FROM fpp),
+           |fr AS (SELECT a AS id, a AS lbl FROM fe
+           |       UNION
+           |       SELECT fe.a, fr.lbl FROM fe JOIN fr ON fr.id = fe.b),
+           |fcomp AS MATERIALIZED (SELECT id, min(lbl) AS c2 FROM fr GROUP BY id)
+           |SELECT d.doc_id,
+           |  CASE WHEN jcomp.c1 IS NOT NULL AND jcomp.c1 <> d.doc_id THEN 'near_dup'
+           |       WHEN fcomp.c2 IS NOT NULL AND fcomp.c2 <> d.doc_id THEN 'fingerprint'
+           |       ELSE 'kept' END AS stage,
+           |  CASE WHEN jcomp.c1 IS NOT NULL AND jcomp.c1 <> d.doc_id THEN jcomp.c1
+           |       WHEN fcomp.c2 IS NOT NULL AND fcomp.c2 <> d.doc_id THEN fcomp.c2
+           |       ELSE d.doc_id END AS rep
+           |FROM documents d
+           |LEFT JOIN jcomp ON d.doc_id = jcomp.id
+           |LEFT JOIN fcomp ON d.doc_id = fcomp.id""".stripMargin
+      }),
 
     // measured RECALL of the production (self-sizing) kNN graph against
     // brute-force cosine truth on 50 md5-picked anchors — the ANN twin

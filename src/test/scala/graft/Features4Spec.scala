@@ -131,6 +131,30 @@ class Features4Spec extends SparkTestBase {
     assert(one.getLong(1) === 1L && one.getDouble(2) === 0.75)
   }
 
+  test("dedup cascade: stage attribution consistent with its stage operators") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_dedup_cascade")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length === docs.count())
+    assert(out.map(_._1).distinct.length === out.length, "one row per doc")
+    // stage-1 victims must be exactly the Jaccard components' non-min members
+    val v1 = Dedup.components(
+        Dedup.ngramJaccardPairs(docs, minShared = 2L, minJaccard = 0.5)
+          .select("id1", "id2"))
+      .filter(col("id") =!= col("component"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._2 == "near_dup").map(_._1).toSet === v1)
+    // all three stages non-vacuous on the harness corpus; reps are
+    // canonical (kept → self, removed → the smaller min-id representative)
+    val byStage = out.groupBy(_._2)
+    assert(byStage.keySet === Set("near_dup", "fingerprint", "kept"))
+    out.foreach { case (id, st, rep) =>
+      if (st == "kept") assert(rep === id) else assert(rep < id)
+    }
+    GraftStorage.clear(spark)
+  }
+
   test("knnRecallAudit: anchors-sized output, recall bounds, exact-truth cardinality") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
