@@ -3005,6 +3005,61 @@ object Queries {
              |   END) AS intersection_est
              |FROM puk""".stripMargin)),
 
+    // DIRECTIONAL containment estimates off the same stored sketches:
+    // cont(A⊆B) = Î(A∩B)/D̂(A) — the acquisition-prioritization question
+    // Jaccard can't answer (a small source 90% inside an existing one
+    // adds ~nothing whatever its Jaccard says). Two replayed estimators
+    // + one IEEE division; corpus touched only by the sketch build
+    Q("q_sketch_kmv_containment",
+      (s, d) => {
+        val sh = t(s, d)("documents").select(col("source"),
+          explode(graft.pipeline.Text.shingles(col("text"), 3)).as("s3"))
+        graft.pipeline.Sketches.kmvContainment(
+          graft.pipeline.Sketches.kmvSketch(sh, "source", "s3", k = 64),
+          "source", k = 64)
+      },
+      Some("""WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+             |sh AS (SELECT DISTINCT source,
+             |         CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS hv
+             |       FROM (SELECT source,
+             |               unnest(list_filter(
+             |                 list_transform(ws, (x,i) -> CASE WHEN i <= len(ws)-2
+             |                   THEN x || ' ' || ws[i+1] || ' ' || ws[i+2] END),
+             |                 v -> v IS NOT NULL)) AS s
+             |             FROM w)),
+             |r AS (SELECT source, hv,
+             |        row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+             |      FROM sh),
+             |skv AS MATERIALIZED (SELECT source, hv FROM r WHERE rk <= 64),
+             |est AS MATERIALIZED (SELECT source, count(*) AS n, max(hv) AS hk FROM skv GROUP BY 1),
+             |pairs AS (SELECT a.source AS ga, b.source AS gb
+             |          FROM (SELECT DISTINCT source FROM skv) a
+             |          JOIN (SELECT DISTINCT source FROM skv) b ON a.source < b.source),
+             |pu AS (SELECT p.ga, p.gb, s.hv,
+             |         bool_or(s.source = p.ga) AS ina,
+             |         bool_or(s.source = p.gb) AS inb
+             |       FROM pairs p JOIN skv s ON s.source IN (p.ga, p.gb)
+             |       GROUP BY 1, 2, 3),
+             |pur AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rk
+             |        FROM pu),
+             |puk AS MATERIALIZED (SELECT ga, gb, count(*) AS nu, max(hv) AS hku,
+             |          sum(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS m
+             |        FROM pur WHERE rk <= 64 GROUP BY 1, 2),
+             |ie AS (SELECT ga, gb,
+             |         (CAST(m AS DOUBLE) / CAST(nu AS DOUBLE)) *
+             |         (CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+             |               ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(hku AS DOUBLE)
+             |          END) AS intersection_est
+             |       FROM puk),
+             |sym AS (SELECT ga, gb, intersection_est FROM ie
+             |        UNION ALL SELECT gb, ga, intersection_est FROM ie)
+             |SELECT sym.ga, sym.gb, sym.intersection_est,
+             |  sym.intersection_est /
+             |  (CASE WHEN e.n < 64 THEN CAST(e.n AS DOUBLE)
+             |        ELSE CAST(63 AS DOUBLE) * 1152921504606846976.0 / CAST(e.hk AS DOUBLE)
+             |   END) AS containment_est
+             |FROM sym JOIN est e ON sym.ga = e.source""".stripMargin)),
+
     // Count-Min Sketch over document words — the mergeable FREQUENCY twin
     // of the HLL distinct sketch, and unlike it fully oracle-replayable:
     // md5-derived bucket hashing makes the d×w cell relation deterministic

@@ -430,4 +430,31 @@ object Sketches {
         nu.cast("long").as("n_union"), matches.cast("long").as("n_shared"),
         jacc.as("jaccard_est"), (jacc * estU).as("intersection_est"))
   }
+
+  /** DIRECTIONAL containment estimates from the stored KMV sketches:
+    * `cont(A ⊆ B) = Î(A∩B) / D̂(A)` for every ordered source pair — the
+    * question the symmetric Jaccard of [[kmvPairEstimates]] cannot
+    * answer ("is source A mostly inside source B?" — the crawl-dedup /
+    * acquisition call: a small source 90% contained in an existing one
+    * adds almost nothing, whatever its Jaccard says). Both factors are
+    * the already-replayable estimators, combined by one IEEE division —
+    * bit-identical in any engine.
+    *
+    * Scale shape: [[kmvPairEstimates]]' groups²-sized sketch self-join
+    * plus one groups-sized equi-join of the per-group estimates — the
+    * corpus is touched only by the sketch build, exactly like the exact
+    * q_cross_source_overlap audit it replaces at 100 TB (which costs a
+    * full corpus-pair shuffle).
+    */
+  def kmvContainment(sketch: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val pairs = kmvPairEstimates(sketch, groupCol, k)
+      .select(col("ga"), col("gb"), col("intersection_est"))
+    val sym = pairs.unionByName(pairs.select(col("gb").as("ga"),
+      col("ga").as("gb"), col("intersection_est")))
+    val est = kmvEstimate(sketch, groupCol, k)
+      .select(col(groupCol).as("ga"), col("est_distinct").as("da"))
+    sym.join(est, Seq("ga"))
+      .select(col("ga"), col("gb"), col("intersection_est"),
+        (col("intersection_est") / col("da")).as("containment_est"))
+  }
 }

@@ -131,6 +131,20 @@ class Features4Spec extends SparkTestBase {
     assert(one.getLong(1) === 1L && one.getDouble(2) === 0.75)
   }
 
+  test("kmvContainment: detects a strict subset source directionally") {
+    import graft.pipeline.Sketches
+    // A = {k1..k50} strictly inside B = {k1..k200}
+    val rows = (1 to 50).map(i => ("A", s"k$i")) ++ (1 to 200).map(i => ("B", s"k$i"))
+    val df = rows.toDF("g", "key")
+    val sk = Sketches.kmvSketch(df, "g", "key", k = 64)
+    val got = Sketches.kmvContainment(sk, "g", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    // A is 100% contained in B (estimator noise from the k-th-min); B is ~25% in A
+    assert(got(("A", "B")) > 0.7, s"cont(A in B) = ${got(("A", "B"))}")
+    assert(got(("B", "A")) < 0.5, s"cont(B in A) = ${got(("B", "A"))}")
+    assert(got.values.forall(_ >= 0.0))
+  }
+
   test("dedup cascade: stage attribution consistent with its stage operators") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -52,6 +52,7 @@ class PlanAuditSpec extends SparkTestBase {
                                          // (pval·np·10 > total·12 compare)
     "q_sketch_kmv_pairs",                // sketch relation × itself (groups²,
                                          // k-sized arrays — never data-sized)
+    "q_sketch_kmv_containment",          // same sketch self-join, directed
     "q_vocab_growth",                    // 5-row checkpoint relation broadcast
                                          // (first_doc < cp range predicate)
     "q_sparse_cosine",                   // 1-row n_docs broadcast (df cap +
