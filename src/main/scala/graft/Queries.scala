@@ -1528,6 +1528,11 @@ object Queries {
               |FROM ut GROUP BY src, dst""".stripMargin)),
 
     // J6 motif-rewrite + D3-D5 count-based Jaccard over supplier→part sets.
+    // 100× note (SCALE.md r10 table): this UNCAPPED reference-parity row
+    // emits every qualifying pair, so its output — and therefore its time
+    // (65.7× at the measured 100× point) — grows ~linearly with the data;
+    // the production shape for a 100 TB run is q_jaccard_pairs_capped
+    // (maxTagFrequency stop-tag guard, 25.6× on the same sweep).
     Q("q_jaccard_pairs",
       (s, d) => {
         val ut = t(s, d)("lineitem")
@@ -7820,6 +7825,31 @@ object Queries {
              |FROM rec""".stripMargin)),
 
     // ------------------------------------------------- round-10 additions
+
+    // EXACT global median without a global sort: iterative 256-bin
+    // histogram refinement (Selection.kthSmallest) — per round one
+    // map-combined count aggregate + a bins-sized driver walk, range
+    // ÷256 per round, terminal ≤4096-distinct-value walk. The exact
+    // one-shot where percentile_approx is rank-dependent-approximate
+    // and orderBy.limit(n/2) holds half the data per partition. Money
+    // goes through the decimal(18,2) cents path (the moneySum parity
+    // rule: a raw double→long cast truncates in Spark and rounds in
+    // DuckDB)
+    Q("q_exact_median",
+      (s, d) => {
+        val li = t(s, d)("lineitem").select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val n = li.count()
+        graft.pipeline.Selection.kthSmallest(li, "cents", (n + 1) / 2)
+      },
+      Some("""WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             |           FROM lineitem),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+             |SELECT n.n, (n.n + 1) // 2 AS k,
+             |  (SELECT cents FROM v ORDER BY cents
+             |   LIMIT 1 OFFSET ((SELECT (n + 1) // 2 FROM n) - 1)) AS value
+             |FROM n""".stripMargin)),
 
     // truncated Katz centrality over the word-bigram graph (w1 → w2 for
     // every distinct document bigram): raw path-count influence — unlike

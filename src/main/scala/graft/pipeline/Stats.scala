@@ -4,6 +4,71 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** EXACT distributed order statistics without a global sort: the k-th
+  * smallest of a long column by iterative histogram refinement (the
+  * classic distributed-selection scheme — Blum et al.'s selection idea
+  * in its aggregation form). Per round: ONE 256-bin count aggregate over
+  * the surviving value range, a ≤256-row driver collect walks the
+  * cumulative counts to the bin containing rank k, and the range narrows
+  * ×256 — so ⌈log₂₅₆(range)⌉ rounds total (4 rounds covers any long
+  * range that fits a double-free pipeline; values spanning 2⁶³ still
+  * converge in 8). The finish collects the ≤4096 DISTINCT (value, count)
+  * rows of the terminal range and walks them on the driver.
+  *
+  * Why not `orderBy.limit(k)`: k is data-sized for a median (n/2) —
+  * TakeOrdered holds k rows per partition; a global sort shuffles the
+  * world. Why not percentile_approx: it's approximate and its error is
+  * rank-dependent. This is exact, each round is a map-combined aggregate
+  * (256 longs on the shuffle), and every driver collect is bins-sized —
+  * the k-row-collect class, never data.
+  *
+  * Cost contract: log₂₅₆(range) full scans of the FILTERED column (the
+  * range predicate pushes to parquet, so later rounds read row-group
+  * subsets where the layout clusters the column). For repeated quantile
+  * queries at 100 TB, build [[Sketches.histQuantile]] once instead; this
+  * is the exact one-shot.
+  */
+object Selection {
+  /** k-th smallest (1-based) of long column `c` in `df`. Returns
+    * `(n, k, value)` as a 1-row DataFrame; requires 1 ≤ k ≤ n.
+    */
+  def kthSmallest(df: DataFrame, c: String, k: Long): DataFrame = {
+    val vals = df.select(col(c).cast("long").as("v")).where(col("v").isNotNull)
+    val head = vals.agg(count(lit(1)).as("n"), min(col("v")).as("lo"),
+      max(col("v")).as("hi")).head()
+    val n = head.getLong(0)
+    require(k >= 1 && k <= n, s"kthSmallest: k=$k outside 1..$n")
+    var lo = head.getLong(1)
+    var hi = head.getLong(2)
+    var kk = k
+    // each round: count values per bin over [lo, hi], walk to k's bin
+    while (hi - lo >= 4096) {
+      val width = math.max(1L, (hi - lo) / 256L + 1L)
+      // integer `div`, not `/`: Column./ on longs returns double
+      val bins = vals.where(col("v") >= lo && col("v") <= hi)
+        .groupBy(expr(s"(v - (${lo}L)) div ${width}L").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      var i = 0
+      while (acc + bins(i)._2 < kk) { acc += bins(i)._2; i += 1 }
+      kk -= acc
+      lo = lo + bins(i)._1 * width
+      hi = math.min(hi, lo + width - 1)
+    }
+    // terminal range: ≤4096 distinct values — collect (value, count)
+    val tail = vals.where(col("v") >= lo && col("v") <= hi)
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    var i = 0
+    while (acc + tail(i)._2 < kk) { acc += tail(i)._2; i += 1 }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((n, k, tail(i)._1)).toDF("n", "k", "value")
+  }
+}
+
 /** Deterministic descriptive statistics. Spark's built-in `stddev`/`corr`
   * accumulate floating-point co-moments incrementally, so their last ulps
   * depend on partition order — fine for analytics, fatal for a

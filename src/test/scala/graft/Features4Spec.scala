@@ -131,6 +131,22 @@ class Features4Spec extends SparkTestBase {
     assert(one.getLong(1) === 1L && one.getDouble(2) === 0.75)
   }
 
+  test("kthSmallest equals the sorted-order statistic on randomized data") {
+    import graft.pipeline.Selection
+    val rnd = new scala.util.Random(11)
+    // wide range (forces multiple refinement rounds) + duplicates
+    val xs = Seq.fill(500)(rnd.nextLong() % 100000000L) ++ Seq.fill(50)(42L)
+    val df = xs.toDF("x")
+    val sorted = xs.sorted
+    for (k <- Seq(1L, 275L, 550L)) {
+      val row = Selection.kthSmallest(df, "x", k).collect().head
+      assert(row.getLong(0) === 550L && row.getLong(1) === k)
+      assert(row.getLong(2) === sorted((k - 1).toInt), s"k=$k")
+    }
+    intercept[IllegalArgumentException] { Selection.kthSmallest(df, "x", 0L) }
+    intercept[IllegalArgumentException] { Selection.kthSmallest(df, "x", 551L) }
+  }
+
   test("kmvContainment: detects a strict subset source directionally") {
     import graft.pipeline.Sketches
     // A = {k1..k50} strictly inside B = {k1..k200}
