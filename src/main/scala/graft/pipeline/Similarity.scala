@@ -365,6 +365,37 @@ object SimilarityLsh {
     p
   }
 
+  /** The RECALL twin of [[planesFor]]: the table count that holds
+    * `targetRecall` for neighbors at `minCosine`, from the hyperplane-LSH
+    * S-curve (Charikar STOC'02 sign-random-projection collision
+    * probability p = 1 − θ/π, so a `numPlanes`-bit band agrees w.p.
+    * p^planes and `t` tables catch a pair w.p. 1 − (1 − p^planes)^t):
+    *
+    *   tables = ⌈ln(1 − targetRecall) / ln(1 − p^numPlanes)⌉
+    *
+    * [[planesFor]] sizes COST (it re-splits buckets as the corpus grows,
+    * which RAISES planes and therefore LOWERS per-table recall);
+    * this sizes RECALL back up to the target. The two move together in a
+    * production run: planes from the corpus count, tables from the
+    * recall target — measured on this repo's own audit
+    * ([[knnRecallAudit]], SCALE.md round-10): at 4 planes the formula
+    * predicts R(24 tables at cos 0.35) = 0.975 and the audit measured
+    * 0.973. Capped at 64 tables (past that, revisit minCosine — the
+    * demanded neighbors are nearly orthogonal and LSH is the wrong
+    * index).
+    */
+  def tablesFor(numPlanes: Int, targetRecall: Double = 0.9,
+                minCosine: Double = 0.5): Int = {
+    require(numPlanes >= 1 && numPlanes <= 30, s"numPlanes=$numPlanes out of range")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall=$targetRecall must be in (0, 1)")
+    require(minCosine > -1.0 && minCosine < 1.0, s"minCosine=$minCosine out of range")
+    val p = 1.0 - math.acos(minCosine) / math.Pi
+    val pBand = math.pow(p, numPlanes.toDouble)
+    math.min(64, math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt))
+  }
+
   /** [[candidatePairs]] with `numPlanes` DERIVED from the actual corpus
     * size (one count job — cheap next to the pairing it sizes) and the
     * skew-guard drops logged instead of silent. This is the entry point a

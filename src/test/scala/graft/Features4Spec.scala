@@ -131,6 +131,23 @@ class Features4Spec extends SparkTestBase {
     assert(one.getLong(1) === 1L && one.getDouble(2) === 0.75)
   }
 
+  test("tablesFor follows the S-curve: monotone in target, inverse-monotone in planes") {
+    import graft.pipeline.SimilarityLsh.tablesFor
+    // measured anchor (SCALE.md r10): 4 planes @ cos 0.35 — the formula
+    // must predict ≥0.97 recall at 24 tables and the probe measured 0.973
+    val p = 1.0 - math.acos(0.35) / math.Pi
+    val r24 = 1.0 - math.pow(1.0 - math.pow(p, 4.0), 24.0)
+    assert(r24 > 0.97)
+    assert(tablesFor(4, targetRecall = 0.97, minCosine = 0.35) <= 24)
+    // more planes → finer buckets → more tables to hold the same recall
+    assert(tablesFor(8, 0.9, 0.35) > tablesFor(4, 0.9, 0.35))
+    // higher target → more tables
+    assert(tablesFor(6, 0.99, 0.5) > tablesFor(6, 0.5, 0.5))
+    // the 64-table cap engages for near-orthogonal demands
+    assert(tablesFor(16, 0.99, 0.1) === 64)
+    intercept[IllegalArgumentException] { tablesFor(4, 1.0, 0.5) }
+  }
+
   test("kthSmallest equals the sorted-order statistic on randomized data") {
     import graft.pipeline.Selection
     val rnd = new scala.util.Random(11)
