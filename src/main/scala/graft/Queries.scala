@@ -3913,6 +3913,39 @@ object Queries {
               |  FROM sym)
               |WHERE rank <= 3""".stripMargin)),
 
+    // the FULLY self-sizing kNN graph — the round-10 recall-curve lesson
+    // as a production shape: planes from the corpus count (the COST
+    // knob), tables from the recall target via the S-curve inversion
+    // (the RECALL knob, tablesFor) — so the contract is "recall ≥ 0.9
+    // for neighbors at ≥ cos 0.35", not a hand-tuned table count. The
+    // oracle derives BOTH knobs exactly as the live path does.
+    // Measured trade (SCALE.md): holding recall costs 7.6× at the 10×
+    // point (planes 4→8 drives tablesFor into its 64-table cap) — when
+    // the cap engages, hyperplane LSH has saturated and the documented
+    // escalation is the IVF / IVF-PQ family (q_ann_ivf*, q_ann_ivfpq)
+    Q("q_knn_graph_recall",
+      (s, d) => graft.pipeline.SimilarityLsh.topKAutoRecall(
+        t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+        k = 3, targetRecall = 0.9, minCosine = 0.35),
+      Some {
+        val cap = graft.pipeline.SimilarityLsh.PairingMaxBucket
+        val p = graft.pipeline.SimilarityLsh.planesFor(500, cap) // sf0.01 corpus
+        require(p == graft.pipeline.SimilarityLsh.planesFor(2000, cap),
+          s"q_knn_graph_recall oracle: planesFor diverges between test SFs ($p vs sf0.1)")
+        val tbl = graft.pipeline.SimilarityLsh.tablesFor(p, 0.9, 0.35)
+        s"""WITH ${lshBucketsCte(p, tbl)},
+           |p AS (SELECT id1, id2, cos
+           |      FROM (${lshPairsSubquery(tbl, cap)})),
+           |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
+           |        UNION ALL SELECT id2, id1, cos FROM p)
+           |SELECT q_id, n_id, cos, rank FROM (
+           |  SELECT q_id, n_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM sym)
+           |WHERE rank <= 3""".stripMargin
+      }),
+
     // the SCALING CONTRAST row for q_knn_graph: the fixed 8-plane graph
     // whose 10× point (4.8× for 10× data — SCALE.md round-8 table) is
     // exactly WHY the catalog row above self-sizes. Kept live so the

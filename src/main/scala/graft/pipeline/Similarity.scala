@@ -544,6 +544,29 @@ object SimilarityLsh {
     rankTopK(candidatePairsAuto(vectors, numTables, dim,
       maxBucketSize = PairingMaxBucket), k)
 
+  /** The FULLY self-sizing kNN graph — both LSH knobs derived: planes
+    * from the live corpus count ([[planesFor]] under [[PairingMaxBucket]]
+    * — the COST knob) and tables from the recall target ([[tablesFor]] —
+    * the RECALL knob). This closes the gap the measured recall curve
+    * exposed (SCALE.md round-10): [[topKAuto]] holds cost as the corpus
+    * grows but its FIXED table count loses recall every time `planesFor`
+    * steps up; this variant re-sizes both together, so a 100 TB run
+    * states its contract as ("recall ≥ R for neighbors at ≥ cos c")
+    * instead of a hand-tuned table count. One count job sizes both
+    * knobs; everything downstream is [[topKAuto]]'s plan shape.
+    */
+  def topKAutoRecall(vectors: DataFrame, k: Int, targetRecall: Double = 0.9,
+                     minCosine: Double = 0.5, dim: Int = 64): DataFrame = {
+    val n = vectors.count()
+    val planes = planesFor(n, PairingMaxBucket)
+    val tables = tablesFor(planes, targetRecall, minCosine)
+    org.slf4j.LoggerFactory.getLogger("graft.SimilarityLsh")
+      .info(s"topKAutoRecall: corpus=$n planes=$planes tables=$tables " +
+        s"(targetRecall=$targetRecall at cos>=$minCosine)")
+    rankTopK(candidatePairsAutoCounted(vectors, n, tables, dim,
+      maxBucketSize = PairingMaxBucket), k)
+  }
+
   /** Symmetrize candidate pairs and keep each vector's exact top-k by
     * `(cos desc, neighbor id)` — a total order, so the graph is
     * deterministic under any partitioning. The window partitions by

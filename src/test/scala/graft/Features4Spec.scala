@@ -148,6 +148,22 @@ class Features4Spec extends SparkTestBase {
     intercept[IllegalArgumentException] { tablesFor(4, 1.0, 0.5) }
   }
 
+  test("topKAutoRecall meets its recall contract on the sf0.01 corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // knnRecallAudit with the same table count topKAutoRecall derives
+    // (planesFor(500)=4 → tablesFor(4, 0.9, 0.35)=16) audits the same
+    // graph; the audit's anchors measure top-3 recall vs brute force.
+    // Deterministic (no RNG anywhere) — this is a fixed measurement.
+    val planes = SimilarityLsh.planesFor(500, SimilarityLsh.PairingMaxBucket)
+    val tables = SimilarityLsh.tablesFor(planes, 0.9, 0.35)
+    val mean = SimilarityLsh.knnRecallAudit(emb, k = 3, nAnchors = 50,
+        numTables = tables)
+      .agg(avg(col("recall"))).head().getDouble(0)
+    assert(mean >= 0.85, s"recall-sized graph measured $mean (tables=$tables)")
+    GraftStorage.clear(spark)
+  }
+
   test("kthSmallest equals the sorted-order statistic on randomized data") {
     import graft.pipeline.Selection
     val rnd = new scala.util.Random(11)
