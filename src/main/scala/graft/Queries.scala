@@ -3374,6 +3374,33 @@ object Queries {
               |  (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))
               |WHERE a.id % 10 >= 8 OR b.id % 10 >= 8""".stripMargin)),
 
+    // CDC on the LIVE dedup index: one batch applies ADDS (docs %10 ∈
+    // {7,9}) and DELETES (docs %10 = 8 — takedown/GDPR erasure) to the
+    // stored band-key index, then probes candidates for the adds — the
+    // operational shape of a continuously-maintained 100 TB near-dup
+    // index (cost ∝ batch, never a rebuild; deleted docs can never
+    // re-surface as candidates because their keys are GONE, which the
+    // oracle pins by excluding %10=8 endpoints)
+    Q("q_dedup_lsh_cdc",
+      (s, d) => {
+        val idx = Dedup.bandKeyIndex(
+          Dedup.minhashSignatures(t(s, d)("documents"))).persistTracked()
+        val stored = idx.filter(!(col("id") % 10).isin(7L, 9L))
+        val adds = idx.filter((col("id") % 10).isin(7L, 9L))
+        val deletes = stored.select(col("id")).filter(col("id") % 10 === 8).distinct()
+        Dedup.incrementalLshCandidates(
+          Dedup.lshIndexAfterChanges(stored, adds, deletes), adds)
+      },
+      Some(s"""WITH $shingleSqlCte,
+              |sigs AS (SELECT id, ${(0 until 8).map(i => s"min(CAST(concat('0x', substr(md5('$i|' || s), 1, 15)) AS BIGINT)) AS m$i").mkString(", ")}
+              |         FROM sh GROUP BY id)
+              |SELECT DISTINCT a.id AS id1, b.id AS id2
+              |FROM sigs a JOIN sigs b ON a.id < b.id AND (
+              |  (a.m0 = b.m0 AND a.m1 = b.m1) OR (a.m2 = b.m2 AND a.m3 = b.m3) OR
+              |  (a.m4 = b.m4 AND a.m5 = b.m5) OR (a.m6 = b.m6 AND a.m7 = b.m7))
+              |WHERE a.id % 10 <> 8 AND b.id % 10 <> 8
+              |  AND (a.id % 10 IN (7, 9) OR b.id % 10 IN (7, 9))""".stripMargin)),
+
     // minhash MERGEABILITY, driver-checked: signatures computed over an
     // arbitrary partition of the shingle relation (here: shingle-length
     // parity — engine-neutral) merge by element-wise min into EXACTLY the

@@ -235,6 +235,23 @@ object Dedup {
         greatest(col("d.id"), col("c.id")).as("id2"))
       .distinct()
 
+  /** CDC maintenance of the stored band-key index: apply one ingest
+    * batch of ADDS (the delta docs' band-key rows) and DELETES (doc ids
+    * to forget — takedowns, recrawl replacements, GDPR erasure) in one
+    * step. New index = (stored ∖ deleted ids' rows) ∪ add rows — ONE
+    * anti-join + one union, cost ∝ |index rows of deleted docs| +
+    * |adds|, never an index rebuild; the corpus text is never touched
+    * (per-doc signatures are independent, the [[mergeSignatures]]
+    * contract). Feed the result to [[incrementalLshCandidates]] with
+    * the same add rows: new candidates can never involve a deleted doc
+    * (its band keys are gone — the property the catalog row's oracle
+    * pins), and old↔old pairs never re-surface.
+    */
+  def lshIndexAfterChanges(index: DataFrame, addIndex: DataFrame,
+                           deletedIds: DataFrame): DataFrame =
+    index.join(deletedIds.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .unionByName(addIndex)
+
   /** Merge per-partition MinHash signatures by element-wise min — the
     * MERGEABILITY that makes MinHash a sketch: signatures computed over
     * any partition of a doc's shingle set (shards, ingest batches,

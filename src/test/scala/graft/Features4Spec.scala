@@ -1,5 +1,6 @@
 package graft
 
+import graft.GraftStorage.Syntax
 import graft.graph.Graph
 import graft.pipeline.{Chunking, Dedup, Mix, QualityFilters, Relevance, SimilarityLsh}
 import org.apache.spark.sql.functions._
@@ -178,6 +179,34 @@ class Features4Spec extends SparkTestBase {
     }
     intercept[IllegalArgumentException] { Selection.kthSmallest(df, "x", 0L) }
     intercept[IllegalArgumentException] { Selection.kthSmallest(df, "x", 551L) }
+  }
+
+  test("lshIndexAfterChanges: deletes vanish from candidates, adds probe the survivors") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val idx = Dedup.bandKeyIndex(Dedup.minhashSignatures(docs))
+      .persistTracked()
+    val stored = idx.filter(!(col("id") % 10).isin(7L, 9L))
+    val adds = idx.filter((col("id") % 10).isin(7L, 9L))
+    val deletes = stored.select(col("id")).filter(col("id") % 10 === 8).distinct()
+    val after = Dedup.lshIndexAfterChanges(stored, adds, deletes)
+    // deleted ids have zero index rows left
+    assert(after.join(deletes, Seq("id")).count() === 0L)
+    val cands = Dedup.incrementalLshCandidates(after, adds).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every candidate touches an add; none touches a deleted doc
+    assert(cands.forall { case (a, b) =>
+      (a % 10 == 7 || a % 10 == 9 || b % 10 == 7 || b % 10 == 9) &&
+        a % 10 != 8 && b % 10 != 8
+    })
+    // equivalence with the full-corpus candidate set restricted the same way
+    val full = Dedup.lshCandidates(Dedup.minhashSignatures(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) =>
+        a % 10 != 8 && b % 10 != 8 &&
+          (a % 10 == 7 || a % 10 == 9 || b % 10 == 7 || b % 10 == 9)
+      }
+    assert(cands.toSet === full.toSet)
+    GraftStorage.clear(spark)
   }
 
   test("kmvContainment: detects a strict subset source directionally") {
