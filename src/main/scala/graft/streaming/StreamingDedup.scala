@@ -52,6 +52,18 @@ object StreamingDedup {
   def bandKeyRows(docs: DataFrame, idCol: String = "doc_id",
                   textCol: String = "text", n: Int = 3, numHashes: Int = 8,
                   rowsPerBand: Int = 2): Dataset[BandRow] = {
+    import docs.sparkSession.implicits._
+    bandKeyExplode(docs, idCol, textCol, n, numHashes, rowsPerBand, Nil)
+      .as[BandRow]
+  }
+
+  /** The shared stateless banding projection behind [[bandKeyRows]] and
+    * [[candidatesCdc]]: `(band_key, doc_id, extra...)` — `extra` columns
+    * (e.g. a CDC delete flag) ride the same explode, never a join.
+    */
+  private def bandKeyExplode(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, numHashes: Int, rowsPerBand: Int,
+                             extra: Seq[org.apache.spark.sql.Column]): DataFrame = {
     require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
       s"rowsPerBand=$rowsPerBand must divide numHashes=$numHashes")
     val numBands = numHashes / rowsPerBand
@@ -67,10 +79,9 @@ object StreamingDedup {
         }: _*)
       }
     }
-    import docs.sparkSession.implicits._
     docs.filter(size(Text.shingles(col(textCol), n)) > 0)
-      .select(explode(keys).as("band_key"), col(idCol).cast("long").as("doc_id"))
-      .as[BandRow]
+      .select(explode(keys).as("band_key") +:
+        col(idCol).cast("long").as("doc_id") +: extra: _*)
   }
 
   /** Band-bucket membership state + pair emission. Re-delivered ids are
@@ -121,6 +132,88 @@ object StreamingDedup {
     bandKeyRows(docs, idCol, textCol, n, numHashes, rowsPerBand)
       .groupByKey(_.band_key)
       .transformWithState(new BandIndexProcessor(maxBucketSize),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One CDC operation against the live band index: an upsert or a
+    * tombstone for `doc_id` in band bucket `band_key`.
+    */
+  final case class IndexOp(band_key: String, doc_id: Long, delete: Boolean)
+
+  /** [[BandIndexProcessor]] with DELETE support — the streaming twin of
+    * [[graft.pipeline.Dedup.lshIndexAfterChanges]]: a tombstone removes
+    * the id from its buckets, so the erased document stops influencing
+    * every LATER candidate (the GDPR/takedown property the spec pins);
+    * already-emitted pairs are history — an append changelog does not
+    * retract, downstream consumers join candidates against the current
+    * corpus exactly as the batch pipeline does. A delete also reopens
+    * capped buckets (membership drops below the cap again). Deletes of
+    * unknown ids are no-ops; within a batch, operations apply in
+    * arrival order.
+    */
+  private final class BandIndexCdcProcessor(maxBucketSize: Int)
+      extends StatefulProcessor[String, IndexOp, CandPair] {
+    @transient private var members: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      members = getHandle.getListState[Long]("members",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[IndexOp],
+                                 timerValues: TimerValues): Iterator[CandPair] = {
+      val existing = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val it = members.get()
+      while (it.hasNext) existing += it.next()
+      val known = scala.collection.mutable.HashSet.from(existing)
+      val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
+      var mutated = false
+      rows.foreach { op =>
+        if (op.delete) {
+          if (known.remove(op.doc_id)) {
+            val i = existing.indexOf(op.doc_id)
+            existing.remove(i)
+            mutated = true
+          }
+        } else if (!known.contains(op.doc_id) && existing.size < maxBucketSize) {
+          existing.foreach { e =>
+            out += CandPair(math.min(e, op.doc_id), math.max(e, op.doc_id))
+          }
+          existing += op.doc_id
+          known += op.doc_id
+          mutated = true
+        }
+      }
+      if (mutated) {
+        if (existing.isEmpty) members.clear()
+        else members.put(existing.toArray)
+      }
+      out.iterator
+    }
+  }
+
+  /** CDC candidate stream: documents arrive as upserts OR tombstones
+    * (`deleteCol` boolean; a tombstone carries the document's text — the
+    * CDC before-image — so its band keys are recomputed statelessly,
+    * exactly like an add: an id-only delete would need a reverse
+    * doc→buckets index, a second stateful operator this design avoids).
+    * Output is the same append-mode candidate changelog as
+    * [[candidates]]; erased documents never appear in pairs emitted
+    * after their tombstone.
+    */
+  def candidatesCdc(ops: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", deleteCol: String = "is_delete",
+                    n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
+                    maxBucketSize: Int = 10000): Dataset[CandPair] = {
+    // the flag rides the SAME stateless projection as the band keys — a
+    // join back onto the op stream would be a stream-stream join
+    // (watermark machinery for what is a per-row attribute)
+    import ops.sparkSession.implicits._
+    bandKeyExplode(ops, idCol, textCol, n, numHashes, rowsPerBand,
+        extra = Seq(col(deleteCol).cast("boolean").as("delete")))
+      .as[IndexOp]
+      .groupByKey(_.band_key)
+      .transformWithState(new BandIndexCdcProcessor(maxBucketSize),
         TimeMode.None(), OutputMode.Append())
   }
 }

@@ -95,4 +95,40 @@ class StreamingDedupSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("CDC tombstones erase a doc from the live index: no later pair touches it") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(Long, String, Boolean)]
+      val q = StreamingDedup.candidatesCdc(
+          mem.toDF().toDF("doc_id", "text", "is_delete"))
+        .writeStream.format("memory").queryName("sdedup_cdc")
+        .outputMode("append").start()
+      try {
+        // b1: docs 1 and 2 (exact dups) arrive → pair (1,2) emitted
+        mem.addData((1L, base, false), (2L, base, false))
+        q.processAllAvailable()
+        assert(spark.table("sdedup_cdc").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+        // b2: tombstone for doc 2 (before-image text routes the delete)
+        mem.addData((2L, base, true))
+        q.processAllAvailable()
+        // b3: doc 5, an exact dup of both — must pair ONLY with 1, never
+        // with the erased 2 (the GDPR/takedown property)
+        mem.addData((5L, base, false))
+        q.processAllAvailable()
+        val rows = spark.table("sdedup_cdc").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        assert(rows.toSet === Set((1L, 2L), (1L, 5L)))
+        // b4: deleting an unknown id is a no-op; re-adding 2 pairs with
+        // the CURRENT members (1 and 5) — the bucket reopened
+        mem.addData((99L, base, true))
+        mem.addData((2L, base, false))
+        q.processAllAvailable()
+        val all = spark.table("sdedup_cdc").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(all === Set((1L, 2L), (1L, 5L), (2L, 5L)))
+      } finally q.stop()
+    }
+  }
 }
