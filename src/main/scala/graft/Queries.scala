@@ -6788,6 +6788,71 @@ object Queries {
              |    ELSE 0 END AS DOUBLE) / CAST(base.avail AS DOUBLE) AS epochs
              |FROM base, lo""".stripMargin)),
 
+    // PHASE-ANNEALED mixture schedule: the full training run's token
+    // plan, not one phase's — warmup (uniform, half an epoch of budget),
+    // main (the Pile/LLaMA-style weighted mix), anneal (aggressively
+    // quality-skewed final tokens — the "high-quality annealing data"
+    // phase of recent open recipes). Each phase is one planMixture
+    // waterfill (all-integer, bit-replayable); the schedule is their
+    // union with a phase tag — 3 stratum aggregates + six 1-row
+    // broadcasts total, corpus-mass-free like its parts
+    Q("q_mix_anneal",
+      (s, d) => {
+        val docs = t(s, d)("documents")
+        val phases = Seq(
+          ("p1_warmup", Map.empty[String, Long], 5L, 10L),
+          ("p2_main", Map("src0" -> 10L, "src1" -> 8L, "src2" -> 6L, "src3" -> 4L), 13L, 10L),
+          ("p3_anneal", Map("src0" -> 20L, "src1" -> 8L, "src2" -> 4L, "src3" -> 1L), 3L, 10L))
+        phases.map { case (ph, w, bn, bd) =>
+          graft.pipeline.Mix.planMixture(docs, "source", "text", weights = w,
+              budgetNum = bn, budgetDen = bd)
+            .withColumn("phase", lit(ph))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        def phaseSql(sfx: String, ph: String, w: Map[String, Long],
+                     bn: Long, bd: Long): (String, String) = {
+          val wCase =
+            if (w.isEmpty) "1"
+            else "CASE source " + w.map { case (k, v) => s"WHEN '$k' THEN $v" }
+              .mkString(" ") + " ELSE 1 END"
+          val ctes =
+            s"""av$sfx AS (SELECT source, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS avail
+               |            FROM documents GROUP BY source),
+               |w$sfx AS (SELECT source, avail, CAST($wCase AS BIGINT) AS weight FROM av$sfx),
+               |t$sfx AS (SELECT CAST(sum(avail) AS BIGINT) AS tot, CAST(sum(weight) AS BIGINT) AS wsum FROM w$sfx),
+               |base$sfx AS (SELECT w.source, w.avail, w.weight,
+               |           t.tot * $bn // $bd AS budget,
+               |           w.avail * 3 // 2 AS cap,
+               |           (t.tot * $bn // $bd) * w.weight // t.wsum AS requested,
+               |           least((t.tot * $bn // $bd) * w.weight // t.wsum, w.avail * 3 // 2) AS a1
+               |         FROM w$sfx w, t$sfx t),
+               |lo$sfx AS (SELECT greatest(0, max(budget) - sum(a1)) AS leftover,
+               |              CAST(sum(cap - a1) AS BIGINT) AS hsum FROM base$sfx)""".stripMargin
+          val sel =
+            s"""SELECT b.source, b.avail, b.weight, b.requested,
+               |  CAST(b.a1 + CASE WHEN l.hsum > 0
+               |    THEN least(CAST(l.leftover AS HUGEINT) * (b.cap - b.a1) // l.hsum,
+               |               CAST(b.cap - b.a1 AS HUGEINT))
+               |    ELSE 0 END AS BIGINT) AS allocated,
+               |  CAST(b.a1 + CASE WHEN l.hsum > 0
+               |    THEN least(CAST(l.leftover AS HUGEINT) * (b.cap - b.a1) // l.hsum,
+               |               CAST(b.cap - b.a1 AS HUGEINT))
+               |    ELSE 0 END AS DOUBLE) / CAST(b.avail AS DOUBLE) AS epochs,
+               |  '$ph' AS phase
+               |FROM base$sfx b, lo$sfx l""".stripMargin
+          (ctes, sel)
+        }
+        val parts = Seq(
+          phaseSql("1", "p1_warmup", Map.empty, 5L, 10L),
+          phaseSql("2", "p2_main",
+            Map("src0" -> 10L, "src1" -> 8L, "src2" -> 6L, "src3" -> 4L), 13L, 10L),
+          phaseSql("3", "p3_anneal",
+            Map("src0" -> 20L, "src1" -> 8L, "src2" -> 4L, "src3" -> 1L), 3L, 10L))
+        s"""WITH ${parts.map(_._1).mkString(",\n")}
+           |${parts.map(_._2).mkString("\nUNION ALL\n")}""".stripMargin
+      }),
+
     Q("q_mix_temperature",
       (s, d) => graft.pipeline.Mix.temperatureAudit(
         t(s, d)("lineitem"),

@@ -33,6 +33,7 @@ class PlanAuditSpec extends SparkTestBase {
     "q_winsorize_stats",                 // quantile list × bin-sized sketch
     "q_bloom_join",                      // 1-row packed-bitmap broadcast
     "q_mix_plan",                        // two 1-row total broadcasts (waterfill)
+    "q_mix_anneal",                      // the same two broadcasts × 3 phases
     "q_mix_temperature",                 // 1-row Σ√cnt total broadcast
     "q_graph_modularity",                // 1-row edge-count m broadcast
     "q_bpe_merge",                       // 1-row argmax-pair broadcast
