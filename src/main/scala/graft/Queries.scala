@@ -3948,12 +3948,28 @@ object Queries {
     // oracle derives BOTH knobs exactly as the live path does.
     // Measured trade (SCALE.md): holding recall costs 7.6× at the 10×
     // point (planes 4→8 drives tablesFor into its 64-table cap) — when
-    // the cap engages, hyperplane LSH has saturated and the documented
-    // escalation is the IVF / IVF-PQ family (q_ann_ivf*, q_ann_ivfpq)
+    // the cap engages, hyperplane LSH has saturated and topKAutoRecall
+    // now escalates MECHANICALLY to the IVF kNN graph (r10 verdict
+    // task 1; the escalation itself is q_ann_recall_escalate below).
+    // This row's sizing stays under the cap at every test SF, so it
+    // remains the pure-LSH recall-contract shape
     Q("q_knn_graph_recall",
-      (s, d) => graft.pipeline.SimilarityLsh.topKAutoRecall(
-        t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
-        k = 3, targetRecall = 0.9, minCosine = 0.35),
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        // the oracle SQL bakes planesFor(500) — assert the LIVE corpus
+        // derives the same plane count, so running the harness at an SF
+        // where planesFor(n) steps up fails LOUDLY here instead of
+        // surfacing as a silent Spark/DuckDB hash mismatch (ADVICE r10
+        // #3). One column-pruned count scan — cheap next to the pairing.
+        val cap0 = graft.pipeline.SimilarityLsh.PairingMaxBucket
+        val live = graft.pipeline.SimilarityLsh.planesFor(emb.count(), cap0)
+        val baked = graft.pipeline.SimilarityLsh.planesFor(500, cap0)
+        require(live == baked,
+          s"q_knn_graph_recall: live planesFor=$live diverges from the " +
+            s"oracle's baked $baked — regenerate the oracle for this SF")
+        graft.pipeline.SimilarityLsh.topKAutoRecall(
+          emb, k = 3, targetRecall = 0.9, minCosine = 0.35)
+      },
       Some {
         val cap = graft.pipeline.SimilarityLsh.PairingMaxBucket
         val p = graft.pipeline.SimilarityLsh.planesFor(500, cap) // sf0.01 corpus
@@ -3969,6 +3985,50 @@ object Queries {
            |  SELECT q_id, n_id, cos,
            |    CAST(row_number() OVER (PARTITION BY q_id
            |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM sym)
+           |WHERE rank <= 3""".stripMargin
+      }),
+
+    // the SATURATION ESCALATION row (r10 verdict task 1): a recall
+    // contract hyperplane LSH provably cannot hold — 0.999 at cos 0.05
+    // needs ~94 tables of 4 planes, past the 64-table cap, and MORE
+    // planes only saturate harder, so the premise holds at every SF —
+    // which topKAutoRecall detects via the forward S-curve (recallAt)
+    // and escalates MECHANICALLY to the IVF kNN graph, cells sized by
+    // cellsFor under the same bounded-pairing occupancy target. The
+    // oracle replays the ESCALATED path: fixed-quantizer assignment,
+    // within-cell self-pairing, symmetrize, rank ≤ k — with numCells
+    // derived from the live corpus count IN SQL (greatest(16, n div
+    // occupancy)), so the row stays hash-green at any SF instead of
+    // baking one SF's sizing (the ADVICE r10 #3 lesson)
+    Q("q_ann_recall_escalate",
+      (s, d) => {
+        // static premise pin: these params saturate the cap for ANY
+        // plane count planesFor can produce (>= 4) — no count job needed
+        require(graft.pipeline.SimilarityLsh.tablesFor(4, 0.999, 0.05) == 64,
+          "q_ann_recall_escalate: premise broken — params no longer saturate LSH")
+        graft.pipeline.SimilarityLsh.topKAutoRecall(
+          t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+          k = 3, targetRecall = 0.999, minCosine = 0.05)
+      },
+      Some {
+        val occ = graft.pipeline.SimilarityLsh.PairingMaxBucket / 16 // = cellsFor's target
+        def cosSql(x: String, y: String) =
+          s"${dotSql(s"$x", s"$y")} / (sqrt(${dotSql(s"$x", s"$x")}) * sqrt(${dotSql(s"$y", s"$y")}))"
+        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |nc AS (SELECT greatest(16, count(*) // $occ) AS cells FROM de),
+           |c AS (SELECT vec_id AS cid, e AS ce FROM de WHERE vec_id < (SELECT cells FROM nc)),
+           |sc AS (SELECT de.vec_id, de.e, c.cid, ${cosSql("de.e", "c.ce")} AS ccos FROM de CROSS JOIN c),
+           |a AS (SELECT vec_id, e, cid AS cell FROM (
+           |   SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |   FROM sc) WHERE rn = 1),
+           |p AS (SELECT x.vec_id AS id1, y.vec_id AS id2, ${cosSql("x.e", "y.e")} AS cos
+           |      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+           |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
+           |        UNION ALL SELECT id2, id1, cos FROM p)
+           |SELECT q_id, n_id, cos, rank FROM (
+           |  SELECT q_id, n_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
            |  FROM sym)
            |WHERE rank <= 3""".stripMargin
       }),
@@ -8157,8 +8217,12 @@ object Queries {
     // J-pairs escaped containment-0.6). Stage-2 pairs are the
     // full-corpus pair relation filtered to surviving endpoints (both
     // relations are pairwise, so endpoint restriction ≡ recomputing on
-    // the subset). Output: every doc, its removal stage, its surviving
-    // representative
+    // the subset). Output: every doc, its removal stage, its SURVIVING
+    // representative — a stage-1 component min can itself fall to the
+    // stage-2 fingerprint pass, so near-dup reps resolve TRANSITIVELY
+    // through fpComp (one extra left join; one hop is exact because
+    // stage-2 pairs only involve stage-1 survivors and a stage-2
+    // component min is kept by construction — ADVICE r10 #4)
     Q("q_dedup_cascade",
       (s, d) => {
         val docs = t(s, d)("documents")
@@ -8171,17 +8235,21 @@ object Queries {
           .select("id1", "id2")
           .join(victims1.select(col("id").as("id1")), Seq("id1"), "left_anti")
           .join(victims1.select(col("id").as("id2")), Seq("id2"), "left_anti")
-        val fpComp = Dedup.components(fpPairs)
+        // pinned: feeds the per-doc c2 attach AND the c1 rep resolution
+        val fpComp = Dedup.components(fpPairs).persistTracked()
         docs.select(col("doc_id"))
           .join(jacComp.select(col("id").as("doc_id"), col("component").as("c1")),
             Seq("doc_id"), "left")
           .join(fpComp.select(col("id").as("doc_id"), col("component").as("c2")),
             Seq("doc_id"), "left")
+          .join(fpComp.select(col("id").as("c1"), col("component").as("c1fp")),
+            Seq("c1"), "left")
           .select(col("doc_id"),
             when(col("c1").isNotNull && col("c1") =!= col("doc_id"), lit("near_dup"))
               .when(col("c2").isNotNull && col("c2") =!= col("doc_id"), lit("fingerprint"))
               .otherwise(lit("kept")).as("stage"),
-            when(col("c1").isNotNull && col("c1") =!= col("doc_id"), col("c1"))
+            when(col("c1").isNotNull && col("c1") =!= col("doc_id"),
+                coalesce(col("c1fp"), col("c1")))
               .when(col("c2").isNotNull && col("c2") =!= col("doc_id"), col("c2"))
               .otherwise(col("doc_id")).as("rep"))
       },
@@ -8220,12 +8288,14 @@ object Queries {
            |  CASE WHEN jcomp.c1 IS NOT NULL AND jcomp.c1 <> d.doc_id THEN 'near_dup'
            |       WHEN fcomp.c2 IS NOT NULL AND fcomp.c2 <> d.doc_id THEN 'fingerprint'
            |       ELSE 'kept' END AS stage,
-           |  CASE WHEN jcomp.c1 IS NOT NULL AND jcomp.c1 <> d.doc_id THEN jcomp.c1
+           |  CASE WHEN jcomp.c1 IS NOT NULL AND jcomp.c1 <> d.doc_id
+           |         THEN coalesce(f2.c2, jcomp.c1)
            |       WHEN fcomp.c2 IS NOT NULL AND fcomp.c2 <> d.doc_id THEN fcomp.c2
            |       ELSE d.doc_id END AS rep
            |FROM documents d
            |LEFT JOIN jcomp ON d.doc_id = jcomp.id
-           |LEFT JOIN fcomp ON d.doc_id = fcomp.id""".stripMargin
+           |LEFT JOIN fcomp ON d.doc_id = fcomp.id
+           |LEFT JOIN fcomp f2 ON jcomp.c1 = f2.id""".stripMargin
       }),
 
     // measured RECALL of the production (self-sizing) kNN graph against

