@@ -136,9 +136,12 @@ object StreamingDedup {
   }
 
   /** One CDC operation against the live band index: an upsert or a
-    * tombstone for `doc_id` in band bucket `band_key`.
+    * tombstone for `doc_id` in band bucket `band_key`, ordered within a
+    * microbatch by `seq` (a caller-supplied source offset; 0 when the
+    * caller has none).
     */
-  final case class IndexOp(band_key: String, doc_id: Long, delete: Boolean)
+  final case class IndexOp(band_key: String, doc_id: Long, delete: Boolean,
+                           seq: Long)
 
   /** [[BandIndexProcessor]] with DELETE support — the streaming twin of
     * [[graft.pipeline.Dedup.lshIndexAfterChanges]]: a tombstone removes
@@ -148,8 +151,19 @@ object StreamingDedup {
     * retract, downstream consumers join candidates against the current
     * corpus exactly as the batch pipeline does. A delete also reopens
     * capped buckets (membership drops below the cap again). Deletes of
-    * unknown ids are no-ops; within a batch, operations apply in
-    * arrival order.
+    * unknown ids are no-ops.
+    *
+    * WITHIN-BATCH ORDER is enforced, not assumed: `transformWithState`
+    * gives no arrival-order guarantee for one key's rows inside a
+    * microbatch (shuffle order — ADVICE r10 #1), so ops are sorted by
+    * `(seq, adds-before-deletes, doc_id)` before applying. With a real
+    * source offset in `seq`, that IS arrival order. Without one (all
+    * seq equal), the tie rule puts every delete after every add, so a
+    * same-batch add+tombstone of one doc deterministically resolves to
+    * ERASED — the conservative direction: deletes-first would let an
+    * add re-insert a doc whose tombstone arrived later in the same
+    * batch. The sort buffers one (band, batch) op group — bounded by
+    * the microbatch, never the index.
     */
   private final class BandIndexCdcProcessor(maxBucketSize: Int)
       extends StatefulProcessor[String, IndexOp, CandPair] {
@@ -168,7 +182,9 @@ object StreamingDedup {
       val known = scala.collection.mutable.HashSet.from(existing)
       val out = scala.collection.mutable.ArrayBuffer.empty[CandPair]
       var mutated = false
-      rows.foreach { op =>
+      val ordered = rows.toArray.sortBy(op =>
+        (op.seq, if (op.delete) 1 else 0, op.doc_id))
+      ordered.foreach { op =>
         if (op.delete) {
           if (known.remove(op.doc_id)) {
             val i = existing.indexOf(op.doc_id)
@@ -200,17 +216,27 @@ object StreamingDedup {
     * Output is the same append-mode candidate changelog as
     * [[candidates]]; erased documents never appear in pairs emitted
     * after their tombstone.
+    *
+    * `seqCol` (a monotonically increasing source offset — Kafka offset,
+    * CDC LSN) fixes the WITHIN-batch order of ops: without it, rows of
+    * one band key arrive in shuffle order and an add + tombstone of the
+    * same doc in one microbatch would resolve non-deterministically
+    * (ADVICE r10 #1) — the processor then applies the deterministic
+    * adds-before-deletes tie rule instead (same-batch add+delete of a
+    * doc ⇒ erased). Pass the offset whenever the source has one.
     */
   def candidatesCdc(ops: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", deleteCol: String = "is_delete",
                     n: Int = 3, numHashes: Int = 8, rowsPerBand: Int = 2,
-                    maxBucketSize: Int = 10000): Dataset[CandPair] = {
-    // the flag rides the SAME stateless projection as the band keys — a
-    // join back onto the op stream would be a stream-stream join
-    // (watermark machinery for what is a per-row attribute)
+                    maxBucketSize: Int = 10000,
+                    seqCol: Option[String] = None): Dataset[CandPair] = {
+    // the flag (and offset) ride the SAME stateless projection as the
+    // band keys — a join back onto the op stream would be a
+    // stream-stream join (watermark machinery for a per-row attribute)
     import ops.sparkSession.implicits._
+    val seq = seqCol.map(c => col(c).cast("long")).getOrElse(lit(0L)).as("seq")
     bandKeyExplode(ops, idCol, textCol, n, numHashes, rowsPerBand,
-        extra = Seq(col(deleteCol).cast("boolean").as("delete")))
+        extra = Seq(col(deleteCol).cast("boolean").as("delete"), seq))
       .as[IndexOp]
       .groupByKey(_.band_key)
       .transformWithState(new BandIndexCdcProcessor(maxBucketSize),

@@ -131,4 +131,81 @@ class StreamingDedupSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("CDC same-batch add+tombstone of one doc resolves to ERASED (deterministic, no seq)") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(Long, String, Boolean)]
+      val q = StreamingDedup.candidatesCdc(
+          mem.toDF().toDF("doc_id", "text", "is_delete"))
+        .writeStream.format("memory").queryName("sdedup_cdc_tie")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, base, false))
+        q.processAllAvailable()
+        // one batch carries BOTH the add and the tombstone for doc 5 —
+        // shuffle order is arbitrary, but the adds-before-deletes tie
+        // rule makes the outcome deterministic: 5 ends the batch erased
+        mem.addData((5L, base, false), (5L, base, true))
+        q.processAllAvailable()
+        // doc 6 must pair ONLY with 1 — 5 resident would emit (5, 6)
+        mem.addData((6L, base, false))
+        q.processAllAvailable()
+        val all = spark.table("sdedup_cdc_tie").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(all === Set((1L, 5L), (1L, 6L)),
+          "same-batch add+tombstone must leave the doc erased " +
+            "(the (1,5) pair is the documented within-batch residue)")
+      } finally q.stop()
+    }
+  }
+
+  test("CDC seqCol fixes within-batch order: delete-then-add by offset leaves the doc resident") {
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(Long, String, Boolean, Long)]
+      val q = StreamingDedup.candidatesCdc(
+          mem.toDF().toDF("doc_id", "text", "is_delete", "off"),
+          seqCol = Some("off"))
+        .writeStream.format("memory").queryName("sdedup_cdc_seq")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, base, false, 1L))
+        q.processAllAvailable()
+        // offsets say: tombstone (no-op, 5 unknown) THEN add → resident.
+        // The no-seq tie rule would order the add first and the delete
+        // last (erased) — the offset must override it.
+        mem.addData((5L, base, true, 2L), (5L, base, false, 3L))
+        q.processAllAvailable()
+        mem.addData((6L, base, false, 4L))
+        q.processAllAvailable()
+        val all = spark.table("sdedup_cdc_seq").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(all === Set((1L, 5L), (1L, 6L), (5L, 6L)),
+          "seq order says 5 is resident — it must pair with 6")
+      } finally q.stop()
+    }
+    withRocksDb {
+      implicit val sc = spark.sqlContext
+      val mem = MemoryStream[(Long, String, Boolean, Long)]
+      val q = StreamingDedup.candidatesCdc(
+          mem.toDF().toDF("doc_id", "text", "is_delete", "off"),
+          seqCol = Some("off"))
+        .writeStream.format("memory").queryName("sdedup_cdc_seq2")
+        .outputMode("append").start()
+      try {
+        mem.addData((1L, base, false, 1L))
+        q.processAllAvailable()
+        // offsets say: add THEN tombstone → erased
+        mem.addData((5L, base, false, 2L), (5L, base, true, 3L))
+        q.processAllAvailable()
+        mem.addData((7L, base, false, 4L))
+        q.processAllAvailable()
+        val all = spark.table("sdedup_cdc_seq2").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(all === Set((1L, 5L), (1L, 7L)),
+          "seq order says 5 was erased — 7 pairs only with 1")
+      } finally q.stop()
+    }
+  }
 }
