@@ -8298,6 +8298,176 @@ object Queries {
            |LEFT JOIN fcomp f2 ON jcomp.c1 = f2.id""".stripMargin
       }),
 
+    // END-TO-END pipeline composition (r10 verdict task 6) — the real
+    // user shape chained in ONE audited row: quality filter → staged
+    // dedup cascade → benchmark decontamination → mixture plan, with
+    // per-doc attribution of WHICH stage dropped each doc and, for kept
+    // docs, their source's planned allocation. Stage inputs compose (a
+    // real pipeline's property): the cascade runs over QUALITY
+    // SURVIVORS only, decontam over DEDUP survivors only, the mix plan
+    // over the final kept set — so every downstream number depends on
+    // every upstream verdict, which is exactly where subtree-reuse bugs
+    // hide (the contrastive-pairs A/B lesson). PINNED subtrees, and
+    // why: `q` (the quality verdicts — feeds both cascade passes, the
+    // survivor anti-joins, and the final attribution), `jacComp`/
+    // `fpComp` (each feeds its victim filter AND the attribution), and
+    // `taint` (feeds the kept anti-join AND the attribution); the mix
+    // plan and the final assembly are single-consumer and stay lazy.
+    // Benchmark = the q_decontam convention (doc_id % 97 = 0), held out
+    // of the corpus entirely. Scale shape: every stage is the already-
+    // audited operator (banded/bucketed pairs, label-prop components,
+    // broadcast benchmark grams, stratum-agg waterfill) — composition
+    // adds only anti-joins on doc_id and one broadcast plan join.
+    Q("q_pipeline_e2e",
+      (s, d) => {
+        val all = t(s, d)("documents")
+        val bench = all.filter(col("doc_id") % 97 === 0)
+        val corpus = all.filter(col("doc_id") % 97 =!= 0)
+        // stage 1: quality verdicts ride with the doc (one scan)
+        val q = corpus.select(col("doc_id"), col("source"), col("text"),
+            QualityFilters.keep(col("text")).as("q_keep"))
+          .persistTracked()
+        val qPass = q.filter(col("q_keep"))
+        // stages 2+3: the dedup cascade, over quality survivors
+        val jacComp = Dedup.components(
+            Dedup.ngramJaccardPairs(qPass, minShared = 2L, minJaccard = 0.5)
+              .select("id1", "id2"))
+          .persistTracked()
+        val victims1 = jacComp.filter(col("id") =!= col("component"))
+        val fpPairs = Dedup.simhashPairs(qPass, maxDist = 0)
+          .select("id1", "id2")
+          .join(victims1.select(col("id").as("id1")), Seq("id1"), "left_anti")
+          .join(victims1.select(col("id").as("id2")), Seq("id2"), "left_anti")
+        val fpComp = Dedup.components(fpPairs).persistTracked()
+        val victims2 = fpComp.filter(col("id") =!= col("component"))
+        val dedupSurv = qPass
+          .join(victims1.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .join(victims2.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        // stage 4: decontam — any shared 3-gram with the benchmark
+        val taint = graft.pipeline.Contamination
+          .taintedSpans(dedupSurv, bench, "doc_id", "text", n = 3)
+          .select(col("doc_id")).distinct()
+          .withColumn("tainted", lit(true))
+          .persistTracked()
+        val kept = dedupSurv.join(taint.select("doc_id"), Seq("doc_id"), "left_anti")
+        // stage 5: the mixture plan over what actually survived
+        val plan = graft.pipeline.Mix.planMixture(kept, "source", "text",
+          weights = Map("src0" -> 10L, "src1" -> 8L, "src2" -> 6L, "src3" -> 4L))
+        q.select(col("doc_id"), col("source"), col("q_keep"))
+          .join(jacComp.select(col("id").as("doc_id"), col("component").as("c1")),
+            Seq("doc_id"), "left")
+          .join(fpComp.select(col("id").as("doc_id"), col("component").as("c2")),
+            Seq("doc_id"), "left")
+          .join(taint, Seq("doc_id"), "left")
+          .withColumn("stage",
+            when(!col("q_keep"), lit("quality"))
+              .when(col("c1").isNotNull && col("c1") =!= col("doc_id"), lit("near_dup"))
+              .when(col("c2").isNotNull && col("c2") =!= col("doc_id"), lit("fingerprint"))
+              .when(col("tainted"), lit("contaminated"))
+              .otherwise(lit("kept")))
+          .join(broadcast(plan.select(col("source"), col("allocated"), col("epochs"))),
+            Seq("source"), "left")
+          .select(col("doc_id"), col("source"), col("stage"),
+            when(col("stage") === "kept", col("allocated")).as("allocated"),
+            when(col("stage") === "kept", col("epochs")).as("epochs"))
+      },
+      Some {
+        val votes = (0 until 16).map(j =>
+          s"sum(CASE WHEN (v >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+        val fp = (0 until 16).map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+        s"""WITH RECURSIVE
+           |corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 97 <> 0),
+           |qk AS (SELECT doc_id, source, text, $gopherKeepSql AS q_keep
+           |       FROM (SELECT doc_id, source, text, string_split(text, ' ') AS ws FROM corpus)),
+           |qp AS (SELECT doc_id, source, text FROM qk WHERE q_keep),
+           |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM qp),
+           |sh AS (SELECT DISTINCT doc_id AS id, s
+           |       FROM (SELECT doc_id,
+           |               unnest(list_filter(
+           |                 list_transform(ws, (x,i) -> CASE WHEN i <= len(ws)-2
+           |                   THEN x || ' ' || ws[i+1] || ' ' || ws[i+2] END),
+           |                 v -> v IS NOT NULL)) AS s
+           |             FROM w)),
+           |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
+           |p0 AS (SELECT a.id AS id1, b.id AS id2, count(*) AS shared
+           |       FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+           |       GROUP BY 1, 2 HAVING count(*) >= 2),
+           |dup AS (SELECT id1, id2 FROM p0
+           |        JOIN sz z1 ON id1 = z1.id JOIN sz z2 ON id2 = z2.id
+           |        WHERE CAST(shared AS DOUBLE) / CAST(z1.nsh + z2.nsh - shared AS DOUBLE) >= 0.5),
+           |je AS (SELECT id1 AS a, id2 AS b FROM dup UNION SELECT id2, id1 FROM dup),
+           |jr AS (SELECT a AS id, a AS lbl FROM je
+           |       UNION
+           |       SELECT je.a, jr.lbl FROM je JOIN jr ON jr.id = je.b),
+           |jcomp AS MATERIALIZED (SELECT id, min(lbl) AS c1 FROM jr GROUP BY id),
+           |v1 AS (SELECT id FROM jcomp WHERE id <> c1),
+           |tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS wd FROM qp),
+           |hv AS (SELECT id, CAST(concat('0x', substr(md5(wd), 1, 4)) AS INTEGER) AS v FROM tok),
+           |sv AS (SELECT id, $votes FROM hv GROUP BY id),
+           |f AS (SELECT id, CAST($fp AS BIGINT) AS simhash FROM sv),
+           |fpp AS (SELECT a.id AS id1, b.id AS id2
+           |        FROM f a JOIN f b ON a.simhash = b.simhash AND a.id < b.id
+           |        WHERE a.id NOT IN (SELECT id FROM v1)
+           |          AND b.id NOT IN (SELECT id FROM v1)),
+           |fe AS (SELECT id1 AS a, id2 AS b FROM fpp UNION SELECT id2, id1 FROM fpp),
+           |fr AS (SELECT a AS id, a AS lbl FROM fe
+           |       UNION
+           |       SELECT fe.a, fr.lbl FROM fe JOIN fr ON fr.id = fe.b),
+           |fcomp AS MATERIALIZED (SELECT id, min(lbl) AS c2 FROM fr GROUP BY id),
+           |v2 AS (SELECT id FROM fcomp WHERE id <> c2),
+           |surv AS (SELECT doc_id, source, text FROM qp
+           |         WHERE doc_id NOT IN (SELECT id FROM v1)
+           |           AND doc_id NOT IN (SELECT id FROM v2)),
+           |wa AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+           |ga AS (SELECT doc_id, md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+           |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i FROM wa)),
+           |bg AS (SELECT DISTINCT h FROM ga WHERE doc_id % 97 = 0),
+           |taint AS MATERIALIZED (SELECT DISTINCT ga.doc_id FROM ga
+           |         JOIN surv ON ga.doc_id = surv.doc_id
+           |         WHERE ga.h IN (SELECT h FROM bg)),
+           |kept AS (SELECT doc_id, source, text FROM surv
+           |         WHERE doc_id NOT IN (SELECT doc_id FROM taint)),
+           |av AS (SELECT source, CAST(sum(len(string_split(text,' '))) AS BIGINT) AS avail
+           |       FROM kept GROUP BY source),
+           |w3 AS (SELECT source, avail,
+           |         CAST(CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 8
+           |              WHEN 'src2' THEN 6 WHEN 'src3' THEN 4 ELSE 1 END AS BIGINT) AS weight
+           |       FROM av),
+           |t3 AS (SELECT CAST(sum(avail) AS BIGINT) AS tot, CAST(sum(weight) AS BIGINT) AS wsum FROM w3),
+           |base AS (SELECT w3.source, w3.avail, w3.weight,
+           |           t3.tot * 13 // 10 AS budget,
+           |           w3.avail * 3 // 2 AS cap,
+           |           (t3.tot * 13 // 10) * w3.weight // t3.wsum AS requested,
+           |           least((t3.tot * 13 // 10) * w3.weight // t3.wsum, w3.avail * 3 // 2) AS a1
+           |         FROM w3, t3),
+           |lo AS (SELECT greatest(0, max(budget) - sum(a1)) AS leftover,
+           |              CAST(sum(cap - a1) AS BIGINT) AS hsum FROM base),
+           |plan AS (SELECT base.source,
+           |    CAST(base.a1 + CASE WHEN lo.hsum > 0
+           |      THEN least(CAST(lo.leftover AS HUGEINT) * (base.cap - base.a1) // lo.hsum,
+           |                 CAST(base.cap - base.a1 AS HUGEINT))
+           |      ELSE 0 END AS BIGINT) AS allocated,
+           |    CAST(base.a1 + CASE WHEN lo.hsum > 0
+           |      THEN least(CAST(lo.leftover AS HUGEINT) * (base.cap - base.a1) // lo.hsum,
+           |                 CAST(base.cap - base.a1 AS HUGEINT))
+           |      ELSE 0 END AS DOUBLE) / CAST(base.avail AS DOUBLE) AS epochs
+           |  FROM base, lo),
+           |st AS (SELECT qk.doc_id, qk.source,
+           |         CASE WHEN NOT qk.q_keep THEN 'quality'
+           |              WHEN jcomp.c1 IS NOT NULL AND jcomp.c1 <> qk.doc_id THEN 'near_dup'
+           |              WHEN fcomp.c2 IS NOT NULL AND fcomp.c2 <> qk.doc_id THEN 'fingerprint'
+           |              WHEN taint.doc_id IS NOT NULL THEN 'contaminated'
+           |              ELSE 'kept' END AS stage
+           |       FROM qk
+           |       LEFT JOIN jcomp ON qk.doc_id = jcomp.id
+           |       LEFT JOIN fcomp ON qk.doc_id = fcomp.id
+           |       LEFT JOIN taint ON qk.doc_id = taint.doc_id)
+           |SELECT st.doc_id, st.source, st.stage,
+           |  CASE WHEN st.stage = 'kept' THEN plan.allocated END AS allocated,
+           |  CASE WHEN st.stage = 'kept' THEN plan.epochs END AS epochs
+           |FROM st LEFT JOIN plan ON st.source = plan.source""".stripMargin
+      }),
+
     // measured RECALL of the production (self-sizing) kNN graph against
     // brute-force cosine truth on 50 md5-picked anchors — the ANN twin
     // of q_lsh_recall, and the audit that prices the auto path's skew

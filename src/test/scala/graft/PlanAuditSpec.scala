@@ -60,8 +60,12 @@ class PlanAuditSpec extends SparkTestBase {
                                          // integer idf weights)
     "q_lm_interpolated",                 // 1-row token-total broadcast (the
                                          // unigram interpolation term)
-    "q_ann_recall_auto")                 // broadcast(50 anchors) ⨝ corpus —
+    "q_ann_recall_auto",                 // broadcast(50 anchors) ⨝ corpus —
                                          // the q_ann_cosine truth shape
+    "q_ann_recall_escalate",             // k-row centroid cross join (the
+                                         // q_ann_ivf quantizer shape)
+    "q_pipeline_e2e")                    // the embedded mix plan's two 1-row
+                                         // waterfill broadcasts (q_mix_plan)
 
   private def collectAll(p: SparkPlan): Seq[SparkPlan] =
     p +: (p.children ++ p.subqueries).flatMap {
