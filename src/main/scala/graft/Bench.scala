@@ -12,6 +12,40 @@ object Bench {
     df.agg(count(xxhash64(struct(col("*"))))).head()
     ()
   }
+  /** Single-thread host-speed calibration: wall-time (ms, min of 3) of a
+    * fixed splitmix64 mixing loop. The bench hosts change between rounds
+    * while reporting the same hostname, so committed floors carry this
+    * number per run and [[floors]] NORMALIZES them to the current host
+    * (floor × calNow/calRun) before the regression compare — a real
+    * 1.3× plan regression no longer hides inside a 1.3×-slower host,
+    * and a slower host no longer reads as 8 false regressions (the r10
+    * BASELINE.md floor-calibration note, made mechanical — r10 verdict
+    * task 8). Min of 3 ≈ the least-loaded estimate, same stance as the
+    * min-of-medians floors themselves.
+    */
+  private[graft] def calibrate(): Double = {
+    def mix(seed: Long, iters: Int): Long = {
+      var x = seed; var s = 0L; var i = 0
+      while (i < iters) {
+        x += 0x9E3779B97F4A7C15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        s ^= z ^ (z >>> 31)
+        i += 1
+      }
+      s
+    }
+    var sink = mix(42L, 20000000) // JIT warmup, untimed
+    val times = (1 to 3).map { r =>
+      val t0 = System.nanoTime()
+      sink ^= mix(r.toLong, 100000000)
+      (System.nanoTime() - t0) / 1e6
+    }
+    if (sink == 42L) System.err.println("[bench] calibration sink") // keep live
+    math.rint(times.min * 10) / 10
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -78,6 +112,9 @@ object Bench {
         -1.0
       }
     }
+    // host-speed fingerprint, measured right before the timed region so
+    // it reflects the load the timings ran under
+    val calMs = calibrate()
     val results = SparkEntry.queries.filter(e => selected(e._1)).map { case (name, fn) =>
       val times = Seq.fill(reps)(timeOnce(name, fn)).filter(_ >= 0).sorted
       name -> (if (times.isEmpty) -1.0 else times(times.size / 2))
@@ -100,6 +137,7 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAILS.json")
     val fileJson = new StringBuilder()
       .append(s"""{\n "sf": "$sfDir",\n "cpus": $cpus,\n "reps": $reps,\n""")
+      .append(s""" "cal_ms": $calMs,\n""")
       .append(s""" "total": $total,\n "failed": $failedJson,\n "queries": {\n""")
       .append(sorted.map { case (k, v) => s"""  "$k": $v""" }.mkString(",\n"))
       .append("\n }\n}\n").toString()
@@ -112,10 +150,13 @@ object Bench {
     }
     // Contention-vs-regression triage: compare each time against the
     // committed reps=3 floor (min of per-run medians in the newest
-    // BENCH_MEDIANS_r*.json). A >2x-over-floor reading on a loaded host
-    // is machine-distinguishable from a plan regression only if the
-    // floor rides along in the artifact.
-    floors() match {
+    // BENCH_MEDIANS_r*.json), HOST-NORMALIZED: runs that recorded a
+    // cal_ms have their medians scaled by calNow/calRun before the min,
+    // so cross-host floors compare like-for-like (r10 verdict task 8).
+    // A >2x-over-floor reading on a loaded host is machine-
+    // distinguishable from a plan regression only if the floor rides
+    // along in the artifact.
+    floors(calMs) match {
       case Some((floorFile, fl)) =>
         val flagged = sorted.collect {
           case (k, v) if v > 0 && fl.get(k).exists(f => v > 2 * f && v - f > 0.5) =>
@@ -141,19 +182,26 @@ object Bench {
             }
           s""""$k":{"sec":$v,"floor":$f$re}"""
         }
-        println(s"""{"metric":"flagged","reflag":$reflag,"floor_file":"$floorFile","n":${entries.size},"queries":${entries.mkString("{", ",", "}")}}""")
+        println(s"""{"metric":"flagged","reflag":$reflag,"floor_file":"$floorFile","cal_ms":$calMs,"n":${entries.size},"queries":${entries.mkString("{", ",", "}")}}""")
       case None => ()
     }
     // Short last line: the summary must always fit the tail capture.
-    println(s"""{"metric":"summary","total":$total,"n":${results.size},"reps":$reps,"failed":$failedJson,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","total":$total,"n":${results.size},"reps":$reps,"cal_ms":$calMs,"failed":$failedJson,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 
   /** Per-query committed floors: min of the per-run medians across every
     * run in the NEWEST `BENCH_MEDIANS_r*.json` in the working directory
-    * (the artifact each round commits). None if no medians file exists.
+    * (the artifact each round commits), HOST-NORMALIZED — a run that
+    * recorded its [[calibrate]] reading (`"cal_ms"`, per run) has its
+    * medians scaled by `calNow/calRun` before the min, so a floor set
+    * on a faster host rises proportionally on a slower one instead of
+    * reading as ~8 phantom regressions (and a real regression can no
+    * longer hide inside host speed). Runs without `cal_ms` (pre-r11)
+    * contribute unscaled, exactly as before. None if no medians file
+    * exists.
     */
-  private def floors(): Option[(String, Map[String, Double])] = {
+  private def floors(calNow: Double): Option[(String, Map[String, Double])] = {
     val cwd = new java.io.File(".")
     val files = Option(cwd.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("BENCH_MEDIANS_r\\d+\\.json"))
@@ -164,19 +212,24 @@ object Bench {
       import org.json4s._
       val root = org.json4s.jackson.JsonMethods.parse(
         java.nio.file.Files.readString(newest.toPath))
-      // JInt too: a median that serialized as a JSON integer (e.g. 3)
-      // would otherwise silently drop its query from the floor map
+      def num(v: JValue): Option[Double] = v match {
+        // JInt too: a median that serialized as a JSON integer (e.g. 3)
+        // would otherwise silently drop its query from the floor map
+        case JDouble(d) => Some(d)
+        case JInt(i) => Some(i.toDouble)
+        case _ => None
+      }
       val perRun = for {
         JArray(runs) <- root \ "runs"
         run <- runs
+        scale = num(run \ "cal_ms") match {
+          case Some(calRun) if calRun > 0 && calNow > 0 => calNow / calRun
+          case _ => 1.0
+        }
         JObject(qs) <- run \ "queries"
         (name, v) <- qs
-        sec <- v match {
-          case JDouble(d) => Seq(d)
-          case JInt(i) => Seq(i.toDouble)
-          case _ => Seq.empty[Double]
-        }
-      } yield name -> sec
+        sec <- num(v)
+      } yield name -> sec * scale
       val fl = perRun.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
       Some((newest.getName, fl))
     } catch { case e: Throwable =>
