@@ -809,16 +809,74 @@ object Dedup {
     * truth. Configs must divide `numHashes` ([[lshCandidates]] requires
     * it).
     */
+  /** Forward S-curve for MinHash banding — the [[SimilarityLsh.recallAt]]
+    * twin in Jaccard space: a pair at Jaccard `j` agrees on one `r`-row
+    * band w.p. `j^r` (each minhash matches w.p. j, independent under the
+    * random-permutation model), so `b` bands catch it w.p.
+    * `1 − (1 − j^r)^b` (Broder '97 banding analysis). This is the
+    * number [[hashesFor]] inverts and [[lshRecallAudit]]'s `predicted`
+    * column reports per measured config.
+    */
+  def minhashRecallAt(rowsPerBand: Int, numBands: Int, jaccard: Double): Double = {
+    require(rowsPerBand >= 1 && numBands >= 1,
+      s"rowsPerBand=$rowsPerBand numBands=$numBands out of range")
+    require(jaccard > 0.0 && jaccard < 1.0, s"jaccard=$jaccard out of range")
+    -math.expm1(numBands * math.log1p(-math.pow(jaccard, rowsPerBand.toDouble)))
+  }
+
+  /** SIGNATURE-WIDTH sizing: the MinHash budget that holds
+    * `targetRecall` for pairs at Jaccard ≥ `minJaccard` with `r`-row
+    * bands — `bands = ⌈ln(1−R)/ln(1−j^r)⌉`, `hashes = bands·r` — the
+    * MinHash twin of [[SimilarityLsh.tablesFor]]: `rowsPerBand` sizes
+    * PRECISION (wider bands admit fewer false candidates), this sizes
+    * RECALL back up to the target. Unlike hyperplane tables there is no
+    * index-copy cap — hashes cost signature width — but a 512-hash
+    * ceiling still fails loudly when the ask is absurd (e.g. 0.999
+    * recall at J 0.1 with 4-row bands): past it, lower `rowsPerBand`
+    * or relax the threshold rather than paying a 4 KB signature per
+    * doc.
+    */
+  def hashesFor(minJaccard: Double, targetRecall: Double,
+                rowsPerBand: Int = 2): Int = {
+    require(minJaccard > 0.0 && minJaccard < 1.0,
+      s"minJaccard=$minJaccard out of range")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall=$targetRecall must be in (0, 1)")
+    require(rowsPerBand >= 1, s"rowsPerBand=$rowsPerBand out of range")
+    val pBand = math.pow(minJaccard, rowsPerBand.toDouble)
+    val bands = math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-pBand)).toInt)
+    val h = bands * rowsPerBand
+    require(h <= 512, s"hashesFor: $h minhashes needed for recall " +
+      s"$targetRecall at J>=$minJaccard with $rowsPerBand-row bands — " +
+      "lower rowsPerBand or relax the threshold")
+    h
+  }
+
+  /** Deterministic IEEE power chain by repeated squaring —
+    * `((x·x)·(x·x))…` — the cross-engine-safe integer power (libm `pow`
+    * differs in the last ulp across engines; a fixed multiplication
+    * tree does not). Exponent must be a power of two.
+    */
+  private def powChain(x: Column, e: Int): Column = e match {
+    case 1 => x
+    case _ =>
+      require(e % 2 == 0, s"powChain exponent $e must be a power of two")
+      val h = powChain(x, e / 2)
+      h * h
+  }
+
   def lshRecallAudit(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text", n: Int = 3, numHashes: Int = 8,
                      rowsPerBandConfigs: Seq[Int] = Seq(1, 2, 4, 8),
                      minJaccard: Double = 0.5,
-                     minShared: Long = 2L): DataFrame = {
+                     minShared: Long = 2L,
+                     predicted: Boolean = false): DataFrame = {
     rowsPerBandConfigs.foreach(r => require(r >= 1 && numHashes % r == 0,
       s"rowsPerBand=$r must divide numHashes=$numHashes"))
     val sigs = minhashSignatures(docs, idCol, textCol, n, numHashes)
     val truth = ngramJaccardPairs(docs, idCol, textCol, n, minShared, minJaccard)
-      .select("id1", "id2")
+      .select("id1", "id2", "jaccard")
       .persistTracked()
     // ALL configs ride ONE keyed self-join: every config's band keys
     // explode together as (cfg, band, key) rows, so 4 configs cost one
@@ -847,16 +905,48 @@ object Dedup {
     val confDf = docs.sparkSession
       .createDataFrame(rowsPerBandConfigs.map(r => (numHashes / r, r)))
       .toDF("num_bands", "rows_per_band")
-    val truthCount = truth.agg(count(lit(1)).as("true_pairs"))
+    // `predicted`: carry each config's S-curve expectation alongside the
+    // measurement — per TRUE pair, P(caught) = 1 − (1 − j^r)^(H/r) via
+    // deterministic squaring chains (powChain — no libm pow), summed in
+    // FIXED POINT (floor(P·10⁹) exact longs; a float mean would be
+    // partition-order-dependent) and divided once at the end. The
+    // predicted column is what hashesFor promises; the measured column
+    // is what the corpus delivers — drift between them is the model-fit
+    // alarm (clustered-permutation violations, tiny shingle sets).
+    if (predicted) rowsPerBandConfigs.foreach { r =>
+      val b = numHashes / r
+      require((b & (b - 1)) == 0,
+        s"predicted=true needs power-of-two band counts, got $b for r=$r")
+    }
+    val statAggs = count(lit(1)).as("true_pairs") +:
+      (if (!predicted) Seq.empty else rowsPerBandConfigs.map { r =>
+        val p = lit(1.0) -
+          powChain(lit(1.0) - powChain(col("jaccard"), r), numHashes / r)
+        sum(floor(p * lit(1.0e9)).cast("long")).as(s"fp$r")
+      })
+    val truthStats = truth.agg(statAggs.head, statAggs.tail: _*)
+    val baseCols = Seq(col("num_bands"), col("rows_per_band"), col("true_pairs"),
+      coalesce(col("caught"), lit(0L)).as("caught"),
+      when(col("true_pairs") > 0,
+        coalesce(col("caught"), lit(0L)).cast("double") /
+          col("true_pairs").cast("double"))
+        .as("recall"))
+    val predictedCol =
+      if (!predicted) Seq.empty
+      else {
+        val fpOf = rowsPerBandConfigs.tail.foldLeft(
+          when(col("rows_per_band") === rowsPerBandConfigs.head,
+            col(s"fp${rowsPerBandConfigs.head}"))) { (acc, r) =>
+          acc.when(col("rows_per_band") === r, col(s"fp$r"))
+        }
+        Seq(when(col("true_pairs") > 0,
+          fpOf.cast("double") / col("true_pairs").cast("double") / lit(1.0e9))
+          .as("recall_predicted"))
+      }
     confDf
       .join(caughtPerCfg, confDf("rows_per_band") === caughtPerCfg("cfg"), "left")
-      .crossJoin(broadcast(truthCount))
-      .select(col("num_bands"), col("rows_per_band"), col("true_pairs"),
-        coalesce(col("caught"), lit(0L)).as("caught"),
-        when(col("true_pairs") > 0,
-          coalesce(col("caught"), lit(0L)).cast("double") /
-            col("true_pairs").cast("double"))
-          .as("recall"))
+      .crossJoin(broadcast(truthStats))
+      .select(baseCols ++ predictedCol: _*)
   }
 
 

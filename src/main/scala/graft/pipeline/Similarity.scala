@@ -225,30 +225,61 @@ object SimilarityIvf {
     * among its CELL-mates. Unlike [[topKWithinCell]] (whose query set
     * broadcasts — right for bounded query workloads, wrong when the
     * query set IS the corpus), this is one shuffle-partition SELF-join
-    * on the cell key, so both sides scale out; per-cell pairing cost is
-    * occupancy², bounded by sizing `numCells ≈ n / targetOccupancy`
-    * (the [[SimilarityLsh.planesFor]] stance applied to cells).
+    * on the cell key, so both sides scale out. Size `numCells ≈ √n`
+    * ([[SimilarityLsh.cellsFor]]) — assignment costs n·cells, pairing
+    * n·occupancy = n·(n/cells); √n balances both at n^1.5, the flat-IVF
+    * optimum (a fixed-occupancy sizing makes assignment quadratic —
+    * measured 41× at this repo's 100× point before the fix).
     *
-    * Structural scale edge, stated: the fixed quantizer broadcasts
-    * `numCells` centroid rows to assign cells — fine to millions of
-    * cells (a centroid row is dim doubles); past that, train a coarser/
-    * hierarchical quantizer before this step. Recall here is the IVF
-    * model (quantizer boundary misses, recoverable via multi-probe),
-    * not the LSH S-curve — audit it with [[SimilarityLsh.knnRecallAudit]]'s
-    * shape before trusting a sizing.
+    * SKEW GUARD, same stance as the LSH `pairsFromKeyed`: a
+    * data-dependent quantizer can mass vectors into one cell (occ² blows
+    * up exactly there), so cells over `maxCellSize` (default 16× the
+    * expected occupancy) are dropped from pairing — EAGERLY counted and
+    * `warn`ed, never silent; the dropped vectors lose graph recall, the
+    * job survives. Recall here is the IVF model (quantizer boundary
+    * misses, recoverable via multi-probe / trained centroids) — audit it
+    * with [[knnGraphRecallAudit]] before trusting a sizing.
     */
-  def knnGraph(vectors: DataFrame, k: Int, numCells: Int): DataFrame = {
+  def knnGraph(vectors: DataFrame, k: Int, numCells: Int,
+               maxCellSize: Long = 0L): DataFrame = {
     import graft.GraftStorage.Syntax
     // pinned: the assignment (a corpus scan + centroid scoring) feeds
-    // BOTH self-join sides — unpinned it would execute twice
+    // the guard aggregate AND both self-join sides
     val assigned = assign(vectors, numCells).persistTracked()
-    val pairs = assigned.as("a").hint("SHUFFLE_MERGE")
-      .join(assigned.as("b").hint("SHUFFLE_MERGE"),
+    val cap =
+      if (maxCellSize > 0L) maxCellSize
+      else 16L * (assigned.count() / math.max(1, numCells) + 1L)
+    val dropped = assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > cap)
+      .agg(coalesce(sum(col("csz")), lit(0L))).head().getLong(0)
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.SimilarityIvf")
+        .warn(s"SimilarityIvf.knnGraph: skew guard dropping $dropped vectors " +
+          s"in over-$cap cells — graph recall is reduced for those vectors; " +
+          "raise numCells or train the quantizer")
+    val sized = assigned.withColumn("csz", count(lit(1)).over(
+        Window.partitionBy(col("cell"))))
+      .filter(col("csz") <= cap).drop("csz")
+    val pairs = sized.as("a").hint("SHUFFLE_MERGE")
+      .join(sized.as("b").hint("SHUFFLE_MERGE"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
     SimilarityLsh.rankTopK(pairs, k)
   }
+
+  /** Measured recall of the IVF kNN graph — the ESCALATED path's own
+    * deployed audit ([[SimilarityLsh.knnRecallAudit]]'s shape over
+    * [[knnGraph]]): every self-sizing path ships the audit that prices
+    * its guards, and the saturation escalation swaps the recall model
+    * from the LSH S-curve to quantizer-boundary misses, so it needs its
+    * own number. Truth side is the same broadcast-anchor brute force —
+    * cost nAnchors·n, never n².
+    */
+  def knnGraphRecallAudit(vectors: DataFrame, k: Int, nAnchors: Int = 50,
+                          numCells: Int = 16): DataFrame =
+    SimilarityLsh.recallAuditCore(vectors, k, nAnchors,
+      knnGraph(vectors, k, numCells))
 
   def topKMultiProbe(vectors: DataFrame, queries: DataFrame, k: Int,
                      numCells: Int = 16, nprobe: Int = 2): DataFrame = {
@@ -464,13 +495,19 @@ object SimilarityLsh {
     * achievable recall — the pre-r11 behavior, now opt-in and loud. */
   case object ForceLsh extends SaturationPolicy
 
-  /** Cell-count sizing for the IVF escalation: the same bounded-pairing
-    * occupancy target as [[planesFor]] ([[PairingMaxBucket]]/16 ≈ 125
-    * expected cell-mates), floored at 16 cells so tiny corpora still
-    * exercise the index shape.
+  /** Cell-count sizing for the IVF escalation: `⌈√n⌉` cells (floor 16).
+    * BALANCED, not fixed-occupancy: flat-quantizer assignment costs
+    * n·cells and within-cell pairing costs n·(n/cells) — a fixed
+    * occupancy target makes cells ∝ n and assignment QUADRATIC (this
+    * repo measured it: the first cut read 41× at the 100× point);
+    * cells = √n puts both legs at n^1.5, the flat-IVF optimum. The
+    * centroid broadcast is √n rows of dim doubles — ~113 MB at n=10¹⁰
+    * with dim 64, the stated edge before a hierarchical quantizer.
+    * sqrt is IEEE-correctly-rounded in every engine (unlike pow), so
+    * the SQL oracles derive the identical count.
     */
   def cellsFor(corpusSize: Long): Int = {
-    val c = math.max(16L, corpusSize / math.max(1L, PairingMaxBucket / 16))
+    val c = math.max(16L, math.ceil(math.sqrt(corpusSize.toDouble)).toLong)
     require(c <= Int.MaxValue.toLong, s"cellsFor: $c cells overflows Int — " +
       "train a hierarchical quantizer instead of a flat IVF at this scale")
     c.toInt
@@ -720,7 +757,19 @@ object SimilarityLsh {
     * window would sort corpus-sized partitions in single tasks.
     */
   def knnRecallAudit(vectors: DataFrame, k: Int, nAnchors: Int = 50,
-                     numTables: Int = 8, dim: Int = 64): DataFrame = {
+                     numTables: Int = 8, dim: Int = 64): DataFrame =
+    recallAuditCore(vectors, k, nAnchors, topKAuto(vectors, k, numTables, dim))
+
+  /** The audit core [[knnRecallAudit]] and
+    * [[SimilarityIvf.knnGraphRecallAudit]] share: measured recall of any
+    * `(q_id, n_id)` kNN graph against brute-force cosine truth on
+    * `nAnchors` md5-picked anchors (broadcast anchors × corpus — cost
+    * nAnchors·n, never n²; truth ranking via [[Skew.saltedTopK]] because
+    * anchors are few and hot).
+    */
+  private[pipeline] def recallAuditCore(vectors: DataFrame, k: Int,
+                                        nAnchors: Int,
+                                        graph: DataFrame): DataFrame = {
     val anchors = vectors
       .select(col("vec_id"),
         md5(concat(lit("anch:"), col("vec_id").cast("string"))).as("__m"))
@@ -734,7 +783,7 @@ object SimilarityLsh {
         Similarity.cosine(col("qe"), col("ne")).as("cos"))
     val truth = Skew.saltedTopK(scored, col("q_id"), col("n_id"), k,
       order = Seq(col("cos").desc, col("n_id").asc))
-    val approx = topKAuto(vectors, k, numTables, dim)
+    val approx = graph
       .join(anchors.select(col("vec_id").as("q_id")), Seq("q_id"), "left_semi")
       .select(col("q_id"), col("n_id").as("a_id"))
     truth

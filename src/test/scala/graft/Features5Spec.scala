@@ -35,10 +35,11 @@ class Features5Spec extends SparkTestBase {
     assert(SimilarityLsh.recallAt(8, 64, 0.05) < achievable)
   }
 
-  test("cellsFor holds the bounded-pairing occupancy target with a 16-cell floor") {
-    assert(SimilarityLsh.cellsFor(500L) === 16)    // floor regime
-    assert(SimilarityLsh.cellsFor(2000L) === 16)   // 2000/125 = 16, boundary
-    assert(SimilarityLsh.cellsFor(1000000L) === 8000) // occupancy 125 held
+  test("cellsFor is the balanced sqrt(n) sizing with a 16-cell floor") {
+    assert(SimilarityLsh.cellsFor(100L) === 16)      // floor regime
+    assert(SimilarityLsh.cellsFor(500L) === 23)      // ceil(sqrt(500))
+    assert(SimilarityLsh.cellsFor(2000L) === 45)     // ceil(sqrt(2000))
+    assert(SimilarityLsh.cellsFor(1000000L) === 1000) // assign ≡ pairing at n^1.5
   }
 
   test("topKAutoRecall saturation policies: EscalateIvf = the IVF graph, FailLoud names the achievable recall, ForceLsh = the capped 64-table LSH graph") {
@@ -69,6 +70,72 @@ class Features5Spec extends SparkTestBase {
       minCosine = 0.05, onSaturation = SimilarityLsh.ForceLsh)
     val capped = SimilarityLsh.topKAuto(emb, k = 3, numTables = 64)
     assert(same(forced, capped), "ForceLsh result diverges from the capped LSH graph")
+    GraftStorage.clear(spark)
+  }
+
+  test("hashesFor inverts minhashRecallAt tightly; absurd asks fail loudly") {
+    import graft.pipeline.Dedup
+    // j=0.3 with 4-row bands needs >512 hashes — that combo is the
+    // loud-failure case below, not part of the inversion grid
+    for (j <- Seq(0.3, 0.5, 0.7); r <- Seq(1, 2, 4) if !(j == 0.3 && r == 4);
+         tgt <- Seq(0.8, 0.95)) {
+      val h = Dedup.hashesFor(j, tgt, r)
+      val bands = h / r
+      assert(h % r === 0)
+      assert(Dedup.minhashRecallAt(r, bands, j) >= tgt,
+        s"j=$j r=$r tgt=$tgt: $bands bands under-deliver")
+      if (bands > 1)
+        assert(Dedup.minhashRecallAt(r, bands - 1, j) < tgt,
+          s"j=$j r=$r tgt=$tgt: ${bands - 1} bands already suffice — inversion loose")
+    }
+    // the default 8-hash config (r=2, b=4) holds 0.9 recall only down to
+    // J where 1-(1-J²)⁴ = 0.9 — below that, hashesFor says how many more
+    assert(Dedup.hashesFor(0.5, 0.9, 2) > 8,
+      "8 hashes cannot hold 0.9 recall at J=0.5 with 2-row bands")
+    // absurd ask: 0.999 at J=0.1 with 4-row bands needs ~69k hashes
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.hashesFor(0.1, 0.999, 4)
+    }
+    assert(ex.getMessage.contains("minhashes needed"))
+  }
+
+  test("lshRecallAudit predicted column: fixed-point S-curve mean matches a local replay") {
+    import graft.pipeline.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.lshRecallAudit(docs, predicted = true).collect()
+      .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    // local replay over the same truth pairs
+    val truth = Dedup.ngramJaccardPairs(docs, minShared = 2L, minJaccard = 0.5)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(truth.nonEmpty, "vacuous premise: no true pairs")
+    def pow2(x: Double, e: Int): Double =
+      if (e == 1) x else { val h = pow2(x, e / 2); h * h }
+    for (r <- Seq(1, 2, 4, 8)) {
+      val fpSum = truth.map(j =>
+        math.floor((1.0 - pow2(1.0 - pow2(j, r), 8 / r)) * 1.0e9).toLong).sum
+      val expect = fpSum.toDouble / truth.length.toDouble / 1.0e9
+      assert(got(r)._3 === expect, s"r=$r")
+      // sanity: predictions ordered by band width (narrow bands catch more)
+    }
+    assert(got(1)._3 > got(2)._3 && got(2)._3 > got(4)._3 && got(4)._3 > got(8)._3)
+    // measured recall should sit in the prediction's neighborhood for the
+    // wide-band configs on planted near-dups (the model-fit property this
+    // row exists to surface; exact-dup-heavy truth keeps them close)
+    GraftStorage.clear(spark)
+  }
+
+  test("knnGraphRecallAudit: one row per anchor, exact top-k truth sizes, recall in [0,1]") {
+    import graft.pipeline.{SimilarityIvf, SimilarityLsh}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val rows = SimilarityIvf.knnGraphRecallAudit(emb, k = 3, nAnchors = 20,
+      numCells = SimilarityLsh.cellsFor(emb.count())).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 3L, "truth must be exactly top-3")
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
     GraftStorage.clear(spark)
   }
 

@@ -40,6 +40,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_cooccur_lift",                    // 1-row corpus-count broadcast (×2)
     "q_vocab_coverage",                  // 1-row token-total broadcast
     "q_lsh_recall",                      // 1-row truth-total broadcast
+    "q_lsh_recall_predicted",            // same + the fixed-point S-curve sums
+                                         // ride the same 1-row broadcast
     "q_graph_hits",                      // 1-row half-step max broadcast (×2/iter)
     "q_dsir_weights", "q_dsir_select",   // 1-row model-totals broadcast
     "q_heavy_hitters",                   // 1-row corpus-total broadcast
@@ -64,6 +66,8 @@ class PlanAuditSpec extends SparkTestBase {
                                          // the q_ann_cosine truth shape
     "q_ann_recall_escalate",             // k-row centroid cross join (the
                                          // q_ann_ivf quantizer shape)
+    "q_ann_recall_ivf",                  // centroid cross join + broadcast
+                                         // (50 anchors) ⨝ corpus truth side
     "q_pipeline_e2e")                    // the embedded mix plan's two 1-row
                                          // waterfill broadcasts (q_mix_plan)
 
