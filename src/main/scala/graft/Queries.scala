@@ -8629,6 +8629,53 @@ object Queries {
            |    / CAST(count(*) AS DOUBLE) AS recall
            |FROM tr LEFT JOIN g ON tr.q_id = g.q_id AND tr.n_id = g.n_id
            |GROUP BY tr.q_id""".stripMargin
+      }),
+
+    // the IVF recall LEVER, audited: nprobe=2 — each vector also probes
+    // its second-nearest cell, so quantizer-boundary neighbors become
+    // candidates; per-query candidates are a SUPERSET of the nprobe=1
+    // graph's (spec pins the per-anchor monotonicity), cost grows
+    // linearly in nprobe through the same shuffle cell equi-join. Read
+    // next to q_ann_recall_ivf: the pair prices exactly what one extra
+    // probe buys — the decision a 100 TB run makes when the nprobe=1
+    // audit reads too low
+    Q("q_ann_recall_ivf_probe",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        SimilarityIvf.knnGraphRecallAudit(emb, k = 3, nAnchors = 50,
+          numCells = graft.pipeline.SimilarityLsh.cellsFor(emb.count()),
+          nprobe = 2)
+      },
+      Some {
+        def cosSql(x: String, y: String) = ivfCosSql(x, y)
+        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |$ivfKnnGraphSqlCte,
+           |pr AS (SELECT vec_id AS q_id, e AS qe, cid AS cell FROM (
+           |   SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |   FROM asg) WHERE rn <= 2),
+           |sc2 AS (SELECT DISTINCT pr.q_id, ap.vec_id AS n_id, ${cosSql("pr.qe", "ap.e")} AS cos
+           |        FROM pr JOIN ap ON pr.cell = ap.cell AND pr.q_id <> ap.vec_id),
+           |g AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |    FROM sc2)
+           |  WHERE rank <= 3),
+           |anch AS (SELECT vec_id FROM embeddings
+           |         ORDER BY md5('anch:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 50),
+           |sc AS (SELECT q.vec_id AS q_id, c2.vec_id AS n_id, ${cosSql("q.e", "c2.e")} AS cos
+           |       FROM de q JOIN anch ON q.vec_id = anch.vec_id
+           |            JOIN de c2 ON c2.vec_id <> q.vec_id),
+           |tr AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+           |    FROM sc)
+           |  WHERE r <= 3)
+           |SELECT tr.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+           |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM tr LEFT JOIN g ON tr.q_id = g.q_id AND tr.n_id = g.n_id
+           |GROUP BY tr.q_id""".stripMargin
       })
   )
 

@@ -1,0 +1,44 @@
+package graft.cli
+
+import graft.GraftStorage
+import graft.pipeline.{SimilarityIvf, SimilarityLsh}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measure the IVF kNN-graph recall curve (the SCALE.md probe for the
+  * saturation-escalation path): mean top-3 recall of
+  * [[SimilarityIvf.knnGraphRecallAudit]] across 50 anchors at each
+  * `nprobe`, plus wall time — the two numbers a run weighs when the
+  * nprobe=1 audit reads too low. Cells sized by the production
+  * [[SimilarityLsh.cellsFor]].
+  *
+  * Usage: `sbt "runMain graft.cli.IvfProbe <sfDir> [nprobe,nprobe,...]"`.
+  */
+object IvfProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val probes = args.lift(1).map(_.split(',').toSeq.map(_.toInt))
+      .getOrElse(Seq(1, 2, 4))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.VectorFunctions.register(spark)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cells = SimilarityLsh.cellsFor(emb.count())
+    probes.foreach { np =>
+      val t0 = System.nanoTime()
+      val mean = GraftStorage.withTracked(spark) {
+        SimilarityIvf.knnGraphRecallAudit(emb, k = 3, nAnchors = 50,
+            numCells = cells, nprobe = np)
+          .agg(avg(col("recall"))).head().getDouble(0)
+      }
+      println(f"IVFPROBE dir=$dir cells=$cells nprobe=$np " +
+        f"recall=$mean%.3f sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    spark.stop()
+  }
+}

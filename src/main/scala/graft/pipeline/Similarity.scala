@@ -268,18 +268,71 @@ object SimilarityIvf {
     SimilarityLsh.rankTopK(pairs, k)
   }
 
+  /** MULTI-PROBE kNN graph — the escalation's RECALL LEVER: each vector
+    * probes its `nprobe` highest-centroid-cosine cells (its own cell is
+    * always rank 1), so quantizer-boundary neighbors one cell over
+    * become candidates. Per-query candidates are a SUPERSET of
+    * [[knnGraph]]'s under the same guard, so per-vector recall is
+    * monotonically ≥ the nprobe=1 graph (spec-pinned); cost grows
+    * linearly in nprobe — probes are n·nprobe rows through the same
+    * shuffle cell equi-join, never a broadcast of the corpus. A pair
+    * can meet through both members' probes; `distinct()` before the
+    * rank absorbs the multiplicity (same cos both times).
+    */
+  def knnGraphMultiProbe(vectors: DataFrame, k: Int, numCells: Int,
+                         nprobe: Int = 2, maxCellSize: Long = 0L): DataFrame = {
+    import graft.GraftStorage.Syntax
+    require(nprobe >= 1, s"nprobe=$nprobe out of range")
+    // pinned: guard aggregate + the n-side of the probe join
+    val assigned = assign(vectors, numCells).persistTracked()
+    val cap =
+      if (maxCellSize > 0L) maxCellSize
+      else 16L * (assigned.count() / math.max(1, numCells) + 1L)
+    val dropped = assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .filter(col("csz") > cap)
+      .agg(coalesce(sum(col("csz")), lit(0L))).head().getLong(0)
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.SimilarityIvf")
+        .warn(s"SimilarityIvf.knnGraphMultiProbe: skew guard dropping " +
+          s"$dropped vectors in over-$cap cells — raise numCells or train " +
+          "the quantizer")
+    val sized = assigned.withColumn("csz", count(lit(1)).over(
+        Window.partitionBy(col("cell"))))
+      .filter(col("csz") <= cap).drop("csz")
+    val qScored = vectors.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroids(vectors, numCells)))
+      .select(col("q_id"), col("qe"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("ccos"))
+    val probes = qScored.withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cid").as("cell"))
+    val scored = probes.join(sized, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Similarity.cosine(col("qe"), col("embedding")).as("cos"))
+      .distinct()
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Measured recall of the IVF kNN graph — the ESCALATED path's own
     * deployed audit ([[SimilarityLsh.knnRecallAudit]]'s shape over
     * [[knnGraph]]): every self-sizing path ships the audit that prices
     * its guards, and the saturation escalation swaps the recall model
     * from the LSH S-curve to quantizer-boundary misses, so it needs its
     * own number. Truth side is the same broadcast-anchor brute force —
-    * cost nAnchors·n, never n².
+    * cost nAnchors·n, never n². `nprobe > 1` audits
+    * [[knnGraphMultiProbe]] — the lever a run pulls when the nprobe=1
+    * number reads too low.
     */
   def knnGraphRecallAudit(vectors: DataFrame, k: Int, nAnchors: Int = 50,
-                          numCells: Int = 16): DataFrame =
+                          numCells: Int = 16, nprobe: Int = 1): DataFrame =
     SimilarityLsh.recallAuditCore(vectors, k, nAnchors,
-      knnGraph(vectors, k, numCells))
+      if (nprobe <= 1) knnGraph(vectors, k, numCells)
+      else knnGraphMultiProbe(vectors, k, numCells, nprobe))
 
   def topKMultiProbe(vectors: DataFrame, queries: DataFrame, k: Int,
                      numCells: Int = 16, nprobe: Int = 2): DataFrame = {

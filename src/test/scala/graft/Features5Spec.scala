@@ -124,6 +124,27 @@ class Features5Spec extends SparkTestBase {
     GraftStorage.clear(spark)
   }
 
+  test("knnGraphMultiProbe recall dominates the nprobe=1 graph per anchor (candidates are a superset)") {
+    import graft.pipeline.{SimilarityIvf, SimilarityLsh}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cells = SimilarityLsh.cellsFor(emb.count())
+    val r1 = SimilarityIvf.knnGraphRecallAudit(emb, k = 3, nAnchors = 30,
+        numCells = cells)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val r2 = SimilarityIvf.knnGraphRecallAudit(emb, k = 3, nAnchors = 30,
+        numCells = cells, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(r1.keySet === r2.keySet)
+    r1.foreach { case (q, rec1) =>
+      assert(r2(q) >= rec1, s"anchor $q: nprobe=2 recall ${r2(q)} < nprobe=1 $rec1")
+    }
+    val m1 = r1.values.sum / r1.size
+    val m2 = r2.values.sum / r2.size
+    assert(m2 > m1, s"the extra probe must buy mean recall on this corpus ($m1 -> $m2)")
+    GraftStorage.clear(spark)
+  }
+
   test("knnGraphRecallAudit: one row per anchor, exact top-k truth sizes, recall in [0,1]") {
     import graft.pipeline.{SimilarityIvf, SimilarityLsh}
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
