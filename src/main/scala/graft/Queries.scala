@@ -390,6 +390,35 @@ object Queries {
        |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
        |        UNION ALL SELECT id2, id1, cos FROM p)""".stripMargin
 
+  /** The TRAINED-quantizer continuation of [[ivfKnnGraphSqlCte]] — one
+    * fixed-point k-means refinement pass over the base assignment `a`
+    * (the [[graft.pipeline.SimilarityIvf.refineCentroids]] replay the
+    * q_ann_ivf_trained oracle proved), re-assignment, the same
+    * occupancy guard, and the within-cell self-pairing — ends in
+    * `sym1(q_id, n_id, cos)`.
+    */
+  private val ivfKnnGraphTrainedSqlCte: String =
+    s"""el AS (SELECT cell, generate_subscripts(e, 1) AS pos,
+       |         CAST(floor(unnest(e) * 1048576.0) AS BIGINT) AS sv
+       |       FROM a),
+       |ms AS (SELECT cell, pos, CAST(sum(sv) AS BIGINT) AS s, count(*) AS cnt
+       |       FROM el GROUP BY 1, 2),
+       |c1 AS (SELECT cell AS cid,
+       |         list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1048576.0 ORDER BY pos) AS ce
+       |       FROM ms GROUP BY cell),
+       |sc1 AS (SELECT de.vec_id, de.e, c1.cid, ${ivfCosSql("de.e", "c1.ce")} AS ccos
+       |        FROM de CROSS JOIN c1),
+       |a1 AS (SELECT vec_id, e, cid AS cell FROM (
+       |   SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |   FROM sc1) WHERE rn = 1),
+       |csz1 AS (SELECT cell, count(*) AS csz FROM a1 GROUP BY cell),
+       |ap1 AS (SELECT a1.vec_id, a1.e, a1.cell FROM a1 JOIN csz1 USING (cell)
+       |        WHERE csz1.csz <= (SELECT cap FROM nc)),
+       |p1 AS (SELECT x.vec_id AS id1, y.vec_id AS id2, ${ivfCosSql("x.e", "y.e")} AS cos
+       |       FROM ap1 x JOIN ap1 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |sym1 AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p1
+       |         UNION ALL SELECT id2, id1, cos FROM p1)""".stripMargin
+
   /** DuckDB replay of [[graft.pipeline.SimilarityPq]]'s encode step
     * (m=8 subspaces, k=16 fixed codebook, 2²⁰ global scale): CTEs `sub`
     * (per-vector subvectors), `cb` (codebook), `pq_best` (per-subspace
@@ -3535,6 +3564,9 @@ object Queries {
     // (floor(P·10⁹) exact longs — a float mean would be partition-
     // order-dependent). measured-vs-predicted drift is the model-fit
     // alarm a production sizing run reads before trusting hashesFor.
+    // Also reports each config's candidate volume and PRECISION
+    // (caught/candidates) — recall says what banding finds, precision
+    // prices the verify stage that checks every candidate exactly.
     Q("q_lsh_recall_predicted",
       (s, d) => Dedup.lshRecallAudit(t(s, d)("documents"), predicted = true),
       Some {
@@ -3545,10 +3577,11 @@ object Queries {
           "(" + (0 until r).map(j => s"a.m${b * r + j} = b.m${b * r + j}").mkString(" AND ") + ")"
         }.mkString(" OR ")
         def candCte(r: Int) =
-          s"""cand$r AS (SELECT DISTINCT a.id AS id1, b.id AS id2
+          s"""cand$r AS MATERIALIZED (SELECT DISTINCT a.id AS id1, b.id AS id2
              |  FROM sigs a JOIN sigs b ON a.id < b.id AND (${bandCond(r)})),
              |c$r AS (SELECT CAST(count(*) AS BIGINT) AS caught FROM truth t
-             |  JOIN cand$r c ON t.id1 = c.id1 AND t.id2 = c.id2)""".stripMargin
+             |  JOIN cand$r c ON t.id1 = c.id1 AND t.id2 = c.id2),
+             |n$r AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand$r)""".stripMargin
         // the same squaring chains as Dedup.powChain — identical IEEE
         // multiplication trees in both engines
         def powSql(x: String, e: Int): String =
@@ -3562,8 +3595,11 @@ object Queries {
              |  CASE WHEN true_pairs > 0
              |    THEN CAST(caught AS DOUBLE) / CAST(true_pairs AS DOUBLE) END AS recall,
              |  CASE WHEN true_pairs > 0
-             |    THEN CAST(fp$r AS DOUBLE) / CAST(true_pairs AS DOUBLE) / 1.0e9 END AS recall_predicted
-             |FROM c$r, tc""".stripMargin
+             |    THEN CAST(fp$r AS DOUBLE) / CAST(true_pairs AS DOUBLE) / 1.0e9 END AS recall_predicted,
+             |  n_candidates,
+             |  CASE WHEN n_candidates > 0
+             |    THEN CAST(caught AS DOUBLE) / CAST(n_candidates AS DOUBLE) END AS precision
+             |FROM c$r, n$r, tc""".stripMargin
         s"""WITH $shingleSqlCte,
            |sigs AS (SELECT id, $sigCols FROM sh GROUP BY id),
            |sz AS (SELECT id, count(*) AS nsh FROM sh GROUP BY id),
@@ -8659,6 +8695,49 @@ object Queries {
            |    SELECT q_id, n_id,
            |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
            |    FROM sc2)
+           |  WHERE rank <= 3),
+           |anch AS (SELECT vec_id FROM embeddings
+           |         ORDER BY md5('anch:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 50),
+           |sc AS (SELECT q.vec_id AS q_id, c2.vec_id AS n_id, ${cosSql("q.e", "c2.e")} AS cos
+           |       FROM de q JOIN anch ON q.vec_id = anch.vec_id
+           |            JOIN de c2 ON c2.vec_id <> q.vec_id),
+           |tr AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+           |    FROM sc)
+           |  WHERE r <= 3)
+           |SELECT tr.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+           |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM tr LEFT JOIN g ON tr.q_id = g.q_id AND tr.n_id = g.n_id
+           |GROUP BY tr.q_id""".stripMargin
+      }),
+
+    // the SECOND IVF recall lever, audited: one deterministic
+    // fixed-point k-means pass adapts the cells to the data before the
+    // graph builds (knnGraphTrained; replay proven by q_ann_ivf_trained,
+    // here sized by cellsFor and guarded like the production graph).
+    // Read as a triple with q_ann_recall_ivf / q_ann_recall_ivf_probe:
+    // probe-more vs train-the-quantizer are the two levers a run weighs
+    // when the base audit reads low, and each now carries its own
+    // oracle-replayed number
+    Q("q_ann_recall_ivf_trained",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        SimilarityIvf.knnGraphTrainedRecallAudit(emb, k = 3, nAnchors = 50,
+          numCells = graft.pipeline.SimilarityLsh.cellsFor(emb.count()),
+          iters = 1)
+      },
+      Some {
+        def cosSql(x: String, y: String) = ivfCosSql(x, y)
+        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |$ivfKnnGraphSqlCte,
+           |$ivfKnnGraphTrainedSqlCte,
+           |g AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |    FROM sym1)
            |  WHERE rank <= 3),
            |anch AS (SELECT vec_id FROM embeddings
            |         ORDER BY md5('anch:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 50),

@@ -892,14 +892,24 @@ object Dedup {
     val keyed = sigs.select(col("id"), explode(array(keyStructs: _*)).as("k"))
       .select(col("id"), col("k.cfg").as("cfg"), col("k.band").as("band"),
         col("k.key").as("key"))
-    val cand = keyed.as("a").hint("SHUFFLE_MERGE")
+    val cand0 = keyed.as("a").hint("SHUFFLE_MERGE")
       .join(keyed.as("b").hint("SHUFFLE_MERGE"),
         col("a.cfg") === col("b.cfg") && col("a.band") === col("b.band") &&
           col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.cfg").as("cfg"), col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+    // predicted mode also reports PRECISION (caught / candidate volume —
+    // the number that prices the verify stage: every candidate pays an
+    // exact-Jaccard check), so the candidate relation feeds two
+    // aggregates and gets pinned
+    val cand = if (predicted) cand0.persistTracked() else cand0
+    // distinct join-key aliases: both aggregates descend from the same
+    // `cand` relation, and two joins keyed on the one ambiguous `cfg`
+    // trip Spark's self-join lineage check
     val caughtPerCfg = truth.join(cand, Seq("id1", "id2"))
-      .groupBy(col("cfg")).agg(count(lit(1)).as("caught"))
+      .groupBy(col("cfg").as("cfg_c")).agg(count(lit(1)).as("caught"))
+    val candPerCfg = cand.groupBy(col("cfg").as("cfg_n"))
+      .agg(count(lit(1)).as("n_candidates"))
     // a config that catches NOTHING emits no count row — rebuild the full
     // config list from literals and left-join the counts
     val confDf = docs.sparkSession
@@ -941,10 +951,20 @@ object Dedup {
         }
         Seq(when(col("true_pairs") > 0,
           fpOf.cast("double") / col("true_pairs").cast("double") / lit(1.0e9))
-          .as("recall_predicted"))
+          .as("recall_predicted"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          when(coalesce(col("n_candidates"), lit(0L)) > 0,
+            coalesce(col("caught"), lit(0L)).cast("double") /
+              col("n_candidates").cast("double"))
+            .as("precision"))
       }
-    confDf
-      .join(caughtPerCfg, confDf("rows_per_band") === caughtPerCfg("cfg"), "left")
+    val joined = confDf
+      .join(caughtPerCfg, confDf("rows_per_band") === caughtPerCfg("cfg_c"), "left")
+    val withCand =
+      if (!predicted) joined
+      else joined.join(candPerCfg,
+        confDf("rows_per_band") === candPerCfg("cfg_n"), "left")
+    withCand
       .crossJoin(broadcast(truthStats))
       .select(baseCols ++ predictedCol: _*)
   }

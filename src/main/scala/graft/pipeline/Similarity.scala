@@ -241,11 +241,28 @@ object SimilarityIvf {
     * with [[knnGraphRecallAudit]] before trusting a sizing.
     */
   def knnGraph(vectors: DataFrame, k: Int, numCells: Int,
-               maxCellSize: Long = 0L): DataFrame = {
+               maxCellSize: Long = 0L): DataFrame =
+    knnGraphFromAssigned(assign(vectors, numCells), numCells, k, maxCellSize)
+
+  /** [[knnGraph]] over the TRAINED quantizer ([[refineCentroids]] —
+    * `iters` deterministic fixed-point k-means passes): cells adapt to
+    * the data, which is THE recall lever on clustered corpora (the
+    * other is [[knnGraphMultiProbe]]'s extra probes; they compose in
+    * cost, pick by what [[knnGraphRecallAudit]] reads). One extra
+    * corpus×cells scoring pass per iter — the same n^1.5 family.
+    */
+  def knnGraphTrained(vectors: DataFrame, k: Int, numCells: Int,
+                      iters: Int = 1, maxCellSize: Long = 0L): DataFrame =
+    knnGraphFromAssigned(
+      assignTo(vectors, refineCentroids(vectors, numCells, iters)),
+      numCells, k, maxCellSize)
+
+  private def knnGraphFromAssigned(assigned0: DataFrame, numCells: Int,
+                                   k: Int, maxCellSize: Long): DataFrame = {
     import graft.GraftStorage.Syntax
     // pinned: the assignment (a corpus scan + centroid scoring) feeds
     // the guard aggregate AND both self-join sides
-    val assigned = assign(vectors, numCells).persistTracked()
+    val assigned = assigned0.persistTracked()
     val cap =
       if (maxCellSize > 0L) maxCellSize
       else 16L * (assigned.count() / math.max(1, numCells) + 1L)
@@ -333,6 +350,15 @@ object SimilarityIvf {
     SimilarityLsh.recallAuditCore(vectors, k, nAnchors,
       if (nprobe <= 1) knnGraph(vectors, k, numCells)
       else knnGraphMultiProbe(vectors, k, numCells, nprobe))
+
+  /** [[knnGraphRecallAudit]] for the TRAINED-quantizer graph — the
+    * second recall lever's own number.
+    */
+  def knnGraphTrainedRecallAudit(vectors: DataFrame, k: Int,
+                                 nAnchors: Int = 50, numCells: Int = 16,
+                                 iters: Int = 1): DataFrame =
+    SimilarityLsh.recallAuditCore(vectors, k, nAnchors,
+      knnGraphTrained(vectors, k, numCells, iters))
 
   def topKMultiProbe(vectors: DataFrame, queries: DataFrame, k: Int,
                      numCells: Int = 16, nprobe: Int = 2): DataFrame = {

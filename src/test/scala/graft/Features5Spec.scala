@@ -102,7 +102,15 @@ class Features5Spec extends SparkTestBase {
   test("lshRecallAudit predicted column: fixed-point S-curve mean matches a local replay") {
     import graft.pipeline.Dedup
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val got = Dedup.lshRecallAudit(docs, predicted = true).collect()
+    val rows = Dedup.lshRecallAudit(docs, predicted = true).collect()
+    // precision columns: candidates bound the verify stage; caught ⊆ cand
+    rows.foreach { r =>
+      val (caught, nCand) = (r.getLong(3), r.getLong(6))
+      assert(nCand >= caught, s"r=${r.getInt(1)}: caught $caught > candidates $nCand")
+      if (nCand > 0)
+        assert(r.getDouble(7) === caught.toDouble / nCand.toDouble)
+    }
+    val got = rows
       .map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
     // local replay over the same truth pairs
     val truth = Dedup.ngramJaccardPairs(docs, minShared = 2L, minJaccard = 0.5)
@@ -156,6 +164,29 @@ class Features5Spec extends SparkTestBase {
       assert(r.getLong(1) === 3L, "truth must be exactly top-3")
       val rec = r.getDouble(3)
       assert(rec >= 0.0 && rec <= 1.0)
+    }
+    GraftStorage.clear(spark)
+  }
+
+  test("knnGraphTrained: the refined graph is well-formed and its audit runs the same contract") {
+    import graft.pipeline.{SimilarityIvf, SimilarityLsh}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cells = SimilarityLsh.cellsFor(emb.count())
+    val g = SimilarityIvf.knnGraphTrained(emb, k = 3, numCells = cells).collect()
+    assert(g.nonEmpty)
+    // per-vector top-k: at most 3 neighbors each, ranks 1..3, no self-loop
+    g.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_.getLong(3)).sorted.sameElements(1L to rows.length.toLong))
+      rows.foreach(r => assert(r.getLong(1) !== q))
+    }
+    val rows = SimilarityIvf.knnGraphTrainedRecallAudit(emb, k = 3,
+      nAnchors = 20, numCells = cells).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 3L)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
     GraftStorage.clear(spark)
   }

@@ -69,6 +69,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_ann_recall_ivf",                  // centroid cross join + broadcast
                                          // (50 anchors) ⨝ corpus truth side
     "q_ann_recall_ivf_probe",            // same shapes, nprobe=2 probe ranking
+    "q_ann_recall_ivf_trained",          // same shapes + the refined k-row
+                                         // centroid cross join
     "q_pipeline_e2e")                    // the embedded mix plan's two 1-row
                                          // waterfill broadcasts (q_mix_plan)
 
