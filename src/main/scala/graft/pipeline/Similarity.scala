@@ -257,12 +257,13 @@ object SimilarityIvf {
       assignTo(vectors, refineCentroids(vectors, numCells, iters)),
       numCells, k, maxCellSize)
 
-  private def knnGraphFromAssigned(assigned0: DataFrame, numCells: Int,
-                                   k: Int, maxCellSize: Long): DataFrame = {
-    import graft.GraftStorage.Syntax
-    // pinned: the assignment (a corpus scan + centroid scoring) feeds
-    // the guard aggregate AND both self-join sides
-    val assigned = assigned0.persistTracked()
+  /** The shared cell skew guard: cells over `maxCellSize` (default 16×
+    * the expected occupancy) drop from pairing — EAGERLY counted and
+    * `warn`ed, never silent. Expects `assigned` already pinned (the
+    * count + drop aggregate + downstream pairing all consume it).
+    */
+  private def guardCells(assigned: DataFrame, numCells: Int,
+                         maxCellSize: Long, who: String): DataFrame = {
     val cap =
       if (maxCellSize > 0L) maxCellSize
       else 16L * (assigned.count() / math.max(1, numCells) + 1L)
@@ -271,12 +272,21 @@ object SimilarityIvf {
       .agg(coalesce(sum(col("csz")), lit(0L))).head().getLong(0)
     if (dropped > 0)
       org.slf4j.LoggerFactory.getLogger("graft.SimilarityIvf")
-        .warn(s"SimilarityIvf.knnGraph: skew guard dropping $dropped vectors " +
+        .warn(s"SimilarityIvf.$who: skew guard dropping $dropped vectors " +
           s"in over-$cap cells — graph recall is reduced for those vectors; " +
           "raise numCells or train the quantizer")
-    val sized = assigned.withColumn("csz", count(lit(1)).over(
+    assigned.withColumn("csz", count(lit(1)).over(
         Window.partitionBy(col("cell"))))
       .filter(col("csz") <= cap).drop("csz")
+  }
+
+  private def knnGraphFromAssigned(assigned0: DataFrame, numCells: Int,
+                                   k: Int, maxCellSize: Long): DataFrame = {
+    import graft.GraftStorage.Syntax
+    // pinned: the assignment (a corpus scan + centroid scoring) feeds
+    // the guard aggregate AND both self-join sides
+    val assigned = assigned0.persistTracked()
+    val sized = guardCells(assigned, numCells, maxCellSize, "knnGraph")
     val pairs = sized.as("a").hint("SHUFFLE_MERGE")
       .join(sized.as("b").hint("SHUFFLE_MERGE"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -302,20 +312,7 @@ object SimilarityIvf {
     require(nprobe >= 1, s"nprobe=$nprobe out of range")
     // pinned: guard aggregate + the n-side of the probe join
     val assigned = assign(vectors, numCells).persistTracked()
-    val cap =
-      if (maxCellSize > 0L) maxCellSize
-      else 16L * (assigned.count() / math.max(1, numCells) + 1L)
-    val dropped = assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
-      .filter(col("csz") > cap)
-      .agg(coalesce(sum(col("csz")), lit(0L))).head().getLong(0)
-    if (dropped > 0)
-      org.slf4j.LoggerFactory.getLogger("graft.SimilarityIvf")
-        .warn(s"SimilarityIvf.knnGraphMultiProbe: skew guard dropping " +
-          s"$dropped vectors in over-$cap cells — raise numCells or train " +
-          "the quantizer")
-    val sized = assigned.withColumn("csz", count(lit(1)).over(
-        Window.partitionBy(col("cell"))))
-      .filter(col("csz") <= cap).drop("csz")
+    val sized = guardCells(assigned, numCells, maxCellSize, "knnGraphMultiProbe")
     val qScored = vectors.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       .crossJoin(broadcast(centroids(vectors, numCells)))
       .select(col("q_id"), col("qe"), col("cid"),
