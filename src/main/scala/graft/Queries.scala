@@ -4151,6 +4151,52 @@ object Queries {
            |WHERE rank <= 3""".stripMargin
       }),
 
+    // the RECALL CONTRACT extended to the dedup entry point (r11): LSH
+    // near-dup pairs whose table count is derived from the target —
+    // "pairs at cos ≥ 0.35 are caught w.p. ≥ 0.9" — instead of a
+    // hand-tuned 8 tables. Oracle bakes the sf-derived planes with the
+    // same live-count assert (and SF-drift hatch) as q_knn_graph_recall
+    Q("q_dedup_embed_recall",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val cap0 = graft.pipeline.SimilarityLsh.PairingMaxBucket
+        val live = graft.pipeline.SimilarityLsh.planesFor(emb.count(), cap0)
+        val baked = graft.pipeline.SimilarityLsh.planesFor(500, cap0)
+        require(live == baked ||
+            sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
+          s"q_dedup_embed_recall: live planesFor=$live diverges from the " +
+            s"oracle's baked $baked — regenerate the oracle for this SF")
+        Dedup.embeddingNearDupAutoRecall(emb, threshold = 0.35,
+          targetRecall = 0.9, exactLimit = 0L)
+      },
+      Some {
+        val cap = graft.pipeline.SimilarityLsh.PairingMaxBucket
+        val p = graft.pipeline.SimilarityLsh.planesFor(500, cap)
+        val tbl = graft.pipeline.SimilarityLsh.tablesFor(p, 0.9, 0.35)
+        s"""WITH ${lshBucketsCte(p, tbl)}
+           |SELECT id1, id2, cos FROM (${lshPairsSubquery(tbl, cap)})
+           |WHERE cos >= 0.35""".stripMargin
+      }),
+
+    // ...and its SATURATION row: a contract LSH cannot hold (0.999 at
+    // cos 0.05 — the q_ann_recall_escalate premise, provable at any
+    // planesFor output), which embeddingNearDupAutoRecall escalates to
+    // the IVF within-cell pair join (nearDupPairs, √n cells, guarded).
+    // The oracle replays the escalated path with cells derived IN SQL
+    Q("q_dedup_embed_recall_escalate",
+      (s, d) => {
+        require(graft.pipeline.SimilarityLsh.tablesFor(4, 0.999, 0.05) == 64,
+          "q_dedup_embed_recall_escalate: premise broken — params no longer saturate LSH")
+        Dedup.embeddingNearDupAutoRecall(
+          t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
+          threshold = 0.05, targetRecall = 0.999, exactLimit = 0L)
+      },
+      Some {
+        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |$ivfKnnGraphSqlCte
+           |SELECT id1, id2, cos FROM p WHERE cos >= 0.05""".stripMargin
+      }),
+
     // the SCALING CONTRAST row for q_knn_graph: the fixed 8-plane graph
     // whose 10× point (4.8× for 10× data — SCALE.md round-8 table) is
     // exactly WHY the catalog row above self-sizes. Kept live so the

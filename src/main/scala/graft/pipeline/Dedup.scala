@@ -1024,6 +1024,64 @@ object Dedup {
     }
   }
 
+  /** [[embeddingNearDupAuto]] with RECALL as the stated contract — the
+    * dedup-family twin of [[SimilarityLsh.topKAutoRecall]]: tables from
+    * `tablesFor(planes, targetRecall, threshold)` (a pair AT the
+    * threshold is caught w.p. ≥ targetRecall; higher-cos pairs do
+    * better — the S-curve is monotone), and the 64-table SATURATION is
+    * a mechanism here too: [[SimilarityLsh.EscalateIvf]] (default)
+    * switches to the IVF within-cell pair join
+    * ([[SimilarityIvf.nearDupPairs]], √n cells), FailLoud throws naming
+    * the achievable recall, ForceLsh keeps the capped LSH pairs and
+    * logs the shortfall. The exact regime (n ≤ exactLimit) holds the
+    * contract trivially at recall 1.
+    */
+  def embeddingNearDupAutoRecall(vectors: DataFrame, threshold: Double,
+                                 targetRecall: Double = 0.9, dim: Int = 64,
+                                 exactLimit: Long = graft.GraftConfig.ExactPairVectors,
+                                 onSaturation: SimilarityLsh.SaturationPolicy =
+                                   SimilarityLsh.EscalateIvf): DataFrame = {
+    val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
+    val n = vectors.count()
+    if (n <= exactLimit) {
+      log.info(s"embeddingNearDupAutoRecall: corpus=$n <= exactLimit=" +
+        s"$exactLimit — exact all-pairs regime (recall 1)")
+      return embeddingNearDup(vectors, threshold)
+    }
+    val planes = SimilarityLsh.planesFor(n, SimilarityLsh.PairingMaxBucket)
+    val tables = SimilarityLsh.tablesFor(planes, targetRecall, threshold)
+    val achievable = SimilarityLsh.recallAt(planes, tables, threshold)
+    val saturated = achievable + 1e-9 < targetRecall
+    if (!saturated) {
+      log.info(s"embeddingNearDupAutoRecall: corpus=$n planes=$planes " +
+        s"tables=$tables (recall>=$targetRecall at cos>=$threshold)")
+      SimilarityLsh.candidatePairsAutoCounted(vectors, n, tables, dim,
+          maxBucketSize = SimilarityLsh.PairingMaxBucket)
+        .filter(col("cos") >= threshold)
+    } else onSaturation match {
+      case SimilarityLsh.EscalateIvf =>
+        val cells = SimilarityLsh.cellsFor(n)
+        log.warn(f"embeddingNearDupAutoRecall: LSH SATURATED — $tables " +
+          f"tables achieve ~$achievable%.4f < target $targetRecall at " +
+          f"cos>=$threshold with $planes planes; escalating to IVF " +
+          f"within-cell pairs (numCells=$cells)")
+        SimilarityIvf.nearDupPairs(vectors, threshold, cells)
+      case SimilarityLsh.FailLoud =>
+        throw new IllegalArgumentException(
+          f"embeddingNearDupAutoRecall: recall target $targetRecall at " +
+            f"cos>=$threshold is unreachable for hyperplane LSH (achievable " +
+            f"at 64 tables: $achievable%.4f). Lower the target, raise the " +
+            "threshold, or use the IVF family")
+      case SimilarityLsh.ForceLsh =>
+        log.warn(f"embeddingNearDupAutoRecall: LSH saturated (achievable " +
+          f"~$achievable%.4f < target $targetRecall) — ForceLsh keeps the " +
+          f"capped $tables-table pairs")
+        SimilarityLsh.candidatePairsAutoCounted(vectors, n, tables, dim,
+          maxBucketSize = SimilarityLsh.PairingMaxBucket)
+          .filter(col("cos") >= threshold)
+    }
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, arXiv
     * 2303.09540): k-means the embedding space into cells, then compare
     * cosines ONLY within a cell — semantically-duplicate pairs land in

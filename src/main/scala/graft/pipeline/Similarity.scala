@@ -280,19 +280,41 @@ object SimilarityIvf {
       .filter(col("csz") <= cap).drop("csz")
   }
 
+  /** Within-cell scored pairs over a guarded assignment — the shared
+    * core of [[knnGraph]] (ranks it) and [[nearDupPairs]] (thresholds
+    * it).
+    */
+  private def cellPairs(sized: DataFrame): DataFrame =
+    sized.as("a").hint("SHUFFLE_MERGE")
+      .join(sized.as("b").hint("SHUFFLE_MERGE"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+
   private def knnGraphFromAssigned(assigned0: DataFrame, numCells: Int,
                                    k: Int, maxCellSize: Long): DataFrame = {
     import graft.GraftStorage.Syntax
     // pinned: the assignment (a corpus scan + centroid scoring) feeds
     // the guard aggregate AND both self-join sides
     val assigned = assigned0.persistTracked()
-    val sized = guardCells(assigned, numCells, maxCellSize, "knnGraph")
-    val pairs = sized.as("a").hint("SHUFFLE_MERGE")
-      .join(sized.as("b").hint("SHUFFLE_MERGE"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
-    SimilarityLsh.rankTopK(pairs, k)
+    SimilarityLsh.rankTopK(
+      cellPairs(guardCells(assigned, numCells, maxCellSize, "knnGraph")), k)
+  }
+
+  /** Threshold near-dup pairs over the IVF index — the PAIRS twin of
+    * [[knnGraph]], and the escalation target for the dedup entry point
+    * ([[graft.pipeline.Dedup.embeddingNearDupAutoRecall]]): all
+    * within-cell pairs at `cos ≥ threshold`, `(id1 < id2, cos)`. Same
+    * guard, same n^1.5 shape; recall is the quantizer model — pairs
+    * split across a cell boundary are missed, the price
+    * [[knnGraphRecallAudit]]'s family measures.
+    */
+  def nearDupPairs(vectors: DataFrame, threshold: Double, numCells: Int,
+                   maxCellSize: Long = 0L): DataFrame = {
+    import graft.GraftStorage.Syntax
+    val assigned = assign(vectors, numCells).persistTracked()
+    cellPairs(guardCells(assigned, numCells, maxCellSize, "nearDupPairs"))
+      .filter(col("cos") >= threshold)
   }
 
   /** MULTI-PROBE kNN graph — the escalation's RECALL LEVER: each vector

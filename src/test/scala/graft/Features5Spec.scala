@@ -191,6 +191,39 @@ class Features5Spec extends SparkTestBase {
     GraftStorage.clear(spark)
   }
 
+  test("embeddingNearDupAutoRecall: contract regimes — exact, sized LSH, escalated IVF, loud failure") {
+    import graft.pipeline.{Dedup, SimilarityIvf, SimilarityLsh}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+      a.except(b).isEmpty && b.except(a).isEmpty
+    // exact regime holds the contract at recall 1 (n <= exactLimit)
+    assert(same(
+      Dedup.embeddingNearDupAutoRecall(emb, 0.35, targetRecall = 0.9, exactLimit = n),
+      Dedup.embeddingNearDup(emb, 0.35)))
+    // sized-LSH regime: tables derived from the target
+    val planes = SimilarityLsh.planesFor(n, SimilarityLsh.PairingMaxBucket)
+    val tables = SimilarityLsh.tablesFor(planes, 0.9, 0.35)
+    assert(tables < 64, "test premise: this sizing must NOT saturate")
+    assert(same(
+      Dedup.embeddingNearDupAutoRecall(emb, 0.35, targetRecall = 0.9, exactLimit = 0L),
+      SimilarityLsh.candidatePairsAuto(emb, numTables = tables,
+        maxBucketSize = SimilarityLsh.PairingMaxBucket)
+        .filter(col("cos") >= 0.35)))
+    // saturated: escalates to the IVF within-cell pair join
+    assert(same(
+      Dedup.embeddingNearDupAutoRecall(emb, 0.05, targetRecall = 0.999, exactLimit = 0L),
+      SimilarityIvf.nearDupPairs(emb, 0.05, SimilarityLsh.cellsFor(n))))
+    // ...or throws, naming the shortfall
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.embeddingNearDupAutoRecall(emb, 0.05, targetRecall = 0.999,
+        exactLimit = 0L, onSaturation = SimilarityLsh.FailLoud)
+    }
+    assert(ex.getMessage.contains("unreachable"))
+    GraftStorage.clear(spark)
+  }
+
   test("topKAutoRecall below the cap keeps the LSH plan (no spurious escalation)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

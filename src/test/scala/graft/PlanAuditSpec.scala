@@ -71,6 +71,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_ann_recall_ivf_probe",            // same shapes, nprobe=2 probe ranking
     "q_ann_recall_ivf_trained",          // same shapes + the refined k-row
                                          // centroid cross join
+    "q_dedup_embed_recall_escalate",     // the escalated IVF pair join's
+                                         // k-row centroid cross join
     "q_pipeline_e2e")                    // the embedded mix plan's two 1-row
                                          // waterfill broadcasts (q_mix_plan)
 
