@@ -419,6 +419,92 @@ object Queries {
        |sym1 AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p1
        |         UNION ALL SELECT id2, id1, cos FROM p1)""".stripMargin
 
+  /** [[graft.pipeline.SimilarityIvf.nprobeFor]] in DuckDB SQL over the
+    * `nc.cells` sizing CTE — the IDENTICAL IEEE tree
+    * (`cells·((t·t)/0.81)`, ceil, clamp to `[1, min(cells, MaxNprobe)]`),
+    * so the derived probe count matches the live path bit-for-bit at
+    * any SF (the powChain↔powSql determinism rule applied to the new
+    * sizing contract).
+    */
+  private def nprobeForSql(target: Double): String =
+    s"GREATEST(1, LEAST(cells, ${graft.pipeline.SimilarityIvf.MaxNprobe}, " +
+      s"CAST(ceil(CAST(cells AS DOUBLE) * (($target * $target) / 0.81)) AS BIGINT)))"
+
+  /** Multi-probe continuation of [[ivfKnnGraphSqlCte]] — the replay of
+    * [[graft.pipeline.SimilarityIvf.knnGraphMultiProbe]]'s candidate
+    * generation: each vector probes its `np` highest-ccos cells (probe
+    * rank 1 = the own cell, the assignment tie-break), probe ×
+    * guarded-corpus cell equi-join, DISTINCT (a pair met through both
+    * members' probes carries the bit-identical commutative cosine, so
+    * the duplicates collapse exactly). Ends in `scmp(q_id, n_id, cos)`.
+    * `npSql` is [[nprobeForSql]] (or a literal for fixed-probe rows).
+    */
+  private def ivfMultiProbeSqlCte(npSql: String): String =
+    s"""npc AS (SELECT $npSql AS np FROM nc),
+       |prb AS (SELECT vec_id AS q_id, e AS qe, cid AS cell FROM (
+       |   SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |   FROM asg) WHERE rn <= (SELECT np FROM npc)),
+       |scmp AS (SELECT DISTINCT prb.q_id, ap.vec_id AS n_id, ${ivfCosSql("prb.qe", "ap.e")} AS cos
+       |         FROM prb JOIN ap ON prb.cell = ap.cell AND prb.q_id <> ap.vec_id)""".stripMargin
+
+  /** The CLUSTERED derived corpus (r11 verdict task 2): the synthetic
+    * embeddings are near-orthogonal — the IVF quantizer's WORST regime,
+    * so its audits read the honest floor there — and this derives the
+    * OTHER regime deterministically IN QUERY from the same table:
+    * cluster `c = vec_id % 8`, centroid dimension `d` =
+    * `(c·37 + d·13) % 11 − 5`, vector = centroid + original embedding
+    * (the corpus itself plays the mixture's noise term — no RNG
+    * anywhere, so both engines derive the identical corpus). The
+    * centroid norm (√(64·10) ≈ 25) dominates the ~unit noise, so
+    * within-cluster cosines are high and the quantizer has real
+    * structure to exploit. All-integer centroid arithmetic; the
+    * float→double widening and one addition are IEEE-identical.
+    */
+  private val clusteredDeCte: String =
+    """de AS (SELECT vec_id,
+      |         list_transform(embedding, (x, i) ->
+      |           CAST(((vec_id % 8) * 37 + (i - 1) * 13) % 11 - 5 AS DOUBLE)
+      |             + CAST(x AS DOUBLE)) AS e
+      |       FROM embeddings)""".stripMargin
+
+  /** Spark twin of [[clusteredDeCte]]: `(vec_id, embedding)` with the
+    * derived clustered doubles.
+    */
+  private def clusteredVectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), array((0 until 64).map { d =>
+      (pmod(pmod(col("vec_id"), lit(8)) * lit(37) + lit(d * 13), lit(11)) - lit(5))
+        .cast("double") + col("embedding").getItem(d).cast("double")
+    }: _*).as("embedding"))
+
+  /** The shared recall-audit tail (the q_ann_recall_ivf shape): rank
+    * the candidate relation `candRel(q_id, n_id, cos)` to the top-3
+    * graph, brute-force the 50 md5-picked anchors against `de` for
+    * truth (cost nAnchors·n, never n²), LEFT JOIN and aggregate the
+    * per-anchor recall. Ends the statement — callers append nothing.
+    */
+  private def recallAuditTailSql(candRel: String): String =
+    s"""g AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |    FROM $candRel)
+       |  WHERE rank <= 3),
+       |anch AS (SELECT vec_id FROM embeddings
+       |         ORDER BY md5('anch:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 50),
+       |sc AS (SELECT q.vec_id AS q_id, c2.vec_id AS n_id, ${ivfCosSql("q.e", "c2.e")} AS cos
+       |       FROM de q JOIN anch ON q.vec_id = anch.vec_id
+       |            JOIN de c2 ON c2.vec_id <> q.vec_id),
+       |tr AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+       |    FROM sc)
+       |  WHERE r <= 3)
+       |SELECT tr.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+       |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+       |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) AS recall
+       |FROM tr LEFT JOIN g ON tr.q_id = g.q_id AND tr.n_id = g.n_id
+       |GROUP BY tr.q_id""".stripMargin
+
   /** DuckDB replay of [[graft.pipeline.SimilarityPq]]'s encode step
     * (m=8 subspaces, k=16 fixed codebook, 2²⁰ global scale): CTEs `sub`
     * (per-vector subvectors), `cb` (codebook), `pq_best` (per-subspace
@@ -445,17 +531,33 @@ object Queries {
     */
   private def lshBucketsCte(numPlanes: Int, numTables: Int): String = {
     def planeSql(p: Array[Double]) = "[" + p.map(_.toString).mkString(", ") + "]"
-    def bitSql(p: Array[Double]) =
-      s"CASE WHEN list_reduce(list_transform(e, (x,i) -> x * ${planeSql(p)}[i]), (p,q) -> p + q) >= 0 THEN '1' ELSE '0' END"
+    // planes HOISTED into a one-row materialized CTE and referenced by
+    // COLUMN inside the lambda: a list literal written inline in the
+    // lambda body is re-CONSTRUCTED per element evaluation (64-double
+    // build × 64 elements × planes × tables ≈ 0.5G constructions for a
+    // 64-table oracle — measured 98 s at sf0.01; 1.2 s hoisted), while
+    // a column reference indexes an existing value. Same multiplies,
+    // same fold — bit-identical keys.
+    val planeCols = (0 until numTables).flatMap { tIdx =>
+      graft.pipeline.SimilarityLsh.hyperplanes(numPlanes, 64, 42L + 1000L * tIdx)
+        .zipWithIndex.map { case (p, j) => s"${planeSql(p)} AS pl_${tIdx}_$j" }
+    }
+    def bitSql(tIdx: Int, j: Int) =
+      s"CASE WHEN list_reduce(list_transform(e, (x,i) -> x * pl_${tIdx}_$j[i]), (p,q) -> p + q) >= 0 THEN '1' ELSE '0' END"
     val buckets = (0 until numTables).map { tIdx =>
-      val bits = graft.pipeline.SimilarityLsh.hyperplanes(numPlanes, 64, 42L + 1000L * tIdx)
-        .map(bitSql).mkString(" || ")
-      s"$bits AS k$tIdx"
+      (0 until numPlanes).map(j => bitSql(tIdx, j)).mkString(" || ") + s" AS k$tIdx"
     }.mkString(",\n  ")
-    s"""de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-       |bk AS (SELECT vec_id, e,
+    // bk is referenced 3× PER TABLE branch (both join sides + the skew
+    // guard) — DuckDB inlines non-materialized CTEs per reference, so a
+    // 64-table oracle would recompute the bucket-key folds per vector
+    // ~192 times (the q_graph_hits AS MATERIALIZED lesson applied to
+    // the LSH hub)
+    s"""de AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+       |pls AS MATERIALIZED (SELECT
+       |  ${planeCols.mkString(",\n  ")}),
+       |bk AS MATERIALIZED (SELECT vec_id, e,
        |  $buckets
-       |FROM de)""".stripMargin
+       |FROM de CROSS JOIN pls)""".stripMargin
   }
 
   /** DuckDB replay of [[graft.pipeline.SimilarityLsh.candidatePairs]] +
@@ -468,15 +570,25 @@ object Queries {
     * and kNN-graph (q_knn_graph) oracles.
     */
   private def lshPairsSubquery(numTables: Int, maxBucketSize: Long): String = {
+    // cosine AFTER the union dedup, once per DISTINCT pair — computing it
+    // inside every table branch re-evaluated the three interpreted
+    // list_reduce folds per CANDIDATE row (64-table rows measured ~95 s
+    // at sf0.01 that way; the per-pair value is identical, dedup first).
+    // Arg order (id1 side first) matches the old per-branch expression
+    // bit-for-bit.
     val cosSql =
-      s"${dotSql("a.e", "b.e")} / (sqrt(${dotSql("a.e", "a.e")}) * sqrt(${dotSql("b.e", "b.e")}))"
-    (0 until numTables).map { i =>
-      s"""SELECT a.vec_id AS id1, b.vec_id AS id2, $cosSql AS cos
+      s"${dotSql("x.e", "y.e")} / (sqrt(${dotSql("x.e", "x.e")}) * sqrt(${dotSql("y.e", "y.e")}))"
+    val branches = (0 until numTables).map { i =>
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2
          |FROM bk a
          |JOIN bk b ON a.k$i = b.k$i AND a.vec_id < b.vec_id
          |JOIN (SELECT k$i AS gk, count(*) AS c FROM bk GROUP BY k$i
          |      HAVING count(*) <= $maxBucketSize) g ON a.k$i = g.gk""".stripMargin
     }.mkString("\nUNION\n")
+    s"""SELECT pp.id1, pp.id2, $cosSql AS cos
+       |FROM ($branches) pp
+       |JOIN de x ON pp.id1 = x.vec_id
+       |JOIN de y ON pp.id2 = y.vec_id""".stripMargin
   }
 
   private def lshOracleSql(numPlanes: Int, numTables: Int, threshold: Double,
@@ -4117,38 +4229,147 @@ object Queries {
            |WHERE rank <= 3""".stripMargin
       }),
 
-    // the SATURATION ESCALATION row (r10 verdict task 1): a recall
-    // contract hyperplane LSH provably cannot hold — 0.999 at cos 0.05
-    // needs ~94 tables of 4 planes, past the 64-table cap, and MORE
-    // planes only saturate harder, so the premise holds at every SF —
-    // which topKAutoRecall detects via the forward S-curve (recallAt)
-    // and escalates MECHANICALLY to the IVF kNN graph, √n cells
-    // (cellsFor — assignment n·cells and pairing n·(n/cells) balance at
-    // n^1.5; the first fixed-occupancy cut measured 41× at 100×). The
-    // oracle replays the ESCALATED path: fixed-quantizer assignment,
-    // the 16×-occupancy cell skew guard, within-cell self-pairing,
-    // symmetrize, rank ≤ k — with numCells derived from the live corpus
-    // count IN SQL (greatest(16, ceil(sqrt(n)))), so the row stays
-    // hash-green at any SF instead of baking one SF's sizing (the
-    // ADVICE r10 #3 lesson)
+    // the SATURATION row, now pinning the MONOTONE gate's refusal (r11
+    // verdict task 1): 0.999 at cos 0.05 saturates the 64-table cap at
+    // any planesFor output, but the capped LSH still ACHIEVES ~0.99 —
+    // and the sized IVF candidate (nprobe toward the target, capped at
+    // MaxNprobe) is expected to deliver at most 0.9·√(nprobe/cells) <
+    // that, so escalating would TRADE RECALL DOWN (the r11 finding:
+    // the old default swapped ~0.99 for a 0.19–0.41-auditing IVF
+    // graph). The row's result is therefore the capped 64-table LSH
+    // graph; the WARN names both numbers. The escalation that WINS is
+    // q_ann_escalate_wins below.
     Q("q_ann_recall_escalate",
       (s, d) => {
         // static premise pin: these params saturate the cap for ANY
-        // plane count planesFor can produce (>= 4) — no count job needed
+        // plane count planesFor can produce (>= 4)
         require(graft.pipeline.SimilarityLsh.tablesFor(4, 0.999, 0.05) == 64,
           "q_ann_recall_escalate: premise broken — params no longer saturate LSH")
-        graft.pipeline.SimilarityLsh.topKAutoRecall(
-          t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
-          k = 3, targetRecall = 0.999, minCosine = 0.05)
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val planes = graft.pipeline.SimilarityLsh.planesFor(
+          n, graft.pipeline.SimilarityLsh.PairingMaxBucket)
+        val achievable = graft.pipeline.SimilarityLsh.recallAt(planes, 64, 0.05)
+        val plan = graft.pipeline.SimilarityLsh.escalationPlan(n, 0.999, achievable)
+        // the oracle bakes the NON-escalated (capped-LSH) branch and
+        // planesFor(500) planes — assert both against the live corpus,
+        // with the SCALE-sweep drift hatch (larger synthesized corpora
+        // lower the achievable until the IVF honestly wins — by design)
+        require((!plan.escalate && planes ==
+            graft.pipeline.SimilarityLsh.planesFor(500,
+              graft.pipeline.SimilarityLsh.PairingMaxBucket)) ||
+            sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
+          s"q_ann_recall_escalate: live sizing (planes=$planes, " +
+            s"escalate=${plan.escalate}) diverges from the oracle's baked " +
+            "branch — regenerate the oracle for this SF")
+        graft.pipeline.SimilarityLsh.topKAutoRecall(emb,
+          k = 3, targetRecall = 0.999, minCosine = 0.05, knownCount = n)
+      },
+      Some {
+        val cap = graft.pipeline.SimilarityLsh.PairingMaxBucket
+        val p = graft.pipeline.SimilarityLsh.planesFor(500, cap)
+        s"""WITH ${lshBucketsCte(p, 64)},
+           |p AS (SELECT id1, id2, cos
+           |      FROM (${lshPairsSubquery(64, cap)})),
+           |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
+           |        UNION ALL SELECT id2, id1, cos FROM p)
+           |SELECT q_id, n_id, cos, rank FROM (
+           |  SELECT q_id, n_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM sym)
+           |WHERE rank <= 3""".stripMargin
+      }),
+
+    // the escalation that WINS — the monotone gate's other branch,
+    // live: a 0.35-recall contract for neighbors at cos ≥ −0.7 is
+    // unreachable for 4-plane LSH even at 64 tables (achievable
+    // ~0.232: near-antipodal neighbors almost never collide), while
+    // the IVF multi-probe graph — nprobe auto-sized toward the target
+    // by the measured-surface inversion (nprobeFor) — is expected to
+    // beat it (~0.375 at sf0.01's 23 cells / nprobe 4). The oracle
+    // replays the ESCALATED multi-probe path with cells AND nprobe
+    // derived from the live count IN SQL (the exact nprobeFor tree),
+    // so the row stays hash-green at any SF
+    Q("q_ann_escalate_wins",
+      (s, d) => {
+        require(graft.pipeline.SimilarityLsh.tablesFor(4, 0.35, -0.7) == 64,
+          "q_ann_escalate_wins: premise broken — params no longer saturate LSH")
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val planes = graft.pipeline.SimilarityLsh.planesFor(
+          n, graft.pipeline.SimilarityLsh.PairingMaxBucket)
+        val achievable = graft.pipeline.SimilarityLsh.recallAt(planes, 64, -0.7)
+        val plan = graft.pipeline.SimilarityLsh.escalationPlan(n, 0.35, achievable)
+        require((plan.escalate && plan.nprobe > 1) ||
+            sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
+          s"q_ann_escalate_wins: premise broken — the gate no longer " +
+            s"escalates multi-probe at this SF (got $plan)")
+        graft.pipeline.SimilarityLsh.topKAutoRecall(emb,
+          k = 3, targetRecall = 0.35, minCosine = -0.7, knownCount = n)
       },
       Some {
         s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-           |$ivfKnnGraphSqlCte
+           |$ivfKnnGraphSqlCte,
+           |${ivfMultiProbeSqlCte(nprobeForSql(0.35))}
            |SELECT q_id, n_id, cos, rank FROM (
            |  SELECT q_id, n_id, cos,
-           |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS BIGINT) AS rank
-           |  FROM sym)
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM scmp)
            |WHERE rank <= 3""".stripMargin
+      }),
+
+    // the multi-probe AUTO TWIN as a production row (r11 verdict task
+    // 3): both IVF knobs derived — cells from the corpus count
+    // (cellsFor) and nprobe from the recall target (nprobeFor, the
+    // measured-surface inversion) — the quantizer-family counterpart
+    // of q_knn_graph_recall's fully self-sizing contract. Target 0.2
+    // sizes nprobe to 2 (sf0.01) / 3 (sf0.1); the oracle derives both
+    // knobs in SQL with the identical arithmetic trees
+    Q("q_ann_ivf_probe_auto",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val np = graft.pipeline.SimilarityIvf.nprobeFor(0.2,
+          graft.pipeline.SimilarityLsh.cellsFor(n))
+        require(np > 1 || sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
+          s"q_ann_ivf_probe_auto: premise broken — nprobe=$np no longer " +
+            "exercises the multi-probe path at this SF")
+        graft.pipeline.SimilarityIvf.knnGraphMultiProbeAuto(emb, k = 3,
+          targetRecall = 0.2, knownCount = n)
+      },
+      Some {
+        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |$ivfKnnGraphSqlCte,
+           |${ivfMultiProbeSqlCte(nprobeForSql(0.2))}
+           |SELECT q_id, n_id, cos, rank FROM (
+           |  SELECT q_id, n_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM scmp)
+           |WHERE rank <= 3""".stripMargin
+      }),
+
+    // ...and its DEPLOYED AUDIT (the task-3 "audit row"): measured
+    // per-anchor recall of the auto-sized multi-probe graph against
+    // brute-force truth (the q_ann_recall_ivf shape) — the number that
+    // validates nprobeFor's expected-recall model on the live corpus,
+    // exactly as q_ann_recall_auto validates tablesFor's S-curve
+    Q("q_ann_recall_probe_auto",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val cells = graft.pipeline.SimilarityLsh.cellsFor(n)
+        SimilarityIvf.knnGraphRecallAudit(emb, k = 3, nAnchors = 50,
+          numCells = cells,
+          nprobe = graft.pipeline.SimilarityIvf.nprobeFor(0.35, cells))
+      },
+      Some {
+        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |$ivfKnnGraphSqlCte,
+           |${ivfMultiProbeSqlCte(nprobeForSql(0.35))},
+           |${recallAuditTailSql("scmp")}""".stripMargin
       }),
 
     // the RECALL CONTRACT extended to the dedup entry point (r11): LSH
@@ -4178,23 +4399,77 @@ object Queries {
            |WHERE cos >= 0.35""".stripMargin
       }),
 
-    // ...and its SATURATION row: a contract LSH cannot hold (0.999 at
-    // cos 0.05 — the q_ann_recall_escalate premise, provable at any
-    // planesFor output), which embeddingNearDupAutoRecall escalates to
-    // the IVF within-cell pair join (nearDupPairs, √n cells, guarded).
-    // The oracle replays the escalated path with cells derived IN SQL
+    // ...and its SATURATION row, now pinning the MONOTONE gate's
+    // refusal (r11 verdict task 1, dedup twin): 0.999 at cos 0.05
+    // saturates the cap, but the capped 64-table LSH still achieves
+    // ~0.99 — more than the sized IVF pair join is expected to deliver
+    // — so the gate keeps the LSH pairs and the result is the capped
+    // 64-table candidate set thresholded at 0.05. The escalation that
+    // WINS is q_dedup_embed_escalate_wins below.
     Q("q_dedup_embed_recall_escalate",
       (s, d) => {
         require(graft.pipeline.SimilarityLsh.tablesFor(4, 0.999, 0.05) == 64,
           "q_dedup_embed_recall_escalate: premise broken — params no longer saturate LSH")
-        Dedup.embeddingNearDupAutoRecall(
-          t(s, d)("embeddings").select(col("vec_id"), col("embedding")),
-          threshold = 0.05, targetRecall = 0.999, exactLimit = 0L)
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val planes = graft.pipeline.SimilarityLsh.planesFor(
+          n, graft.pipeline.SimilarityLsh.PairingMaxBucket)
+        val achievable = graft.pipeline.SimilarityLsh.recallAt(planes, 64, 0.05)
+        val plan = graft.pipeline.SimilarityLsh.escalationPlan(n, 0.999, achievable)
+        require((!plan.escalate && planes ==
+            graft.pipeline.SimilarityLsh.planesFor(500,
+              graft.pipeline.SimilarityLsh.PairingMaxBucket)) ||
+            sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
+          s"q_dedup_embed_recall_escalate: live sizing (planes=$planes, " +
+            s"escalate=${plan.escalate}) diverges from the oracle's baked " +
+            "branch — regenerate the oracle for this SF")
+        Dedup.embeddingNearDupAutoRecall(emb,
+          threshold = 0.05, targetRecall = 0.999, exactLimit = 0L,
+          knownCount = n)
+      },
+      Some {
+        val cap = graft.pipeline.SimilarityLsh.PairingMaxBucket
+        val p = graft.pipeline.SimilarityLsh.planesFor(500, cap)
+        s"""WITH ${lshBucketsCte(p, 64)}
+           |SELECT id1, id2, cos FROM (${lshPairsSubquery(64, cap)})
+           |WHERE cos >= 0.05""".stripMargin
+      }),
+
+    // the dedup escalation that WINS: the same near-antipodal contract
+    // as q_ann_escalate_wins (0.35 recall for pairs at cos ≥ −0.7 —
+    // 4-plane LSH achieves only ~0.232 at the cap), where the
+    // multi-probe IVF pair join (nearDupPairsMultiProbe — a pair
+    // candidates when EITHER member's probes reach the other's cell,
+    // least/greatest + DISTINCT absorbing the bit-symmetric double
+    // finds) is expected to beat it. Oracle replays the escalated
+    // multi-probe pair path, cells and nprobe derived IN SQL
+    Q("q_dedup_embed_escalate_wins",
+      (s, d) => {
+        require(graft.pipeline.SimilarityLsh.tablesFor(4, 0.35, -0.7) == 64,
+          "q_dedup_embed_escalate_wins: premise broken — params no longer saturate LSH")
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val planes = graft.pipeline.SimilarityLsh.planesFor(
+          n, graft.pipeline.SimilarityLsh.PairingMaxBucket)
+        val achievable = graft.pipeline.SimilarityLsh.recallAt(planes, 64, -0.7)
+        val plan = graft.pipeline.SimilarityLsh.escalationPlan(n, 0.35, achievable)
+        require((plan.escalate && plan.nprobe > 1) ||
+            sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
+          s"q_dedup_embed_escalate_wins: premise broken — the gate no " +
+            s"longer escalates multi-probe at this SF (got $plan)")
+        Dedup.embeddingNearDupAutoRecall(emb,
+          threshold = -0.7, targetRecall = 0.35, exactLimit = 0L,
+          knownCount = n)
       },
       Some {
         s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
-           |$ivfKnnGraphSqlCte
-           |SELECT id1, id2, cos FROM p WHERE cos >= 0.05""".stripMargin
+           |$ivfKnnGraphSqlCte,
+           |${ivfMultiProbeSqlCte(nprobeForSql(0.35))},
+           |cand AS (SELECT DISTINCT least(prb.q_id, ap.vec_id) AS id1,
+           |                greatest(prb.q_id, ap.vec_id) AS id2,
+           |                ${ivfCosSql("prb.qe", "ap.e")} AS cos
+           |         FROM prb JOIN ap ON prb.cell = ap.cell AND prb.q_id <> ap.vec_id)
+           |SELECT id1, id2, cos FROM cand WHERE cos >= -0.7""".stripMargin
       }),
 
     // the SCALING CONTRAST row for q_knn_graph: the fixed 8-plane graph
@@ -8801,6 +9076,72 @@ object Queries {
            |    / CAST(count(*) AS DOUBLE) AS recall
            |FROM tr LEFT JOIN g ON tr.q_id = g.q_id AND tr.n_id = g.n_id
            |GROUP BY tr.q_id""".stripMargin
+      }),
+
+    // the IVF audit in its FAVORABLE regime (r11 verdict task 2): the
+    // base q_ann_recall_ivf number (~0.19) is measured on the
+    // near-orthogonal synthetic corpus — the one distribution a
+    // quantizer is worst at — so this row derives a CLUSTERED corpus
+    // deterministically in-query (clusteredDeCte: 8 integer-pattern
+    // centroids + the original vectors as the mixture noise, no RNG)
+    // and audits the same cellsFor-sized graph there. Read as a pair
+    // with q_ann_recall_ivf: the two regimes bracket what the
+    // escalation gate's expected-recall model must stay conservative
+    // against (floor model below the clusterless reading; a clustered
+    // corpus reads far higher — pass the measured base via
+    // EscalateIvfMeasured to credit it)
+    Q("q_ann_recall_ivf_clustered",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val cl = clusteredVectors(emb)
+        SimilarityIvf.knnGraphRecallAudit(cl, k = 3, nAnchors = 50,
+          numCells = graft.pipeline.SimilarityLsh.cellsFor(emb.count()))
+      },
+      Some {
+        s"""WITH $clusteredDeCte,
+           |$ivfKnnGraphSqlCte,
+           |${recallAuditTailSql("sym")}""".stripMargin
+      }),
+
+    // ...the PROBE lever in the clustered regime (nprobe=2 — the
+    // q_ann_recall_ivf_probe twin): on a clustered corpus the second
+    // probe reaches the neighboring same-cluster cell, so the lift
+    // reads the quantizer's real geometry instead of the clusterless
+    // floor's √nprobe guess
+    Q("q_ann_recall_ivf_clustered_probe",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val cl = clusteredVectors(emb)
+        SimilarityIvf.knnGraphRecallAudit(cl, k = 3, nAnchors = 50,
+          numCells = graft.pipeline.SimilarityLsh.cellsFor(emb.count()),
+          nprobe = 2)
+      },
+      Some {
+        s"""WITH $clusteredDeCte,
+           |$ivfKnnGraphSqlCte,
+           |${ivfMultiProbeSqlCte("LEAST(2, cells)")},
+           |${recallAuditTailSql("scmp")}""".stripMargin
+      }),
+
+    // ...and the TRAINED lever in the clustered regime (one
+    // deterministic fixed-point k-means pass — the
+    // q_ann_recall_ivf_trained twin): training is THE lever clustering
+    // rewards (cells migrate onto the mixture components), so this is
+    // the row where the trained number should finally beat probing —
+    // completing the base/probe/trained triple in both regimes
+    Q("q_ann_recall_ivf_clustered_trained",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val cl = clusteredVectors(emb)
+        SimilarityIvf.knnGraphTrainedRecallAudit(cl, k = 3, nAnchors = 50,
+          numCells = graft.pipeline.SimilarityLsh.cellsFor(emb.count()),
+          iters = 1)
+      },
+      Some {
+        s"""WITH $clusteredDeCte,
+           |$ivfKnnGraphSqlCte,
+           |$ivfKnnGraphTrainedSqlCte,
+           |${recallAuditTailSql("sym1")}""".stripMargin
       })
   )
 

@@ -820,7 +820,12 @@ object Dedup {
   def minhashRecallAt(rowsPerBand: Int, numBands: Int, jaccard: Double): Double = {
     require(rowsPerBand >= 1 && numBands >= 1,
       s"rowsPerBand=$rowsPerBand numBands=$numBands out of range")
-    require(jaccard > 0.0 && jaccard < 1.0, s"jaccard=$jaccard out of range")
+    // j = 1 (exact duplicates) is well-defined — every band agrees, recall
+    // 1 — and the Column-side predicted path already admits it; the scalar
+    // API should not be stricter than its DataFrame twin (r11 advice). The
+    // formula handles it without a special case: log1p(-1) = -∞ → -expm1
+    // of -∞ = 1.0 exactly.
+    require(jaccard > 0.0 && jaccard <= 1.0, s"jaccard=$jaccard out of range")
     -math.expm1(numBands * math.log1p(-math.pow(jaccard, rowsPerBand.toDouble)))
   }
 
@@ -927,6 +932,12 @@ object Dedup {
       val b = numHashes / r
       require((b & (b - 1)) == 0,
         s"predicted=true needs power-of-two band counts, got $b for r=$r")
+      // r is a powChain exponent too (jaccard^r below) — check it HERE so
+      // the failure names the user-facing constraint instead of dying in
+      // powChain's internal-invariant require (r11 advice: numHashes=12
+      // with r=3 passed the band check and failed later)
+      require((r & (r - 1)) == 0,
+        s"predicted=true needs power-of-two rows_per_band, got r=$r")
     }
     val statAggs = count(lit(1)).as("true_pairs") +:
       (if (!predicted) Seq.empty else rowsPerBandConfigs.map { r =>
@@ -1003,9 +1014,10 @@ object Dedup {
     */
   def embeddingNearDupAuto(vectors: DataFrame, threshold: Double,
                            numTables: Int = 8, dim: Int = 64,
-                           exactLimit: Long = graft.GraftConfig.ExactPairVectors)
+                           exactLimit: Long = graft.GraftConfig.ExactPairVectors,
+                           knownCount: Long = -1L)
       : DataFrame = {
-    val n = vectors.count()
+    val n = SimilarityLsh.corpusCount(vectors, knownCount)
     val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
     if (n <= exactLimit) {
       log.info(s"embeddingNearDupAuto: corpus=$n <= exactLimit=$exactLimit — exact all-pairs regime")
@@ -1040,9 +1052,10 @@ object Dedup {
                                  targetRecall: Double = 0.9, dim: Int = 64,
                                  exactLimit: Long = graft.GraftConfig.ExactPairVectors,
                                  onSaturation: SimilarityLsh.SaturationPolicy =
-                                   SimilarityLsh.EscalateIvf): DataFrame = {
+                                   SimilarityLsh.EscalateIvf,
+                                 knownCount: Long = -1L): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
-    val n = vectors.count()
+    val n = SimilarityLsh.corpusCount(vectors, knownCount)
     if (n <= exactLimit) {
       log.info(s"embeddingNearDupAutoRecall: corpus=$n <= exactLimit=" +
         s"$exactLimit — exact all-pairs regime (recall 1)")
@@ -1052,20 +1065,45 @@ object Dedup {
     val tables = SimilarityLsh.tablesFor(planes, targetRecall, threshold)
     val achievable = SimilarityLsh.recallAt(planes, tables, threshold)
     val saturated = achievable + 1e-9 < targetRecall
+    def cappedLsh() = SimilarityLsh.candidatePairsAutoCounted(vectors, n,
+        tables, dim, maxBucketSize = SimilarityLsh.PairingMaxBucket)
+      .filter(col("cos") >= threshold)
     if (!saturated) {
       log.info(s"embeddingNearDupAutoRecall: corpus=$n planes=$planes " +
         s"tables=$tables (recall>=$targetRecall at cos>=$threshold)")
-      SimilarityLsh.candidatePairsAutoCounted(vectors, n, tables, dim,
-          maxBucketSize = SimilarityLsh.PairingMaxBucket)
-        .filter(col("cos") >= threshold)
+      cappedLsh()
     } else onSaturation match {
-      case SimilarityLsh.EscalateIvf =>
-        val cells = SimilarityLsh.cellsFor(n)
-        log.warn(f"embeddingNearDupAutoRecall: LSH SATURATED — $tables " +
-          f"tables achieve ~$achievable%.4f < target $targetRecall at " +
-          f"cos>=$threshold with $planes planes; escalating to IVF " +
-          f"within-cell pairs (numCells=$cells)")
-        SimilarityIvf.nearDupPairs(vectors, threshold, cells)
+      // same MONOTONE gate as topKAutoRecall (r12): the IVF pair join —
+      // nprobe auto-sized toward the target — must be EXPECTED to beat
+      // the saturated LSH's achievable recall, else keep the LSH pairs;
+      // both numbers named in the WARN either way
+      case p @ (SimilarityLsh.EscalateIvf |
+                SimilarityLsh.EscalateIvfMeasured(_)) =>
+        val r1 = p match {
+          case SimilarityLsh.EscalateIvfMeasured(m) => m
+          case _ => -1.0
+        }
+        val plan = SimilarityLsh.escalationPlan(n, targetRecall, achievable, r1)
+        if (plan.escalate) {
+          log.warn(f"embeddingNearDupAutoRecall: LSH SATURATED — $tables " +
+            f"tables achieve ~$achievable%.4f < target $targetRecall at " +
+            f"cos>=$threshold with $planes planes; IVF expected " +
+            f"~${plan.expectedIvf}%.4f at nprobe=${plan.nprobe} " +
+            f"(cells=${plan.cells}) beats it — escalating to IVF " +
+            "within-cell pairs")
+          if (plan.nprobe <= 1)
+            SimilarityIvf.nearDupPairs(vectors, threshold, plan.cells)
+          else
+            SimilarityIvf.nearDupPairsMultiProbe(vectors, threshold,
+              plan.cells, plan.nprobe)
+        } else {
+          log.warn(f"embeddingNearDupAutoRecall: LSH SATURATED (achievable " +
+            f"~$achievable%.4f < target $targetRecall at cos>=$threshold) " +
+            f"but IVF expected ~${plan.expectedIvf}%.4f at " +
+            f"nprobe=${plan.nprobe} would deliver LESS — keeping the capped " +
+            f"$tables-table pairs; delivered recall is the achievable figure")
+          cappedLsh()
+        }
       case SimilarityLsh.FailLoud =>
         throw new IllegalArgumentException(
           f"embeddingNearDupAutoRecall: recall target $targetRecall at " +
@@ -1076,9 +1114,7 @@ object Dedup {
         log.warn(f"embeddingNearDupAutoRecall: LSH saturated (achievable " +
           f"~$achievable%.4f < target $targetRecall) — ForceLsh keeps the " +
           f"capped $tables-table pairs")
-        SimilarityLsh.candidatePairsAutoCounted(vectors, n, tables, dim,
-          maxBucketSize = SimilarityLsh.PairingMaxBucket)
-          .filter(col("cos") >= threshold)
+        cappedLsh()
     }
   }
 
@@ -1134,9 +1170,10 @@ object Dedup {
   def semanticNearDupsAuto(vectors: DataFrame, targetCellSize: Long = 64,
                            iters: Int = 2, dim: Int = 64,
                            minCosine: Double = 0.8, id: String = "vec_id",
-                           emb: String = "embedding"): DataFrame = {
+                           emb: String = "embedding",
+                           knownCount: Long = -1L): DataFrame = {
     require(targetCellSize >= 1, s"targetCellSize=$targetCellSize must be >= 1")
-    val n = vectors.count()
+    val n = SimilarityLsh.corpusCount(vectors, knownCount)
     val k = math.max(1L, n / targetCellSize).toInt
     org.slf4j.LoggerFactory.getLogger("graft.Dedup")
       .info(s"semanticNearDupsAuto: corpus=$n targetCellSize=$targetCellSize k=$k")

@@ -354,6 +354,152 @@ object SimilarityIvf {
       .filter(col("rank") <= k)
   }
 
+  /** Probe-count COST CAP for the auto-sized multi-probe paths: cost is
+    * linear in nprobe (each probe is one more row through the cell
+    * equi-join), so 16 bounds the escalated search at 16× the n^1.5
+    * pairing leg. Past it, more probes buy recall slower than a trained
+    * quantizer or a hierarchical index would — and nprobe → numCells
+    * degenerates to exhaustive n² search, which an "approximate" path
+    * must never silently become. [[nprobeFor]] clamps here and
+    * [[expectedRecall]] prices what the clamp delivers, the same
+    * loud-saturation stance as [[SimilarityLsh.tablesFor]]'s 64-table
+    * cap.
+    */
+  val MaxNprobe = 16
+
+  /** EXPECTED recall of the IVF kNN graph at `nprobe` probes — the
+    * closed-form twin of [[SimilarityLsh.recallAt]] for the quantizer
+    * family, fitted to this repo's measured surface (SCALE.md r11,
+    * `cli/IvfProbe` over [[knnGraphRecallAudit]], mean top-3 recall,
+    * cells = `cellsFor(n)`):
+    *
+    *   - recall grows as √nprobe: measured 0.207→0.300→0.413 across
+    *     nprobe 1→2→4 at 45 cells (model 0.9·√(nprobe/cells) =
+    *     0.134→0.190→0.268 — conservative), and the √ shape holds at
+    *     all three measured corpus sizes;
+    *   - base recall at nprobe=1 falls as 1/√cells: measured 0.193 at
+    *     23 cells / 0.207 at 45 / 0.080 at 142, vs the model floor
+    *     0.9/√cells = 0.188 / 0.134 / 0.076.
+    *
+    * The default model (`recallAtNprobe1 < 0`) is the CLUSTERLESS
+    * floor — `min(1, (0.9/√cells)·√nprobe)` — conservative on all nine
+    * measured points, because the synthetic testdata corpus is the
+    * quantizer's WORST regime (random vectors give cells nothing to
+    * exploit). On a clustered corpus the honest number is higher: run
+    * [[knnGraphRecallAudit]] once at nprobe=1 and pass its reading as
+    * `recallAtNprobe1` — the √nprobe amplification then extrapolates
+    * from the measured base instead of the floor. Never use this as a
+    * delivered-recall claim; it sizes and gates, the audit verifies.
+    */
+  def expectedRecall(numCells: Int, nprobe: Int,
+                     recallAtNprobe1: Double = -1.0): Double = {
+    require(numCells >= 1, s"numCells=$numCells out of range")
+    require(nprobe >= 1, s"nprobe=$nprobe out of range")
+    require(recallAtNprobe1 <= 1.0,
+      s"recallAtNprobe1=$recallAtNprobe1 is not a recall")
+    val r1 = if (recallAtNprobe1 > 0) recallAtNprobe1
+             else 0.9 / math.sqrt(numCells.toDouble)
+    math.min(1.0, r1 * math.sqrt(nprobe.toDouble))
+  }
+
+  /** Probe-count sizing from a recall target — the multi-probe sizing
+    * contract completing the [[SimilarityLsh.planesFor]] /
+    * [[SimilarityLsh.tablesFor]] / [[graft.pipeline.Dedup.hashesFor]]
+    * family (r11 verdict task 3): inverts [[expectedRecall]] to the
+    * smallest nprobe whose expected recall meets `targetRecall`,
+    * clamped to `[1, min(numCells, MaxNprobe)]`. When the clamp
+    * engages, the target is unreachable for this index at a sane cost —
+    * `expectedRecall(numCells, nprobeFor(...))` prices exactly what the
+    * clamped sizing delivers, the same achievable-vs-target contract as
+    * the 64-table LSH cap.
+    *
+    * DETERMINISM: the arithmetic trees here are replayed verbatim by
+    * the catalog oracles' SQL (`ceil(cells * ((t*t)/0.81))` — identical
+    * IEEE operation order, so the derived nprobe matches bit-for-bit
+    * at any corpus size; the house no-libm-pow rule).
+    */
+  def nprobeFor(targetRecall: Double, numCells: Int,
+                recallAtNprobe1: Double = -1.0): Int = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall=$targetRecall must be in (0, 1)")
+    require(numCells >= 1, s"numCells=$numCells out of range")
+    val raw =
+      if (recallAtNprobe1 > 0)
+        math.ceil((targetRecall / recallAtNprobe1) * (targetRecall / recallAtNprobe1))
+      else
+        math.ceil(numCells.toDouble * ((targetRecall * targetRecall) / 0.81))
+    math.max(1, math.min(math.min(numCells, MaxNprobe).toDouble, raw).toInt)
+  }
+
+  /** [[knnGraphMultiProbe]] with BOTH knobs derived — cells from the
+    * corpus count ([[SimilarityLsh.cellsFor]], the COST knob) and
+    * nprobe from the recall target ([[nprobeFor]], the RECALL knob) —
+    * the IVF twin of [[SimilarityLsh.topKAutoRecall]]'s fully
+    * self-sizing contract. Logs the sizing and the EXPECTED recall
+    * (the clusterless floor unless a measured `recallAtNprobe1` is
+    * passed); when the nprobe clamp leaves expected short of the
+    * target, the shortfall is loud, never silent. `knownCount ≥ 0`
+    * skips the sizing count job (r11 verdict task 6 — at 100 TB a
+    * count is a full scan; pass the manifest's number).
+    */
+  def knnGraphMultiProbeAuto(vectors: DataFrame, k: Int,
+                             targetRecall: Double = 0.9,
+                             recallAtNprobe1: Double = -1.0,
+                             knownCount: Long = -1L): DataFrame = {
+    val log = org.slf4j.LoggerFactory.getLogger("graft.SimilarityIvf")
+    val n = SimilarityLsh.corpusCount(vectors, knownCount)
+    val cells = SimilarityLsh.cellsFor(n)
+    val nprobe = nprobeFor(targetRecall, cells, recallAtNprobe1)
+    val expected = expectedRecall(cells, nprobe, recallAtNprobe1)
+    if (expected + 1e-9 < targetRecall)
+      log.warn(f"knnGraphMultiProbeAuto: corpus=$n cells=$cells — nprobe " +
+        f"clamped at $nprobe (cap ${math.min(cells, MaxNprobe)}); expected " +
+        f"recall ~$expected%.4f < target $targetRecall. Train the quantizer " +
+        "or use the exact path for this contract")
+    else
+      log.info(f"knnGraphMultiProbeAuto: corpus=$n cells=$cells " +
+        f"nprobe=$nprobe expected~$expected%.4f (target $targetRecall)")
+    if (nprobe <= 1) knnGraph(vectors, k, cells)
+    else knnGraphMultiProbe(vectors, k, cells, nprobe)
+  }
+
+  /** MULTI-PROBE near-dup pairs — the PAIRS twin of
+    * [[knnGraphMultiProbe]] and the recall lever for the dedup
+    * escalation ([[graft.pipeline.Dedup.embeddingNearDupAutoRecall]]):
+    * a pair is a candidate when EITHER member's `nprobe` probed cells
+    * contain the other's cell, so its candidates are a superset of
+    * [[nearDupPairs]]' (probe rank 1 is the own cell — same tie-break
+    * as [[assign]]; spec-pinned). `least/greatest` + `distinct`
+    * absorb pairs met through both directions — the cosine is
+    * bit-symmetric (commutative IEEE multiply inside the same fold),
+    * so the duplicates collapse exactly. Cost linear in nprobe; the
+    * corpus side stays cell-guarded.
+    */
+  def nearDupPairsMultiProbe(vectors: DataFrame, threshold: Double,
+                             numCells: Int, nprobe: Int,
+                             maxCellSize: Long = 0L): DataFrame = {
+    import graft.GraftStorage.Syntax
+    require(nprobe >= 1, s"nprobe=$nprobe out of range")
+    val assigned = assign(vectors, numCells).persistTracked()
+    val sized = guardCells(assigned, numCells, maxCellSize,
+      "nearDupPairsMultiProbe")
+    val qScored = vectors.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      .crossJoin(broadcast(centroids(vectors, numCells)))
+      .select(col("q_id"), col("qe"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("ccos"))
+    val probes = qScored.withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cid").as("cell"))
+    probes.join(sized, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(least(col("q_id"), col("vec_id")).as("id1"),
+        greatest(col("q_id"), col("vec_id")).as("id2"),
+        Similarity.cosine(col("qe"), col("embedding")).as("cos"))
+      .distinct()
+      .filter(col("cos") >= threshold)
+  }
+
   /** Measured recall of the IVF kNN graph — the ESCALATED path's own
     * deployed audit ([[SimilarityLsh.knnRecallAudit]]'s shape over
     * [[knnGraph]]): every self-sizing path ships the audit that prices
@@ -363,21 +509,33 @@ object SimilarityIvf {
     * cost nAnchors·n, never n². `nprobe > 1` audits
     * [[knnGraphMultiProbe]] — the lever a run pulls when the nprobe=1
     * number reads too low.
+    *
+    * `numCells` unspecified (≤ 0) derives via
+    * `cellsFor(vectors.count())` — the PRODUCTION escalation sizing
+    * (r11 advice #4: a fixed 16-cell default silently audits a graph
+    * the escalation never builds; every real caller passes `cellsFor`).
     */
   def knnGraphRecallAudit(vectors: DataFrame, k: Int, nAnchors: Int = 50,
-                          numCells: Int = 16, nprobe: Int = 1): DataFrame =
+                          numCells: Int = -1, nprobe: Int = 1): DataFrame = {
+    val cells = if (numCells > 0) numCells
+                else SimilarityLsh.cellsFor(vectors.count())
     SimilarityLsh.recallAuditCore(vectors, k, nAnchors,
-      if (nprobe <= 1) knnGraph(vectors, k, numCells)
-      else knnGraphMultiProbe(vectors, k, numCells, nprobe))
+      if (nprobe <= 1) knnGraph(vectors, k, cells)
+      else knnGraphMultiProbe(vectors, k, cells, nprobe))
+  }
 
   /** [[knnGraphRecallAudit]] for the TRAINED-quantizer graph — the
-    * second recall lever's own number.
+    * second recall lever's own number. Same default-sizing contract:
+    * `numCells` ≤ 0 derives via `cellsFor(vectors.count())`.
     */
   def knnGraphTrainedRecallAudit(vectors: DataFrame, k: Int,
-                                 nAnchors: Int = 50, numCells: Int = 16,
-                                 iters: Int = 1): DataFrame =
+                                 nAnchors: Int = 50, numCells: Int = -1,
+                                 iters: Int = 1): DataFrame = {
+    val cells = if (numCells > 0) numCells
+                else SimilarityLsh.cellsFor(vectors.count())
     SimilarityLsh.recallAuditCore(vectors, k, nAnchors,
-      knnGraphTrained(vectors, k, numCells, iters))
+      knnGraphTrained(vectors, k, cells, iters))
+  }
 
   def topKMultiProbe(vectors: DataFrame, queries: DataFrame, k: Int,
                      numCells: Int = 16, nprobe: Int = 2): DataFrame = {
@@ -580,18 +738,72 @@ object SimilarityLsh {
     * not a SCALE.md footnote).
     */
   sealed trait SaturationPolicy
-  /** Escalate to the IVF kNN graph ([[SimilarityIvf.knnGraph]]) — cells
-    * sized for the same bounded pairing occupancy — and log the switch.
-    * The default: the run completes with the index family that can
-    * still improve recall (multi-probe / trained quantizer levers)
-    * instead of an LSH sizing that provably cannot. */
+  /** Escalate to the IVF kNN graph — cells sized by [[cellsFor]],
+    * nprobe auto-sized toward the target ([[SimilarityIvf.nprobeFor]])
+    * — but ONLY when the IVF's expected recall
+    * ([[SimilarityIvf.expectedRecall]], the measured-surface model)
+    * beats what the saturated 64-table LSH still achieves; otherwise
+    * behave as [[ForceLsh]] with the loud shortfall log. The r11
+    * verdict's monotonicity contract: escalation must NEVER deliver
+    * less expected recall than the sizing it abandons (the pre-r12
+    * default traded a measured ~0.99-achievable LSH for an IVF graph
+    * auditing 0.19–0.41 on this corpus). The default model is the
+    * clusterless floor — on a clustered corpus, pass the measured
+    * nprobe=1 audit reading via [[EscalateIvfMeasured]] so the gate
+    * credits the quantizer's real advantage. */
   case object EscalateIvf extends SaturationPolicy
+  /** [[EscalateIvf]] with the IVF side priced by a MEASURED nprobe=1
+    * recall (one [[SimilarityIvf.knnGraphRecallAudit]] reading on this
+    * corpus or a sampled shard) instead of the clusterless floor model
+    * — the honest gate on clustered corpora, where the floor
+    * under-credits the quantizer. Same monotone rule: escalate only if
+    * the extrapolated IVF expectation beats the LSH achievable. */
+  final case class EscalateIvfMeasured(recallAtNprobe1: Double)
+      extends SaturationPolicy {
+    require(recallAtNprobe1 > 0.0 && recallAtNprobe1 <= 1.0,
+      s"recallAtNprobe1=$recallAtNprobe1 is not a recall")
+  }
   /** Throw, naming the achievable recall at 64 tables — for callers
     * whose downstream assumes the LSH plan shape. */
   case object FailLoud extends SaturationPolicy
   /** Proceed with the capped 64-table LSH graph anyway, logging the
     * achievable recall — the pre-r11 behavior, now opt-in and loud. */
   case object ForceLsh extends SaturationPolicy
+
+  /** The monotone escalation decision, pure and spec-pinnable: given a
+    * saturated-LSH achievable recall, size the IVF candidate (cells
+    * from n, nprobe toward the target) and escalate IFF its expected
+    * recall strictly beats the achievable. By construction
+    * `max(achievable, expected-if-escalating)` is what the chosen path
+    * is expected to deliver — escalation can only raise it
+    * (EscalationSpec pins this over a parameter grid).
+    */
+  private[graft] final case class IvfEscalation(
+      escalate: Boolean, cells: Int, nprobe: Int, expectedIvf: Double)
+  private[graft] def escalationPlan(n: Long, targetRecall: Double,
+                                    achievable: Double,
+                                    recallAtNprobe1: Double = -1.0): IvfEscalation = {
+    val cells = cellsFor(n)
+    val nprobe = SimilarityIvf.nprobeFor(targetRecall, cells, recallAtNprobe1)
+    val expected = SimilarityIvf.expectedRecall(cells, nprobe, recallAtNprobe1)
+    IvfEscalation(expected > achievable + 1e-9, cells, nprobe, expected)
+  }
+
+  /** Corpus row count for the self-sizing entry points WITHOUT forcing
+    * a full count scan (r11 verdict task 6 — at 100 TB a count job is a
+    * full pass): a caller-supplied `knownCount ≥ 0` wins (a manifest /
+    * prior stage already paid for it), else Catalyst's optimized-plan
+    * row-count statistic when available (CBO/ANALYZE'd tables), else
+    * the exact count as the fallback. Sizing only needs the right
+    * ORDER of magnitude — planes/cells move by whole steps — so a
+    * stats-derived estimate is safe where hash-exactness wouldn't be.
+    */
+  private[graft] def corpusCount(df: DataFrame, knownCount: Long = -1L): Long =
+    if (knownCount >= 0L) knownCount
+    else df.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(rc) => rc.longValue
+      case None => df.count()
+    }
 
   /** Cell-count sizing for the IVF escalation: `⌈√n⌉` cells (floor 16).
     * BALANCED, not fixed-occupancy: flat-quantizer assignment costs
@@ -619,9 +831,10 @@ object SimilarityLsh {
     */
   def candidatePairsAuto(vectors: DataFrame, numTables: Int = 8, dim: Int = 64,
                          seed: Long = 42L,
-                         maxBucketSize: Long = PairingMaxBucket): DataFrame =
-    candidatePairsAutoCounted(vectors, vectors.count(), numTables, dim, seed,
-      maxBucketSize)
+                         maxBucketSize: Long = PairingMaxBucket,
+                         knownCount: Long = -1L): DataFrame =
+    candidatePairsAutoCounted(vectors, corpusCount(vectors, knownCount),
+      numTables, dim, seed, maxBucketSize)
 
   /** [[candidatePairsAuto]] with the corpus count supplied by a caller
     * that already paid for it (e.g.
@@ -755,9 +968,9 @@ object SimilarityLsh {
     * [[graft.GraftStorage]]`.clear` (same contract as topK).
     */
   def topKAuto(vectors: DataFrame, k: Int, numTables: Int = 8,
-               dim: Int = 64): DataFrame =
+               dim: Int = 64, knownCount: Long = -1L): DataFrame =
     rankTopK(candidatePairsAuto(vectors, numTables, dim,
-      maxBucketSize = PairingMaxBucket), k)
+      maxBucketSize = PairingMaxBucket, knownCount = knownCount), k)
 
   /** The FULLY self-sizing kNN graph — both LSH knobs derived: planes
     * from the live corpus count ([[planesFor]] under [[PairingMaxBucket]]
@@ -781,29 +994,54 @@ object SimilarityLsh {
     */
   def topKAutoRecall(vectors: DataFrame, k: Int, targetRecall: Double = 0.9,
                      minCosine: Double = 0.5, dim: Int = 64,
-                     onSaturation: SaturationPolicy = EscalateIvf): DataFrame = {
+                     onSaturation: SaturationPolicy = EscalateIvf,
+                     knownCount: Long = -1L): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger("graft.SimilarityLsh")
-    val n = vectors.count()
+    val n = corpusCount(vectors, knownCount)
     val planes = planesFor(n, PairingMaxBucket)
     val tables = tablesFor(planes, targetRecall, minCosine)
     val achievable = recallAt(planes, tables, minCosine)
     // strict-with-slack: tablesFor rounds UP, so an unclamped sizing
     // always meets the target; only the 64-cap can leave a gap
     val saturated = achievable + 1e-9 < targetRecall
+    def cappedLsh() = rankTopK(candidatePairsAutoCounted(vectors, n, tables,
+      dim, maxBucketSize = PairingMaxBucket), k)
     if (!saturated) {
       log.info(s"topKAutoRecall: corpus=$n planes=$planes tables=$tables " +
         s"(targetRecall=$targetRecall at cos>=$minCosine)")
-      rankTopK(candidatePairsAutoCounted(vectors, n, tables, dim,
-        maxBucketSize = PairingMaxBucket), k)
+      cappedLsh()
     } else onSaturation match {
-      case EscalateIvf =>
-        val cells = cellsFor(n)
-        log.warn(f"topKAutoRecall: LSH SATURATED — $tables tables (the cap) " +
-          f"achieve recall ~$achievable%.4f < target $targetRecall at " +
-          f"cos>=$minCosine with $planes planes; escalating to the IVF kNN " +
-          f"graph (numCells=$cells). IVF recall follows the quantizer, not " +
-          "the S-curve — raise it via multi-probe / trained centroids")
-        SimilarityIvf.knnGraph(vectors, k, cells)
+      // the MONOTONE escalation gate (r12): escalate only when the IVF
+      // candidate — nprobe auto-sized toward the target — is EXPECTED
+      // to beat what the saturated 64-table LSH still achieves;
+      // otherwise keep the LSH (ForceLsh behavior) and say so. The WARN
+      // names both numbers either way, so no path trades recall down
+      // silently (the r11 finding: the old default swapped ~0.99
+      // achievable for a 0.19–0.41-auditing IVF graph).
+      case p @ (EscalateIvf | EscalateIvfMeasured(_)) =>
+        val r1 = p match {
+          case EscalateIvfMeasured(m) => m
+          case _ => -1.0
+        }
+        val plan = escalationPlan(n, targetRecall, achievable, r1)
+        if (plan.escalate) {
+          log.warn(f"topKAutoRecall: LSH SATURATED — $tables tables (the " +
+            f"cap) achieve recall ~$achievable%.4f < target $targetRecall " +
+            f"at cos>=$minCosine with $planes planes; IVF expected " +
+            f"~${plan.expectedIvf}%.4f at nprobe=${plan.nprobe} " +
+            f"(cells=${plan.cells}) beats it — escalating. Verify with " +
+            "knnGraphRecallAudit before trusting the sizing")
+          if (plan.nprobe <= 1) SimilarityIvf.knnGraph(vectors, k, plan.cells)
+          else SimilarityIvf.knnGraphMultiProbe(vectors, k, plan.cells, plan.nprobe)
+        } else {
+          log.warn(f"topKAutoRecall: LSH SATURATED (achievable " +
+            f"~$achievable%.4f < target $targetRecall at cos>=$minCosine) " +
+            f"but IVF expected ~${plan.expectedIvf}%.4f at " +
+            f"nprobe=${plan.nprobe} would deliver LESS — keeping the capped " +
+            f"$tables-table LSH graph; delivered recall is the achievable " +
+            "figure, not the target")
+          cappedLsh()
+        }
       case FailLoud =>
         throw new IllegalArgumentException(
           f"topKAutoRecall: recall target $targetRecall at cos>=$minCosine " +
@@ -814,8 +1052,7 @@ object SimilarityLsh {
         log.warn(f"topKAutoRecall: LSH saturated (achievable ~$achievable%.4f " +
           f"< target $targetRecall) — ForceLsh keeps the capped $tables-table " +
           "graph; the delivered recall is the achievable figure, not the target")
-        rankTopK(candidatePairsAutoCounted(vectors, n, tables, dim,
-          maxBucketSize = PairingMaxBucket), k)
+        cappedLsh()
     }
   }
 

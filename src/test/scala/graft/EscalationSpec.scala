@@ -1,0 +1,119 @@
+package graft
+
+import graft.pipeline.{Dedup, SimilarityIvf, SimilarityLsh}
+import org.apache.spark.sql.functions._
+
+/** Round-12 specs: the MONOTONE saturation escalation (r11 verdict
+  * task 1 — escalation must never deliver less expected recall than
+  * the sizing it abandons), the nprobe sizing contract completing the
+  * planesFor/tablesFor/hashesFor family (task 3), and the two r11
+  * advice regressions (j=1 recall, predicted-mode rows_per_band
+  * naming).
+  */
+class EscalationSpec extends SparkTestBase {
+
+  test("nprobeFor inverts expectedRecall tightly under its clamps") {
+    for (cells <- Seq(16, 23, 45, 142, 1000); t <- Seq(0.2, 0.35, 0.5, 0.9)) {
+      val np = SimilarityIvf.nprobeFor(t, cells)
+      assert(np >= 1 && np <= math.min(cells, SimilarityIvf.MaxNprobe))
+      val unclamped = np < math.min(cells, SimilarityIvf.MaxNprobe)
+      if (unclamped) {
+        assert(SimilarityIvf.expectedRecall(cells, np) >= t,
+          s"cells=$cells t=$t np=$np under-delivers")
+        if (np > 1)
+          assert(SimilarityIvf.expectedRecall(cells, np - 1) < t,
+            s"cells=$cells t=$t: np-1=${np - 1} already suffices — inversion loose")
+      }
+    }
+    // the measured-base form inverts from the audit reading, not cells
+    assert(SimilarityIvf.nprobeFor(0.999, 23, recallAtNprobe1 = 0.95) === 2)
+    assert(SimilarityIvf.nprobeFor(0.9, 1000, recallAtNprobe1 = 0.5) === 4)
+  }
+
+  test("expectedRecall: sqrt(nprobe) amplification, capped at 1, conservative on every measured surface point") {
+    // monotone in nprobe, never above 1
+    for (cells <- Seq(23, 45, 142); np <- 1 until 16) {
+      val a = SimilarityIvf.expectedRecall(cells, np)
+      val b = SimilarityIvf.expectedRecall(cells, np + 1)
+      assert(b >= a && b <= 1.0)
+    }
+    // the SCALE.md r11 measured surface (cli/IvfProbe, mean top-3
+    // recall, cells = cellsFor(n)) — the floor model must sit AT OR
+    // BELOW all nine points (conservative: it gates escalation, and an
+    // optimistic model would re-open the recall-downgrade hole)
+    val measured = Seq( // (cells, nprobe, measured recall)
+      (23, 1, 0.193), (23, 2, 0.280), (23, 4, 0.407),
+      (45, 1, 0.207), (45, 2, 0.300), (45, 4, 0.413),
+      (142, 1, 0.080), (142, 2, 0.113), (142, 4, 0.213))
+    measured.foreach { case (cells, np, m) =>
+      val e = SimilarityIvf.expectedRecall(cells, np)
+      assert(e <= m + 1e-12, f"model $e%.4f above measured $m at cells=$cells np=$np")
+    }
+    // measured base overrides the floor
+    assert(SimilarityIvf.expectedRecall(45, 1, recallAtNprobe1 = 0.6) === 0.6)
+    assert(SimilarityIvf.expectedRecall(45, 4, recallAtNprobe1 = 0.6) === 1.0)
+  }
+
+  test("escalationPlan is recall-monotone: it escalates ONLY when the sized IVF is expected to beat the achievable LSH") {
+    for (n <- Seq(500L, 2000L, 20000L, 1000000L);
+         t <- Seq(0.35, 0.5, 0.9, 0.999);
+         achievable <- Seq(0.05, 0.23, 0.5, 0.73, 0.99);
+         r1 <- Seq(-1.0, 0.3, 0.95)) {
+      val plan = SimilarityLsh.escalationPlan(n, t, achievable, r1)
+      // what the chosen path is expected to deliver — never below the
+      // LSH achievable (the r11 verdict's "never reduces expected
+      // recall" contract, pinned)
+      val delivered = if (plan.escalate) plan.expectedIvf else achievable
+      assert(delivered >= achievable,
+        s"n=$n t=$t a=$achievable r1=$r1: chose $plan, delivered $delivered < achievable")
+      if (plan.escalate)
+        assert(plan.expectedIvf > achievable,
+          s"n=$n t=$t a=$achievable r1=$r1: escalated without expecting to win")
+      assert(plan.cells === SimilarityLsh.cellsFor(n))
+      assert(plan.nprobe === SimilarityIvf.nprobeFor(t, plan.cells, r1))
+    }
+  }
+
+  test("nearDupPairsMultiProbe: candidates are a superset of nearDupPairs (probe rank 1 is the own cell); pairs well-formed") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cells = SimilarityLsh.cellsFor(emb.count())
+    val base = SimilarityIvf.nearDupPairs(emb, -1.0 + 1e-9, cells)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = SimilarityIvf.nearDupPairsMultiProbe(emb, -1.0 + 1e-9, cells, nprobe = 2)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(base.subsetOf(multi),
+      s"${(base -- multi).size} nprobe=1 pairs missing from the nprobe=2 candidates")
+    assert(multi.size > base.size,
+      "the extra probe must surface cross-cell pairs on this corpus")
+    multi.foreach { case (a, b) => assert(a < b, s"unordered pair ($a,$b)") }
+    GraftStorage.clear(spark)
+  }
+
+  test("knnGraphMultiProbeAuto: derives cells and nprobe exactly as the explicit sizing; knownCount skips the count job") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val cells = SimilarityLsh.cellsFor(n)
+    val np = SimilarityIvf.nprobeFor(0.35, cells)
+    assert(np > 1, "test premise: the sized nprobe must exercise the multi-probe path")
+    val auto = SimilarityIvf.knnGraphMultiProbeAuto(emb, k = 3,
+      targetRecall = 0.35, knownCount = n)
+    val explicit = SimilarityIvf.knnGraphMultiProbe(emb, 3, cells, np)
+    assert(auto.except(explicit).isEmpty && explicit.except(auto).isEmpty)
+    GraftStorage.clear(spark)
+  }
+
+  test("r11 advice regressions: minhashRecallAt admits j=1 (recall 1); predicted-mode names the rows_per_band constraint") {
+    assert(Dedup.minhashRecallAt(2, 4, 1.0) === 1.0)
+    assert(Dedup.minhashRecallAt(8, 1, 1.0) === 1.0)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.lshRecallAudit(docs, numHashes = 12, rowsPerBandConfigs = Seq(3),
+        predicted = true).collect()
+    }
+    assert(ex.getMessage.contains("rows_per_band"),
+      s"the failure must name the user-facing constraint, got: ${ex.getMessage}")
+    GraftStorage.clear(spark)
+  }
+}

@@ -42,7 +42,7 @@ class Features5Spec extends SparkTestBase {
     assert(SimilarityLsh.cellsFor(1000000L) === 1000) // assign ≡ pairing at n^1.5
   }
 
-  test("topKAutoRecall saturation policies: EscalateIvf = the IVF graph, FailLoud names the achievable recall, ForceLsh = the capped 64-table LSH graph") {
+  test("topKAutoRecall saturation policies: the monotone gate never trades recall down — default keeps the better LSH, a measured IVF base escalates, FailLoud names the achievable recall, ForceLsh = the capped 64-table LSH graph") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val n = emb.count()
@@ -53,10 +53,29 @@ class Features5Spec extends SparkTestBase {
     def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
       a.except(b).isEmpty && b.except(a).isEmpty
 
+    // the r11 finding, fixed: the capped LSH still achieves ~0.99 here
+    // and the clusterless IVF floor model cannot beat it — the DEFAULT
+    // policy must refuse the downgrade and keep the LSH graph
+    val achievable = SimilarityLsh.recallAt(planes, 64, 0.05)
+    val plan = SimilarityLsh.escalationPlan(n, 0.999, achievable)
+    assert(!plan.escalate && plan.expectedIvf < achievable,
+      "test premise: the IVF floor model must lose to the capped LSH here")
     val esc = SimilarityLsh.topKAutoRecall(emb, k = 3,
       targetRecall = 0.999, minCosine = 0.05) // default EscalateIvf
-    val ivf = SimilarityIvf.knnGraph(emb, 3, SimilarityLsh.cellsFor(n))
-    assert(same(esc, ivf), "EscalateIvf result diverges from the IVF kNN graph")
+    val capped64 = SimilarityLsh.topKAuto(emb, k = 3, numTables = 64)
+    assert(same(esc, capped64),
+      "default EscalateIvf must keep the capped LSH graph when IVF is expected to deliver less")
+
+    // a MEASURED IVF base recall that beats the achievable escalates —
+    // multi-probe sized toward the target by nprobeFor
+    val mPlan = SimilarityLsh.escalationPlan(n, 0.999, achievable, 0.95)
+    assert(mPlan.escalate && mPlan.nprobe === 2,
+      s"test premise: measured 0.95 base must escalate at nprobe=2, got $mPlan")
+    val escM = SimilarityLsh.topKAutoRecall(emb, k = 3, targetRecall = 0.999,
+      minCosine = 0.05, onSaturation = SimilarityLsh.EscalateIvfMeasured(0.95))
+    val ivf = SimilarityIvf.knnGraphMultiProbe(emb, 3, mPlan.cells, mPlan.nprobe)
+    assert(same(escM, ivf),
+      "EscalateIvfMeasured result diverges from the sized multi-probe IVF graph")
 
     val ex = intercept[IllegalArgumentException] {
       SimilarityLsh.topKAutoRecall(emb, k = 3, targetRecall = 0.999,
@@ -211,10 +230,21 @@ class Features5Spec extends SparkTestBase {
       SimilarityLsh.candidatePairsAuto(emb, numTables = tables,
         maxBucketSize = SimilarityLsh.PairingMaxBucket)
         .filter(col("cos") >= 0.35)))
-    // saturated: escalates to the IVF within-cell pair join
+    // saturated + default: the clusterless IVF floor cannot beat the
+    // ~0.99 achievable here — the monotone gate keeps the capped
+    // 64-table LSH pairs (the r11 recall-downgrade finding, fixed)
     assert(same(
       Dedup.embeddingNearDupAutoRecall(emb, 0.05, targetRecall = 0.999, exactLimit = 0L),
-      SimilarityIvf.nearDupPairs(emb, 0.05, SimilarityLsh.cellsFor(n))))
+      SimilarityLsh.candidatePairsAuto(emb, numTables = 64,
+        maxBucketSize = SimilarityLsh.PairingMaxBucket)
+        .filter(col("cos") >= 0.05)))
+    // a measured IVF base that beats the achievable escalates to the
+    // multi-probe within-cell pair join, nprobe sized toward the target
+    assert(same(
+      Dedup.embeddingNearDupAutoRecall(emb, 0.05, targetRecall = 0.999,
+        exactLimit = 0L, onSaturation = SimilarityLsh.EscalateIvfMeasured(0.95)),
+      SimilarityIvf.nearDupPairsMultiProbe(emb, 0.05,
+        SimilarityLsh.cellsFor(n), nprobe = 2)))
     // ...or throws, naming the shortfall
     val ex = intercept[IllegalArgumentException] {
       Dedup.embeddingNearDupAutoRecall(emb, 0.05, targetRecall = 0.999,
