@@ -451,11 +451,13 @@ object Queries {
     * embeddings are near-orthogonal — the IVF quantizer's WORST regime,
     * so its audits read the honest floor there — and this derives the
     * OTHER regime deterministically IN QUERY from the same table:
-    * cluster `c = vec_id % 8`, centroid dimension `d` =
-    * `(c·37 + d·13) % 11 − 5`, vector = centroid + original embedding
-    * (the corpus itself plays the mixture's noise term — no RNG
-    * anywhere, so both engines derive the identical corpus). The
-    * centroid norm (√(64·10) ≈ 25) dominates the ~unit noise, so
+    * cluster `c = vec_id % 16`, centroid dimension `d` =
+    * `(c·37 + d·13) % 17 − 8` (modulus 17 is coprime to 37, so all 16
+    * centroids are DISTINCT — a composite-friendly modulus would alias
+    * clusters), vector = centroid + original embedding (the corpus
+    * itself plays the mixture's noise term — no RNG anywhere, so both
+    * engines derive the identical corpus). The centroid norm
+    * (√(64·24) ≈ 39) dominates the ~unit noise, so
     * within-cluster cosines are high and the quantizer has real
     * structure to exploit. All-integer centroid arithmetic; the
     * float→double widening and one addition are IEEE-identical.
@@ -463,7 +465,7 @@ object Queries {
   private val clusteredDeCte: String =
     """de AS (SELECT vec_id,
       |         list_transform(embedding, (x, i) ->
-      |           CAST(((vec_id % 8) * 37 + (i - 1) * 13) % 11 - 5 AS DOUBLE)
+      |           CAST(((vec_id % 16) * 37 + (i - 1) * 13) % 17 - 8 AS DOUBLE)
       |             + CAST(x AS DOUBLE)) AS e
       |       FROM embeddings)""".stripMargin
 
@@ -472,7 +474,7 @@ object Queries {
     */
   private def clusteredVectors(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), array((0 until 64).map { d =>
-      (pmod(pmod(col("vec_id"), lit(8)) * lit(37) + lit(d * 13), lit(11)) - lit(5))
+      (pmod(pmod(col("vec_id"), lit(16)) * lit(37) + lit(d * 13), lit(17)) - lit(8))
         .cast("double") + col("embedding").getItem(d).cast("double")
     }: _*).as("embedding"))
 
@@ -4197,7 +4199,8 @@ object Queries {
         // surfacing as a silent Spark/DuckDB hash mismatch (ADVICE r10
         // #3). One column-pruned count scan — cheap next to the pairing.
         val cap0 = graft.pipeline.SimilarityLsh.PairingMaxBucket
-        val live = graft.pipeline.SimilarityLsh.planesFor(emb.count(), cap0)
+        val n = emb.count()
+        val live = graft.pipeline.SimilarityLsh.planesFor(n, cap0)
         val baked = graft.pipeline.SimilarityLsh.planesFor(500, cap0)
         // SPARK_GRAFT_ALLOW_SF_DRIFT=1: the SCALE.md sweeps bench this
         // row on synthesized 10×/100× corpora where planesFor drifts BY
@@ -4208,7 +4211,7 @@ object Queries {
           s"q_knn_graph_recall: live planesFor=$live diverges from the " +
             s"oracle's baked $baked — regenerate the oracle for this SF")
         graft.pipeline.SimilarityLsh.topKAutoRecall(
-          emb, k = 3, targetRecall = 0.9, minCosine = 0.35)
+          emb, k = 3, targetRecall = 0.9, minCosine = 0.35, knownCount = n)
       },
       Some {
         val cap = graft.pipeline.SimilarityLsh.PairingMaxBucket
@@ -4376,19 +4379,29 @@ object Queries {
     // near-dup pairs whose table count is derived from the target —
     // "pairs at cos ≥ 0.35 are caught w.p. ≥ 0.9" — instead of a
     // hand-tuned 8 tables. Oracle bakes the sf-derived planes with the
-    // same live-count assert (and SF-drift hatch) as q_knn_graph_recall
+    // same live-count assert (and SF-drift hatch) as q_knn_graph_recall.
+    // FLOOR NOTE (r11 verdict task 8): the ~2.8 s sf0.1 floor IS the
+    // contract's work — tablesFor(4, 0.9, 0.35) = 16 tables means 16
+    // bucket self-joins (~3.2M candidate rows at occupancy ~125),
+    // UNION-dedup, then one cosine per DISTINCT pair. The keyed bucket
+    // relation is pinned (candidatePairsAutoCounted persistTracked) and
+    // the cosine runs once per pair — nothing re-derives per regime
+    // check; the premise count doubles as the sizing count (knownCount)
     Q("q_dedup_embed_recall",
       (s, d) => {
         val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
         val cap0 = graft.pipeline.SimilarityLsh.PairingMaxBucket
-        val live = graft.pipeline.SimilarityLsh.planesFor(emb.count(), cap0)
+        val n = emb.count()
+        val live = graft.pipeline.SimilarityLsh.planesFor(n, cap0)
         val baked = graft.pipeline.SimilarityLsh.planesFor(500, cap0)
         require(live == baked ||
             sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
           s"q_dedup_embed_recall: live planesFor=$live diverges from the " +
             s"oracle's baked $baked — regenerate the oracle for this SF")
+        // the premise count doubles as the sizing count (knownCount —
+        // r11 verdict task 6/8): one row-count scan, not two
         Dedup.embeddingNearDupAutoRecall(emb, threshold = 0.35,
-          targetRecall = 0.9, exactLimit = 0L)
+          targetRecall = 0.9, exactLimit = 0L, knownCount = n)
       },
       Some {
         val cap = graft.pipeline.SimilarityLsh.PairingMaxBucket
@@ -9093,7 +9106,11 @@ object Queries {
     Q("q_ann_recall_ivf_clustered",
       (s, d) => {
         val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
-        val cl = clusteredVectors(emb)
+        // pinned: the 64-element derived-array projection would otherwise
+        // inline into EVERY consumer (assignment cross join, both pair
+        // sides, the truth join) and re-evaluate per candidate row — the
+        // Pca.qRows projection-collapse pathology; 2k rows of doubles pin
+        val cl = clusteredVectors(emb).persistTracked()
         SimilarityIvf.knnGraphRecallAudit(cl, k = 3, nAnchors = 50,
           numCells = graft.pipeline.SimilarityLsh.cellsFor(emb.count()))
       },
@@ -9111,7 +9128,11 @@ object Queries {
     Q("q_ann_recall_ivf_clustered_probe",
       (s, d) => {
         val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
-        val cl = clusteredVectors(emb)
+        // pinned: the 64-element derived-array projection would otherwise
+        // inline into EVERY consumer (assignment cross join, both pair
+        // sides, the truth join) and re-evaluate per candidate row — the
+        // Pca.qRows projection-collapse pathology; 2k rows of doubles pin
+        val cl = clusteredVectors(emb).persistTracked()
         SimilarityIvf.knnGraphRecallAudit(cl, k = 3, nAnchors = 50,
           numCells = graft.pipeline.SimilarityLsh.cellsFor(emb.count()),
           nprobe = 2)
@@ -9132,7 +9153,11 @@ object Queries {
     Q("q_ann_recall_ivf_clustered_trained",
       (s, d) => {
         val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
-        val cl = clusteredVectors(emb)
+        // pinned: the 64-element derived-array projection would otherwise
+        // inline into EVERY consumer (assignment cross join, both pair
+        // sides, the truth join) and re-evaluate per candidate row — the
+        // Pca.qRows projection-collapse pathology; 2k rows of doubles pin
+        val cl = clusteredVectors(emb).persistTracked()
         SimilarityIvf.knnGraphTrainedRecallAudit(cl, k = 3, nAnchors = 50,
           numCells = graft.pipeline.SimilarityLsh.cellsFor(emb.count()),
           iters = 1)

@@ -70,6 +70,26 @@ object GenScale {
       df.select((col("vec_id") + i * Off).as("vec_id"), emb.as("embedding"),
         col("label"))
     }
+    // CLUSTERED mixture corpus (r11 verdict task 2) — the IVF
+    // quantizer's FAVORABLE regime, so SCALE.md can measure the
+    // base/probe/trained recall levers where they actually pay off
+    // (the plain synthetic corpus is near-orthogonal, the worst case).
+    // Mixture-of-"Gaussians" with deterministic components: cluster
+    // c = vec_id % 16, centroid dimension d = (c·37 + d·13) % 17 − 8,
+    // vector = centroid + the replicated embedding as the noise term —
+    // the noise distribution is the empirical corpus, so no RNG
+    // anywhere and the catalog's q_ann_recall_ivf_clustered derivation
+    // (Queries.clusteredDeCte) replays it exactly at any scale.
+    spark.read.parquet(s"$outDir/embeddings.parquet")
+      .select(col("vec_id"),
+        array((0 until 64).map { d =>
+          (pmod(pmod(col("vec_id"), lit(16)) * lit(37) + lit(d * 13), lit(17))
+            - lit(8)).cast("double") +
+            col("embedding").getItem(d).cast("double")
+        }: _*).as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$outDir/embeddings_clustered.parquet")
+    println(s"GENSCALE embeddings_clustered: written")
     replicate("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + i * Off)
         .withColumn("l_partkey", col("l_partkey") + i * Off)
