@@ -9144,6 +9144,83 @@ object Queries {
            |${recallAuditTailSql("scmp")}""".stripMargin
       }),
 
+    // the MEASURED-base escalation, closing the loop between the
+    // monotone gate and the clustered audit: on the clustered corpus
+    // the nprobe=1 audit reads ~0.86 (q_ann_recall_ivf_clustered) —
+    // passed via EscalateIvfMeasured, the gate expects min(1, 0.86·√2)
+    // = 1.0 at nprobe=2, which BEATS the 0.9909 LSH achievable, so the
+    // same 0.999@0.05 contract the floor model refuses to escalate
+    // (q_ann_recall_escalate) now escalates honestly. This is exactly
+    // the production sequence: audit once, feed the reading back
+    Q("q_ann_escalate_measured",
+      (s, d) => {
+        require(graft.pipeline.SimilarityLsh.tablesFor(4, 0.999, 0.05) == 64,
+          "q_ann_escalate_measured: premise broken — params no longer saturate LSH")
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val cl = clusteredVectors(emb).persistTracked()
+        val n = emb.count()
+        val planes = graft.pipeline.SimilarityLsh.planesFor(
+          n, graft.pipeline.SimilarityLsh.PairingMaxBucket)
+        val achievable = graft.pipeline.SimilarityLsh.recallAt(planes, 64, 0.05)
+        val plan = graft.pipeline.SimilarityLsh.escalationPlan(
+          n, 0.999, achievable, 0.86)
+        require((plan.escalate && plan.nprobe == 2) ||
+            sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
+          s"q_ann_escalate_measured: premise broken — the measured gate " +
+            s"no longer escalates at nprobe=2 (got $plan)")
+        graft.pipeline.SimilarityLsh.topKAutoRecall(cl, k = 3,
+          targetRecall = 0.999, minCosine = 0.05,
+          onSaturation = graft.pipeline.SimilarityLsh.EscalateIvfMeasured(0.86),
+          knownCount = n)
+      },
+      Some {
+        s"""WITH $clusteredDeCte,
+           |$ivfKnnGraphSqlCte,
+           |${ivfMultiProbeSqlCte("LEAST(2, cells)")}
+           |SELECT q_id, n_id, cos, rank FROM (
+           |  SELECT q_id, n_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM scmp)
+           |WHERE rank <= 3""".stripMargin
+      }),
+
+    // the SIZING CONTRACT as data: the (cells, target) → (nprobe,
+    // expected-recall) surface nprobeFor/expectedRecall derive, emitted
+    // over a grid and replayed in SQL with the IDENTICAL arithmetic
+    // trees — the row that catches a ceil/ulp drift in the new sizing
+    // contract before it silently moves a production escalation (the
+    // powChain↔powSql determinism rule, applied to the nprobe family)
+    Q("q_ann_sizing_table",
+      (s, d) => {
+        val grid = for {
+          c <- Seq(16, 23, 45, 142, 448, 1000)
+          tgt <- Seq(0.2, 0.35, 0.5, 0.9)
+        } yield {
+          val np = graft.pipeline.SimilarityIvf.nprobeFor(tgt, c)
+          (c.toLong, tgt, np.toLong,
+            graft.pipeline.SimilarityIvf.expectedRecall(c, np))
+        }
+        s.createDataFrame(grid)
+          .toDF("cells", "target", "nprobe", "expected")
+      },
+      Some {
+        s"""WITH grid AS (
+           |  SELECT CAST(c.cells AS BIGINT) AS cells,
+           |         CAST(t.target AS DOUBLE) AS target
+           |  FROM (VALUES (16), (23), (45), (142), (448), (1000)) c(cells)
+           |  CROSS JOIN (VALUES (0.2), (0.35), (0.5), (0.9)) t(target)),
+           |np AS (
+           |  SELECT cells, target,
+           |    GREATEST(1, LEAST(cells, 16,
+           |      CAST(ceil(CAST(cells AS DOUBLE) * ((target * target) / 0.81)) AS BIGINT))) AS nprobe
+           |  FROM grid)
+           |SELECT cells, target, nprobe,
+           |  LEAST(CAST(1.0 AS DOUBLE), (0.9 / sqrt(CAST(cells AS DOUBLE)))
+           |    * sqrt(CAST(nprobe AS DOUBLE))) AS expected
+           |FROM np""".stripMargin
+      }),
+
     // ...and the TRAINED lever in the clustered regime (one
     // deterministic fixed-point k-means pass — the
     // q_ann_recall_ivf_trained twin): training is THE lever clustering

@@ -64,15 +64,26 @@ class PlanAuditSpec extends SparkTestBase {
                                          // unigram interpolation term)
     "q_ann_recall_auto",                 // broadcast(50 anchors) ⨝ corpus —
                                          // the q_ann_cosine truth shape
-    "q_ann_recall_escalate",             // k-row centroid cross join (the
-                                         // q_ann_ivf quantizer shape)
+    // NOTE: q_ann_recall_escalate / q_dedup_embed_recall_escalate left
+    // the whitelist in r12 — the monotone gate keeps the capped LSH
+    // there (equi-joins only); the escalations that DO fire are the
+    // *_wins/*_measured rows below
     "q_ann_recall_ivf",                  // centroid cross join + broadcast
                                          // (50 anchors) ⨝ corpus truth side
     "q_ann_recall_ivf_probe",            // same shapes, nprobe=2 probe ranking
     "q_ann_recall_ivf_trained",          // same shapes + the refined k-row
                                          // centroid cross join
-    "q_dedup_embed_recall_escalate",     // the escalated IVF pair join's
-                                         // k-row centroid cross join
+    "q_ann_recall_ivf_clustered",        // the clustered-regime audit triple:
+    "q_ann_recall_ivf_clustered_probe",  // same centroid cross join + anchor
+    "q_ann_recall_ivf_clustered_trained", // truth shapes over the derived corpus
+    "q_ann_escalate_wins",               // escalated multi-probe graph: k-row
+                                         // centroid cross joins (assign + probes)
+    "q_ann_escalate_measured",           // same, on the clustered corpus
+    "q_ann_ivf_probe_auto",              // the auto-sized multi-probe twin —
+                                         // same centroid cross joins
+    "q_ann_recall_probe_auto",           // its audit: same + anchor truth side
+    "q_dedup_embed_escalate_wins",       // the multi-probe PAIR join's
+                                         // centroid cross joins
     "q_pipeline_e2e")                    // the embedded mix plan's two 1-row
                                          // waterfill broadcasts (q_mix_plan)
 
