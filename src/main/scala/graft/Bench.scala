@@ -49,9 +49,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // partitions scale with DATA, not cores: the 100× sweep's 630M-row
+    // pairing shuffles spill-OOM'd at 32 partitions in an 8g heap —
+    // exactly the "size shuffle.partitions so partitions fit executor
+    // memory at the target SF" rule. Default stays cpus (the per-round
+    // sf0.1 shape); scale sweeps pass SPARK_GRAFT_SHUFFLE_PARTITIONS.
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
