@@ -372,9 +372,9 @@ object Queries {
     * Shared by q_ann_recall_escalate and q_ann_recall_ivf so the
     * escalated path and its audit replay ONE definition.
     */
-  private val ivfKnnGraphSqlCte: String =
-    s"""nc AS (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cells,
-       |         16 * ((count(*) // greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))) + 1) AS cap
+  private def ivfKnnGraphSqlCteWith(cellsSql: String): String =
+    s"""nc AS (SELECT ($cellsSql) AS cells,
+       |         16 * ((count(*) // ($cellsSql)) + 1) AS cap
        |       FROM de),
        |cents AS (SELECT vec_id AS cid, e AS ce FROM de WHERE vec_id < (SELECT cells FROM nc)),
        |asg AS (SELECT de.vec_id, de.e, cents.cid, ${ivfCosSql("de.e", "cents.ce")} AS ccos
@@ -389,6 +389,12 @@ object Queries {
        |      FROM ap x JOIN ap y ON x.cell = y.cell AND x.vec_id < y.vec_id),
        |sym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM p
        |        UNION ALL SELECT id2, id1, cos FROM p)""".stripMargin
+
+  /** The production `cellsFor` sizing (√n, floor 16) — the default
+    * instantiation of [[ivfKnnGraphSqlCteWith]].
+    */
+  private val ivfKnnGraphSqlCte: String = ivfKnnGraphSqlCteWith(
+    "greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))")
 
   /** The TRAINED-quantizer continuation of [[ivfKnnGraphSqlCte]] — one
     * fixed-point k-means refinement pass over the base assignment `a`
@@ -9244,6 +9250,31 @@ object Queries {
            |$ivfKnnGraphSqlCte,
            |$ivfKnnGraphTrainedSqlCte,
            |${recallAuditTailSql("sym1")}""".stripMargin
+      }),
+
+    // ...and the STRUCTURAL lever the clustered curve points at (r12
+    // SCALE.md finding): `cellsFor`'s √n cells SUBDIVIDE the 16 mixture
+    // components across near-tied centroids, and recall decays with
+    // scale (0.86 → 0.49 → 0.26 at nprobe=1) — probing and shallow
+    // training only partially recover it. Sizing cells to the CLUSTER
+    // count instead makes each cell one component and the within-cell
+    // pairing complete per component: measured recall 1.000 at the 10×
+    // point (IvfProbe, 20k vectors, cells=16) where √n cells read
+    // 0.260. The occupancy price is n/16 per cell (pairing n²/16 — the
+    // SemDeDup targetCellSize trade); this row pins the lever with an
+    // oracle so the pair (this vs q_ann_recall_ivf_clustered) is the
+    // documented sizing decision on clustered corpora
+    Q("q_ann_recall_ivf_clustered_cells16",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val cl = clusteredVectors(emb).persistTracked()
+        SimilarityIvf.knnGraphRecallAudit(cl, k = 3, nAnchors = 50,
+          numCells = 16)
+      },
+      Some {
+        s"""WITH $clusteredDeCte,
+           |${ivfKnnGraphSqlCteWith("16")},
+           |${recallAuditTailSql("sym")}""".stripMargin
       })
   )
 

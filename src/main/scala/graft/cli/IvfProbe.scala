@@ -29,6 +29,12 @@ object IvfProbe {
     // fixed first-k centroids (same-cluster centroids are near-ties,
     // so √n cells SPLIT clusters and fixed-quantizer recall decays)
     val iters = args.lift(3).map(_.toInt).getOrElse(0)
+    // 5th arg: explicit cell count — overrides cellsFor(n). The probe
+    // for the OTHER structural lever on clustered corpora: cells sized
+    // to the mixture-component count instead of √n (√n subdivides
+    // clusters across near-tied centroids and recall decays — the r12
+    // SCALE.md finding)
+    val cellsOverride = args.lift(4).map(_.toInt)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -38,7 +44,7 @@ object IvfProbe {
     graft.functions.VectorFunctions.register(spark)
     val emb = spark.read.parquet(s"$dir/$table.parquet")
       .select(col("vec_id"), col("embedding"))
-    val cells = SimilarityLsh.cellsFor(emb.count())
+    val cells = cellsOverride.getOrElse(SimilarityLsh.cellsFor(emb.count()))
     probes.foreach { np =>
       val t0 = System.nanoTime()
       val mean = GraftStorage.withTracked(spark) {

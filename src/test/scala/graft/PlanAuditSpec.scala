@@ -76,6 +76,8 @@ class PlanAuditSpec extends SparkTestBase {
     "q_ann_recall_ivf_clustered",        // the clustered-regime audit triple:
     "q_ann_recall_ivf_clustered_probe",  // same centroid cross join + anchor
     "q_ann_recall_ivf_clustered_trained", // truth shapes over the derived corpus
+    "q_ann_recall_ivf_clustered_cells16", // the cells-to-cluster-count lever —
+                                         // same shapes at 16 fixed cells
     "q_ann_escalate_wins",               // escalated multi-probe graph: k-row
                                          // centroid cross joins (assign + probes)
     "q_ann_escalate_measured",           // same, on the clustered corpus
