@@ -61,6 +61,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The eager-checkpoint graph loops emit one "... locally checkpointed"
+    // WARN per RDD — thousands of lines that drowned the driver's stdout
+    // tail capture (BENCH_r12 lost its parsed per-query map). The emitted
+    // JSON lines below are the artifact; that logger says nothing a bench
+    // reader needs.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     // untimed warmup at the smallest SF (sibling of the bench dir, or the
     // bench dir itself): JIT + codegen compilation + parquet footer caching
     // happen here, not inside the timed runs

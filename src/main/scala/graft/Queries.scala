@@ -971,7 +971,7 @@ object Queries {
       (s, d) => t(s, d)("documents")
         .select(col("doc_id"), TextClean.cleanExpr(col("text")).as("cleaned")),
       Some("""SELECT doc_id,
-             |  array_to_string(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+             |  array_to_string(list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
              |                              x -> len(x) > 0), ' ') AS cleaned
              |FROM documents""".stripMargin)),
 
@@ -985,11 +985,11 @@ object Queries {
     // vocabulary drift fails loudly rather than silently passing.
     Q("q_text_stem",
       (s, d) => t(s, d)("documents")
-        .select(explode(filter(split(lower(col("text")), "[^a-z]+"), w => length(w) > 0)).as("w"))
+        .select(explode(filter(split(lower(col("text")), "[^\\p{L}]+"), w => length(w) > 0)).as("w"))
         .select(graft.functions.VectorFunctions.stem(col("w")).as("stem"))
         .groupBy("stem").agg(count(lit(1)).as("cnt")),
       Some("""WITH w AS (
-             |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+             |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^\p{L}]+'),
              |                            x -> len(x) > 0)) AS w
              |  FROM documents),
              |st AS (SELECT CASE w
@@ -9101,7 +9101,7 @@ object Queries {
     // base q_ann_recall_ivf number (~0.19) is measured on the
     // near-orthogonal synthetic corpus — the one distribution a
     // quantizer is worst at — so this row derives a CLUSTERED corpus
-    // deterministically in-query (clusteredDeCte: 8 integer-pattern
+    // deterministically in-query (clusteredDeCte: 16 integer-pattern
     // centroids + the original vectors as the mixture noise, no RNG)
     // and audits the same cellsFor-sized graph there. Read as a pair
     // with q_ann_recall_ivf: the two regimes bracket what the

@@ -19,6 +19,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same stdout-protection as Bench: the local-checkpoint WARN spam from
+    // the graph loops drowns the driver's tail capture
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     def selected(name: String) = only.forall(_.exists(name.contains))
     SparkEntry.queries.filter(e => selected(e._1)).foreach { case (name, fn) =>

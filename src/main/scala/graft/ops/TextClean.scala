@@ -12,17 +12,29 @@ import org.apache.spark.sql.functions._
   * DIVERGENCE: we tokenize with a regex, keep alphabetic tokens, and
   * lowercase as a lemma approximation. The cleaner is pluggable behind
   * [[TextCleaner]] so a real JVM lemmatizer can be dropped in.
+  *
+  * TOKEN CLASS (r12 verdict finding 2): the reference keeps tokens where
+  * Python's `isalpha()` holds, which is UNICODE-aware — so the token
+  * class here is `\p{L}+` (any Unicode letter), not `[A-Za-z]+`: the
+  * golden fixture's "unicode tëst!" cleans to "unicode tëst" (one kept
+  * accented token), matching spaCy, where the pre-r13 ASCII class split
+  * it to "unicode t st". Order is lower() THEN split on non-letters, in
+  * both the UDF and expr forms (Locale.ROOT lowercasing, same as
+  * Spark's `lower`), so the two stay behavior-identical.
   */
 trait TextCleaner extends Serializable {
   /** null-safe: None → "" like the reference (`:40-41`). */
   def clean(s: String): String
 }
 
-/** Regex tokenizer + alphabetic filter + lowercase. */
+/** Regex tokenizer (Unicode letters) + lowercase — same order as
+  * [[TextClean.cleanExpr]]: lower first, then split on non-letters.
+  */
 object RegexTextCleaner extends TextCleaner {
-  private val Token = "[A-Za-z]+".r
   override def clean(s: String): String =
-    if (s == null) "" else Token.findAllIn(s).map(_.toLowerCase).mkString(" ")
+    if (s == null) ""
+    else s.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}]+").filter(_.nonEmpty).mkString(" ")
 }
 
 /** [[RegexTextCleaner]] + Porter stemming — the closest public,
@@ -34,10 +46,11 @@ object RegexTextCleaner extends TextCleaner {
   * non-word stems).
   */
 object PorterTextCleaner extends TextCleaner {
-  private val Token = "[A-Za-z]+".r
   override def clean(s: String): String =
     if (s == null) ""
-    else Token.findAllIn(s).map(w => graft.functions.Porter.stem(w.toLowerCase)).mkString(" ")
+    else s.toLowerCase(java.util.Locale.ROOT)
+      .split("[^\\p{L}]+").filter(_.nonEmpty)
+      .map(graft.functions.Porter.stem).mkString(" ")
 }
 
 object TextClean {
@@ -52,7 +65,9 @@ object TextClean {
   def cleanExpr(c: Column): Column =
     array_join(
       filter(
-        split(lower(c), "[^a-z]+"), // after lower(), anything non a-z splits
+        // after lower(), anything that is not a Unicode letter splits —
+        // the reference's `isalpha()` token class (see object scaladoc)
+        split(lower(c), "[^\\p{L}]+"),
         t => length(t) > 0),
       " ")
 
@@ -65,7 +80,7 @@ object TextClean {
   def stemmedCleanExpr(c: Column): Column =
     array_join(
       transform(
-        filter(split(lower(c), "[^a-z]+"), t => length(t) > 0),
+        filter(split(lower(c), "[^\\p{L}]+"), t => length(t) > 0),
         w => graft.functions.VectorFunctions.stem(w)),
       " ")
 

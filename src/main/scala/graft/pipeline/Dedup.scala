@@ -1017,7 +1017,12 @@ object Dedup {
                            exactLimit: Long = graft.GraftConfig.ExactPairVectors,
                            knownCount: Long = -1L)
       : DataFrame = {
-    val n = SimilarityLsh.corpusCount(vectors, knownCount)
+    // exactCorpusCount, NOT corpusCount (r12 advice 1): this n picks the
+    // RESULT SET (exact all-pairs vs LSH candidates), so a stale
+    // CBO-stats estimate must never decide it — knownCount or an exact
+    // count only. The same n then feeds the LSH plane sizing below,
+    // where exact is trivially fine.
+    val n = SimilarityLsh.exactCorpusCount(vectors, knownCount)
     val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
     if (n <= exactLimit) {
       log.info(s"embeddingNearDupAuto: corpus=$n <= exactLimit=$exactLimit — exact all-pairs regime")
@@ -1055,7 +1060,9 @@ object Dedup {
                                    SimilarityLsh.EscalateIvf,
                                  knownCount: Long = -1L): DataFrame = {
     val log = org.slf4j.LoggerFactory.getLogger("graft.Dedup")
-    val n = SimilarityLsh.corpusCount(vectors, knownCount)
+    // exact, not stats-estimated: the regime gate changes the result set
+    // (see embeddingNearDupAuto — r12 advice 1)
+    val n = SimilarityLsh.exactCorpusCount(vectors, knownCount)
     if (n <= exactLimit) {
       log.info(s"embeddingNearDupAutoRecall: corpus=$n <= exactLimit=" +
         s"$exactLimit — exact all-pairs regime (recall 1)")
@@ -1090,7 +1097,10 @@ object Dedup {
             f"cos>=$threshold with $planes planes; IVF expected " +
             f"~${plan.expectedIvf}%.4f at nprobe=${plan.nprobe} " +
             f"(cells=${plan.cells}) beats it — escalating to IVF " +
-            "within-cell pairs")
+            "within-cell pairs. The IVF expectation is THRESHOLD-BLIND " +
+            f"(top-3 kNN fit); at threshold=$threshold%.2f well below 0 " +
+            "delivered recall of cross-cell pairs can fall under the " +
+            "model — audit at the contract's threshold before trusting it")
           if (plan.nprobe <= 1)
             SimilarityIvf.nearDupPairs(vectors, threshold, plan.cells)
           else

@@ -332,11 +332,20 @@ object SimilarityIvf {
                          nprobe: Int = 2, maxCellSize: Long = 0L): DataFrame = {
     import graft.GraftStorage.Syntax
     require(nprobe >= 1, s"nprobe=$nprobe out of range")
+    // ONE centroid pass (r12 verdict task 6): the quantizer relation is
+    // computed once, pinned, and shared by the assignment (via assignTo)
+    // and the probe scorer below — the previous shape called
+    // assign(vectors, numCells) (centroid derivation #1, inside the
+    // pinned assignment subtree) and then centroids(vectors, numCells)
+    // again for the probes (derivation #2); exchange reuse does not
+    // dedupe across the persist boundary, so at 100 TB that was one
+    // avoidable full pass over the corpus relation.
+    val cents = centroids(vectors, numCells).persistTracked()
     // pinned: guard aggregate + the n-side of the probe join
-    val assigned = assign(vectors, numCells).persistTracked()
+    val assigned = assignTo(vectors, cents).persistTracked()
     val sized = guardCells(assigned, numCells, maxCellSize, "knnGraphMultiProbe")
     val qScored = vectors.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(centroids(vectors, numCells)))
+      .crossJoin(broadcast(cents))
       .select(col("q_id"), col("qe"), col("cid"),
         Similarity.cosine(col("qe"), col("ce")).as("ccos"))
     val probes = qScored.withColumn("pr", row_number().over(
@@ -390,6 +399,19 @@ object SimilarityIvf {
     * `recallAtNprobe1` — the √nprobe amplification then extrapolates
     * from the measured base instead of the floor. Never use this as a
     * delivered-recall claim; it sizes and gates, the audit verifies.
+    *
+    * THRESHOLD BLIND SPOT (r12 advice 2): this model is independent of
+    * any cosine threshold, while the LSH `achievable` the escalation
+    * gate compares it against depends strongly on one — and the fit is
+    * top-3 kNN recall on one synthetic corpus. For contracts demanding
+    * near-antipodal pairs (minCosine well below 0), within-cell recall
+    * of such pairs can fall well under the model: a quantizer co-cells
+    * SIMILAR vectors, so a pair at cos ≈ −0.7 rarely shares a cell at
+    * all. The gate's WARNs name this; before trusting an escalation on
+    * a low-threshold contract, measure the escalated path at the
+    * contract's threshold ([[graft.pipeline.Dedup.lshRecallAudit]]'s
+    * shape over the IVF pairs — the `q_ann_escalate_threshold_audit`
+    * catalog row is the deployed example).
     */
   def expectedRecall(numCells: Int, nprobe: Int,
                      recallAtNprobe1: Double = -1.0): Double = {
@@ -480,11 +502,14 @@ object SimilarityIvf {
                              maxCellSize: Long = 0L): DataFrame = {
     import graft.GraftStorage.Syntax
     require(nprobe >= 1, s"nprobe=$nprobe out of range")
-    val assigned = assign(vectors, numCells).persistTracked()
+    // one centroid pass, shared by assignment and probe scorer — same
+    // single-derivation contract as [[knnGraphMultiProbe]]
+    val cents = centroids(vectors, numCells).persistTracked()
+    val assigned = assignTo(vectors, cents).persistTracked()
     val sized = guardCells(assigned, numCells, maxCellSize,
       "nearDupPairsMultiProbe")
     val qScored = vectors.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(centroids(vectors, numCells)))
+      .crossJoin(broadcast(cents))
       .select(col("q_id"), col("qe"), col("cid"),
         Similarity.cosine(col("qe"), col("ce")).as("ccos"))
     val probes = qScored.withColumn("pr", row_number().over(
@@ -539,9 +564,14 @@ object SimilarityIvf {
 
   def topKMultiProbe(vectors: DataFrame, queries: DataFrame, k: Int,
                      numCells: Int = 16, nprobe: Int = 2): DataFrame = {
-    val assigned = assign(vectors, numCells)
+    // one centroid pass shared by assignment and probe scorer (the
+    // query side is broadcast-small here, but the centroid relation
+    // still derives from the full corpus — same contract as the graph
+    // form)
+    val cents = centroids(vectors, numCells).persistTracked()
+    val assigned = assignTo(vectors, cents)
     val qScored = queries.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
-      .crossJoin(broadcast(centroids(vectors, numCells)))
+      .crossJoin(broadcast(cents))
       .select(col("q_id"), col("qe"), col("cid"),
         Similarity.cosine(col("qe"), col("ce")).as("ccos"))
     val probes = qScored.withColumn("pr", row_number().over(
@@ -797,6 +827,14 @@ object SimilarityLsh {
     * the exact count as the fallback. Sizing only needs the right
     * ORDER of magnitude — planes/cells move by whole steps — so a
     * stats-derived estimate is safe where hash-exactness wouldn't be.
+    *
+    * SIZING ONLY (r12 advice 1): under CBO the stats row count can be a
+    * stale-ANALYZE or selectivity-derived ESTIMATE. That is fine for
+    * planes/cells/tables (whole-step knobs), but a decision that changes
+    * the RESULT SET — the `n <= exactLimit` exact-vs-LSH regime gate in
+    * [[graft.pipeline.Dedup.embeddingNearDupAuto]] — must use
+    * [[exactCorpusCount]] instead: a stale estimate there silently picks
+    * the O(n²) exact path on a corpus that has outgrown its statistics.
     */
   private[graft] def corpusCount(df: DataFrame, knownCount: Long = -1L): Long =
     if (knownCount >= 0L) knownCount
@@ -804,6 +842,15 @@ object SimilarityLsh {
       case Some(rc) => rc.longValue
       case None => df.count()
     }
+
+  /** [[corpusCount]] for RESULT-SET-CHANGING decisions (the Dedup regime
+    * gates): caller-supplied `knownCount` wins, otherwise an exact
+    * `df.count()` — NEVER the Catalyst stats estimate, which under CBO
+    * can be stale or selectivity-derived (r12 advice 1). Callers that
+    * already hold a manifest count pass it and skip the scan either way.
+    */
+  private[graft] def exactCorpusCount(df: DataFrame, knownCount: Long = -1L): Long =
+    if (knownCount >= 0L) knownCount else df.count()
 
   /** Cell-count sizing for the IVF escalation: `⌈√n⌉` cells (floor 16).
     * BALANCED, not fixed-occupancy: flat-quantizer assignment costs
@@ -1030,7 +1077,10 @@ object SimilarityLsh {
             f"at cos>=$minCosine with $planes planes; IVF expected " +
             f"~${plan.expectedIvf}%.4f at nprobe=${plan.nprobe} " +
             f"(cells=${plan.cells}) beats it — escalating. Verify with " +
-            "knnGraphRecallAudit before trusting the sizing")
+            "knnGraphRecallAudit before trusting the sizing; the IVF " +
+            "expectation is THRESHOLD-BLIND (top-3 kNN fit) — at " +
+            f"minCosine=$minCosine%.2f well below 0, delivered recall of " +
+            "cross-cell antipodal pairs can fall under the model")
           if (plan.nprobe <= 1) SimilarityIvf.knnGraph(vectors, k, plan.cells)
           else SimilarityIvf.knnGraphMultiProbe(vectors, k, plan.cells, plan.nprobe)
         } else {

@@ -98,7 +98,7 @@ class TweetGraphSpec extends SparkTestBase {
     assert(txts === Array(
       "hello spark world", "hello spark world", // own post + rt of it (42 stripped)
       "my solo post", "second post",
-      "unicode t st", "unicode t st"))          // ë splits the token, as documented
+      "unicode tëst", "unicode tëst"))          // \p{L} keeps the accented token (isalpha parity)
   }
 
   test("graph save + filterEdges round trip") {
