@@ -6538,6 +6538,145 @@ object Queries {
               |  FROM adc)
               |WHERE rank <= 5""".stripMargin)),
 
+    // measured RECALL of the PQ index — the one index family that had no
+    // recall row (r12 verdict task 2: q_ann_pq and friends verify CODES,
+    // not search quality). Truth is the exact scaled-integer squared-L2
+    // top-3 over the quantized vectors — the metric ADC approximates —
+    // so the number isolates pure codebook-coarseness loss AND both legs
+    // hash-replay in exact longs (a float-cosine truth would need
+    // tolerance). Anchors are the family's md5-ranked 50; both legs are
+    // nAnchors·n, never n²
+    Q("q_ann_recall_pq",
+      (s, d) => graft.pipeline.SimilarityPq.adcRecallAudit(
+        t(s, d)("embeddings"), topK = 3, nAnchors = 50, m = 8, k = 16),
+      Some(s"""WITH $pqEncodeCte,
+              |anch AS (SELECT vec_id FROM embeddings
+              |         ORDER BY md5('anch:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 50),
+              |best AS (SELECT vec_id, s, cid FROM pq_best WHERE rn = 1),
+              |adc AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+              |          CAST(sum(list_sum(list_transform(q.sv, (x,i) -> (x - cb.cv[i])*(x - cb.cv[i])))) AS BIGINT) AS dist
+              |        FROM sub q
+              |        JOIN anch ON q.vec_id = anch.vec_id
+              |        JOIN best b ON q.s = b.s AND q.vec_id <> b.vec_id
+              |        JOIN cb ON cb.cid = b.cid AND cb.s = b.s
+              |        GROUP BY 1, 2),
+              |g AS (SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS r
+              |    FROM adc) WHERE r <= 3),
+              |td AS (SELECT a.vec_id AS q_id, c.vec_id AS n_id,
+              |         CAST(list_sum(list_transform(a.q, (x,i) -> (x - c.q[i])*(x - c.q[i]))) AS BIGINT) AS dist
+              |       FROM pq_q a JOIN anch ON a.vec_id = anch.vec_id
+              |       JOIN pq_q c ON c.vec_id <> a.vec_id),
+              |tr AS (SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS r
+              |    FROM td) WHERE r <= 3)
+              |SELECT tr.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+              |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+              |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS recall
+              |FROM tr LEFT JOIN g ON tr.q_id = g.q_id AND tr.n_id = g.n_id
+              |GROUP BY tr.q_id""".stripMargin)),
+
+    // the PQ recall LEVER, audited: one integer-Lloyd training round at
+    // the same (m, k) memory budget (trained-codebook replay proven by
+    // q_ann_pq_trained — the a0/el/ms/c1/b1 chain below is that oracle's
+    // CTE chain verbatim). Read next to q_ann_recall_pq: the pair prices
+    // what training buys without spending a byte more per vector
+    Q("q_ann_recall_pq_trained",
+      (s, d) => graft.pipeline.SimilarityPq.adcRecallAuditTrained(
+        t(s, d)("embeddings"), topK = 3, nAnchors = 50, m = 8, k = 16, iters = 1),
+      Some(s"""WITH $pqEncodeCte,
+              |a0 AS (SELECT vec_id, s, cid FROM pq_best WHERE rn = 1),
+              |el AS (SELECT a0.s, a0.cid, generate_subscripts(sub.sv, 1) AS pos, unnest(sub.sv) AS v
+              |       FROM a0 JOIN sub ON a0.vec_id = sub.vec_id AND a0.s = sub.s),
+              |ms AS (SELECT s, cid, pos, CAST(sum(v) AS BIGINT) AS sm, count(*) AS cnt
+              |       FROM el GROUP BY 1, 2, 3),
+              |c1 AS (SELECT cb.s, cb.cid,
+              |         coalesce(t.cv, cb.cv) AS cv
+              |       FROM cb LEFT JOIN (SELECT s, cid, list(sm // cnt ORDER BY pos) AS cv
+              |                          FROM ms GROUP BY s, cid) t
+              |         ON cb.s = t.s AND cb.cid = t.cid),
+              |d1 AS (SELECT sub.vec_id, sub.s, c1.cid,
+              |        CAST(list_sum(list_transform(sub.sv, (x,i) -> (x - c1.cv[i])*(x - c1.cv[i]))) AS BIGINT) AS d2
+              |      FROM sub JOIN c1 ON sub.s = c1.s),
+              |b1 AS (SELECT vec_id, s, cid FROM (
+              |        SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn FROM d1)
+              |       WHERE rn = 1),
+              |anch AS (SELECT vec_id FROM embeddings
+              |         ORDER BY md5('anch:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 50),
+              |adc AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+              |          CAST(sum(list_sum(list_transform(q.sv, (x,i) -> (x - c1.cv[i])*(x - c1.cv[i])))) AS BIGINT) AS dist
+              |        FROM sub q
+              |        JOIN anch ON q.vec_id = anch.vec_id
+              |        JOIN b1 b ON q.s = b.s AND q.vec_id <> b.vec_id
+              |        JOIN c1 ON c1.cid = b.cid AND c1.s = b.s
+              |        GROUP BY 1, 2),
+              |g AS (SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS r
+              |    FROM adc) WHERE r <= 3),
+              |td AS (SELECT a.vec_id AS q_id, c.vec_id AS n_id,
+              |         CAST(list_sum(list_transform(a.q, (x,i) -> (x - c.q[i])*(x - c.q[i]))) AS BIGINT) AS dist
+              |       FROM pq_q a JOIN anch ON a.vec_id = anch.vec_id
+              |       JOIN pq_q c ON c.vec_id <> a.vec_id),
+              |tr AS (SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS r
+              |    FROM td) WHERE r <= 3)
+              |SELECT tr.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+              |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+              |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS recall
+              |FROM tr LEFT JOIN g ON tr.q_id = g.q_id AND tr.n_id = g.n_id
+              |GROUP BY tr.q_id""".stripMargin)),
+
+    // the COMPOSED index's recall — IVF-PQ at production cellsFor sizing,
+    // nprobe=1: prices quantizer boundary misses AND code coarseness in
+    // one number. Read as a triple with q_ann_recall_ivf (cell loss
+    // alone, cosine truth) and q_ann_recall_pq (code loss alone): the
+    // decomposition tells a 100 TB operator which lever (nprobe, trained
+    // cells, bigger m) buys the recall back
+    Q("q_ann_recall_ivfpq",
+      (s, d) => {
+        val emb = t(s, d)("embeddings")
+        graft.pipeline.SimilarityPq.ivfPqRecallAudit(emb, topK = 3, nAnchors = 50,
+          numCells = graft.pipeline.SimilarityLsh.cellsFor(emb.count()), m = 8, k = 16)
+      },
+      Some(s"""WITH $pqEncodeCte,
+              |de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+              |ncq AS (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cells FROM de),
+              |cc AS (SELECT vec_id AS ccid, e AS ce FROM de WHERE vec_id < (SELECT cells FROM ncq)),
+              |asg AS (SELECT vec_id, ccid AS cell FROM (
+              |   SELECT de.vec_id, cc.ccid, row_number() OVER (PARTITION BY de.vec_id
+              |     ORDER BY ${ivfCosSql("de.e", "cc.ce")} DESC, cc.ccid) AS rn
+              |   FROM de CROSS JOIN cc) WHERE rn = 1),
+              |anch AS (SELECT vec_id FROM embeddings
+              |         ORDER BY md5('anch:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 50),
+              |best AS (SELECT vec_id, s, cid FROM pq_best WHERE rn = 1),
+              |adc AS (SELECT q.vec_id AS q_id, b.vec_id AS n_id,
+              |          CAST(sum(list_sum(list_transform(q.sv, (x,i) -> (x - cb.cv[i])*(x - cb.cv[i])))) AS BIGINT) AS dist
+              |        FROM sub q
+              |        JOIN anch ON q.vec_id = anch.vec_id
+              |        JOIN asg qa ON qa.vec_id = q.vec_id
+              |        JOIN asg na ON na.cell = qa.cell
+              |        JOIN best b ON b.vec_id = na.vec_id AND q.s = b.s AND q.vec_id <> b.vec_id
+              |        JOIN cb ON cb.cid = b.cid AND cb.s = b.s
+              |        GROUP BY 1, 2),
+              |g AS (SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS r
+              |    FROM adc) WHERE r <= 3),
+              |td AS (SELECT a.vec_id AS q_id, c.vec_id AS n_id,
+              |         CAST(list_sum(list_transform(a.q, (x,i) -> (x - c.q[i])*(x - c.q[i]))) AS BIGINT) AS dist
+              |       FROM pq_q a JOIN anch ON a.vec_id = anch.vec_id
+              |       JOIN pq_q c ON c.vec_id <> a.vec_id),
+              |tr AS (SELECT q_id, n_id FROM (
+              |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id ORDER BY dist, n_id) AS r
+              |    FROM td) WHERE r <= 3)
+              |SELECT tr.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+              |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+              |  CAST(sum(CASE WHEN g.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              |    / CAST(count(*) AS DOUBLE) AS recall
+              |FROM tr LEFT JOIN g ON tr.q_id = g.q_id AND tr.n_id = g.n_id
+              |GROUP BY tr.q_id""".stripMargin)),
+
     // curriculum binning: per-doc length decile WITHOUT a global ntile
     // sort — bin ids equi-join the broadcast cumulative histogram, bucket
     // is exact integer arithmetic ((10·before) div n)

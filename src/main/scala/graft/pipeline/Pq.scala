@@ -178,6 +178,84 @@ object SimilarityPq {
       .filter(col("rank") <= topK)
   }
 
+  /** Measured RECALL of the ADC top-k against exact-integer L2 truth —
+    * the PQ family's own deployed audit (r12 verdict task 2: PQ was the
+    * one shipped index family without a recall row; q_ann_pq and friends
+    * verify the CODES, not search quality). Truth is the exact
+    * scaled-integer squared-L2 top-k over the QUANTIZED vectors — the
+    * metric ADC approximates — so the number isolates pure quantization
+    * loss (codebook coarseness at the chosen m, k), not a metric
+    * mismatch; and because both legs are exact long arithmetic, the
+    * whole audit hash-replays in any engine with zero tolerance (unlike
+    * a float-cosine truth). Anchors are md5-ranked (deterministic,
+    * engine-replayable); both legs cost nAnchors·n, never n² — the
+    * [[SimilarityLsh.knnRecallAudit]] contract.
+    */
+  def adcRecallAudit(corpus: DataFrame, topK: Int, nAnchors: Int = 50,
+                     m: Int = 8, k: Int = 16): DataFrame = {
+    val cb = codebook(corpus, m, k)
+    pqRecallAuditCore(corpus, topK, nAnchors,
+      anchors => adcTopKWith(corpus, anchors, cb, topK))
+  }
+
+  /** [[adcRecallAudit]] with the TRAINED codebook ([[trainCodebook]],
+    * `iters` integer-Lloyd rounds) — the PQ family's recall LEVER,
+    * audited: training moves codebook entries to the data's subspace
+    * means, shrinking reconstruction error and therefore ADC ranking
+    * error. Read next to [[adcRecallAudit]]: the pair prices what one
+    * training round buys at the same (m, k) memory budget.
+    */
+  def adcRecallAuditTrained(corpus: DataFrame, topK: Int, nAnchors: Int = 50,
+                            m: Int = 8, k: Int = 16, iters: Int = 1): DataFrame = {
+    val cb = trainCodebook(corpus, m, k, iters)
+    pqRecallAuditCore(corpus, topK, nAnchors,
+      anchors => adcTopKWith(corpus, anchors, cb, topK))
+  }
+
+  /** [[adcRecallAudit]] for the COMPOSED IVF-PQ index ([[ivfPqTopK]],
+    * nprobe=1): same exact-integer truth, approx = own-cell ADC — so the
+    * number prices BOTH losses at once: quantizer boundary misses (the
+    * IVF leg, which q_ann_recall_ivf prices alone) and code coarseness
+    * (the PQ leg, which [[adcRecallAudit]] prices alone). The three rows
+    * together decompose where a billion-scale index's recall went, which
+    * lever (nprobe / trained cells / bigger m) buys it back.
+    */
+  def ivfPqRecallAudit(corpus: DataFrame, topK: Int, nAnchors: Int,
+                       numCells: Int, m: Int = 8, k: Int = 16): DataFrame =
+    pqRecallAuditCore(corpus, topK, nAnchors,
+      anchors => ivfPqTopK(corpus, anchors, numCells, m, k, topK))
+
+  /** The audit core both PQ recall rows share: md5-picked anchors, exact
+    * integer squared-L2 truth (broadcast anchors × corpus, ranked via
+    * [[Skew.saltedTopK]] — anchors are few and hot), per-anchor
+    * `|approx ∩ truth| / |truth|`.
+    */
+  private def pqRecallAuditCore(corpus: DataFrame, topK: Int, nAnchors: Int,
+                                approxOf: DataFrame => DataFrame): DataFrame = {
+    val anchors = corpus
+      .select(col("vec_id"), col("embedding"),
+        md5(concat(lit("anch:"), col("vec_id").cast("string"))).as("__m"))
+      .orderBy(col("__m"), col("vec_id")).limit(nAnchors).drop("__m")
+      .persistTracked() // feeds the truth broadcast AND the approx queries
+    val qc = quantized(corpus).select(col("vec_id").as("n_id"), col("q").as("nq"))
+    val qa = quantized(anchors).select(col("vec_id").as("q_id"), col("q").as("qq"))
+    val scored = broadcast(qa).join(qc, col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"),
+        graft.functions.VectorFunctions.sqDistLExpr(col("qq"), col("nq")).as("dist"))
+    val truth = Skew.saltedTopK(scored, col("q_id"), col("n_id"), topK,
+      order = Seq(col("dist").asc, col("n_id").asc))
+    val approx = approxOf(anchors.select(col("vec_id"), col("embedding")))
+      .select(col("q_id"), col("n_id").as("a_id"))
+    truth
+      .join(approx, truth("q_id") === approx("q_id") &&
+        truth("n_id") === approx("a_id"), "left")
+      .groupBy(truth("q_id").as("q_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall",
+        col("n_caught").cast("double") / col("n_truth").cast("double"))
+  }
+
   /** Train the codebook: `iters` Lloyd rounds per subspace from the fixed
     * seed — assignment is [[encodeWith]] (a map-side argmin projection),
     * the update is ONE hash aggregate of (subspace, code) → count +
