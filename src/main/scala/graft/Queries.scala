@@ -9330,6 +9330,103 @@ object Queries {
            |WHERE rank <= 3""".stripMargin
       }),
 
+    // the SELF-MEASURING escalation base (r12 verdict task 3):
+    // EscalateIvfSampled derives the measured nprobe=1 reading ITSELF —
+    // md5-hash shard (fraction 0.25, unbiased under any id order),
+    // within-shard IVF audit with the shard's own lowest-id quantizer,
+    // micro-averaged Σcaught/Σtruth (exact-int ratio → the derived
+    // nprobe replays bit-for-bit) — then the same monotone gate. The
+    // oracle replays the ENTIRE derivation in SQL: shard membership,
+    // shard audit, the measured-vs-floor branch on the shard-size gate
+    // (sf0.001's shard is under the 100-row floor → the floor branch;
+    // sf0.01/0.1 take the measured branch), the nprobe arithmetic
+    // trees, and the escalated multi-probe graph. At sf0.01 the floor
+    // model would KEEP the LSH (expected 0.58 < achievable 0.82) — the
+    // sampled reading is what makes the gate escalate, so this row
+    // proves the sampled branch changes the decision, not just the log
+    Q("q_ann_escalate_sampled",
+      (s, d) => {
+        require(graft.pipeline.SimilarityLsh.tablesFor(4, 0.999, -0.3) == 64,
+          "q_ann_escalate_sampled: premise broken — params no longer saturate LSH")
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val cl = clusteredVectors(emb).persistTracked()
+        val n = emb.count()
+        val planes = graft.pipeline.SimilarityLsh.planesFor(
+          n, graft.pipeline.SimilarityLsh.PairingMaxBucket)
+        val achievable = graft.pipeline.SimilarityLsh.recallAt(planes, 64, -0.3)
+        val r1 = graft.pipeline.SimilarityLsh.sampledRecallBase(cl, 0.25, 50)
+        val plan = graft.pipeline.SimilarityLsh.escalationPlan(
+          n, 0.999, achievable, r1)
+        require(plan.escalate ||
+            sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
+          s"q_ann_escalate_sampled: premise broken — the sampled gate no " +
+            s"longer escalates (r1=$r1, got $plan)")
+        graft.pipeline.SimilarityLsh.topKAutoRecall(cl, k = 3,
+          targetRecall = 0.999, minCosine = -0.3,
+          onSaturation = graft.pipeline.SimilarityLsh.EscalateIvfSampled(0.25),
+          knownCount = n)
+      },
+      Some {
+        val npSql =
+          """CASE WHEN (SELECT sn FROM shn) < 100 OR (SELECT t FROM smr) <= 0
+            |     THEN GREATEST(1, LEAST(cells, 16,
+            |       CAST(ceil(CAST(cells AS DOUBLE) * ((0.999 * 0.999) / 0.81)) AS BIGINT)))
+            |     ELSE GREATEST(1, LEAST(cells, 16,
+            |       CAST(ceil((0.999 / (SELECT r1 FROM smr)) * (0.999 / (SELECT r1 FROM smr))) AS BIGINT)))
+            |END""".stripMargin
+        s"""WITH $clusteredDeCte,
+           |sh AS MATERIALIZED (SELECT vec_id, e FROM de
+           |      WHERE md5('shard:' || CAST(vec_id AS VARCHAR)) < '4000'),
+           |shn AS (SELECT count(*) AS sn FROM sh),
+           |snc AS (SELECT greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cells,
+           |          16 * ((count(*) // greatest(16, CAST(ceil(sqrt(count(*))) AS BIGINT))) + 1) AS cap
+           |        FROM sh),
+           |scents AS (SELECT vec_id AS cid, e AS ce FROM (
+           |    SELECT vec_id, e, row_number() OVER (ORDER BY vec_id) AS rn FROM sh)
+           |  WHERE rn <= (SELECT cells FROM snc)),
+           |sasg AS (SELECT sh.vec_id, sh.e, scents.cid, ${ivfCosSql("sh.e", "scents.ce")} AS ccos
+           |         FROM sh CROSS JOIN scents),
+           |sa AS (SELECT vec_id, e, cid AS cell FROM (
+           |   SELECT vec_id, e, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+           |   FROM sasg) WHERE rn = 1),
+           |scsz AS (SELECT cell, count(*) AS csz FROM sa GROUP BY cell),
+           |sap AS MATERIALIZED (SELECT sa.vec_id, sa.e, sa.cell FROM sa JOIN scsz USING (cell)
+           |       WHERE scsz.csz <= (SELECT cap FROM snc)),
+           |sp AS MATERIALIZED (SELECT x.vec_id AS id1, y.vec_id AS id2, ${ivfCosSql("x.e", "y.e")} AS cos
+           |      FROM sap x JOIN sap y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+           |ssym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM sp
+           |         UNION ALL SELECT id2, id1, cos FROM sp),
+           |sg AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+           |    FROM ssym)
+           |  WHERE rank <= 3),
+           |sanch AS (SELECT vec_id FROM sh
+           |         ORDER BY md5('anch:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 50),
+           |ssc AS (SELECT q.vec_id AS q_id, c2.vec_id AS n_id, ${ivfCosSql("q.e", "c2.e")} AS cos
+           |       FROM sh q JOIN sanch ON q.vec_id = sanch.vec_id
+           |            JOIN sh c2 ON c2.vec_id <> q.vec_id),
+           |str AS (SELECT q_id, n_id FROM (
+           |    SELECT q_id, n_id,
+           |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS r
+           |    FROM ssc)
+           |  WHERE r <= 3),
+           |smr AS MATERIALIZED (SELECT
+           |    CAST(sum(CASE WHEN sg.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c,
+           |    CAST(count(*) AS BIGINT) AS t,
+           |    CAST(sum(CASE WHEN sg.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / CAST(count(*) AS DOUBLE) AS r1
+           |  FROM str LEFT JOIN sg ON str.q_id = sg.q_id AND str.n_id = sg.n_id),
+           |$ivfKnnGraphSqlCte,
+           |${ivfMultiProbeSqlCte(npSql)}
+           |SELECT q_id, n_id, cos, rank FROM (
+           |  SELECT q_id, n_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM scmp)
+           |WHERE rank <= 3""".stripMargin
+      }),
+
     // the SIZING CONTRACT as data: the (cells, target) → (nprobe,
     // expected-recall) surface nprobeFor/expectedRecall derive, emitted
     // over a grid and replayed in SQL with the IDENTICAL arithmetic

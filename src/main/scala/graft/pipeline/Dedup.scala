@@ -1085,9 +1085,12 @@ object Dedup {
       // the saturated LSH's achievable recall, else keep the LSH pairs;
       // both numbers named in the WARN either way
       case p @ (SimilarityLsh.EscalateIvf |
-                SimilarityLsh.EscalateIvfMeasured(_)) =>
+                SimilarityLsh.EscalateIvfMeasured(_) |
+                SimilarityLsh.EscalateIvfSampled(_, _)) =>
         val r1 = p match {
           case SimilarityLsh.EscalateIvfMeasured(m) => m
+          case SimilarityLsh.EscalateIvfSampled(f, na) =>
+            SimilarityLsh.sampledRecallBase(vectors, f, na)
           case _ => -1.0
         }
         val plan = SimilarityLsh.escalationPlan(n, targetRecall, achievable, r1)

@@ -549,6 +549,17 @@ object SimilarityIvf {
       else knnGraphMultiProbe(vectors, k, cells, nprobe))
   }
 
+  /** [[knnGraphRecallAudit]] against an EXPLICIT `(cid, ce)` quantizer
+    * relation — for callers whose centroid choice isn't `vec_id <
+    * numCells` (the sampled escalation audits a hash shard, where only
+    * ~fraction of the low ids exist, so it passes the shard's own
+    * lowest-id members). `numCells` still sizes the skew-guard cap.
+    */
+  def knnGraphRecallAuditWith(vectors: DataFrame, k: Int, nAnchors: Int,
+                              cents: DataFrame, numCells: Int): DataFrame =
+    SimilarityLsh.recallAuditCore(vectors, k, nAnchors,
+      knnGraphFromAssigned(assignTo(vectors, cents), numCells, k, 0L))
+
   /** [[knnGraphRecallAudit]] for the TRAINED-quantizer graph — the
     * second recall lever's own number. Same default-sizing contract:
     * `numCells` ≤ 0 derives via `cellsFor(vectors.count())`.
@@ -793,12 +804,94 @@ object SimilarityLsh {
     require(recallAtNprobe1 > 0.0 && recallAtNprobe1 <= 1.0,
       s"recallAtNprobe1=$recallAtNprobe1 is not a recall")
   }
+  /** [[EscalateIvfMeasured]] WITHOUT the hand-fed reading (r12 verdict
+    * task 3): the gate derives the measured nprobe=1 base ITSELF by
+    * running the IVF kNN recall audit on a deterministic md5-hash shard
+    * of the corpus (`fraction` of the rows — membership by
+    * `md5('shard:'||vec_id) < threshold`, so the shard is unbiased
+    * under any id ordering, identical in any engine, and immune to
+    * time/source-sorted prefixes). Cost is bounded and logged:
+    * truth nAnchors·(f·n) + one (f·n)^1.5 shard graph — at f=0.25 the
+    * audit is ~12% of the escalated build it gates. The reading is
+    * micro-averaged (Σcaught/Σtruth — a ratio of exact ints, so the
+    * derived nprobe replays bit-for-bit in the SQL oracles); then the
+    * same monotone rule as [[EscalateIvfMeasured]]. If the shard is too
+    * small to audit (< [[SampledShardFloor]] rows), the gate falls back
+    * to the clusterless floor model, loudly. */
+  final case class EscalateIvfSampled(fraction: Double, nAnchors: Int = 50)
+      extends SaturationPolicy {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction=$fraction out of range (0, 1]")
+    require(nAnchors >= 1, s"nAnchors=$nAnchors out of range")
+  }
   /** Throw, naming the achievable recall at 64 tables — for callers
     * whose downstream assumes the LSH plan shape. */
   case object FailLoud extends SaturationPolicy
   /** Proceed with the capped 64-table LSH graph anyway, logging the
     * achievable recall — the pre-r11 behavior, now opt-in and loud. */
   case object ForceLsh extends SaturationPolicy
+
+  /** Smallest hash-shard the sampled escalation will audit: below this
+    * the per-anchor truth sets are too thin for the reading to mean
+    * anything (50 anchors need neighbors to rank), so
+    * [[EscalateIvfSampled]] falls back to the floor model and says so.
+    */
+  val SampledShardFloor = 100L
+
+  /** The [[EscalateIvfSampled]] measurement: recall of the nprobe=1 IVF
+    * kNN graph on a deterministic md5-hash shard, micro-averaged
+    * (Σcaught/Σtruth — exact-int ratio, bit-replayable). Top-3, the fit
+    * the [[SimilarityIvf.expectedRecall]] model family uses. The shard's
+    * quantizer is its own `cellsFor(shardN)` LOWEST-id members
+    * (explicit, via [[SimilarityIvf.knnGraphRecallAuditWith]]) — the
+    * plain `vec_id < cells` fixed quantizer would find only ~fraction
+    * of those ids inside a hash shard and silently audit a
+    * quarter-sized quantizer. Returns -1 (caller falls back to the
+    * floor model) when the shard is under [[SampledShardFloor]] rows or
+    * the truth is empty; logs the shard size, cells, and the reading.
+    */
+  private[graft] def sampledRecallBase(vectors: DataFrame, fraction: Double,
+                                       nAnchors: Int): Double = {
+    val log = org.slf4j.LoggerFactory.getLogger("graft.SimilarityLsh")
+    // membership by 4-hex-digit md5 prefix compare: lowercase hex sorts
+    // lexicographically in numeric order, so `md5 < thr` is an exact
+    // fraction gate in any engine with no integer parsing
+    val shard =
+      if (fraction >= 1.0) vectors
+      else {
+        val thr = f"${math.max(1L, math.floor(fraction * 65536.0).toLong)}%04x"
+        vectors.filter(
+          md5(concat(lit("shard:"), col("vec_id").cast("string"))) < lit(thr))
+      }
+    val pinned = shard.persistTracked()
+    val shardN = pinned.count()
+    if (shardN < SampledShardFloor) {
+      log.warn(s"EscalateIvfSampled: shard has $shardN rows " +
+        s"(< $SampledShardFloor) at fraction=$fraction — too thin to " +
+        "audit; falling back to the clusterless floor model")
+      return -1.0
+    }
+    val cells = cellsFor(shardN)
+    // orderBy + limit = TakeOrderedAndProject (per-partition partial
+    // top-k, `cells` rows to the driver-side merge) — NOT a global-sort
+    // window, which would single-task the whole shard
+    val cents = pinned.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val sums = SimilarityIvf.knnGraphRecallAuditWith(pinned, 3, nAnchors, cents, cells)
+      .agg(coalesce(sum(col("n_caught")), lit(0L)).as("c"),
+        coalesce(sum(col("n_truth")), lit(0L)).as("t")).head()
+    val (caught, truth) = (sums.getLong(0), sums.getLong(1))
+    if (truth <= 0L) {
+      log.warn(s"EscalateIvfSampled: empty truth on a $shardN-row shard — " +
+        "falling back to the clusterless floor model")
+      return -1.0
+    }
+    val measured = caught.toDouble / truth.toDouble
+    log.info(f"EscalateIvfSampled: shard=$shardN rows (fraction=$fraction) " +
+      f"cells=$cells — measured nprobe=1 top-3 recall $measured%.4f " +
+      f"($caught/$truth, micro-averaged)")
+    measured
+  }
 
   /** The monotone escalation decision, pure and spec-pinnable: given a
     * saturated-LSH achievable recall, size the IVF candidate (cells
@@ -1065,9 +1158,10 @@ object SimilarityLsh {
       // names both numbers either way, so no path trades recall down
       // silently (the r11 finding: the old default swapped ~0.99
       // achievable for a 0.19–0.41-auditing IVF graph).
-      case p @ (EscalateIvf | EscalateIvfMeasured(_)) =>
+      case p @ (EscalateIvf | EscalateIvfMeasured(_) | EscalateIvfSampled(_, _)) =>
         val r1 = p match {
           case EscalateIvfMeasured(m) => m
+          case EscalateIvfSampled(f, na) => sampledRecallBase(vectors, f, na)
           case _ => -1.0
         }
         val plan = escalationPlan(n, targetRecall, achievable, r1)

@@ -74,6 +74,32 @@ class EscalationSpec extends SparkTestBase {
     }
   }
 
+  test("EscalateIvfSampled: sampledRecallBase = micro-averaged audit; thin shards fall back loudly; deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // fraction=1.0: shard = whole corpus, shard centroids = lowest-16
+    // ids = the fixed quantizer — the reading must equal the deployed
+    // audit's micro-average exactly (same graph, same anchors, same
+    // exact-int ratio)
+    val base = SimilarityLsh.sampledRecallBase(emb, 1.0, nAnchors = 50)
+    val audit = SimilarityIvf.knnGraphRecallAudit(emb, k = 3, nAnchors = 50,
+        numCells = SimilarityLsh.cellsFor(emb.count()))
+      .agg(sum("n_caught").cast("double") / sum("n_truth").cast("double"))
+      .head().getDouble(0)
+    assert(base === audit, s"sampled base $base != audit micro-average $audit")
+    assert(base > 0.0 && base <= 1.0)
+    // deterministic: the md5 shard, centroid choice, and audit replay
+    assert(SimilarityLsh.sampledRecallBase(emb, 1.0, 50) === base)
+    // a shard under SampledShardFloor rows refuses to pretend: -1 sends
+    // the gate to the clusterless floor model
+    assert(SimilarityLsh.sampledRecallBase(emb, 0.05, 50) === -1.0)
+    // the policy validates its fraction
+    intercept[IllegalArgumentException] {
+      SimilarityLsh.EscalateIvfSampled(0.0)
+    }
+    graft.GraftStorage.clear(spark)
+  }
+
   test("nearDupPairsMultiProbe: candidates are a superset of nearDupPairs (probe rank 1 is the own cell); pairs well-formed") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
