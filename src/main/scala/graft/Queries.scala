@@ -484,6 +484,70 @@ object Queries {
         .cast("double") + col("embedding").getItem(d).cast("double")
     }: _*).as("embedding"))
 
+  /** DuckDB replay of [[graft.pipeline.SimilarityHier.hierPairs]] +
+    * symmetrize — the two-level hierarchical IVF (r12 verdict task 1).
+    * Expects `de(vec_id, e)` upstream; ends in `hsym(q_id, n_id, cos)`.
+    * Chain: seeded-plane sign-pattern coarse cells (`hk` — the
+    * lshBucketsCte machinery, one table), the `capMult·⌈√n⌉` occupancy
+    * cap (`hcap`), exact pairs for small cells (`hsp`), and for
+    * oversized cells the fixed-point cell mean (`hmean` — the
+    * refineCentroids replay), residuals (`hres`), lowest-id residual
+    * sub-quantizer sized `⌈m/cap⌉` (`hsc`), residual-dot argmax ranking
+    * (`hrank`), the 16·cap degenerate-sub-cell guard (`hgu`), and the
+    * nprobe-probe pair join (`hbp` — DISTINCT collapses both-direction
+    * meetings exactly, the commutative-cosine contract).
+    */
+  private def hierGraphSqlCte(numPlanes: Int, capMult: Int, nprobe: Int): String = {
+    def planeSql(p: Array[Double]) = "[" + p.map(_.toString).mkString(", ") + "]"
+    val planes = graft.pipeline.SimilarityLsh.hyperplanes(numPlanes, 64, 42L)
+    val planeCols = planes.zipWithIndex.map { case (p, j) => s"${planeSql(p)} AS hpl_$j" }
+    def bitSql(j: Int) =
+      s"CASE WHEN list_reduce(list_transform(e, (x,i) -> x * hpl_$j[i]), (p,q) -> p + q) >= 0 THEN '1' ELSE '0' END"
+    val key = (0 until numPlanes).map(bitSql).mkString(" || ")
+    s"""hpls AS MATERIALIZED (SELECT
+       |  ${planeCols.mkString(",\n  ")}),
+       |hk AS MATERIALIZED (SELECT vec_id, e, $key AS cell FROM de CROSS JOIN hpls),
+       |hcap AS MATERIALIZED (SELECT $capMult * CAST(ceil(sqrt(count(*))) AS BIGINT) AS cap FROM de),
+       |hsz AS MATERIALIZED (SELECT cell, count(*) AS m FROM hk GROUP BY cell),
+       |hsm AS MATERIALIZED (SELECT hk.vec_id, hk.e, hk.cell FROM hk JOIN hsz USING (cell)
+       |       WHERE hsz.m <= (SELECT cap FROM hcap)),
+       |hsp AS (SELECT a.vec_id AS id1, b.vec_id AS id2, ${ivfCosSql("a.e", "b.e")} AS cos
+       |        FROM hsm a JOIN hsm b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |hbig AS MATERIALIZED (SELECT hk.vec_id, hk.e, hk.cell, hsz.m FROM hk JOIN hsz USING (cell)
+       |       WHERE hsz.m > (SELECT cap FROM hcap)),
+       |hel AS (SELECT cell, generate_subscripts(e, 1) AS pos,
+       |          CAST(floor(unnest(e) * 1048576.0) AS BIGINT) AS sv FROM hbig),
+       |hms AS (SELECT cell, pos, CAST(sum(sv) AS BIGINT) AS s, count(*) AS cnt
+       |        FROM hel GROUP BY 1, 2),
+       |hmean AS (SELECT cell, list(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1048576.0 ORDER BY pos) AS mean
+       |          FROM hms GROUP BY cell),
+       |hres AS MATERIALIZED (SELECT hbig.vec_id, hbig.e, hbig.cell, hbig.m,
+       |          list_transform(hbig.e, (x, i) -> x - hmean.mean[i]) AS res
+       |        FROM hbig JOIN hmean USING (cell)),
+       |hsc AS (SELECT cell, vec_id AS scid, res AS cres FROM (
+       |    SELECT cell, vec_id, res, m,
+       |      row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM hres)
+       |  WHERE rn <= (m + (SELECT cap FROM hcap) - 1) // (SELECT cap FROM hcap)),
+       |hscored AS (SELECT r.vec_id, r.e, r.cell, s.scid,
+       |    list_reduce(list_transform(r.res, (x,i) -> x * s.cres[i]), (p,q) -> p + q) AS sdot
+       |  FROM hres r JOIN hsc s USING (cell)),
+       |hrank AS MATERIALIZED (SELECT vec_id, e, cell, scid,
+       |    row_number() OVER (PARTITION BY cell, vec_id ORDER BY sdot DESC, scid) AS pr
+       |  FROM hscored),
+       |hmem AS MATERIALIZED (SELECT cell, scid, vec_id, e FROM hrank WHERE pr = 1),
+       |hssz AS (SELECT cell, scid, count(*) AS sm FROM hmem GROUP BY 1, 2),
+       |hgu AS (SELECT hmem.cell, hmem.scid, hmem.vec_id, hmem.e
+       |        FROM hmem JOIN hssz USING (cell, scid)
+       |        WHERE hssz.sm <= 16 * (SELECT cap FROM hcap)),
+       |hpr AS (SELECT cell, scid, vec_id AS q_id, e AS qe FROM hrank WHERE pr <= $nprobe),
+       |hbp AS (SELECT DISTINCT LEAST(p.q_id, g2.vec_id) AS id1,
+       |          GREATEST(p.q_id, g2.vec_id) AS id2, ${ivfCosSql("p.qe", "g2.e")} AS cos
+       |        FROM hpr p JOIN hgu g2 USING (cell, scid) WHERE p.q_id <> g2.vec_id),
+       |hunion AS (SELECT id1, id2, cos FROM hsp UNION ALL SELECT id1, id2, cos FROM hbp),
+       |hsym AS (SELECT id1 AS q_id, id2 AS n_id, cos FROM hunion
+       |         UNION ALL SELECT id2, id1, cos FROM hunion)""".stripMargin
+  }
+
   /** The shared recall-audit tail (the q_ann_recall_ivf shape): rank
     * the candidate relation `candRel(q_id, n_id, cos)` to the top-3
     * graph, brute-force the 50 md5-picked anchors against `de` for
@@ -9511,6 +9575,31 @@ object Queries {
         s"""WITH $clusteredDeCte,
            |${ivfKnnGraphSqlCteWith("16")},
            |${recallAuditTailSql("sym")}""".stripMargin
+      }),
+
+    // the RESOLUTION of the r12 clustered-IVF tension (r12 verdict task
+    // 1): √n cells fragment clusters AND mass them into cells the skew
+    // guard drops (clustered recall 0.86→0.49→0.26 as n grows), while
+    // cells=16 pays n²/16 pairing. The two-level index keeps both
+    // properties — sign-pattern coarse cells ≈ cluster count (the
+    // sketch IS the assignment), oversized cells SUB-SPLIT on residuals
+    // (⌈m/cap⌉ sub-cells, nprobe probes) instead of dropped. Row sizing
+    // capMult=1, nprobe=4 exercises BOTH legs at every SF; measured:
+    // recall 0.94 (n=500) / 0.867 (n=20k, vs flat 0.49) / 0.380
+    // (n=200k, vs flat 0.26) at an n^1.5-family pairing price (9.1M
+    // pairs at 10× vs cells16's 25M; 195M at 100× vs 2.5G) — SCALE.md
+    // r13 prices the levers
+    Q("q_ann_recall_ivf_hier",
+      (s, d) => {
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val cl = clusteredVectors(emb).persistTracked()
+        graft.pipeline.SimilarityHier.knnGraphHierRecallAudit(cl, k = 3,
+          nAnchors = 50, capMult = 1, nprobe = 4, knownCount = emb.count())
+      },
+      Some {
+        s"""WITH $clusteredDeCte,
+           |${hierGraphSqlCte(8, 1, 4)},
+           |${recallAuditTailSql("hsym")}""".stripMargin
       })
   )
 
