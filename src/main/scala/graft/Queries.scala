@@ -4555,6 +4555,62 @@ object Queries {
            |SELECT id1, id2, cos FROM cand WHERE cos >= -0.7""".stripMargin
       }),
 
+    // the THRESHOLD BLIND SPOT, audited (r12 advice 2): the monotone
+    // gate prices the escalated IVF with expectedRecall — a top-3 kNN
+    // fit that is INDEPENDENT of the contract's cosine threshold — so
+    // for a near-antipodal contract (this one: cos >= -0.7, the
+    // q_dedup_embed_escalate_wins params) the expectation can overstate
+    // what the escalated pairs deliver AT the threshold. This row
+    // measures exactly that: per-anchor delivered recall of the
+    // escalated path's ≥-threshold pairs vs brute-force truth — the
+    // number a caller reads next to the gate's WARN before trusting a
+    // low-threshold escalation
+    Q("q_ann_escalate_threshold_audit",
+      (s, d) => {
+        require(graft.pipeline.SimilarityLsh.tablesFor(4, 0.35, -0.7) == 64,
+          "q_ann_escalate_threshold_audit: premise broken — params no longer saturate LSH")
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val n = emb.count()
+        val planes = graft.pipeline.SimilarityLsh.planesFor(
+          n, graft.pipeline.SimilarityLsh.PairingMaxBucket)
+        val achievable = graft.pipeline.SimilarityLsh.recallAt(planes, 64, -0.7)
+        val plan = graft.pipeline.SimilarityLsh.escalationPlan(n, 0.35, achievable)
+        require((plan.escalate && plan.nprobe > 1) ||
+            sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
+          s"q_ann_escalate_threshold_audit: premise broken — the gate no " +
+            s"longer escalates multi-probe at this SF (got $plan)")
+        val pairs = Dedup.embeddingNearDupAutoRecall(emb,
+          threshold = -0.7, targetRecall = 0.35, exactLimit = 0L,
+          knownCount = n)
+        Dedup.pairsRecallAuditAtThreshold(emb, pairs, -0.7, nAnchors = 50)
+      },
+      Some {
+        s"""WITH de AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+           |$ivfKnnGraphSqlCte,
+           |${ivfMultiProbeSqlCte(nprobeForSql(0.35))},
+           |cp AS MATERIALIZED (SELECT id1, id2 FROM (
+           |    SELECT DISTINCT least(prb.q_id, ap.vec_id) AS id1,
+           |           greatest(prb.q_id, ap.vec_id) AS id2,
+           |           ${ivfCosSql("prb.qe", "ap.e")} AS cos
+           |    FROM prb JOIN ap ON prb.cell = ap.cell AND prb.q_id <> ap.vec_id)
+           |  WHERE cos >= -0.7),
+           |anch AS MATERIALIZED (SELECT vec_id FROM embeddings
+           |         ORDER BY md5('anch:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 50),
+           |tsc AS (SELECT a.vec_id AS a_id, c2.vec_id AS o_id, ${ivfCosSql("a.e", "c2.e")} AS cos
+           |        FROM de a JOIN anch ON a.vec_id = anch.vec_id
+           |             JOIN de c2 ON c2.vec_id <> a.vec_id),
+           |ttr AS (SELECT a_id, o_id FROM tsc WHERE cos >= -0.7),
+           |tch AS (SELECT cp.id1 AS pa, cp.id2 AS po FROM cp JOIN anch ON cp.id1 = anch.vec_id
+           |        UNION ALL
+           |        SELECT cp.id2, cp.id1 FROM cp JOIN anch ON cp.id2 = anch.vec_id)
+           |SELECT ttr.a_id, CAST(count(*) AS BIGINT) AS n_truth,
+           |  CAST(sum(CASE WHEN tch.pa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+           |  CAST(sum(CASE WHEN tch.pa IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM ttr LEFT JOIN tch ON ttr.a_id = tch.pa AND ttr.o_id = tch.po
+           |GROUP BY ttr.a_id""".stripMargin
+      }),
+
     // the SCALING CONTRAST row for q_knn_graph: the fixed 8-plane graph
     // whose 10× point (4.8× for 10× data — SCALE.md round-8 table) is
     // exactly WHY the catalog row above self-sizes. Kept live so the

@@ -1131,6 +1131,53 @@ object Dedup {
     }
   }
 
+  /** DELIVERED pair recall AT THE CONTRACT'S THRESHOLD — the audit the
+    * escalation gate's threshold blind spot calls for (r12 advice 2):
+    * [[SimilarityIvf.expectedRecall]] is threshold-independent (a top-3
+    * kNN fit), while a contract at a low or negative cosine demands
+    * pairs a similarity quantizer rarely co-cells — so the gate's
+    * expectation can overstate what the escalated path delivers for
+    * exactly those contracts. This measures it: per md5-picked anchor,
+    * the fraction of its TRUE ≥-threshold partners (broadcast anchors ×
+    * corpus — nAnchors·n, never n²) present in `pairs` (any
+    * `(id1 < id2, …)` candidate relation — the escalated IVF pairs, LSH
+    * pairs, or anything else claiming the contract). Run it before
+    * trusting an escalation on a threshold well below the fit regime;
+    * `q_ann_escalate_threshold_audit` is the deployed example.
+    */
+  def pairsRecallAuditAtThreshold(vectors: DataFrame, pairs: DataFrame,
+                                  threshold: Double,
+                                  nAnchors: Int = 50): DataFrame = {
+    val anchors = vectors
+      .select(col("vec_id"),
+        md5(concat(lit("anch:"), col("vec_id").cast("string"))).as("__m"))
+      .orderBy(col("__m"), col("vec_id")).limit(nAnchors).drop("__m")
+      .persistTracked() // feeds the truth broadcast AND both pair probes
+    val av = broadcast(anchors.join(vectors, Seq("vec_id"))
+      .select(col("vec_id").as("a_id"), col("embedding").as("ae")))
+    val truth = vectors.select(col("vec_id").as("o_id"), col("embedding").as("oe"))
+      .join(av, col("a_id") =!= col("o_id"))
+      .select(col("a_id"), col("o_id"),
+        Similarity.cosine(col("ae"), col("oe")).as("cos"))
+      .filter(col("cos") >= threshold)
+    // candidate pairs touching an anchor, normalized to (anchor, other);
+    // (id1, id2) is distinct in every pairing family here, so the two
+    // directions cannot double-count a key
+    val p = pairs.select(col("id1"), col("id2"))
+    val touched = p.join(anchors.select(col("vec_id").as("id1")), Seq("id1"))
+        .select(col("id1").as("pa"), col("id2").as("po"))
+      .unionByName(p.join(anchors.select(col("vec_id").as("id2")), Seq("id2"))
+        .select(col("id2").as("pa"), col("id1").as("po")))
+    truth
+      .join(touched, truth("a_id") === touched("pa") &&
+        truth("o_id") === touched("po"), "left")
+      .groupBy(truth("a_id").as("a_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("pa").isNotNull, 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall",
+        col("n_caught").cast("double") / col("n_truth").cast("double"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, arXiv
     * 2303.09540): k-means the embedding space into cells, then compare
     * cosines ONLY within a cell — semantically-duplicate pairs land in
