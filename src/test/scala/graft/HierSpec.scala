@@ -1,5 +1,6 @@
 package graft
 
+import graft.GraftStorage.Syntax
 import graft.pipeline.{SimilarityHier, SimilarityIvf, SimilarityLsh}
 import org.apache.spark.sql.functions._
 
@@ -27,11 +28,13 @@ class HierSpec extends SparkTestBase {
 
   test("hier graph: well-formed, deterministic, both legs exercised") {
     graft.functions.VectorFunctions.register(spark)
-    val cl = clustered.persist()
+    // persistTracked, NOT bare persist: the shared test session's
+    // cache must be empty after clear (GraftStorageSpec asserts it)
+    val cl = clustered.persistTracked()
     // capMult=1 forces the sub-split leg at this SF (cap=23 < m≈31);
     // pattern cells ≤ 2^8 keep the exact leg alive for small cells
     val g = SimilarityHier.knnGraphHier(cl, k = 3, capMult = 1, nprobe = 2)
-      .persist()
+      .persistTracked()
     val rows = g.collect()
     assert(rows.nonEmpty)
     assert(rows.forall(r => r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 3))
@@ -49,7 +52,7 @@ class HierSpec extends SparkTestBase {
 
   test("clustered regime: hier recall beats the flat cellsFor graph; pairing stays sub-quadratic") {
     graft.functions.VectorFunctions.register(spark)
-    val cl = clustered.persist()
+    val cl = clustered.persistTracked()
     val n = cl.count()
     val flat = meanRecall(SimilarityIvf.knnGraphRecallAudit(cl, k = 3,
       nAnchors = 50, numCells = SimilarityLsh.cellsFor(n)))

@@ -86,6 +86,24 @@ class PlanAuditSpec extends SparkTestBase {
     "q_ann_recall_probe_auto",           // its audit: same + anchor truth side
     "q_dedup_embed_escalate_wins",       // the multi-probe PAIR join's
                                          // centroid cross joins
+    "q_ann_escalate_sampled",            // the sampled gate's escalated
+                                         // multi-probe graph: same k-row
+                                         // centroid cross joins (the shard
+                                         // audit runs eagerly in the gate,
+                                         // not in the returned plan)
+    "q_ann_escalate_threshold_audit",    // escalated pairs' centroid cross
+                                         // joins + broadcast(50 anchors)
+                                         // ⨝ corpus truth side
+    "q_ann_recall_pq",                   // broadcast(50 anchors) ⨝ code scan
+                                         // (ADC) + the same anchors ⨝ corpus
+                                         // exact-integer truth side
+    "q_ann_recall_pq_trained",           // same shapes, trained codebook
+    "q_ann_recall_ivfpq",                // same + the k-row centroid cross
+                                         // join (coarse assignment)
+    "q_ann_recall_ivf_hier",             // broadcast(50 anchors) ⨝ corpus
+                                         // truth side ONLY — the hier index
+                                         // itself is all equi-joins (sign-
+                                         // pattern cells, no centroid scoring)
     "q_pipeline_e2e")                    // the embedded mix plan's two 1-row
                                          // waterfill broadcasts (q_mix_plan)
 
