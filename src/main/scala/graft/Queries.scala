@@ -9656,6 +9656,88 @@ object Queries {
         s"""WITH $clusteredDeCte,
            |${hierGraphSqlCte(8, 1, 4)},
            |${recallAuditTailSql("hsym")}""".stripMargin
+      }),
+
+    // the INDEX-FAMILY gate, live (r13): on a clustered corpus a
+    // 0.999-at-cos≥−0.3 contract saturates the 64-table cap with
+    // achievable ~0.82, and the flat-IVF floor model (~0.58) refuses —
+    // but the hierarchical index's MEASURED shard reading (~0.95 at
+    // fraction 0.25: the md5 shard of a 16-component mixture is itself
+    // a 16-component mixture, so the sign-pattern coarse cells keep
+    // their structure) beats both, and EscalateHierSampled returns the
+    // two-level graph. The row pins the gate's THIRD branch end-to-end
+    // — the first escalation in the catalog that changes index FAMILY,
+    // not just a knob. Premise asserted live (with the SCALE-sweep
+    // drift hatch); the oracle replays the chosen branch — the full
+    // hierarchical plan — exactly (hierGraphSqlCte)
+    Q("q_ann_escalate_hier_wins",
+      (s, d) => {
+        require(graft.pipeline.SimilarityLsh.tablesFor(4, 0.999, -0.3) == 64,
+          "q_ann_escalate_hier_wins: premise broken — params no longer saturate LSH")
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val cl = clusteredVectors(emb).persistTracked()
+        val n = emb.count()
+        val planes = graft.pipeline.SimilarityLsh.planesFor(
+          n, graft.pipeline.SimilarityLsh.PairingMaxBucket)
+        val achievable = graft.pipeline.SimilarityLsh.recallAt(planes, 64, -0.3)
+        val rh = graft.pipeline.SimilarityHier.sampledHierRecall(cl, 0.25,
+          nAnchors = 50)
+        val choice = graft.pipeline.SimilarityLsh.bestIndexPlan(
+          n, 0.999, achievable, rh)
+        require(choice.family == "hier" ||
+            sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
+          s"q_ann_escalate_hier_wins: premise broken — the gate no longer " +
+            s"picks the hierarchical index (rh=$rh, got $choice)")
+        graft.pipeline.SimilarityLsh.topKAutoRecall(cl, k = 3,
+          targetRecall = 0.999, minCosine = -0.3,
+          onSaturation = graft.pipeline.SimilarityLsh.EscalateHierSampled(0.25),
+          knownCount = n)
+      },
+      Some {
+        s"""WITH $clusteredDeCte,
+           |${hierGraphSqlCte(8, 1, 4)}
+           |SELECT q_id, n_id, cos, rank FROM (
+           |  SELECT q_id, n_id, cos,
+           |    CAST(row_number() OVER (PARTITION BY q_id
+           |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+           |  FROM hsym)
+           |WHERE rank <= 3""".stripMargin
+      }),
+
+    // ...and the PAIR form of the same gate (the dedup entry point
+    // shares bestIndexPlan, so the two can never disagree on the
+    // family): EscalateHierSampled in embeddingNearDupAutoRecall
+    // returns the two-level index's ≥-threshold pairs. The oracle
+    // replays the hierarchical pair union (hunion) with the threshold
+    // filter — no rank window, so this is also the cheaper shape to
+    // hash at every SF
+    Q("q_dedup_embed_escalate_hier",
+      (s, d) => {
+        require(graft.pipeline.SimilarityLsh.tablesFor(4, 0.999, -0.3) == 64,
+          "q_dedup_embed_escalate_hier: premise broken — params no longer saturate LSH")
+        val emb = t(s, d)("embeddings").select(col("vec_id"), col("embedding"))
+        val cl = clusteredVectors(emb).persistTracked()
+        val n = emb.count()
+        val planes = graft.pipeline.SimilarityLsh.planesFor(
+          n, graft.pipeline.SimilarityLsh.PairingMaxBucket)
+        val achievable = graft.pipeline.SimilarityLsh.recallAt(planes, 64, -0.3)
+        val rh = graft.pipeline.SimilarityHier.sampledHierRecall(cl, 0.25,
+          nAnchors = 50)
+        val choice = graft.pipeline.SimilarityLsh.bestIndexPlan(
+          n, 0.999, achievable, rh)
+        require(choice.family == "hier" ||
+            sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
+          s"q_dedup_embed_escalate_hier: premise broken — the gate no longer " +
+            s"picks the hierarchical index (rh=$rh, got $choice)")
+        Dedup.embeddingNearDupAutoRecall(cl, threshold = -0.3,
+          targetRecall = 0.999, exactLimit = 0L,
+          onSaturation = graft.pipeline.SimilarityLsh.EscalateHierSampled(0.25),
+          knownCount = n)
+      },
+      Some {
+        s"""WITH $clusteredDeCte,
+           |${hierGraphSqlCte(8, 1, 4)}
+           |SELECT id1, id2, cos FROM hunion WHERE cos >= -0.3""".stripMargin
       })
   )
 

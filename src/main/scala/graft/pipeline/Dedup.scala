@@ -1117,6 +1117,33 @@ object Dedup {
             f"$tables-table pairs; delivered recall is the achievable figure")
           cappedLsh()
         }
+      // the INDEX-FAMILY gate, pair form (r13): measure the hierarchical
+      // index on a deterministic shard, price the flat IVF with the
+      // floor model, take the max-expected-recall family — identical
+      // decision function as topKAutoRecall (bestIndexPlan), so the
+      // graph and pair entry points can never disagree on the family
+      case SimilarityLsh.EscalateHierSampled(f, na, capMult, np) =>
+        val rh = SimilarityHier.sampledHierRecall(vectors, f, na,
+          capMult = capMult, nprobe = np)
+        val choice = SimilarityLsh.bestIndexPlan(n, targetRecall, achievable, rh)
+        log.warn(f"embeddingNearDupAutoRecall: LSH SATURATED — $tables " +
+          f"tables achieve ~$achievable%.4f < target $targetRecall at " +
+          f"cos>=$threshold; flat IVF floor-expected " +
+          f"~${choice.ivf.expectedIvf}%.4f at nprobe=${choice.ivf.nprobe}; " +
+          f"hierarchical measured ~$rh%.4f on the shard (capMult=$capMult, " +
+          f"nprobe=$np; -1 = shard too thin) — choosing '${choice.family}' " +
+          f"at expected ~${choice.expected}%.4f. Audit at the contract's " +
+          "threshold before trusting the sizing at a new scale")
+        choice.family match {
+          case "hier" => SimilarityHier.nearDupPairsHier(vectors, threshold,
+            dim = dim, capMult = capMult, nprobe = np, knownCount = n)
+          case "ivf" =>
+            if (choice.ivf.nprobe <= 1)
+              SimilarityIvf.nearDupPairs(vectors, threshold, choice.ivf.cells)
+            else SimilarityIvf.nearDupPairsMultiProbe(vectors, threshold,
+              choice.ivf.cells, choice.ivf.nprobe)
+          case _ => cappedLsh()
+        }
       case SimilarityLsh.FailLoud =>
         throw new IllegalArgumentException(
           f"embeddingNearDupAutoRecall: recall target $targetRecall at " +

@@ -67,6 +67,19 @@ object SimilarityHier {
     SimilarityLsh.rankTopK(
       hierPairs(vectors, numPlanes, dim, seed, capMult, nprobe, knownCount), k)
 
+  /** Near-duplicate pairs `(id1 < id2, cos ≥ threshold)` of the
+    * two-level index — the dedup-family twin of [[knnGraphHier]]
+    * ([[SimilarityIvf.nearDupPairs]]'s shape), used by
+    * [[graft.pipeline.Dedup.embeddingNearDupAutoRecall]]'s
+    * [[SimilarityLsh.EscalateHierSampled]] branch.
+    */
+  def nearDupPairsHier(vectors: DataFrame, threshold: Double,
+                       numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+                       capMult: Int = 4, nprobe: Int = 4,
+                       knownCount: Long = -1L): DataFrame =
+    hierPairs(vectors, numPlanes, dim, seed, capMult, nprobe, knownCount)
+      .filter(col("cos") >= threshold)
+
   /** Measured recall of [[knnGraphHier]] against brute-force cosine truth
     * on md5-picked anchors — the same deployed-audit contract as
     * [[SimilarityIvf.knnGraphRecallAudit]].
@@ -77,6 +90,51 @@ object SimilarityHier {
                               nprobe: Int = 4, knownCount: Long = -1L): DataFrame =
     SimilarityLsh.recallAuditCore(vectors, k, nAnchors,
       knnGraphHier(vectors, k, numPlanes, dim, seed, capMult, nprobe, knownCount))
+
+  /** The [[SimilarityLsh.EscalateHierSampled]] measurement: recall of
+    * the hierarchical kNN graph on a deterministic md5-hash shard
+    * ([[SimilarityLsh.hashShard]] — the same membership gate as the
+    * flat-IVF sampled base, so the two families are audited on the
+    * IDENTICAL rows), micro-averaged Σcaught/Σtruth (exact-int ratio,
+    * bit-replayable in the SQL oracles). Top-3, the fit the
+    * [[SimilarityIvf.expectedRecall]] model family uses, so the reading
+    * is comparable to the flat floor model it competes against. The
+    * shard's index is fully self-sized on the shard (`cap` from the
+    * shard count — the index has no other knobs to rescale). Returns
+    * −1 (caller degrades to the floor gate) when the shard is under
+    * [[SimilarityLsh.SampledShardFloor]] rows or the truth is empty;
+    * logs the shard size and the reading.
+    */
+  private[graft] def sampledHierRecall(vectors: DataFrame, fraction: Double,
+                                       nAnchors: Int, numPlanes: Int = 8,
+                                       dim: Int = 64, seed: Long = 42L,
+                                       capMult: Int = 1,
+                                       nprobe: Int = 4): Double = {
+    val log = org.slf4j.LoggerFactory.getLogger("graft.SimilarityHier")
+    val pinned = SimilarityLsh.hashShard(vectors, fraction).persistTracked()
+    val shardN = pinned.count()
+    if (shardN < SimilarityLsh.SampledShardFloor) {
+      log.warn(s"EscalateHierSampled: shard has $shardN rows " +
+        s"(< ${SimilarityLsh.SampledShardFloor}) at fraction=$fraction — " +
+        "too thin to audit; degrading to the flat-IVF floor gate")
+      return -1.0
+    }
+    val sums = knnGraphHierRecallAudit(pinned, 3, nAnchors, numPlanes, dim,
+        seed, capMult, nprobe, knownCount = shardN)
+      .agg(coalesce(sum(col("n_caught")), lit(0L)).as("c"),
+        coalesce(sum(col("n_truth")), lit(0L)).as("t")).head()
+    val (caught, truth) = (sums.getLong(0), sums.getLong(1))
+    if (truth <= 0L) {
+      log.warn(s"EscalateHierSampled: empty truth on a $shardN-row shard — " +
+        "degrading to the flat-IVF floor gate")
+      return -1.0
+    }
+    val measured = caught.toDouble / truth.toDouble
+    log.info(f"EscalateHierSampled: shard=$shardN rows (fraction=$fraction) " +
+      f"capMult=$capMult nprobe=$nprobe — measured top-3 recall " +
+      f"$measured%.4f ($caught/$truth, micro-averaged)")
+    measured
+  }
 
   /** Candidate pairs `(id1 < id2, cos)` of the two-level index — the
     * exact-pair leg (small coarse cells) unioned with the residual

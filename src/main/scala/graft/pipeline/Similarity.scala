@@ -824,6 +824,33 @@ object SimilarityLsh {
       s"fraction=$fraction out of range (0, 1]")
     require(nAnchors >= 1, s"nAnchors=$nAnchors out of range")
   }
+  /** [[EscalateIvfSampled]] extended to the INDEX-FAMILY choice (r13):
+    * on saturation, additionally measure the TWO-LEVEL hierarchical
+    * index ([[SimilarityHier.knnGraphHier]]) on the same deterministic
+    * md5-hash shard and escalate to whichever of {capped LSH, flat IVF
+    * multi-probe, hierarchical} carries the highest expected recall —
+    * the flat IVF priced by the conservative floor model
+    * ([[SimilarityIvf.expectedRecall]]), the hierarchical by its
+    * MEASURED shard reading (micro-averaged Σcaught/Σtruth). This is
+    * the gate that lets a clustered corpus escape the r12 tension
+    * (√n cells fragment clusters; cells=k pays n² pairing): the
+    * sign-pattern coarse level adapts to the cluster count, the shard
+    * audit proves it on THIS corpus before the full build is paid, and
+    * the monotone rule still holds — the chosen path's expected recall
+    * is the max of the three, never below the LSH achievable
+    * ([[bestIndexPlan]], spec-pinned). A shard too thin to audit
+    * (< [[SampledShardFloor]] rows) degrades to the [[EscalateIvf]]
+    * floor gate, loudly. `capMult`/`nprobe` are the hierarchical
+    * index's knobs, audited and built with the same values. */
+  final case class EscalateHierSampled(fraction: Double, nAnchors: Int = 50,
+                                       capMult: Int = 1, nprobe: Int = 4)
+      extends SaturationPolicy {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction=$fraction out of range (0, 1]")
+    require(nAnchors >= 1, s"nAnchors=$nAnchors out of range")
+    require(capMult >= 1, s"capMult=$capMult out of range")
+    require(nprobe >= 1, s"nprobe=$nprobe out of range")
+  }
   /** Throw, naming the achievable recall at 64 tables — for callers
     * whose downstream assumes the LSH plan shape. */
   case object FailLoud extends SaturationPolicy
@@ -850,19 +877,26 @@ object SimilarityLsh {
     * floor model) when the shard is under [[SampledShardFloor]] rows or
     * the truth is empty; logs the shard size, cells, and the reading.
     */
+  /** Deterministic md5-hash shard — membership by 4-hex-digit md5
+    * prefix compare: lowercase hex sorts lexicographically in numeric
+    * order, so `md5 < thr` is an exact fraction gate in any engine
+    * with no integer parsing; unbiased under any id ordering and
+    * immune to time/source-sorted prefixes. Shared by the sampled
+    * escalation bases ([[sampledRecallBase]],
+    * [[SimilarityHier.sampledHierRecall]]).
+    */
+  private[pipeline] def hashShard(vectors: DataFrame, fraction: Double): DataFrame =
+    if (fraction >= 1.0) vectors
+    else {
+      val thr = f"${math.max(1L, math.floor(fraction * 65536.0).toLong)}%04x"
+      vectors.filter(
+        md5(concat(lit("shard:"), col("vec_id").cast("string"))) < lit(thr))
+    }
+
   private[graft] def sampledRecallBase(vectors: DataFrame, fraction: Double,
                                        nAnchors: Int): Double = {
     val log = org.slf4j.LoggerFactory.getLogger("graft.SimilarityLsh")
-    // membership by 4-hex-digit md5 prefix compare: lowercase hex sorts
-    // lexicographically in numeric order, so `md5 < thr` is an exact
-    // fraction gate in any engine with no integer parsing
-    val shard =
-      if (fraction >= 1.0) vectors
-      else {
-        val thr = f"${math.max(1L, math.floor(fraction * 65536.0).toLong)}%04x"
-        vectors.filter(
-          md5(concat(lit("shard:"), col("vec_id").cast("string"))) < lit(thr))
-      }
+    val shard = hashShard(vectors, fraction)
     val pinned = shard.persistTracked()
     val shardN = pinned.count()
     if (shardN < SampledShardFloor) {
@@ -910,6 +944,30 @@ object SimilarityLsh {
     val nprobe = SimilarityIvf.nprobeFor(targetRecall, cells, recallAtNprobe1)
     val expected = SimilarityIvf.expectedRecall(cells, nprobe, recallAtNprobe1)
     IvfEscalation(expected > achievable + 1e-9, cells, nprobe, expected)
+  }
+
+  /** The three-way index-family decision behind [[EscalateHierSampled]],
+    * pure and spec-pinnable: given the saturated-LSH achievable, the
+    * floor-model flat-IVF sizing, and the hierarchical index's MEASURED
+    * shard recall (−1 when the shard was too thin to audit), pick the
+    * family with the highest expected recall. Ties break conservatively
+    * toward the cheaper-to-trust side: hier must STRICTLY beat both
+    * (its reading is a sample), flat IVF must strictly beat the
+    * achievable (the [[escalationPlan]] rule, unchanged). By
+    * construction `expected = max(achievable, expectedIvf?, measuredHier?)`
+    * — the monotone contract extends to three families
+    * (EscalationSpec pins it over a grid).
+    */
+  private[graft] final case class IndexChoice(
+      family: String, expected: Double, ivf: IvfEscalation)
+  private[graft] def bestIndexPlan(n: Long, targetRecall: Double,
+                                   achievable: Double,
+                                   measuredHier: Double): IndexChoice = {
+    val ivf = escalationPlan(n, targetRecall, achievable)
+    if (measuredHier > math.max(achievable, ivf.expectedIvf) + 1e-9)
+      IndexChoice("hier", measuredHier, ivf)
+    else if (ivf.escalate) IndexChoice("ivf", ivf.expectedIvf, ivf)
+    else IndexChoice("lsh", achievable, ivf)
   }
 
   /** Corpus row count for the self-sizing entry points WITHOUT forcing
@@ -1185,6 +1243,35 @@ object SimilarityLsh {
             f"$tables-table LSH graph; delivered recall is the achievable " +
             "figure, not the target")
           cappedLsh()
+        }
+      // the INDEX-FAMILY gate (r13): measure the hierarchical index on
+      // a deterministic shard, price the flat IVF with the conservative
+      // floor model, and take the max-expected-recall family — the
+      // monotone contract extended from two families to three. The
+      // shard audit is the only added cost (bounded: ~(f·n)^1.5 + the
+      // anchor truth), paid BEFORE committing to a full index build.
+      case EscalateHierSampled(f, na, capMult, np) =>
+        val rh = SimilarityHier.sampledHierRecall(vectors, f, na,
+          capMult = capMult, nprobe = np)
+        val choice = bestIndexPlan(n, targetRecall, achievable, rh)
+        log.warn(f"topKAutoRecall: LSH SATURATED — $tables tables (the cap) " +
+          f"achieve ~$achievable%.4f < target $targetRecall at " +
+          f"cos>=$minCosine; flat IVF floor-expected " +
+          f"~${choice.ivf.expectedIvf}%.4f at nprobe=${choice.ivf.nprobe} " +
+          f"(cells=${choice.ivf.cells}); hierarchical measured " +
+          f"~$rh%.4f on the shard (capMult=$capMult, nprobe=$np; -1 = " +
+          f"shard too thin) — choosing '${choice.family}' at expected " +
+          f"~${choice.expected}%.4f. Verify with the matching recall " +
+          "audit before trusting the sizing at a new scale")
+        choice.family match {
+          case "hier" => SimilarityHier.knnGraphHier(vectors, k, dim = dim,
+            capMult = capMult, nprobe = np, knownCount = n)
+          case "ivf" =>
+            if (choice.ivf.nprobe <= 1)
+              SimilarityIvf.knnGraph(vectors, k, choice.ivf.cells)
+            else SimilarityIvf.knnGraphMultiProbe(vectors, k,
+              choice.ivf.cells, choice.ivf.nprobe)
+          case _ => cappedLsh()
         }
       case FailLoud =>
         throw new IllegalArgumentException(

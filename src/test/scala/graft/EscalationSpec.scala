@@ -100,6 +100,76 @@ class EscalationSpec extends SparkTestBase {
     graft.GraftStorage.clear(spark)
   }
 
+  test("bestIndexPlan is recall-monotone over three families: expected = max(achievable, floor IVF, measured hier)") {
+    for (n <- Seq(500L, 2000L, 20000L, 1000000L);
+         t <- Seq(0.35, 0.9, 0.999);
+         achievable <- Seq(0.05, 0.23, 0.5, 0.82, 0.99);
+         rh <- Seq(-1.0, 0.1, 0.45, 0.9)) {
+      val c = SimilarityLsh.bestIndexPlan(n, t, achievable, rh)
+      // never below the LSH achievable (the r11 contract), and never
+      // below what EITHER escalation candidate honestly promises
+      assert(c.expected >= achievable - 1e-12,
+        s"n=$n t=$t a=$achievable rh=$rh: $c under-delivers vs LSH")
+      val best = Seq(achievable, c.ivf.expectedIvf, rh).max
+      assert(math.abs(c.expected - best) <= 1e-9 || c.expected >= best - 1e-9,
+        s"n=$n t=$t a=$achievable rh=$rh: $c not the max-expected family")
+      c.family match {
+        case "hier" => assert(rh > math.max(achievable, c.ivf.expectedIvf))
+        case "ivf"  => assert(c.ivf.escalate && c.expected === c.ivf.expectedIvf)
+        case "lsh"  => assert(c.expected === achievable)
+      }
+      // the embedded flat-IVF sizing is the floor-model escalationPlan
+      assert(c.ivf === SimilarityLsh.escalationPlan(n, t, achievable))
+    }
+    // a thin-shard fallback (rh = -1) can never pick hier
+    assert(SimilarityLsh.bestIndexPlan(2000L, 0.999, 0.05, -1.0).family !== "hier")
+    // the policy validates its knobs
+    intercept[IllegalArgumentException] {
+      SimilarityLsh.EscalateHierSampled(1.5)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityLsh.EscalateHierSampled(0.25, capMult = 0)
+    }
+  }
+
+  test("EscalateHierSampled: sampledHierRecall = micro-averaged hier audit at fraction 1; thin shards degrade; gate returns the hier plan when it wins") {
+    import graft.pipeline.SimilarityHier
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // the clustered derivation (the corpus where hier honestly wins) —
+    // the Queries.clusteredVectors twin, inline
+    val cl = emb.select(col("vec_id"), array((0 until 64).map { d =>
+      (pmod(pmod(col("vec_id"), lit(16)) * lit(37) + lit(d * 13), lit(17)) - lit(8))
+        .cast("double") + col("embedding").getItem(d).cast("double")
+    }: _*).as("embedding"))
+    // fraction=1.0: the reading must equal the deployed audit's
+    // micro-average exactly (same graph, same anchors, same ratio)
+    val rh = SimilarityHier.sampledHierRecall(cl, 1.0, nAnchors = 50)
+    val audit = SimilarityHier.knnGraphHierRecallAudit(cl, k = 3, nAnchors = 50)
+      .agg(sum("n_caught").cast("double") / sum("n_truth").cast("double"))
+      .head().getDouble(0)
+    assert(rh === audit, s"sampled hier $rh != audit micro-average $audit")
+    assert(rh > 0.5, s"premise: hier must be strong on the clustered corpus, got $rh")
+    // thin shard refuses to pretend
+    assert(SimilarityHier.sampledHierRecall(cl, 0.05, 50) === -1.0)
+    // end-to-end: params that saturate LSH with a low achievable — the
+    // gate must pick hier and return the exact knnGraphHier plan
+    val n = cl.count()
+    val planes = SimilarityLsh.planesFor(n, SimilarityLsh.PairingMaxBucket)
+    val achievable = SimilarityLsh.recallAt(planes, 64, -0.3)
+    val choice = SimilarityLsh.bestIndexPlan(n, 0.999, achievable, rh)
+    assert(choice.family === "hier",
+      s"premise: hier must win at this sizing (a=$achievable rh=$rh), got $choice")
+    val gated = SimilarityLsh.topKAutoRecall(cl, k = 3, targetRecall = 0.999,
+      minCosine = -0.3, onSaturation = SimilarityLsh.EscalateHierSampled(1.0),
+      knownCount = n)
+    val direct = SimilarityHier.knnGraphHier(cl, 3, capMult = 1, nprobe = 4,
+      knownCount = n)
+    assert(gated.except(direct).isEmpty && direct.except(gated).isEmpty,
+      "the gate's hier branch must return exactly the hierarchical graph")
+    GraftStorage.clear(spark)
+  }
+
   test("nearDupPairsMultiProbe: candidates are a superset of nearDupPairs (probe rank 1 is the own cell); pairs well-formed") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
