@@ -9481,9 +9481,15 @@ object Queries {
             sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
           s"q_ann_escalate_sampled: premise broken — the sampled gate no " +
             s"longer escalates (r1=$r1, got $plan)")
+        // r13 optimization: the premise assert above already paid for the
+        // shard audit (sampledRecallBase) — pass the reading through
+        // EscalateIvfMeasured instead of having EscalateIvfSampled run
+        // the identical audit a second time (escalationPlan is a pure
+        // function of (n, target, achievable, r1), so the branch and the
+        // result are bit-identical; EscalationSpec pins the equivalence)
         graft.pipeline.SimilarityLsh.topKAutoRecall(cl, k = 3,
           targetRecall = 0.999, minCosine = -0.3,
-          onSaturation = graft.pipeline.SimilarityLsh.EscalateIvfSampled(0.25),
+          onSaturation = graft.pipeline.SimilarityLsh.EscalateIvfMeasured(r1),
           knownCount = n)
       },
       Some {
@@ -9688,9 +9694,12 @@ object Queries {
             sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
           s"q_ann_escalate_hier_wins: premise broken — the gate no longer " +
             s"picks the hierarchical index (rh=$rh, got $choice)")
+        // r13 optimization: reuse the premise's shard reading (one
+        // sampledHierRecall, not two) — bestIndexPlan is pure, so
+        // EscalateHierMeasured(rh) picks the identical branch and build
         graft.pipeline.SimilarityLsh.topKAutoRecall(cl, k = 3,
           targetRecall = 0.999, minCosine = -0.3,
-          onSaturation = graft.pipeline.SimilarityLsh.EscalateHierSampled(0.25),
+          onSaturation = graft.pipeline.SimilarityLsh.EscalateHierMeasured(rh),
           knownCount = n)
       },
       Some {
@@ -9729,9 +9738,12 @@ object Queries {
             sys.env.get("SPARK_GRAFT_ALLOW_SF_DRIFT").contains("1"),
           s"q_dedup_embed_escalate_hier: premise broken — the gate no longer " +
             s"picks the hierarchical index (rh=$rh, got $choice)")
+        // r13 optimization: reuse the premise's shard reading (one
+        // sampledHierRecall, not two) — same pure-gate argument as
+        // q_ann_escalate_hier_wins
         Dedup.embeddingNearDupAutoRecall(cl, threshold = -0.3,
           targetRecall = 0.999, exactLimit = 0L,
-          onSaturation = graft.pipeline.SimilarityLsh.EscalateHierSampled(0.25),
+          onSaturation = graft.pipeline.SimilarityLsh.EscalateHierMeasured(rh),
           knownCount = n)
       },
       Some {

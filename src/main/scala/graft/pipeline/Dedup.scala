@@ -1122,9 +1122,15 @@ object Dedup {
       // floor model, take the max-expected-recall family — identical
       // decision function as topKAutoRecall (bestIndexPlan), so the
       // graph and pair entry points can never disagree on the family
-      case SimilarityLsh.EscalateHierSampled(f, na, capMult, np) =>
-        val rh = SimilarityHier.sampledHierRecall(vectors, f, na,
-          capMult = capMult, nprobe = np)
+      case p @ (SimilarityLsh.EscalateHierSampled(_, _, _, _) |
+                SimilarityLsh.EscalateHierMeasured(_, _, _)) =>
+        val (rh, capMult, np) = p match {
+          case SimilarityLsh.EscalateHierSampled(f, na, cm, np0) =>
+            (SimilarityHier.sampledHierRecall(vectors, f, na,
+              capMult = cm, nprobe = np0), cm, np0)
+          case SimilarityLsh.EscalateHierMeasured(m, cm, np0) => (m, cm, np0)
+          case _ => throw new MatchError(p) // unreachable
+        }
         val choice = SimilarityLsh.bestIndexPlan(n, targetRecall, achievable, rh)
         log.warn(f"embeddingNearDupAutoRecall: LSH SATURATED — $tables " +
           f"tables achieve ~$achievable%.4f < target $targetRecall at " +

@@ -88,8 +88,8 @@ object SimilarityHier {
                               numPlanes: Int = 8, dim: Int = 64,
                               seed: Long = 42L, capMult: Int = 4,
                               nprobe: Int = 4, knownCount: Long = -1L): DataFrame =
-    SimilarityLsh.recallAuditCore(vectors, k, nAnchors,
-      knnGraphHier(vectors, k, numPlanes, dim, seed, capMult, nprobe, knownCount))
+    SimilarityLsh.recallAuditCoreCandidates(vectors, k, nAnchors,
+      hierPairs(vectors, numPlanes, dim, seed, capMult, nprobe, knownCount))
 
   /** The [[SimilarityLsh.EscalateHierSampled]] measurement: recall of
     * the hierarchical kNN graph on a deterministic md5-hash shard
@@ -162,15 +162,6 @@ object SimilarityHier {
       .persistTracked()
     // ≤ 2^numPlanes rows — broadcast to every consumer
     val sizes = keyed.groupBy("cell").agg(count(lit(1)).as("m")).persistTracked()
-    // the sketch-derived structure estimate, logged: occupied patterns ≈
-    // cluster count on clustered data (saturates at 2^planes otherwise)
-    val st = sizes.agg(count(lit(1)).as("cells"),
-      coalesce(sum(when(col("m") > cap, 1L).otherwise(0L)), lit(0L)).as("big"),
-      coalesce(sum(when(col("m") > cap, col("m"))), lit(0L)).as("bigm")).head()
-    log.info(s"knnGraphHier: corpus=$n — coarse sketch found ${st.getLong(0)} " +
-      s"occupied patterns (cluster-count estimate), ${st.getLong(1)} over the " +
-      s"$cap-member cap (${st.getLong(2)} vectors take the residual " +
-      s"sub-split + $nprobe-probe leg; the rest pair exactly)")
 
     // ---- leg 1: small coarse cells — exact within-cell pairs
     val small = keyed.join(broadcast(sizes.filter(col("m") <= cap)), Seq("cell"))
@@ -196,7 +187,11 @@ object SimilarityHier {
           (col("s").cast("double") / col("cnt").cast("double") /
             lit(Scale.toDouble)).as("mv")))),
         x => x("mv")).as("mean"))
-    val withRes = big.join(means, Seq("cell"))
+    // broadcast: ≤ 2^numPlanes mean rows — without the hint a stats
+    // misestimate at scale could plan a sort-merge join and re-exchange
+    // the whole big-cell corpus on `cell` (guide §3.1: hint when a side
+    // is KNOWN small)
+    val withRes = big.join(broadcast(means), Seq("cell"))
       .select(col("vec_id"), col("embedding"), col("cell"), col("m"),
         zip_with(col("embedding").cast("array<double>"), col("mean"),
           (x, mv) => x - mv).as("res"))
@@ -225,11 +220,22 @@ object SimilarityHier {
     // the N side, loudly, same stance as every pairing guard here
     val hardCap = 16L * cap
     val subSizes = membership.groupBy("cell", "scid").agg(count(lit(1)).as("sm"))
-    val droppedRow = subSizes.filter(col("sm") > hardCap)
-      .agg(coalesce(sum(col("sm")), lit(0L))).head()
-    if (droppedRow.getLong(0) > 0)
+    // ONE eager action for both audits (r13: the coarse-structure log and
+    // the degenerate-sub-cell guard each paid a full AQE job round; the
+    // two single-row aggregates cross-join into one job — the sketch
+    // stats ride along on the guard's materialization of `ranked`)
+    val st = sizes.agg(count(lit(1)).as("cells"),
+        coalesce(sum(when(col("m") > cap, 1L).otherwise(0L)), lit(0L)).as("big"),
+        coalesce(sum(when(col("m") > cap, col("m"))), lit(0L)).as("bigm"))
+      .crossJoin(subSizes.filter(col("sm") > hardCap)
+        .agg(coalesce(sum(col("sm")), lit(0L)).as("drp"))).head()
+    log.info(s"knnGraphHier: corpus=$n — coarse sketch found ${st.getLong(0)} " +
+      s"occupied patterns (cluster-count estimate), ${st.getLong(1)} over the " +
+      s"$cap-member cap (${st.getLong(2)} vectors take the residual " +
+      s"sub-split + $nprobe-probe leg; the rest pair exactly)")
+    if (st.getLong(3) > 0)
       log.warn(s"knnGraphHier: degenerate sub-cells — dropping " +
-        s"${droppedRow.getLong(0)} memberships over $hardCap; residuals " +
+        s"${st.getLong(3)} memberships over $hardCap; residuals " +
         "collapsed (mass duplicates?) — exact-dedup the corpus first")
     val guarded = membership.join(
       broadcast(subSizes.filter(col("sm") <= hardCap).select("cell", "scid")),

@@ -292,13 +292,22 @@ object SimilarityIvf {
         Similarity.cosine(col("a.embedding"), col("b.embedding")).as("cos"))
 
   private def knnGraphFromAssigned(assigned0: DataFrame, numCells: Int,
-                                   k: Int, maxCellSize: Long): DataFrame = {
+                                   k: Int, maxCellSize: Long): DataFrame =
+    SimilarityLsh.rankTopK(
+      candidatesFromAssigned(assigned0, numCells, maxCellSize), k)
+
+  /** Guarded within-cell candidate pairs from a raw assignment — the
+    * shared pre-rank stage of [[knnGraph]]/[[knnGraphTrained]] and their
+    * audits (which rank only anchor-incident rows,
+    * [[SimilarityLsh.recallAuditCoreCandidates]]).
+    */
+  private def candidatesFromAssigned(assigned0: DataFrame, numCells: Int,
+                                     maxCellSize: Long): DataFrame = {
     import graft.GraftStorage.Syntax
     // pinned: the assignment (a corpus scan + centroid scoring) feeds
     // the guard aggregate AND both self-join sides
     val assigned = assigned0.persistTracked()
-    SimilarityLsh.rankTopK(
-      cellPairs(guardCells(assigned, numCells, maxCellSize, "knnGraph")), k)
+    cellPairs(guardCells(assigned, numCells, maxCellSize, "knnGraph"))
   }
 
   /** Threshold near-dup pairs over the IVF index — the PAIRS twin of
@@ -544,9 +553,58 @@ object SimilarityIvf {
                           numCells: Int = -1, nprobe: Int = 1): DataFrame = {
     val cells = if (numCells > 0) numCells
                 else SimilarityLsh.cellsFor(vectors.count())
-    SimilarityLsh.recallAuditCore(vectors, k, nAnchors,
-      if (nprobe <= 1) knnGraph(vectors, k, cells)
-      else knnGraphMultiProbe(vectors, k, cells, nprobe))
+    if (nprobe <= 1)
+      // rank only anchor-incident candidate rows — identical per-anchor
+      // numbers, window input n·occ → nAnchors·occ (r13)
+      SimilarityLsh.recallAuditCoreCandidates(vectors, k, nAnchors,
+        candidatesFromAssigned(assign(vectors, cells), cells, 0L))
+    else {
+      // restrict the probe/query side to the anchors BEFORE the probe
+      // scoring and the cell join: a window partitioned by q_id and a
+      // probe set derived per-q never look across queries, so the
+      // anchors' graph rows are identical to the full graph's — while
+      // the probe scoring shrinks n·cells → nAnchors·cells and the
+      // candidate join n·nprobe·occ → nAnchors·nprobe·occ (r13;
+      // equality spec-pinned in SimilaritySpec)
+      val anchors = SimilarityLsh.auditAnchors(vectors, nAnchors)
+      val queries = anchors.join(vectors, Seq("vec_id"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val approx = knnGraphMultiProbeQueries(vectors, queries, cells, nprobe, k)
+        .select(col("q_id"), col("n_id").as("a_id"))
+      SimilarityLsh.recallAuditFrom(vectors, k, anchors, approx)
+    }
+  }
+
+  /** [[knnGraphMultiProbe]] restricted to an explicit `(q_id, qe)` query
+    * subset of the corpus — for the audits: per-query rows equal the full
+    * graph's (probe ranking and the top-k window are per-q_id). The
+    * corpus side keeps the identical skew guard. The full graph's
+    * `distinct()` is dropped here: each (q_id, n_id) arises at most once
+    * (n_id lives in exactly one cell; q probes a cell at most once), so
+    * it deduplicates nothing — spec-pinned.
+    */
+  private def knnGraphMultiProbeQueries(vectors: DataFrame, queries: DataFrame,
+                                        numCells: Int, nprobe: Int,
+                                        k: Int): DataFrame = {
+    import graft.GraftStorage.Syntax
+    val cents = centroids(vectors, numCells).persistTracked()
+    val assigned = assignTo(vectors, cents).persistTracked()
+    val sized = guardCells(assigned, numCells, 0L, "knnGraphMultiProbe")
+    val qScored = queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("qe"), col("cid"),
+        Similarity.cosine(col("qe"), col("ce")).as("ccos"))
+    val probes = qScored.withColumn("pr", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cid").asc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("q_id"), col("qe"), col("cid").as("cell"))
+    probes.join(sized, Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Similarity.cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** [[knnGraphRecallAudit]] against an EXPLICIT `(cid, ce)` quantizer
@@ -557,8 +615,8 @@ object SimilarityIvf {
     */
   def knnGraphRecallAuditWith(vectors: DataFrame, k: Int, nAnchors: Int,
                               cents: DataFrame, numCells: Int): DataFrame =
-    SimilarityLsh.recallAuditCore(vectors, k, nAnchors,
-      knnGraphFromAssigned(assignTo(vectors, cents), numCells, k, 0L))
+    SimilarityLsh.recallAuditCoreCandidates(vectors, k, nAnchors,
+      candidatesFromAssigned(assignTo(vectors, cents), numCells, 0L))
 
   /** [[knnGraphRecallAudit]] for the TRAINED-quantizer graph — the
     * second recall lever's own number. Same default-sizing contract:
@@ -569,8 +627,9 @@ object SimilarityIvf {
                                  iters: Int = 1): DataFrame = {
     val cells = if (numCells > 0) numCells
                 else SimilarityLsh.cellsFor(vectors.count())
-    SimilarityLsh.recallAuditCore(vectors, k, nAnchors,
-      knnGraphTrained(vectors, k, cells, iters))
+    SimilarityLsh.recallAuditCoreCandidates(vectors, k, nAnchors,
+      candidatesFromAssigned(
+        assignTo(vectors, refineCentroids(vectors, cells, iters)), cells, 0L))
   }
 
   def topKMultiProbe(vectors: DataFrame, queries: DataFrame, k: Int,
@@ -801,8 +860,14 @@ object SimilarityLsh {
     * the extrapolated IVF expectation beats the LSH achievable. */
   final case class EscalateIvfMeasured(recallAtNprobe1: Double)
       extends SaturationPolicy {
-    require(recallAtNprobe1 > 0.0 && recallAtNprobe1 <= 1.0,
-      s"recallAtNprobe1=$recallAtNprobe1 is not a recall")
+    // -1 = "no usable reading" (a too-thin shard audit): degrade to the
+    // clusterless floor model, exactly as EscalateIvfSampled does — lets
+    // a caller that ran sampledRecallBase itself pass the reading
+    // through unconditionally instead of re-running the audit in-policy
+    require(recallAtNprobe1 == -1.0 ||
+        (recallAtNprobe1 > 0.0 && recallAtNprobe1 <= 1.0),
+      s"recallAtNprobe1=$recallAtNprobe1 is neither a recall in (0, 1] " +
+        "nor the -1 sentinel")
   }
   /** [[EscalateIvfMeasured]] WITHOUT the hand-fed reading (r12 verdict
     * task 3): the gate derives the measured nprobe=1 base ITSELF by
@@ -848,6 +913,26 @@ object SimilarityLsh {
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction=$fraction out of range (0, 1]")
     require(nAnchors >= 1, s"nAnchors=$nAnchors out of range")
+    require(capMult >= 1, s"capMult=$capMult out of range")
+    require(nprobe >= 1, s"nprobe=$nprobe out of range")
+  }
+  /** [[EscalateHierSampled]] with the shard reading supplied by a caller
+    * that already paid for it ([[SimilarityHier.sampledHierRecall]] —
+    * e.g. a pre-flight premise assert, or a prior gate on the same
+    * corpus): the family decision ([[bestIndexPlan]]) and the chosen
+    * build are IDENTICAL to [[EscalateHierSampled]] fed the same
+    * reading, but the shard audit — one (f·n)^1.5 index build plus the
+    * nAnchors·(f·n) truth — runs once instead of twice (r13
+    * optimization: the three escalate catalog rows measured the shard
+    * for their premise assert and then the Sampled policy measured it
+    * again; at sf0.1 the duplicated audit was ~40% of each row).
+    * `measured = -1` means "no usable reading" and degrades to the
+    * flat-IVF floor gate, exactly as a too-thin shard does. */
+  final case class EscalateHierMeasured(measured: Double, capMult: Int = 1,
+                                        nprobe: Int = 4)
+      extends SaturationPolicy {
+    require(measured == -1.0 || (measured > 0.0 && measured <= 1.0),
+      s"measured=$measured is neither a recall in (0, 1] nor the -1 sentinel")
     require(capMult >= 1, s"capMult=$capMult out of range")
     require(nprobe >= 1, s"nprobe=$nprobe out of range")
   }
@@ -1250,9 +1335,15 @@ object SimilarityLsh {
       // monotone contract extended from two families to three. The
       // shard audit is the only added cost (bounded: ~(f·n)^1.5 + the
       // anchor truth), paid BEFORE committing to a full index build.
-      case EscalateHierSampled(f, na, capMult, np) =>
-        val rh = SimilarityHier.sampledHierRecall(vectors, f, na,
-          capMult = capMult, nprobe = np)
+      case p @ (EscalateHierSampled(_, _, _, _) |
+                EscalateHierMeasured(_, _, _)) =>
+        val (rh, capMult, np) = p match {
+          case EscalateHierSampled(f, na, cm, np0) =>
+            (SimilarityHier.sampledHierRecall(vectors, f, na,
+              capMult = cm, nprobe = np0), cm, np0)
+          case EscalateHierMeasured(m, cm, np0) => (m, cm, np0)
+          case _ => throw new MatchError(p) // unreachable
+        }
         val choice = bestIndexPlan(n, targetRecall, achievable, rh)
         log.warn(f"topKAutoRecall: LSH SATURATED — $tables tables (the cap) " +
           f"achieve ~$achievable%.4f < target $targetRecall at " +
@@ -1324,7 +1415,9 @@ object SimilarityLsh {
     */
   def knnRecallAudit(vectors: DataFrame, k: Int, nAnchors: Int = 50,
                      numTables: Int = 8, dim: Int = 64): DataFrame =
-    recallAuditCore(vectors, k, nAnchors, topKAuto(vectors, k, numTables, dim))
+    recallAuditCoreCandidates(vectors, k, nAnchors,
+      candidatePairsAuto(vectors, numTables, dim,
+        maxBucketSize = PairingMaxBucket))
 
   /** The audit core [[knnRecallAudit]] and
     * [[SimilarityIvf.knnGraphRecallAudit]] share: measured recall of any
@@ -1333,14 +1426,60 @@ object SimilarityLsh {
     * nAnchors·n, never n²; truth ranking via [[Skew.saltedTopK]] because
     * anchors are few and hot).
     */
-  private[pipeline] def recallAuditCore(vectors: DataFrame, k: Int,
+  private[graft] def recallAuditCore(vectors: DataFrame, k: Int,
                                         nAnchors: Int,
                                         graph: DataFrame): DataFrame = {
-    val anchors = vectors
+    val anchors = auditAnchors(vectors, nAnchors)
+    val approx = graph
+      .join(anchors.select(col("vec_id").as("q_id")), Seq("q_id"), "left_semi")
+      .select(col("q_id"), col("n_id").as("a_id"))
+    recallAuditFrom(vectors, k, anchors, approx)
+  }
+
+  /** [[recallAuditCore]] fed CANDIDATE PAIRS `(id1, id2, cos)` instead of
+    * a finished kNN graph (r13 optimization): the anchor semi-join moves
+    * BEFORE the top-k rank window, so the window sorts only
+    * anchor-incident rows (~nAnchors·occupancy) instead of the whole
+    * graph's symmetrized candidate set (~n·occupancy). Per-anchor rows
+    * are IDENTICAL to ranking the full graph and then filtering — a
+    * `row_number` window partitioned by q_id never looks across q_ids —
+    * so every audit number is unchanged (spec-pinned in SimilaritySpec).
+    * This is the audit-side shape of guide §2.3 "shuffle fewer bytes":
+    * the decision (per-anchor recall) only needs the anchors' rows.
+    */
+  private[pipeline] def recallAuditCoreCandidates(vectors: DataFrame, k: Int,
+                                                  nAnchors: Int,
+                                                  candidates: DataFrame): DataFrame = {
+    val anchors = auditAnchors(vectors, nAnchors)
+    val qids = broadcast(anchors.select(col("vec_id").as("q_id")))
+    val pairs = candidates.persistTracked() // feeds both sym directions
+    val approx = pairs
+      .select(col("id1").as("q_id"), col("id2").as("n_id"), col("cos"))
+      .union(pairs.select(col("id2").as("q_id"), col("id1").as("n_id"), col("cos")))
+      .join(qids, Seq("q_id"), "left_semi")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id").as("a_id"))
+    recallAuditFrom(vectors, k, anchors, approx)
+  }
+
+  /** md5-ranked audit anchors — deterministic, engine-replayable; pinned
+    * because they feed the truth broadcast AND the approx filter.
+    */
+  private[pipeline] def auditAnchors(vectors: DataFrame, nAnchors: Int): DataFrame =
+    vectors
       .select(col("vec_id"),
         md5(concat(lit("anch:"), col("vec_id").cast("string"))).as("__m"))
       .orderBy(col("__m"), col("vec_id")).limit(nAnchors).drop("__m")
-      .persistTracked() // feeds the truth broadcast AND the approx filter
+      .persistTracked()
+
+  /** Shared audit tail: brute-force truth on the anchors (broadcast
+    * anchors × corpus — nAnchors·n, never n²; [[Skew.saltedTopK]] because
+    * anchors are few and hot) compared against `approx(q_id, a_id)`.
+    */
+  private[pipeline] def recallAuditFrom(vectors: DataFrame, k: Int, anchors: DataFrame,
+                              approx: DataFrame): DataFrame = {
     val av = broadcast(anchors.join(vectors, Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
     val scored = vectors.select(col("vec_id").as("n_id"), col("embedding").as("ne"))
@@ -1349,9 +1488,6 @@ object SimilarityLsh {
         Similarity.cosine(col("qe"), col("ne")).as("cos"))
     val truth = Skew.saltedTopK(scored, col("q_id"), col("n_id"), k,
       order = Seq(col("cos").desc, col("n_id").asc))
-    val approx = graph
-      .join(anchors.select(col("vec_id").as("q_id")), Seq("q_id"), "left_semi")
-      .select(col("q_id"), col("n_id").as("a_id"))
     truth
       .join(approx, truth("q_id") === approx("q_id") &&
         truth("n_id") === approx("a_id"), "left")

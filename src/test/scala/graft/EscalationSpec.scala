@@ -167,6 +167,24 @@ class EscalationSpec extends SparkTestBase {
       knownCount = n)
     assert(gated.except(direct).isEmpty && direct.except(gated).isEmpty,
       "the gate's hier branch must return exactly the hierarchical graph")
+    // r13 optimization equivalence: a caller that already paid for the
+    // shard reading passes it via EscalateHierMeasured — bestIndexPlan is
+    // pure, so the Measured gate must return the IDENTICAL plan as the
+    // Sampled gate fed the same corpus (one shard audit instead of two)
+    val measuredGate = SimilarityLsh.topKAutoRecall(cl, k = 3,
+      targetRecall = 0.999, minCosine = -0.3,
+      onSaturation = SimilarityLsh.EscalateHierMeasured(rh), knownCount = n)
+    assert(measuredGate.except(gated).isEmpty && gated.except(measuredGate).isEmpty,
+      "EscalateHierMeasured(rh) must equal EscalateHierSampled at the same reading")
+    // the -1 sentinel degrades to the floor gate (never hier), same as a
+    // thin shard; and the policy rejects junk readings
+    assert(SimilarityLsh.bestIndexPlan(n, 0.999, achievable, -1.0).family !== "hier")
+    intercept[IllegalArgumentException] {
+      SimilarityLsh.EscalateHierMeasured(1.5)
+    }
+    intercept[IllegalArgumentException] {
+      SimilarityLsh.EscalateIvfMeasured(0.0)
+    }
     GraftStorage.clear(spark)
   }
 

@@ -278,6 +278,51 @@ class SimilaritySpec extends SparkTestBase {
     } finally { logger.removeAppender(app); app.stop() }
     GraftStorage.clear(spark)
   }
+
+  test("r13 audit optimization: anchor-restricted audits equal the full-graph audits exactly") {
+    import graft.pipeline.{SimilarityHier, SimilarityIvf}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val cells = SimilarityLsh.cellsFor(n)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_truth"),
+        r.getAs[Long]("n_caught"))).toSet
+    // 1. flat-IVF audit (now candidates-based) == ranking the FULL graph
+    //    and semi-joining anchors after (the pre-r13 shape)
+    val fullGraphAudit = SimilarityLsh.recallAuditCore(emb, 3, 50,
+      SimilarityIvf.knnGraph(emb, 3, cells))
+    val anchored = SimilarityIvf.knnGraphRecallAudit(emb, 3, 50, cells)
+    assert(rows(anchored) === rows(fullGraphAudit),
+      "anchor-restricted flat audit diverges from the full-graph audit")
+    GraftStorage.clear(spark)
+    // 2. multi-probe audit (query side restricted to anchors) == full
+    //    multi-probe graph audit; also pins that knnGraphMultiProbe's
+    //    distinct() is a no-op (each (q,n) arises once), which the
+    //    anchored variant omits
+    val np = 3
+    val fullMp = SimilarityLsh.recallAuditCore(emb, 3, 50,
+      SimilarityIvf.knnGraphMultiProbe(emb, 3, cells, np))
+    val anchoredMp = SimilarityIvf.knnGraphRecallAudit(emb, 3, 50, cells, np)
+    assert(rows(anchoredMp) === rows(fullMp),
+      "anchor-restricted multi-probe audit diverges from the full-graph audit")
+    GraftStorage.clear(spark)
+    // 3. hier audit (candidates-based) == full hier graph audit
+    val fullHier = SimilarityLsh.recallAuditCore(emb, 3, 50,
+      SimilarityHier.knnGraphHier(emb, 3, capMult = 1, nprobe = 2, knownCount = n))
+    val anchoredHier = SimilarityHier.knnGraphHierRecallAudit(emb, 3, 50,
+      capMult = 1, nprobe = 2, knownCount = n)
+    assert(rows(anchoredHier) === rows(fullHier),
+      "anchor-restricted hier audit diverges from the full-graph audit")
+    GraftStorage.clear(spark)
+    // 4. LSH audit (candidates-based) == full topKAuto graph audit
+    val fullLsh = SimilarityLsh.recallAuditCore(emb, 3, 50,
+      SimilarityLsh.topKAuto(emb, 3, numTables = 4))
+    val anchoredLsh = SimilarityLsh.knnRecallAudit(emb, 3, 50, numTables = 4)
+    assert(rows(anchoredLsh) === rows(fullLsh),
+      "anchor-restricted LSH audit diverges from the full-graph audit")
+    GraftStorage.clear(spark)
+  }
 }
 
 /** tiny helper kept out of the suite for clarity */
