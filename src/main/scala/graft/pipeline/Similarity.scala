@@ -264,20 +264,33 @@ object SimilarityIvf {
     */
   private def guardCells(assigned: DataFrame, numCells: Int,
                          maxCellSize: Long, who: String): DataFrame = {
+    import graft.GraftStorage.Syntax
+    // ONE aggregate pass builds the per-cell occupancy relation (≤
+    // numCells rows — bounded by the quantizer, so always broadcastable);
+    // the corpus count for the default cap is its sum, the dropped audit
+    // a second tiny aggregate over the CACHED sizes, and the guard filter
+    // a broadcast semi-join. The former shape paid count() (pass 1) +
+    // the dropped aggregate (pass 2) + a window count (exchange + sort of
+    // the whole assignment) — two full passes and a corpus sort replaced
+    // by one pass and a broadcast probe (guide §2.4: remove shuffles
+    // outright). Results identical: same cap, same cells dropped.
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
+      .persistTracked()
     val cap =
       if (maxCellSize > 0L) maxCellSize
-      else 16L * (assigned.count() / math.max(1, numCells) + 1L)
-    val dropped = assigned.groupBy("cell").agg(count(lit(1)).as("csz"))
-      .filter(col("csz") > cap)
+      else {
+        val n = sizes.agg(coalesce(sum(col("csz")), lit(0L))).head().getLong(0)
+        16L * (n / math.max(1, numCells) + 1L)
+      }
+    val dropped = sizes.filter(col("csz") > cap)
       .agg(coalesce(sum(col("csz")), lit(0L))).head().getLong(0)
     if (dropped > 0)
       org.slf4j.LoggerFactory.getLogger("graft.SimilarityIvf")
         .warn(s"SimilarityIvf.$who: skew guard dropping $dropped vectors " +
           s"in over-$cap cells — graph recall is reduced for those vectors; " +
           "raise numCells or train the quantizer")
-    assigned.withColumn("csz", count(lit(1)).over(
-        Window.partitionBy(col("cell"))))
-      .filter(col("csz") <= cap).drop("csz")
+    assigned.join(broadcast(sizes.filter(col("csz") <= cap).select("cell")),
+      Seq("cell"))
   }
 
   /** Within-cell scored pairs over a guarded assignment — the shared
