@@ -374,11 +374,17 @@ object SimilarityIvf {
         Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cid").asc)))
       .filter(col("pr") <= nprobe)
       .select(col("q_id"), col("qe"), col("cid").as("cell"))
+    // no distinct: each DIRECTIONAL (q_id, n_id) row arises at most once —
+    // n_id lives in exactly ONE cell (assignTo emits one row per vec_id)
+    // and q probes a cell at most once (probes are ranked DISTINCT cells),
+    // so the former distinct() deduplicated nothing and cost a full
+    // exchange of every scored row (r13; uniqueness spec-pinned in
+    // SimilaritySpec — the PAIR form nearDupPairsMultiProbe canonicalizes
+    // with least/greatest and genuinely needs its distinct, which stays)
     val scored = probes.join(sized, Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         Similarity.cosine(col("qe"), col("embedding")).as("cos"))
-      .distinct()
     scored.withColumn("rank", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc))
         .cast("long"))

@@ -322,6 +322,13 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(anchoredLsh) === rows(fullLsh),
       "anchor-restricted LSH audit diverges from the full-graph audit")
     GraftStorage.clear(spark)
+    // 5. the multi-probe graph's scored rows are unique per (q_id, n_id)
+    //    — the removed distinct() deduplicated nothing (r13)
+    val mpGraph = SimilarityIvf.knnGraphMultiProbe(emb, 1000, cells, np)
+      .select("q_id", "n_id")
+    assert(mpGraph.count() === mpGraph.distinct().count(),
+      "multi-probe scored rows are not unique — the distinct removal is unsound")
+    GraftStorage.clear(spark)
   }
 }
 
