@@ -148,7 +148,11 @@ object Bench {
     //   2. stdout re-emits the map in bounded ~40-query chunks, each
     //      line short enough to survive any tail capture individually.
     val sorted = results.toSeq.sortBy(_._1)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_DETAILS.json")
+    // cpus-qualified default: the driver benches twice (32-core, then a
+    // low-core scaling run); a shared default name let the second run
+    // clobber the first (r13: the 8-core sweep overwrote the 32-core
+    // per-query map, leaving PERF_r13 with an empty per_query table).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_DETAILS_c$cpus.json")
     val fileJson = new StringBuilder()
       .append(s"""{\n "sf": "$sfDir",\n "cpus": $cpus,\n "reps": $reps,\n""")
       .append(s""" "cal_ms": $calMs,\n""")

@@ -19,18 +19,22 @@ object QueryProfile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    @volatile var jobs = 0
-    @volatile var tasks = 0
-    @volatile var taskMs = 0L
+    // atomics + a bus flush before each read/reset (r13 advice): the
+    // listener bus delivers events asynchronously, so non-atomic `+=`
+    // could drop updates and unflushed events could bleed into the next
+    // query's counters
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
     val stageInfo = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Int)]()
     val perStage = sys.env.get("QPROF_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        jobs.incrementAndGet()
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        tasks += 1
+        tasks.incrementAndGet()
         if (t.taskMetrics != null) {
-          taskMs += t.taskMetrics.executorRunTime
+          taskMs.addAndGet(t.taskMetrics.executorRunTime)
           if (perStage) stageInfo.merge(t.stageId, ("", t.taskMetrics.executorRunTime, 1),
             (a, b) => (a._1, a._2 + b._2, a._3 + b._3))
         }
@@ -55,14 +59,26 @@ object QueryProfile {
         fn(spark, warmDir).agg(count(xxhash64(struct(col("*"))))).head(); ()
       } catch { case _: Throwable => () }
     }
+    // listenerBus is private[spark] (public bytecode) — reflection is
+    // fine for a scratch tool
+    def flushBus(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      ()
+    }
+    // drain queued listener events so warmup counts don't bleed in
+    flushBus()
     qs.foreach { case (name, fn) =>
-      jobs = 0; tasks = 0; taskMs = 0L
+      jobs.set(0); tasks.set(0); taskMs.set(0L)
       val t0 = System.nanoTime()
       try graft.GraftStorage.withTracked(spark) {
         fn(spark, sfDir).agg(count(xxhash64(struct(col("*"))))).head(); ()
       } catch { case e: Throwable => println(s"$name FAILED: ${e.getMessage}") }
       val wall = (System.nanoTime() - t0) / 1e9
-      println(f"QPROF $name%-40s wall=$wall%7.2f jobs=$jobs%4d tasks=$tasks%6d taskSec=${taskMs / 1e3}%8.2f")
+      // flush before reading: events for this query may still be queued
+      flushBus()
+      println(f"QPROF $name%-40s wall=$wall%7.2f jobs=${jobs.get}%4d tasks=${tasks.get}%6d taskSec=${taskMs.get / 1e3}%8.2f")
       if (perStage) {
         import scala.jdk.CollectionConverters._
         stageInfo.asScala.toSeq.sortBy(-_._2._2).take(12).foreach {

@@ -346,9 +346,12 @@ object SimilarityIvf {
     * [[knnGraph]]'s under the same guard, so per-vector recall is
     * monotonically ≥ the nprobe=1 graph (spec-pinned); cost grows
     * linearly in nprobe — probes are n·nprobe rows through the same
-    * shuffle cell equi-join, never a broadcast of the corpus. A pair
-    * can meet through both members' probes; `distinct()` before the
-    * rank absorbs the multiplicity (same cos both times).
+    * shuffle cell equi-join, never a broadcast of the corpus.
+    * Directional (q_id, n_id) rows are UNIQUE BY CONSTRUCTION (r13):
+    * n_id lives in exactly one cell and q probes a cell at most once,
+    * so no dedup runs before the rank. PRECONDITION: `vectors` carries
+    * unique `vec_id`s (every catalog corpus does) — duplicate-id rows
+    * would emit duplicate probe rows that consume top-k rank slots.
     */
   def knnGraphMultiProbe(vectors: DataFrame, k: Int, numCells: Int,
                          nprobe: Int = 2, maxCellSize: Long = 0L): DataFrame = {
