@@ -388,10 +388,10 @@ object SimilarityIvf {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         Similarity.cosine(col("qe"), col("embedding")).as("cos"))
-    scored.withColumn("rank", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc))
-        .cast("long"))
-      .filter(col("rank") <= k)
+    // r14: partial/final top-k before the rank window (see
+    // SimilarityLsh.rankPrunedTopK) — the exchange carries ≤ k rows per
+    // (q_id, partition) instead of all n·nprobe·occupancy scored rows
+    SimilarityLsh.rankPrunedTopK(scored, k)
   }
 
   /** Probe-count COST CAP for the auto-sized multi-probe paths: cost is
@@ -1405,6 +1405,20 @@ object SimilarityLsh {
     * deterministic under any partitioning. The window partitions by
     * vector id (never global); candidates are bucket-bounded by the skew
     * guard, so per-vector ranking stays O(bucket) at any corpus.
+    *
+    * r14: the top-k itself runs on [[graft.plans.TopKPerKey]] — partial
+    * per-partition bounded heaps BEFORE the exchange (guide §2.3
+    * "aggregate before you shuffle", the combiner a bare rank window
+    * lacks), so the shuffle carries ≤ k rows per (q_id, input partition)
+    * instead of every symmetrized candidate (~occupancy·tables rows per
+    * vector; ~98% of all pairs on the saturated refusal rows), and
+    * neither side pays a partition-wide sort. The rank window then runs
+    * on the ≤ k-per-q_id survivors and REUSES the Final pass's exchange
+    * (TopKPerKeyExec propagates its child partitioning), producing
+    * bit-identical (q_id, n_id, cos, rank) rows: a row the heap drops
+    * has ≥ k same-q_id rows ordering before it in its own partition,
+    * hence ≥ k globally, so its global row_number exceeded k and its
+    * removal shifts no surviving rank (spec-pinned in SimilaritySpec).
     */
   private[pipeline] def rankTopK(candidates: DataFrame, k: Int): DataFrame = {
     // pin before the symmetrize-union: the two branches project (q,n) and
@@ -1414,8 +1428,21 @@ object SimilarityLsh {
     val pairs = candidates.persistTracked()
     val sym = pairs.select(col("id1").as("q_id"), col("id2").as("n_id"), col("cos"))
       .union(pairs.select(col("id2").as("q_id"), col("id1").as("n_id"), col("cos")))
+    rankPrunedTopK(sym, k)
+  }
+
+  /** Shared top-k tail: [[graft.plans.TopKPerKey]] prune under the EXACT
+    * window order `(cos desc, n_id asc)`, then the rank window over the
+    * ≤ k-per-q_id survivors (exchange reused — see [[rankTopK]]).
+    * `sym` must carry (q_id, n_id, cos); the order must stay a TOTAL
+    * order per q_id ((q_id, n_id) rows are unique on every caller).
+    */
+  private[graft] def rankPrunedTopK(sym: DataFrame, k: Int): DataFrame = {
+    val pruned = graft.plans.TopKPerKey(sym, Seq("q_id"),
+      Seq(col("cos").desc, col("n_id").asc), k)
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id").asc)
-    sym.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= k)
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
   }
 
   /** Measured RECALL of the production kNN graph ([[topKAuto]]) against
@@ -1474,7 +1501,19 @@ object SimilarityLsh {
                                                   candidates: DataFrame): DataFrame = {
     val anchors = auditAnchors(vectors, nAnchors)
     val qids = broadcast(anchors.select(col("vec_id").as("q_id")))
-    val pairs = candidates.persistTracked() // feeds both sym directions
+    // r14: prefilter to ANCHOR-INCIDENT pairs BEFORE the persist (guide
+    // §5 — don't cache what you immediately discard): the cache held the
+    // full candidate relation (n·occupancy rows) only to feed two
+    // symmetrized projections that the q_id semi-join below cuts to
+    // ~nAnchors·occupancy. A symmetrized row survives that semi-join only
+    // if id1 or id2 is an anchor, so this broadcast semi-join (nAnchors
+    // rows — the sanctioned bounded-anchor-broadcast shape) keeps exactly
+    // the contributing pairs and shrinks the cache ~n/nAnchors.
+    val aids = broadcast(anchors.select(col("vec_id").as("__aid")))
+    val pairs = candidates // feeds both sym directions
+      .join(aids, col("id1") === col("__aid") || col("id2") === col("__aid"),
+        "left_semi")
+      .persistTracked()
     val approx = pairs
       .select(col("id1").as("q_id"), col("id2").as("n_id"), col("cos"))
       .union(pairs.select(col("id2").as("q_id"), col("id1").as("n_id"), col("cos")))

@@ -30,28 +30,32 @@ object Skew {
       .agg(sum("partial").as("cnt"))
   }
 
-  /** Two-stage top-k over a LOW-CARDINALITY key: stage 1 ranks within
-    * (key, salt) shards — `salts`× more, `salts`× smaller sort tasks — and
-    * keeps each shard's top-k; stage 2 ranks the ≤ `salts`·k survivors per
-    * key. Equal to the single-window top-k under the same total order
-    * (the global top-k is contained in the union of shard top-ks), but no
-    * task ever sorts a whole key's rows — the straggler
-    * `Window.partitionBy(hot_key)` creates at 100× scale.
+  /** Top-k per (possibly HOT) key without ever sorting a whole key's rows
+    * in one task. Since r14 this runs on [[graft.plans.TopKPerKey]] —
+    * per-partition bounded heaps BEFORE the exchange, then a final heap
+    * pass per key — instead of the former two-window salted shape: the
+    * shuffle now carries ≤ k rows per (key, input partition) where the
+    * salted stage 1 exchanged EVERY row into (key, salt) shards and fully
+    * sorted each shard (the heap partial needs no salt — every input
+    * partition already is its own shard, and no partition-wide sort
+    * buffer exists on either side). The rank window that re-attaches
+    * `rank` runs over ≤ k-per-key survivors and reuses the Final pass's
+    * exchange. Results are identical to the single-window top-k
+    * (PropertySpec pins it): a heap-dropped row has ≥ k same-key rows
+    * ordering before it in its own partition, hence ≥ k globally.
     *
-    * `order` must be a TOTAL order (include a tiebreaker column) — it
-    * decides ranks in both stages, and the salt is hashed from
-    * `saltSource`, not random, so retries are deterministic.
+    * `order` must be a TOTAL order (include a tiebreaker column).
+    * `saltSource`/`salts` are retained for source compatibility and
+    * ignored — determinism no longer needs a salt.
     * Output = input columns + `rank` (1-based, ≤ k).
     */
   def saltedTopK(df: DataFrame, key: Column, saltSource: Column, k: Int,
                  order: Seq[Column], salts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val shard = Window.partitionBy(key, pmod(hash(saltSource), lit(salts)))
-      .orderBy(order: _*)
-    val partial = df.withColumn("__r", row_number().over(shard))
-      .filter(col("__r") <= k).drop("__r")
+    locally { val _ = (saltSource, salts) } // kept for source compatibility
+    val pruned = graft.plans.TopKPerKey.byCols(df, Seq(key), order, k)
     val merged = Window.partitionBy(key).orderBy(order: _*)
-    partial.withColumn("rank", row_number().over(merged).cast("long"))
+    pruned.withColumn("rank", row_number().over(merged).cast("long"))
       .filter(col("rank") <= k)
   }
 

@@ -68,35 +68,93 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     if (partial) Seq(UnspecifiedDistribution)
     else Seq(ClusteredDistribution(keys))
 
+  // the heaps neither move nor re-key rows, so the child's partitioning
+  // survives (r14): declaring it lets a downstream operator clustered on
+  // the same keys — e.g. the rank window that re-attaches `rank` after a
+  // TopKPerKey prune — REUSE the Final pass's exchange instead of adding
+  // its own (the default UnknownPartitioning forced a second shuffle of
+  // the already-pruned rows)
+  override def outputPartitioning:
+      org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
+  /** Per-task bound on the PARTIAL pass's hash state, in distinct keys
+    * (r14): the sort this operator replaces could SPILL; a heap map
+    * cannot, so it must be bounded by construction. When a new key would
+    * exceed the bound the accumulated per-key top-ks are FLUSHED
+    * downstream and the map restarts on a fresh segment — correctness is
+    * the same containment argument as partial/final itself (a segment is
+    * just a finer input partition: a row dropped in its segment has ≥ k
+    * same-key rows ordering before it there, hence ≥ k globally). Only
+    * the partial pass flushes: the Final pass must see every surviving
+    * row of a key to be exact, and its input is already pruned to
+    * ≤ k·upstream-partitions rows per key, so its state is input-sized.
+    * At the default, state is ≤ ~maxKeys·k rows (tens of MB at k ≤ 50).
+    */
+  private[plans] val MaxPartialKeys: Int =
+    java.lang.Integer.getInteger("spark.graft.topk.maxPartialKeys", 1 << 17)
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyExprs = keys
     val sortExprs = order
     val childOutput = child.output
     val kk = k
+    val maxKeys = if (partial) math.max(1, MaxPartialKeys) else Int.MaxValue
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(
         BindReferences.bindReferences(keyExprs, childOutput))
       // heap root = WORST kept row; evict it when a better row arrives
       val rowOrd = new LazilyGeneratedOrdering(
         BindReferences.bindReferences(sortExprs, childOutput))
-      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
-      iter.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[UnsafeRow](kk, rowOrd.reverse)
-          heaps.put(key.copy(), heap)
+      new Iterator[InternalRow] {
+        private val heaps =
+          new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+        private var pending: UnsafeRow = null // row that triggered a flush
+        private var drain: Iterator[InternalRow] = Iterator.empty
+
+        private def offer(heap: java.util.PriorityQueue[UnsafeRow],
+                          row: InternalRow): Unit = {
+          if (heap.size < kk) {
+            heap.add(row.asInstanceOf[UnsafeRow].copy())
+          } else if (rowOrd.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.asInstanceOf[UnsafeRow].copy())
+          }
         }
-        if (heap.size < kk) {
-          heap.add(row.asInstanceOf[UnsafeRow].copy())
-        } else if (rowOrd.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.asInstanceOf[UnsafeRow].copy())
+        // false = row carries a NEW key and the map is at capacity
+        private def insert(row: InternalRow): Boolean = {
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            if (heaps.size >= maxKeys) return false
+            heap = new java.util.PriorityQueue[UnsafeRow](kk, rowOrd.reverse)
+            heaps.put(key.copy(), heap)
+          }
+          offer(heap, row)
+          true
         }
+        private def fill(): Unit = {
+          if (drain.hasNext) return
+          if (pending == null && !iter.hasNext) return
+          if (pending != null) { insert(pending); pending = null } // fresh map
+          var flushed = false
+          while (!flushed && iter.hasNext) {
+            val row = iter.next()
+            if (!insert(row)) {
+              pending = row.asInstanceOf[UnsafeRow].copy()
+              flushed = true
+            }
+          }
+          if (!heaps.isEmpty) {
+            val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+            heaps.values().forEach { h => h.forEach { r => out += r } }
+            heaps.clear()
+            drain = out.iterator
+          }
+        }
+        override def hasNext: Boolean = { fill(); drain.hasNext }
+        override def next(): InternalRow = { fill(); drain.next() }
       }
-      val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
-      heaps.values().forEach { h => h.forEach { r => out += r } }
-      out.iterator
     }
   }
 
@@ -110,10 +168,34 @@ object TopKPerKey {
     * is whatever sorts FIRST; `orderCols` must be a total order).
     * Returns the rows themselves, un-ranked.
     */
+  /** [[apply]] with Column keys — for callers whose key is an expression
+    * rather than a named column (e.g. [[graft.pipeline.Skew.saltedTopK]]).
+    */
+  def byCols(df: org.apache.spark.sql.DataFrame,
+             keyCols: Seq[org.apache.spark.sql.Column],
+             orderCols: Seq[org.apache.spark.sql.Column], k: Int)
+  : org.apache.spark.sql.DataFrame =
+    build(df, keyCols.map(org.apache.spark.sql.classic.GraftPlanBridge.expr),
+      orderCols, k)
+
   def apply(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
             orderCols: Seq[org.apache.spark.sql.Column], k: Int)
+  : org.apache.spark.sql.DataFrame =
+    build(df,
+      keyCols.map(org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted),
+      orderCols, k)
+
+  private def build(df: org.apache.spark.sql.DataFrame, keyExprs0: Seq[Expression],
+                    orderCols: Seq[org.apache.spark.sql.Column], k: Int)
   : org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    // idempotent self-registration (r14): library entry points now build
+    // TopKPerKeyNode plans on sessions that may not have gone through
+    // VectorFunctions.register / GraftExtensions — without the strategy
+    // the node simply fails to plan
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
     val analyzed = df.queryExecution.analyzed
     def byName(n: String): Expression =
       analyzed.output.find(_.name == n).getOrElse(
@@ -121,7 +203,7 @@ object TopKPerKey {
     def resolve(e: Expression): Expression = e.transformUp {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => byName(u.name)
     }
-    val keyExprs: Seq[Expression] = keyCols.map(byName)
+    val keyExprs: Seq[Expression] = keyExprs0.map(resolve)
     val sortOrders = orderCols.map { c =>
       resolve(org.apache.spark.sql.classic.GraftPlanBridge.expr(c)) match {
         case so: SortOrder => so

@@ -65,4 +65,59 @@ class TopKPerKeySpec extends SparkTestBase {
       .select("v").as[Long].collect().toSet
     assert(got === Set(1L, 3L))
   }
+
+  test("r14 bounded partial state: a tiny flush threshold changes nothing") {
+    // maxPartialKeys=2 forces a flush every third distinct key — segment
+    // boundaries land mid-key constantly, and the result must not move
+    System.setProperty("spark.graft.topk.maxPartialKeys", "2")
+    try {
+      val df = (1 to 900).map(i => (s"g${i % 31}", i.toLong, (i * 37 % 101).toDouble))
+        .toDF("grp", "id", "score").repartition(5)
+      val got = TopKPerKey(df, Seq("grp"), Seq($"score".desc, $"id".asc), k = 4)
+        .select("grp", "id").as[(String, Long)].collect().toSet
+      val w = Window.partitionBy("grp").orderBy($"score".desc, $"id".asc)
+      val ref = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 4)
+        .select("grp", "id").as[(String, Long)].collect().toSet
+      assert(got === ref)
+    } finally System.clearProperty("spark.graft.topk.maxPartialKeys")
+  }
+
+  // ——— r14: the rank-window-over-prune shape (rankPrunedTopK / saltedTopK)
+
+  test("r14 rankPrunedTopK: bit-identical rows AND ranks vs the bare rank window") {
+    import graft.pipeline.SimilarityLsh
+    // dense per-key candidates across many partitions, adversarial ties:
+    // repeated cos values so the n_id tiebreak decides ranks
+    // n_id = i·17 mod 4001 (prime) is injective over 1..4000, so
+    // (q_id, n_id) rows are unique and the window order is total per key
+    val sym = (1 to 4000).map { i =>
+      (i % 37L, (i * 17 % 4001).toLong, (i * 13 % 23).toDouble / 23.0)
+    }.toDF("q_id", "n_id", "cos").repartition(11)
+    val got = SimilarityLsh.rankPrunedTopK(sym, 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    val w = Window.partitionBy("q_id").orderBy($"cos".desc, $"n_id".asc)
+    val ref = sym.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5).as[(Long, Long, Double, Long)].collect().toSet
+    assert(got === ref)
+  }
+
+  test("r14 exchange reuse: the rank window runs on the Final pass's shuffle") {
+    import graft.pipeline.Skew
+    // spark.range gives 7 input partitions WITHOUT an exchange, so the
+    // only shuffle in the plan is the partial→final one
+    val df = spark.range(0, 2000, 1, 7)
+      .select(concat(lit("k"), ($"id" % 5).cast("string")).as("grp"),
+        $"id", ($"id" * 31 % 97).cast("double").as("score"))
+    val topk = Skew.saltedTopK(df, col("grp"), col("id"), 4,
+      order = Seq($"score".desc, $"id".asc))
+    topk.collect() // finalize AQE
+    val nodes = collectAll(topk.queryExecution.executedPlan)
+    // partial + final heap pair present, exactly ONE exchange in the whole
+    // plan (the window re-uses the Final pass's hash(grp) partitioning),
+    // and no partition-wide sort below the exchange (the heap needs none)
+    assert(nodes.collect { case t: TopKPerKeyExec => t.partial }.sorted ===
+      Seq(false, true), nodes.map(_.nodeName))
+    assert(nodes.count(_.isInstanceOf[ShuffleExchangeLike]) === 1,
+      nodes.map(_.nodeName))
+  }
 }
